@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles, mirroring the driver's
+DuckDB compare: for each query, read the Spark-written parquet from
+Verify's outDir and compare (columns sorted by name, rows sorted, values
+exact) against DuckDB running the oracle SQL over the same test tables.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Dev tooling only — not part of the shipped engine.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.sql(sql).df()
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            exp = exp[sorted(exp.columns)]
+            got = got[sorted(got.columns)]
+            if list(exp.columns) != list(got.columns):
+                print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+                n_fail += 1
+                continue
+            er = sorted([tuple(norm(v) for v in r) for r in exp.itertuples(index=False)],
+                        key=lambda r: tuple(str(x) for x in r))
+            gr = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)],
+                        key=lambda r: tuple(str(x) for x in r))
+            if len(er) != len(gr):
+                print(f"FAIL {name}: rows exp={len(er)} got={len(gr)}")
+                n_fail += 1
+                continue
+            bad = [(a, b) for a, b in zip(er, gr) if a != b]
+            if bad:
+                print(f"FAIL {name}: {len(bad)}/{len(er)} rows differ; first: exp={bad[0][0]} got={bad[0][1]}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(er)} rows)")
+                n_pass += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
