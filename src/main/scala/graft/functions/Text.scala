@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, language-ID (stopword-marker heuristic), quality features,
+  * and document fingerprinting (polynomial rolling hash).
+  *
+  * Everything here is built from codegen'd Catalyst built-ins (split /
+  * filter / transform / aggregate higher-order functions) — no Scala UDFs —
+  * so the expressions stay inside whole-stage codegen and are safe to run
+  * over billions of documents.
+  */
+object Text {
+
+  /** Marker stopwords per language, used by the language-ID heuristic.
+    * Order matters: it is the deterministic tie-break (first max wins). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "se", "un", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "dans", "est", "pour", "qui", "sur"),
+    "pt" -> Seq("o", "os", "do", "da", "em", "um", "para", "com", "uma", "por"))
+
+  /** Whitespace tokenization (the corpus is space-separated). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Number of tokens that appear in `words`. */
+  def markerHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(words)))
+
+  /** Per-language marker-hit scores. */
+  def langScores(c: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) => lang -> markerHits(c, words) }
+
+  /** Language-ID: argmax of marker-hit scores, 'und' when no marker hits.
+    * Ties break to the first language in `LangMarkers` order. */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val m = greatest(scores.map(_._2): _*)
+    val chain = scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc === m, lit(lang)).otherwise(els)
+    }
+    when(m === 0, lit("und")).otherwise(chain)
+  }
+
+  /** Fraction of tokens that are distinct — low values indicate boilerplate
+    * / repetitive spam. Exact double division of two ints (deterministic). */
+  def distinctTokenRatio(c: Column): Column = {
+    val toks = tokens(c)
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+
+  /** Fraction of tokens that are language markers (any language). */
+  def stopwordRatio(c: Column): Column = {
+    val all = LangMarkers.flatMap(_._2).distinct
+    markerHits(c, all).cast("double") / tokenCount(c).cast("double")
+  }
+
+  /** Mean token length in characters (spaces excluded). */
+  def meanTokenLength(c: Column): Column = {
+    val nTok = tokenCount(c)
+    (length(c) - (nTok - lit(1))).cast("double") / nTok.cast("double")
+  }
+
+  /** Polynomial rolling hash over the document's characters:
+    * fp = fold(0, acc * 31 + ascii(char)) mod 1e9+7.
+    * Stays in (codegen'd) higher-order functions; the modulus keeps every
+    * intermediate below 2^35 so the arithmetic is exact in both Spark and
+    * any BIGINT-based oracle. Empty input → 0.
+    */
+  def charFingerprint(c: Column): Column = {
+    val codes = transform(sequence(lit(1), length(c)),
+      i => ascii(c.substr(i, lit(1))).cast("long"))
+    when(length(c) === 0, lit(0L)).otherwise(
+      aggregate(codes, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L))
+  }
+
+  /** Token n-gram shingles (distinct), the unit of near-dup comparison.
+    * Documents shorter than n tokens yield an empty set. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    array_distinct(when(size(toks) >= n, grams)
+      .otherwise(array().cast("array<string>")))
+  }
+}

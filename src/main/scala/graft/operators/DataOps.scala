@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+
+/** Training-data pipeline queries: text analysis, deduplication, and
+  * similarity search over the `documents` / `embeddings` tables.
+  *
+  * Oracle notes: the language-ID / stopword SQL is GENERATED from the same
+  * `Text.LangMarkers` constant the Spark expressions use, so the two sides
+  * cannot drift. Approximate operators (MinHash-LSH, SimHash, hyperplane
+  * LSH) have no SQL oracle — they are checked rows-only by the driver and
+  * exactly in the ScalaTest suite (planted near-duplicates must be found).
+  */
+object DataOps {
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + per-document length stats.
+    "t01_token_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        Text.tokenCount($"text").as("n_tokens"),
+        length($"text").as("n_chars"),
+        Text.meanTokenLength($"text").as("mean_token_len"))
+    },
+
+    // Quality scoring: repetitiveness + stopword density + a pass flag.
+    "t02_quality" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        Text.distinctTokenRatio($"text").as("distinct_ratio"),
+        Text.stopwordRatio($"text").as("stopword_ratio"),
+        (Text.tokenCount($"text") >= 5 &&
+          Text.distinctTokenRatio($"text") >= 0.2).as("quality_pass"))
+    },
+
+    // Language-ID: stopword-marker argmax heuristic.
+    "t03_langid" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id", Text.langId($"text").as("lang_pred"))
+    },
+
+    // Document fingerprint: polynomial rolling char hash mod 1e9+7.
+    "t04_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        Text.charFingerprint($"text").as("fp"))
+    },
+
+    // Corpus token frequencies (explode / unnest surface).
+    "t05_token_freq" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(Text.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+    },
+
+    // Exact dedup: content-hash groups.
+    "d01_exact_dedup" -> { (s, d) =>
+      Tables.documents(s, d).transform(df =>
+        Dedup.exactGroups(df, "doc_id", "text"))
+    },
+
+    // Exact trigram-Jaccard near-dup pairs (inverted-index join).
+    "d02_jaccard_pairs" -> { (s, d) =>
+      Tables.documents(s, d).transform(df =>
+        Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+          minJaccard = 0.05, maxDocFreq = 1000L))
+    },
+
+    // MinHash + LSH near-dup candidates (no SQL oracle: approximate).
+    "d03_minhash_pairs" -> { (s, d) =>
+      Tables.documents(s, d).transform(df =>
+        Dedup.minHashLshPairs(df, "doc_id", "text",
+          shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5))
+    },
+
+    // SimHash near-dup pairs, Hamming ≤ 3 (no SQL oracle: hash-defined).
+    "d04_simhash_pairs" -> { (s, d) =>
+      Tables.documents(s, d).transform(df =>
+        Dedup.simHashPairs(df, "doc_id", "text", maxDist = 3))
+    },
+
+    // Exact brute-force cosine top-5 for probe vectors 0-2.
+    "s01_brute_knn" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteKnn(emb, emb.filter($"vec_id" < 3), k = 5)
+    },
+
+    // Hyperplane-LSH approximate top-5 (no SQL oracle: approximate).
+    "s02_lsh_knn" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshKnn(emb, emb.filter($"vec_id" < 3), k = 5, dim = 64)
+    }
+  )
+
+  private val stopSql = {
+    val all = Text.LangMarkers.flatMap(_._2).distinct
+    s"len(list_filter(string_split(text, ' '), x -> x IN ${inList(all)}))"
+  }
+
+  private val langCaseSql = {
+    val scores = Text.LangMarkers.map { case (lang, words) =>
+      lang -> s"len(list_filter(t, x -> x IN ${inList(words)}))"
+    }
+    val m = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = scores.map { case (l, sc) => s"WHEN $sc = $m THEN '$l'" }
+    s"CASE WHEN $m = 0 THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_token_len
+        |FROM documents""".stripMargin,
+
+    "t02_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS distinct_ratio,
+         |  CAST($stopSql AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+         |  (len(string_split(text, ' ')) >= 5 AND
+         |   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |     / len(string_split(text, ' ')) >= 0.2) AS quality_pass
+         |FROM documents""".stripMargin,
+
+    "t03_langid" ->
+      s"""SELECT doc_id, $langCaseSql AS lang_pred
+         |FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)""".stripMargin,
+
+    "t04_fingerprint" ->
+      """SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE
+        |  list_reduce(list_transform(range(1, length(text) + 1),
+        |    i -> ascii(text[i])::BIGINT),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) END AS fp
+        |FROM documents""".stripMargin,
+
+    "t05_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS keeper_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "d02_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin,
+
+    "s01_brute_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS q FROM e WHERE vec_id < 3),
+        |scored AS (SELECT probe_id, e.vec_id,
+        |  round(list_dot_product(q, v) /
+        |    (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 9)
+        |    AS cos_sim
+        |  FROM p CROSS JOIN e WHERE e.vec_id <> probe_id)
+        |SELECT probe_id, vec_id, cos_sim, rnk FROM (
+        |  SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5""".stripMargin
+  )
+}

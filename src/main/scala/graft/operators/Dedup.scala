@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * approximate:
+  *
+  *   - exact:       hash-groupBy on content (one shuffle on the digest)
+  *   - ngramJaccard: exact Jaccard over token shingles via an inverted
+  *                   index self-join (shuffle on shingle, then on pair)
+  *   - minHash+LSH: banded MinHash signatures — candidate pairs only ever
+  *                   meet inside a band bucket, so the join is linear in
+  *                   bucket occupancy, not quadratic in corpus size
+  *   - simHash:     64-bit fingerprints; near-dup pairs via the pigeonhole
+  *                   band join + popcount(xor) verification
+  *
+  * Scale design: every pairing step is bounded — `maxDocFreq` drops
+  * stop-shingles whose inverted-index rows would otherwise blow up
+  * quadratically (a shingle shared by 10k docs contributes 10k² pair rows);
+  * LSH band buckets replace the all-pairs comparison entirely. All hashing
+  * is xxhash64 (codegen'd, deterministic across runs and executors).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: digest → group size + keeper (min id).
+    * One hash aggregation; the shuffle key is the 128-bit digest, never the
+    * full document, so shuffle volume is O(rows), not O(bytes). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(Text.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs above `minJaccard`.
+    *
+    * Inverted-index join: pairs are generated per-shingle, so two documents
+    * are compared iff they share ≥1 surviving shingle. `maxDocFreq` removes
+    * shingles present in more than that many documents before pairing —
+    * the standard guard against quadratic blow-up on boilerplate shingles.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n)
+    val sizes = idx.groupBy($"doc").agg(count(lit(1)).as("n_shingles"))
+    val rare = idx.withColumn("df",
+        count(lit(1)).over(Window.partitionBy($"shingle")))
+      .filter($"df" <= maxDocFreq).drop("df")
+    val common = rare.as("a")
+      .join(rare.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard", $"n_common".cast("double") /
+        ($"size_a" + $"size_b" - $"n_common").cast("double"))
+      .filter($"jaccard" >= minJaccard)
+      .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b", $"jaccard")
+  }
+
+  /** Fixed-seed affine permutation parameters for MinHash: h_i(x) =
+    * (a_i·x + b_i) mod p, p prime. Deterministic LCG, no RNG state. */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private def permParams(numPerm: Int): Seq[(Long, Long)] = {
+    var s = 42L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.abs(s % (MinhashPrime - 1)) }
+    Seq.fill(numPerm)((next() + 1, next()))
+  }
+
+  /** MinHash signature per document: array of `numPerm` minima over the
+    * shingle set. One aggregation over the shingle index — signature cost
+    * is O(shingles × numPerm) map-side, fully codegen'd. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numPerm: Int): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, shingleN)
+      .withColumn("h", pmod(xxhash64($"shingle"), lit(MinhashPrime)))
+    val mins = permParams(numPerm).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod($"h" * a + b, lit(MinhashPrime))).as(s"mh_$i")
+    }
+    idx.groupBy($"doc").agg(mins.head, mins.tail: _*)
+      .select($"doc", array((0 until numPerm).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs from banded signatures + estimated Jaccard
+    * (fraction of matching signature positions). Documents collide iff one
+    * full band matches, so the join fans out per (band, bucket) — never
+    * all-pairs. bands × rowsPerBand must equal numPerm. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val sigs = minHashSignatures(df, idCol, textCol, shingleN, numPerm)
+    val banded = sigs.select($"doc", $"sig",
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", b,
+          concat_ws(",", slice($"sig", b * r + lit(1), lit(r)))))))
+        .as(Seq("band", "bucket")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cands.withColumn("est_jaccard",
+        size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y),
+          b => b)).cast("double") / numPerm)
+      .filter($"est_jaccard" >= minEstJaccard)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+  }
+
+  /** 64-bit SimHash per document: per-bit majority vote of token hashes.
+    * Implemented as 64 conditional sums in one hash aggregation (codegen'd;
+    * no UDF, no per-row loops). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+        explode(Text.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64($"t"))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftrightunsigned($"h", b).bitwiseAND(1) * 2 - 1).as(s"s$b")
+    }
+    val agg = tok.groupBy($"doc").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce[Column]((x, y) => x.bitwiseOR(y))
+    agg.select($"doc", fp.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist over SimHash.
+    * Pigeonhole banding: split 64 bits into `maxDist+1` chunks — any pair
+    * within maxDist must agree on at least one full chunk, so candidates
+    * are found with an equi-join on (chunk index, chunk value), then
+    * verified with popcount(xor). */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val fp = simHash(df, idCol, textCol)
+    val banded = fp.select($"doc", $"simhash",
+      posexplode(array((0 until chunks).map(i =>
+        shiftrightunsigned($"simhash", i * width)
+          .bitwiseAND((1L << width) - 1)): _*)).as(Seq("chunk", "val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter($"hamming" <= maxDist)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

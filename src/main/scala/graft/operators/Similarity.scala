@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  *   - bruteKnn: exact cosine top-k — broadcast the (small) probe set over
+  *     the corpus; one pass, no shuffle of the corpus itself; top-k via a
+  *     partitioned window on the probe key.
+  *   - lshKnn: random-hyperplane LSH — corpus is bucketed by sign-bit
+  *     signature; probes only scan their own bucket(s). This is the 100 TB
+  *     path: the full-corpus scan is replaced by an equi-join on bucket id.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions over
+  * double-cast arrays — codegen'd, deterministic left-to-right summation
+  * (the same order DuckDB's list functions use, so oracles can match
+  * bit-for-bit).
+  */
+object Similarity {
+
+  /** Elementwise-cast to double; float→double is exact. */
+  def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k for each probe row. `probes` must be small (it is
+    * broadcast); the corpus side streams — no corpus shuffle until the
+    * final per-probe top-k (which moves only k rows per probe).
+    * Similarity is rounded to 9 dp and tie-broken by corpus id so the
+    * result is a deterministic set. */
+  def bruteKnn(corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+    val p = probes.select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("q"))
+    val scored = c.crossJoin(broadcast(p))
+      .withColumn("cos_sim", round(cosine(col("q"), col("v")), 9))
+      .filter(col("probe_id") =!= col("vec_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG, fixed seed): one
+    * array<double> literal per plane. */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Seq[Column] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Seq.fill(numPlanes)(array(Seq.fill(dim)(lit(next())): _*))
+  }
+
+  /** Sign-bit signature: bit i = [v · plane_i > 0]. */
+  def lshSignature(v: Column, planes: Seq[Column]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: candidates = corpus rows whose signature is within
+    * `maxHamming` sign-bit flips of the probe's (joined per matching band
+    * chunk, pigeonhole-style), exact cosine rerank inside the candidate
+    * set. Recall < 1 by construction; the tradeoff knob is numPlanes /
+    * maxHamming. */
+  def lshKnn(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
+      numPlanes: Int = 16, maxHamming: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val chunks = maxHamming + 1
+    val width = math.max(1, numPlanes / chunks)
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), toDouble(col(vec)).as(s"${id}_v"),
+          lshSignature(toDouble(col(vec)), planes).as(s"${id}_sig"))
+        .select(col(id), col(s"${id}_v"), col(s"${id}_sig"),
+          posexplode(array((0 until chunks).map(i =>
+            shiftrightunsigned(col(s"${id}_sig"), i * width)
+              .bitwiseAND((1L << width) - 1)): _*)).as(Seq("chunk", "bucket")))
+    val c = banded(corpus.select(col(idCol).as("vec_id"), col(vecCol)), "vec_id", vecCol)
+    val p = banded(probes.select(col(idCol).as("probe_id"), col(vecCol)), "probe_id", vecCol)
+    val cands = c.join(p, Seq("chunk", "bucket"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        col("probe_id_v").as("q"), col("vec_id_v").as("v"))
+      .distinct()
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cands.withColumn("cos_sim", round(cosine(col("q"), col("v")), 9))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rnk"))
+  }
+}
