@@ -1,0 +1,130 @@
+package graft.etl
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Transactional delete+insert ("upsert") JDBC sink — the reference's core
+  * sink (dags/datahelper/postgres.py:18-38: one transaction per batch,
+  * DELETE by key then multi-row INSERT) redesigned for distributed writes.
+  *
+  * The reference's row-at-a-time form is its published 2-hour bottleneck
+  * (README.md:324-326). Here the batch is STAGED in parallel by all
+  * executors through Spark's JDBC writer (partitioned, batched inserts),
+  * then one short driver-side transaction promotes it set-based:
+  *
+  *   DELETE FROM target WHERE key IN (SELECT key FROM staging);
+  *   INSERT INTO target SELECT ... FROM staging;
+  *   DROP staging;
+  *
+  * Properties preserved from the reference: per-batch atomicity (promotion
+  * is a single transaction) and idempotent replay (re-running the same
+  * batch converges to the same table state). The expensive data movement is
+  * distributed; only the set-based promotion — O(1) statements, executed
+  * inside the database — is serial. At 100 TB the same shape holds: staging
+  * write scales with executors, promotion stays two statements (or becomes
+  * a server-side MERGE where the dialect supports it).
+  *
+  * Column identifiers are always double-quoted: the corpus has
+  * reserved-word columns (`from`, `to`) and mixed-case names that unquoted
+  * SQL would fold away (README.md:104-105). Table names stay UNQUOTED so
+  * they fold the same way Spark's JDBC writer (which passes the staging
+  * table name through unquoted) folded them.
+  */
+object JdbcUpsert {
+
+  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  /** Upsert `df` into `table` keyed on `keyCol`.
+    *
+    * @param url      JDBC url (driver must be on the classpath)
+    * @param numStagingPartitions parallelism of the staging write — sized
+    *   so each partition's insert batch fits the DB's transaction budget
+    */
+  def upsert(df: DataFrame, url: String, table: String, keyCol: String,
+      props: Properties = new Properties(),
+      numStagingPartitions: Int = 0,
+      createTableColumnTypes: Option[String] = None): Unit = {
+    val staging = table + "_staging"
+    val toWrite = if (numStagingPartitions > 0) df.repartition(numStagingPartitions) else df
+    val writer = toWrite.write.mode(SaveMode.Overwrite)
+    // Some dialects map StringType to an uncomparable LOB type (Derby →
+    // CLOB), which breaks the key IN (SELECT ...) promotion; callers can
+    // pin explicit SQL types for the staging create.
+    createTableColumnTypes.foreach(t => writer.option("createTableColumnTypes", t))
+    writer.jdbc(url, staging, props)
+
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      ensureTargetExists(conn, table, staging)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          s"DELETE FROM $table WHERE ${q(keyCol)} IN " +
+            s"(SELECT ${q(keyCol)} FROM $staging)")
+        val cols = df.columns.map(q).mkString(", ")
+        st.executeUpdate(
+          s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+      } finally st.close()
+      conn.commit()
+      val st2 = conn.createStatement()
+      try st2.executeUpdate(s"DROP TABLE $staging") finally st2.close()
+      conn.commit()
+    } catch {
+      case e: Throwable => try conn.rollback() finally (); throw e
+    } finally conn.close()
+  }
+
+  /** S4: create the target as an empty clone of staging if absent. */
+  private def ensureTargetExists(conn: Connection, table: String,
+      staging: String): Unit = {
+    val meta = conn.getMetaData
+    val rs = meta.getTables(null, null, null, Array("TABLE"))
+    var exists = false
+    try {
+      while (rs.next() && !exists)
+        if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) exists = true
+    } finally rs.close()
+    if (!exists) {
+      val st = conn.createStatement()
+      // Standard SQL empty-clone; works on Derby and Postgres alike.
+      try st.executeUpdate(
+        s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+      catch {
+        case _: Exception =>
+          conn.rollback()
+          st.executeUpdate(
+            s"CREATE TABLE $table AS SELECT * FROM $staging WHERE 1=0")
+      } finally st.close()
+      conn.commit()
+    }
+  }
+
+  /** S6: watermark probe — max(fileName) already loaded, computed INSIDE
+    * the database (aggregate pushdown via a subquery dbtable), not by
+    * scanning the table through Spark (reference: postgres.py:98-114). */
+  def lastUploadedFile(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, fileCol: String = "fileName",
+      props: Properties = new Properties()): Option[String] = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val meta = conn.getMetaData
+      val rs = meta.getTables(null, null, null, Array("TABLE"))
+      var exists = false
+      try {
+        while (rs.next() && !exists)
+          if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) exists = true
+      } finally rs.close()
+      if (!exists) None
+      else {
+        val st = conn.createStatement()
+        try {
+          val r = st.executeQuery(s"SELECT MAX(${q(fileCol)}) FROM $table")
+          if (r.next()) Option(r.getString(1)) else None
+        } finally st.close()
+      }
+    } finally conn.close()
+  }
+}

@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.types._
+
+/** Schemas for the CDC CSV corpus and the two target tables
+  * (SURVEY.md §1.2-1.3; reference: dags/postgres_etl/events_table.py:19-41,
+  * tracking_table.py:19-31, README.md:85-108).
+  *
+  * Schemas are explicit — never `inferSchema`: the `status` field carries
+  * leading zeros ('01') that inference would destroy, and a schema-inference
+  * pass over 100 TB of CSV is a full extra read of the corpus.
+  */
+object Schemas {
+
+  /** The uniform 6-column source schema of every CDC dump file. */
+  val source: StructType = StructType(Seq(
+    StructField("Op", StringType),
+    StructField("oid__id", StringType),
+    StructField("createdAt", LongType),     // epoch seconds
+    StructField("updatedAt", LongType),     // epoch seconds
+    StructField("lastSyncTracker", LongType), // epoch seconds
+    StructField("array_trackingEvents", StringType)))
+
+  /** Nested event element: Mongo extended-JSON `{'$date': millis}` plus
+    * six string fields ('from'/'to' are SQL reserved words — always
+    * backtick-quote in Spark, double-quote in generated DDL/DML). */
+  val eventElement: StructType = StructType(Seq(
+    StructField("createdAt",
+      StructType(Seq(StructField("$date", LongType)))),
+    StructField("trackingCode", StringType),
+    StructField("status", StringType),
+    StructField("description", StringType),
+    StructField("trackerType", StringType),
+    StructField("from", StringType),
+    StructField("to", StringType)))
+
+  val eventArray: ArrayType = ArrayType(eventElement)
+
+  /** Target `tracking` table: one row per CDC document. */
+  val trackingColumns: Seq[String] = Seq(
+    "oid__id", "Op", "createdAt", "updatedAt", "lastSyncTracker")
+
+  /** Target `events` table: one row per nested tracking event. */
+  val eventsColumns: Seq[String] = Seq(
+    "oid__id", "trackingCode", "status", "description", "trackerType",
+    "from", "to", "eventCreatedAt")
+
+  /** Columns appended by the pipeline to every target row. */
+  val auditColumns: Seq[String] = Seq("uploadDate", "fileName")
+
+  /** Epoch-seconds columns converted to timestamps in both pipelines. */
+  val epochSecondCols: Seq[String] = Seq("createdAt", "updatedAt", "lastSyncTracker")
+}

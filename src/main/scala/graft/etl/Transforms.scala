@@ -1,0 +1,98 @@
+package graft.etl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.etl.expressions.PyLiteralToJson.pyToJson
+
+/** The reference's `process_data` chain (dags/datahelper/postgres.py:117-155)
+  * as composable DataFrame → DataFrame stages. Each stage is narrow (no
+  * shuffle) except `dedupKeepLast` (shuffle on the key) and `distinctRows`
+  * (shuffle on all columns) — the whole per-batch plan is one lazy pipeline
+  * scan→parse→explode→project with at most two exchanges.
+  */
+object Transforms {
+
+  /** S2: tag each row with its source file's basename. The lexicographic
+    * filename ordering doubles as the CDC version order. */
+  def withFileName(df: DataFrame): Column =
+    element_at(split(input_file_name(), "/"), -1)
+
+  def addFileName(df: DataFrame): DataFrame =
+    df.withColumn("fileName", withFileName(df))
+
+  /** P2: strict `>` watermark filter — the watermark file itself is never
+    * re-read (reference: events_table.py:90-92). String comparison matches
+    * the reference's lexicographic semantics. */
+  def afterWatermark(watermark: Option[String])(df: DataFrame): DataFrame =
+    watermark.fold(df)(wm => df.filter(col("fileName") > lit(wm)))
+
+  /** N2+N1 (parse): Python-literal string → JSON (native codegen'd
+    * expression) → typed array column. Malformed literals become null
+    * arrays rather than killing the job. */
+  def parseEventArray(df: DataFrame,
+      src: String = "array_trackingEvents", dst: String = "events"): DataFrame =
+    df.withColumn(dst, from_json(pyToJson(col(src)), Schemas.eventArray))
+      .drop(src)
+
+  /** N1 (explode+normalize): one row per event element. `explode_outer`,
+    * not `explode` — a document with an empty/null array must still emit
+    * one all-null event row (SURVEY.md §1.5; pandas explode keeps NaN
+    * rows). Flattens the Mongo `{'$date': millis}` into `eventCreatedAt`. */
+  def explodeEvents(df: DataFrame, arrCol: String = "events"): DataFrame =
+    df.withColumn("e", explode_outer(col(arrCol)))
+      .withColumn("trackingCode", col("e.trackingCode"))
+      .withColumn("status", col("e.status"))
+      .withColumn("description", col("e.description"))
+      .withColumn("trackerType", col("e.trackerType"))
+      .withColumn("from", col("e.from"))
+      .withColumn("to", col("e.to"))
+      .withColumn("eventCreatedAt", timestamp_millis(col("e.createdAt.$date")))
+      .drop("e", arrCol)
+
+  /** F1: epoch-seconds → timestamp for the document-level time columns. */
+  def epochSecondsToTs(df: DataFrame,
+      cols: Seq[String] = Schemas.epochSecondCols): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, timestamp_seconds(col(c))))
+
+  /** F3: batch-constant upload timestamp. An injectable clock: pass a fixed
+    * value for deterministic replay/tests; None uses current_timestamp()
+    * (constant-folded per query — same value for the whole batch, matching
+    * the reference's driver-local `datetime.now()`). */
+  def withUploadDate(fixed: Option[Timestamp])(df: DataFrame): DataFrame =
+    df.withColumn("uploadDate",
+      fixed.map(t => lit(t).cast("timestamp")).getOrElse(current_timestamp()))
+
+  /** P1: project to the target column list (+ audit columns). Backticks via
+    * `col` handle the reserved-word columns `from`/`to`. */
+  def project(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.select((cols ++ Schemas.auditColumns).map(col): _*)
+
+  /** F5: the literal strings "NaN"/"NaT"/"None"/"" → NULL across all string
+    * columns (reference: postgres.py:152-154 does this pre-load). */
+  def normalizeNulls(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (stringCols.isEmpty) df
+    else df.na.replace(stringCols.toSeq,
+      Map("NaN" -> null, "NaT" -> null, "None" -> null, "" -> null))
+  }
+
+  /** D1 with the INTENDED semantics (SURVEY.md §2.8): keep the latest
+    * version per key, ordered by fileName (the CDC version order) with a
+    * final tiebreak so the result is deterministic even within one file. */
+  def dedupKeepLast(df: DataFrame, key: String = "oid__id",
+      orderCol: String = "fileName"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(orderCol).desc, monotonically_increasing_id().desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D2: full-row distinct (reference drops exact duplicate rows after
+    * null-normalization). */
+  def distinctRows(df: DataFrame): DataFrame = df.distinct()
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.Pipelines
+
+/** The reference ETL pipelines as driver-visible queries: a full replay of
+  * the 881-file CDC corpus (tracking = per-document, events = per-nested-
+  * event with the Python-literal parse + explode_outer). Rows-only checks
+  * for the driver (no SQL oracle can parse Python literals); semantics are
+  * gated by the ScalaTest suite (graft.etl.*Spec) against independent
+  * raw-text expectations.
+  *
+  * These double as the throughput benchmark against the reference's one
+  * published number: ≈2 h for the events corpus (≈460 rows/s,
+  * README.md:324). Timings land in BENCH_r{N}.json via graft.Bench.
+  */
+object EtlQueries {
+
+  private val CorpusDir = "/root/reference/data/extracted"
+
+  /** Fixed clock so replay output is deterministic run-to-run. */
+  private val ReplayClock = Some(Timestamp.valueOf("2023-09-05 00:00:00"))
+
+  private def corpus(): Seq[String] = {
+    val dir = new java.io.File(CorpusDir)
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().map(_.getName).filter(_.endsWith(".csv"))
+      .sorted.map(f => s"$CorpusDir/$f").toSeq
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_tracking_replay" -> { (s, _) =>
+      Pipelines.tracking(s, corpus(), clock = ReplayClock)
+    },
+    "etl_events_replay" -> { (s, _) =>
+      Pipelines.events(s, corpus(), clock = ReplayClock)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

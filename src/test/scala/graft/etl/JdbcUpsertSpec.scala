@@ -1,0 +1,57 @@
+package graft.etl
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+
+/** Upsert sink semantics against embedded Derby (in-memory JDBC): create-
+  * if-absent, latest-batch-wins per key, and idempotent replay — the three
+  * properties the reference sink guarantees (postgres.py:18-38).
+  */
+class JdbcUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:upsertdb;create=true"
+  private val colTypes = Some("oid__id VARCHAR(64), payload VARCHAR(64)")
+
+  private def tableRows(table: String): Map[String, String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"""SELECT "oid__id", "payload" FROM $table""")
+        val b = Map.newBuilder[String, String]
+        while (rs.next()) b += rs.getString(1) -> rs.getString(2)
+        b.result()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  test("upsert: create, latest-batch-wins, idempotent replay") {
+    val t = "tracking_test"
+    val batch1 = Seq(("k1", "v1"), ("k2", "v1")).toDF("oid__id", "payload")
+    JdbcUpsert.upsert(batch1, url, t, "oid__id",
+      createTableColumnTypes = colTypes)
+    assert(tableRows(t) === Map("k1" -> "v1", "k2" -> "v1"))
+
+    // overlapping second batch: k2 replaced, k3 added
+    val batch2 = Seq(("k2", "v2"), ("k3", "v2")).toDF("oid__id", "payload")
+    JdbcUpsert.upsert(batch2, url, t, "oid__id",
+      createTableColumnTypes = colTypes)
+    assert(tableRows(t) === Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v2"))
+
+    // replaying the same batch converges to the same state (idempotence)
+    JdbcUpsert.upsert(batch2, url, t, "oid__id",
+      createTableColumnTypes = colTypes)
+    assert(tableRows(t) === Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v2"))
+  }
+
+  test("watermark probe: absent table → None, else max(fileName)") {
+    assert(JdbcUpsert.lastUploadedFile(spark, url, "nope_missing") === None)
+    val t = "wm_test"
+    val df = Seq(("k1", "f1.csv"), ("k2", "f2.csv")).toDF("oid__id", "fileName")
+    JdbcUpsert.upsert(df, url, t, "oid__id",
+      createTableColumnTypes = Some("oid__id VARCHAR(64), fileName VARCHAR(64)"))
+    assert(JdbcUpsert.lastUploadedFile(spark, url, t) === Some("f2.csv"))
+  }
+}

