@@ -36,6 +36,29 @@ object JdbcUpsert {
 
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
+  /** Spark's built-in Derby dialect maps StringType → CLOB, which (a)
+    * cannot be compared in `key IN (SELECT ...)` and (b) makes
+    * `setNull(Types.CLOB)` fail against VARCHAR columns (Derby 22005).
+    * Registered once, only consulted for jdbc:derby URLs; other types fall
+    * through to the default mapping. */
+  private object DerbyVarcharDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(4000)", java.sql.Types.VARCHAR))
+      case _ => None
+    }
+  }
+  @volatile private var derbyDialectRegistered = false
+  private def ensureDialect(url: String): Unit =
+    if (url.startsWith("jdbc:derby") && !derbyDialectRegistered) synchronized {
+      if (!derbyDialectRegistered) {
+        org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DerbyVarcharDialect)
+        derbyDialectRegistered = true
+      }
+    }
+
   /** Upsert `df` into `table` keyed on `keyCol`.
     *
     * @param url      JDBC url (driver must be on the classpath)
@@ -46,6 +69,7 @@ object JdbcUpsert {
       props: Properties = new Properties(),
       numStagingPartitions: Int = 0,
       createTableColumnTypes: Option[String] = None): Unit = {
+    ensureDialect(url)
     val staging = table + "_staging"
     val toWrite = if (numStagingPartitions > 0) df.repartition(numStagingPartitions) else df
     val writer = toWrite.write.mode(SaveMode.Overwrite)

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.etl.{JdbcUpsert, Schemas, Transforms}
+
+/** Structured-Streaming surface.
+  *
+  * The reference has no streaming engine, but its incremental file loop IS
+  * hand-rolled micro-batch streaming (SURVEY.md §2.9): directory listing +
+  * lexicographic watermark + n-files-per-transaction. Here that contract
+  * maps 1:1 onto Spark primitives:
+  *
+  *   os.listdir + sort            → file stream source (checkpointed log)
+  *   max(fileName) watermark      → source checkpoint (exactly-once file set)
+  *   n_batch files per txn        → maxFilesPerTrigger
+  *   DELETE+INSERT per batch      → foreachBatch { JdbcUpsert.upsert }
+  *   daily DAG schedule           → Trigger.AvailableNow (drain-and-stop)
+  *
+  * The idempotent upsert sink makes replay after crash converge — the
+  * checkpoint may re-deliver a batch, the delete+insert absorbs it.
+  */
+object Streaming {
+
+  /** The reference events pipeline in streaming form. Per micro-batch:
+    * parse → explode → project → normalize → distinct → upsert, one
+    * transaction per batch of ≤ maxFilesPerTrigger files. */
+  def eventsFileStream(spark: SparkSession, csvDir: String,
+      checkpointDir: String, url: String, table: String,
+      maxFilesPerTrigger: Int = 3,
+      clock: Option[Timestamp] = None,
+      props: Properties = new Properties(),
+      createTableColumnTypes: Option[String] = None): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.source)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(csvDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tagged = Transforms.addFileName(batch)
+        val exploded = Transforms.explodeEvents(Transforms.parseEventArray(tagged))
+        val converted = Transforms.withUploadDate(clock)(exploded)
+        val out = Transforms.distinctRows(Transforms.normalizeNulls(
+          Transforms.project(Schemas.eventsColumns)(converted)))
+        if (!out.isEmpty)
+          JdbcUpsert.upsert(out, url, table, "oid__id", props,
+            createTableColumnTypes = createTableColumnTypes)
+      }
+      .start()
+  }
+
+  /** Event-time tumbling-window aggregation with a lateness watermark —
+    * counts and exact decimal sums per (window, event_type). Works on any
+    * streaming DF with (ts: timestamp, event_type, value). */
+  def windowedEventCounts(events: DataFrame,
+      windowLength: String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, event_id: Long, ts: Timestamp,
+      value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      total_value: Double, session_start: Timestamp, session_end: Timestamp)
+
+  /** Custom state: event-time gap sessionization via
+    * flatMapGroupsWithState. A session closes — and its summary is emitted
+    * — when the event-time watermark passes (last event + gap). Event-time
+    * (not processing-time) timeouts make the operator deterministic and
+    * replayable from a checkpoint: the same input always yields the same
+    * sessions. This is the stateful-stream surface the reference lacks
+    * entirely; state lives per-key in the state store, shuffled once by
+    * user_id, so it scales with distinct keys, not event volume. */
+  def sessionize(events: Dataset[UserEvent], gapMs: Long,
+      lateness: String = "0 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[UserEvent],
+         state: GroupState[SessionSummary]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator
+            state.remove()
+            out
+          } else {
+            val events = batch.toSeq
+            if (events.isEmpty) Iterator.empty
+            else {
+              val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+              val prev = state.getOption
+              val merged = SessionSummary(
+                userId,
+                prev.map(_.n_events).getOrElse(0L) + sorted.size,
+                prev.map(_.total_value).getOrElse(0.0) + sorted.map(_.value).sum,
+                prev.map(_.session_start).getOrElse(sorted.head.ts),
+                sorted.last.ts)
+              state.update(merged)
+              state.setTimeoutTimestamp(merged.session_end.getTime + gapMs)
+              Iterator.empty
+            }
+          }
+        })
+  }
+}

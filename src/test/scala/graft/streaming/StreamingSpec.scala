@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.{DriverManager, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.etl.Pipelines
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:streamdb;create=true"
+  private val corpusDir = "/root/reference/data/extracted"
+  private val clock = Some(Timestamp.valueOf("2023-09-05 00:00:00"))
+  private val colTypes = Some(
+    "oid__id VARCHAR(64), trackingCode VARCHAR(64), status VARCHAR(16), " +
+      "description VARCHAR(256), trackerType VARCHAR(64), `from` VARCHAR(64), " +
+      "`to` VARCHAR(64), fileName VARCHAR(64)")
+
+  private def countRows(table: String): Long = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  test("streaming events ETL: micro-batches drain to the upsert sink and " +
+      "match the batch pipeline; restart is incremental via checkpoint") {
+    val work = Files.createTempDirectory("stream_in").toFile
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val all = new java.io.File(corpusDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".csv")).sorted.take(6)
+
+    // phase 1: first 4 files, batches of 2 → 2 micro-batch transactions
+    all.take(4).foreach { f =>
+      Files.copy(Paths.get(s"$corpusDir/$f"), Paths.get(work.toString, f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // The upsert sink is delete-by-key + insert: a document whose versions
+    // span micro-batches keeps only its LATEST batch's rows (the
+    // reference's cross-batch "latest batch wins" semantics, SURVEY §2.8).
+    // Model that independently: batch id = fileIndex / maxFilesPerTrigger;
+    // keep each oid's rows from its max batch id.
+    def expectedRows(fileNames: Seq[String], batchOf: Map[String, Int]): Long = {
+      val df = Pipelines.events(spark,
+        fileNames.map(f => s"$corpusDir/$f").toSeq, clock = clock)
+      val batchCol = batchOf.foldLeft(lit(-1)) { case (acc, (f, b)) =>
+        when(col("fileName") === f, lit(b)).otherwise(acc)
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"oid__id")
+      df.withColumn("__b", batchCol)
+        .withColumn("__mb", max($"__b").over(w))
+        .filter($"__b" === $"__mb")
+        .count()
+    }
+
+    val q1 = Streaming.eventsFileStream(spark, work.toString, ckpt, url,
+      "events_stream", maxFilesPerTrigger = 2, clock = clock,
+      createTableColumnTypes = colTypes)
+    q1.awaitTermination()
+    val phase1 = countRows("events_stream")
+    val exp1 = expectedRows(all.take(4).toSeq,
+      all.take(4).zipWithIndex.map { case (f, i) => f -> i / 2 }.toMap)
+    assert(phase1 === exp1,
+      "streamed micro-batches must equal latest-batch-wins semantics")
+
+    // phase 2: two more files appear; restart from checkpoint processes
+    // ONLY the new ones (incremental, no reprocessing)
+    all.slice(4, 6).foreach { f =>
+      Files.copy(Paths.get(s"$corpusDir/$f"), Paths.get(work.toString, f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q2 = Streaming.eventsFileStream(spark, work.toString, ckpt, url,
+      "events_stream", maxFilesPerTrigger = 2, clock = clock,
+      createTableColumnTypes = colTypes)
+    q2.awaitTermination()
+    val phase2 = countRows("events_stream")
+    val exp2 = expectedRows(all.toSeq,
+      all.zipWithIndex.map { case (f, i) => f -> i / 2 }.toMap)
+    assert(phase2 === exp2)
+  }
+
+  test("windowed aggregation over a stream equals the batch computation") {
+    val eventsPath = sf("sf0.001")
+    // stream schema = the RAW parquet schema (ts is nanos-as-long); apply
+    // the same normalization the batch loader does
+    val rawSchema = spark.read.parquet(s"$eventsPath/events.parquet").schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = Streaming.windowedEventCounts(stream)
+    // complete mode: on finite data, append-mode watermarking would hold
+    // back the final windows forever; complete emits every window
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT * FROM win_out")
+
+    val batch = Streaming.windowedEventCounts(
+      graft.Tables.events(spark, eventsPath))
+    // batch mode emits every window (no watermark dropping on finite data)
+    assert(streamed.count() === batch.count())
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("window_start", "event_type"))
+    assert(joined.filter($"s.n_events" =!= $"b.n_events").count() === 0)
+    assert(joined.filter($"s.sum_value" =!= $"b.sum_value").count() === 0)
+  }
+
+  test("sessionize: event-time gap sessions close when the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    val sessions = Streaming.sessionize(input.toDS(), gapMs = 30000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // batch 1: two users, all within one 30s session gap
+    input.addData(
+      Streaming.UserEvent(1L, 1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      Streaming.UserEvent(1L, 2L, Timestamp.valueOf("2024-01-01 00:00:01"), 5.0),
+      Streaming.UserEvent(2L, 3L, Timestamp.valueOf("2024-01-01 00:00:02"), 1.0))
+    q.processAllAvailable()
+    // batch 2: an event one hour later pushes the watermark far past
+    // (session_end + gap) for both open sessions → they close and emit
+    input.addData(Streaming.UserEvent(3L, 4L,
+      Timestamp.valueOf("2024-01-01 01:00:00"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT * FROM sess_out")
+      .as[Streaming.SessionSummary].collect()
+    val u1 = out.find(_.user_id == 1L)
+    assert(u1.isDefined, s"user 1 session must have closed: ${out.toSeq}")
+    assert(u1.get.n_events === 2 && u1.get.total_value === 15.0)
+    assert(u1.get.session_start === Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(u1.get.session_end === Timestamp.valueOf("2024-01-01 00:00:01"))
+    assert(out.find(_.user_id == 2L).exists(_.n_events == 1))
+  }
+
+}
