@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.DataOps.queries ++
-      operators.EtlQueries.queries ++ operators.Multimodal.queries
+      operators.EtlQueries.queries ++ operators.Multimodal.queries ++
+      operators.Advanced.queries ++ operators.ReferenceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.DataOps.oracleSql ++
-      operators.EtlQueries.oracleSql ++ operators.Multimodal.oracleSql
+      operators.EtlQueries.oracleSql ++ operators.Multimodal.oracleSql ++
+      operators.Advanced.oracleSql ++ operators.ReferenceQueries.oracleSql
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TopKDouble.top_k
+
+/** Advanced operator surface: native top-k aggregate, as-of join, and
+  * approximate aggregates.
+  */
+object Advanced {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Native heap-based top-k aggregate (TypedImperativeAggregate):
+    // top-3 order prices per market segment. Partial aggregation ships
+    // k values per group per map task — not the whole table.
+    "q21_topk_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(top_k($"o_totalprice", 3).as("top"))
+        .select($"c_mktsegment", posexplode($"top").as(Seq("pos", "price")))
+        .select($"c_mktsegment", $"price", ($"pos" + 1).cast("long").as("rnk"))
+    },
+
+    // Backward as-of join: each purchase matched to the user's latest
+    // signup at-or-before it (union + running last(ignoreNulls) — one
+    // shuffle, no inequality-join explosion).
+    "q22_asof_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"event_id".as("signup_event_id"), $"ts")
+      AsofJoin.backward(purchases, signups, "ts",
+          keyCols = Seq("user_id"), rightCols = Seq("signup_event_id"),
+          rightTieBreak = "signup_event_id")
+        .select($"user_id", $"event_id", $"asof_signup_event_id".as("signup_event_id"))
+    },
+
+    // Approximate distinct (HyperLogLog++): cardinalities per event type.
+    // No SQL oracle — HLL implementations differ across engines; the
+    // ScalaTest suite bounds the relative error against exact counts.
+    "q23_approx_distinct" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          approx_count_distinct($"value", 0.02).as("approx_values"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_topk_agg" ->
+      """SELECT c_mktsegment, o_totalprice AS price, rnk FROM (
+        |  SELECT c_mktsegment, o_totalprice, ROW_NUMBER() OVER (
+        |    PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS rnk
+        |  FROM customer JOIN orders ON c_custkey = o_custkey) t
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q22_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, event_id AS signup_event_id, ts FROM events
+        |      WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id, s.signup_event_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's three analytical "Test Queries" (README.md:267-320) run
+  * as SQL TEXT through `spark.sql` against the loaded tracking/events
+  * tables — exercising the full Catalyst SQL path (parse → analyze →
+  * optimize → physical plan) that interactive users of the engine get.
+  *
+  * Registered over the corpus-replay pipelines so the numbers are the same
+  * ones a reference user would see in Postgres after a full load. Driver
+  * checks are rows-only (the oracle tables are the synthetic star schema,
+  * not the corpus); the ScalaTest suite asserts SQL-vs-DataFrame-DSL
+  * equivalence, which is the meaningful gate.
+  *
+  * Determinism note: LIMIT-after-ORDER-BY on ties is nondeterministic in
+  * ANY engine (Postgres included). The corpus has far fewer than 1000
+  * minutes/codes at the LIMIT boundary ties — counts at sub-LIMIT sizes
+  * make the result a deterministic set; we keep the reference's literal
+  * shape regardless since only row-counts are driver-checked.
+  */
+object ReferenceQueries {
+
+  /** Register the replay outputs as temp views once per session. */
+  private def ensureViews(s: SparkSession): Unit = {
+    if (!s.catalog.tableExists("tracking"))
+      EtlQueries.queries("etl_tracking_replay")(s, "").createOrReplaceTempView("tracking")
+    if (!s.catalog.tableExists("events"))
+      EtlQueries.queries("etl_events_replay")(s, "").createOrReplaceTempView("events")
+  }
+
+  /** Q1 (README.md:269-279): trackings created per minute. */
+  val q1Sql: String =
+    """SELECT DATE_TRUNC('minute', `createdAt`) AS minute,
+      |       COUNT(*) AS total_trackings
+      |FROM tracking
+      |GROUP BY minute
+      |ORDER BY minute
+      |LIMIT 1000""".stripMargin
+
+  /** Q2 (README.md:283-295): events per tracking code. */
+  val q2Sql: String =
+    """SELECT `trackingCode`, COUNT(*) AS total_events
+      |FROM events
+      |GROUP BY `trackingCode`
+      |ORDER BY total_events DESC
+      |LIMIT 1000""".stripMargin
+
+  /** Q3 (README.md:299-319): top-10 most common descriptions. */
+  val q3Sql: String =
+    """WITH ranked_events AS (
+      |  SELECT `description`, COUNT(*) AS total_events,
+      |         RANK() OVER (ORDER BY COUNT(*) DESC) AS event_rank
+      |  FROM events
+      |  GROUP BY `description`)
+      |SELECT `description`, total_events, event_rank
+      |FROM ranked_events
+      |WHERE event_rank <= 10
+      |ORDER BY event_rank""".stripMargin
+
+  def q1(s: SparkSession): DataFrame = { ensureViews(s); s.sql(q1Sql) }
+  def q2(s: SparkSession): DataFrame = { ensureViews(s); s.sql(q2Sql) }
+  def q3(s: SparkSession): DataFrame = { ensureViews(s); s.sql(q3Sql) }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_q1_trackings_per_minute" -> ((s, _) => q1(s)),
+    "ref_q2_events_per_code"      -> ((s, _) => q2(s)),
+    "ref_q3_top_descriptions"     -> ((s, _) => q3(s))
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

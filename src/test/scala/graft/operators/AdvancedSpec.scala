@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TopKDouble.top_k
+
+class AdvancedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top_k aggregate equals sort-and-take per group") {
+    val df = Seq(
+      ("a", 5.0), ("a", 9.0), ("a", 1.0), ("a", 7.0),
+      ("b", 2.0), ("b", 3.0),
+      ("c", 4.0)
+    ).toDF("k", "v")
+    val got = df.groupBy($"k").agg(top_k($"v", 3).as("top"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got("a") === Seq(9.0, 7.0, 5.0))
+    assert(got("b") === Seq(3.0, 2.0))
+    assert(got("c") === Seq(4.0))
+  }
+
+  test("top_k on real data matches the window formulation") {
+    val li = graft.Tables.lineitem(spark, sf("sf0.001"))
+    val viaAgg = li.groupBy($"l_returnflag")
+      .agg(top_k($"l_extendedprice", 5).as("top"))
+      .select($"l_returnflag", explode($"top").as("price"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_extendedprice".desc)
+    val viaWindow = li
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"l_returnflag", $"l_extendedprice".as("price"))
+    assert(viaAgg.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaAgg).count() === 0)
+  }
+
+  test("asof backward join picks the latest right row at-or-before") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L),
+      (1L, ts("2024-01-01 10:00:05"), 102L),
+      (1L, ts("2024-01-01 10:00:10"), 103L),
+      (2L, ts("2024-01-01 10:00:07"), 201L)
+    ).toDF("user_id", "ts", "quote_id")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 11L), // equal ts → inclusive match 102
+      (1L, ts("2024-01-01 10:00:09"), 12L), // between → 102
+      (1L, ts("2024-01-01 10:00:30"), 13L), // after all → 103
+      (2L, ts("2024-01-01 10:00:00"), 21L), // before any → null
+      (3L, ts("2024-01-01 10:00:00"), 31L)  // key with no right rows → null
+    ).toDF("user_id", "ts", "trade_id")
+    val out = AsofJoin.backward(trades, quotes, "ts",
+        keyCols = Seq("user_id"), rightCols = Seq("quote_id"),
+        rightTieBreak = "quote_id")
+      .select($"trade_id", $"asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(11L) === Some(102L))
+    assert(out(12L) === Some(102L))
+    assert(out(13L) === Some(103L))
+    assert(out(21L) === None)
+    assert(out(31L) === None)
+  }
+
+  test("asof with tolerance nulls out stale matches") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 101L))
+      .toDF("user_id", "ts", "quote_id")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:30"), 11L),   // 30s old: within 60s
+      (1L, ts("2024-01-01 10:02:00"), 12L))   // 120s old: stale
+      .toDF("user_id", "ts", "trade_id")
+    val out = AsofJoin.backwardWithTolerance(trades, quotes, "ts",
+        Seq("user_id"), Seq("quote_id"), "quote_id", toleranceSeconds = 60)
+      .select($"trade_id", $"asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(11L) === Some(101L))
+    assert(out(12L) === None)
+  }
+
+  test("approx_count_distinct within declared error of exact") {
+    val ev = graft.Tables.events(spark, sf("sf0.01"))
+    val approx = ev.agg(approx_count_distinct($"user_id", 0.02))
+      .as[Long].head()
+    val exact = ev.agg(countDistinct($"user_id")).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("saltedCountSum equals plain aggregation") {
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val salted = Skew.saltedCountSum(ev, "event_type", "value")
+      .orderBy($"event_type").as[(String, Long, Double)].collect().toSeq
+    val plain = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"event_type").as[(String, Long, Double)].collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+      .select($"event_id", $"user_id")
+    val users = graft.Tables.events(spark, sf("sf0.001"))
+      .select($"user_id").distinct()
+      .withColumn("user_tag", concat(lit("u"), $"user_id"))
+    val salted = Skew.saltedJoin(ev, users, "user_id")
+    val plain = ev.join(users, "user_id")
+    assert(salted.count() === plain.count())
+    assert(salted.select($"event_id", $"user_tag")
+      .exceptAll(plain.select($"event_id", $"user_tag")).count() === 0)
+  }
+
+  test("reference SQL-text queries run via spark.sql and match DSL versions") {
+    val q2 = ReferenceQueries.q2(spark)
+    assert(q2.columns.toSeq === Seq("trackingCode", "total_events"))
+    assert(q2.count() > 0)
+    val q3 = ReferenceQueries.q3(spark).collect()
+    assert(q3.length >= 10) // rank ≤ 10 with possible ties
+    // DSL equivalent of Q3 over the same view
+    val events = spark.table("events")
+    val counts = events.groupBy($"description")
+      .agg(count(lit(1)).as("total_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"total_events".desc)
+    val dsl = counts.withColumn("event_rank", rank().over(w))
+      .filter($"event_rank" <= 10)
+      .select($"description", $"total_events", $"event_rank")
+    assert(ReferenceQueries.q3(spark).exceptAll(dsl).count() === 0)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("part_out").toString
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    graft.sources.ParquetSink.writePartitioned(ev, dir,
+      partitionCols = Seq("event_type"), sortCols = Seq("ts"))
+    val pruned = graft.sources.ParquetSink.read(spark, dir)
+      .filter($"event_type" === "purchase")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter missing from plan:\n$plan")
+    assert(pruned.count() ===
+      ev.filter($"event_type" === "purchase").count())
+  }
+}
