@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.etl.expressions.PyLiteralToJson
+import graft.functions.TopKDouble
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions, so `spark.sql` users get them without touching the Scala
+  * API:
+  *
+  *   spark.sql("SELECT py_to_json(array_trackingEvents) FROM raw")
+  *   spark.sql("SELECT k, top_k(price, 3) FROM t GROUP BY k")
+  *
+  * Activate with either:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) — or —
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _)   => v
+    case Literal(v: Long, _)  => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: second argument must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("py_to_json"),
+      new ExpressionInfo(classOf[PyLiteralToJson].getName, "py_to_json"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "py_to_json(col) takes exactly one argument")
+        PyLiteralToJson(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKDouble].getName, "top_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "top_k(col, k) takes exactly two arguments")
+        TopKDouble(args.head, intArg(args(1), "top_k")).toAggregateExpression()
+      }))
+  }
+}

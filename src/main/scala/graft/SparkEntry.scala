@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.DataOps.queries ++
       operators.EtlQueries.queries ++ operators.Multimodal.queries ++
-      operators.Advanced.queries ++ operators.ReferenceQueries.queries
+      operators.Advanced.queries ++ operators.ReferenceQueries.queries ++
+      operators.Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.DataOps.oracleSql ++
       operators.EtlQueries.oracleSql ++ operators.Multimodal.oracleSql ++
-      operators.Advanced.oracleSql ++ operators.ReferenceQueries.oracleSql
+      operators.Advanced.oracleSql ++ operators.ReferenceQueries.oracleSql ++
+      operators.Extended.oracleSql
 }

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Extended relational surface beyond the reference: multi-dimensional
+  * aggregation, set operations, pivot, analytic window functions, exact
+  * percentiles, moment statistics, regex, date parts, and ordered
+  * collection aggregation. Everything keeps the determinism conventions
+  * of [[Relational]] (decimal-exact sums, unique-key orderings, rounded
+  * moment statistics).
+  */
+object Extended {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUBE: all 2^2 grouping combinations in one pass.
+    "q24_cube" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+    },
+
+    // Set ops: INTERSECT and EXCEPT between user populations.
+    "q25_setops" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchasers = ev.filter($"event_type" === "purchase").select($"user_id")
+      val errorers = ev.filter($"event_type" === "error").select($"user_id")
+      purchasers.intersect(errorers)
+        .withColumn("cohort", lit("both"))
+        .unionByName(purchasers.except(errorers)
+          .withColumn("cohort", lit("purchase_only")))
+    },
+
+    // PIVOT: event counts per user pivoted by type (fixed column set).
+    "q26_pivot" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "purchase", "signup", "error", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // LAG/LEAD: gap (seconds) between consecutive events per user.
+    "q27_lag_lead" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_id", lag($"event_id", 1).over(w))
+        .withColumn("next_id", lead($"event_id", 1).over(w))
+        .withColumn("gap_s",
+          $"ts".cast("long") - lag($"ts", 1).over(w).cast("long"))
+        .select($"user_id", $"event_id", $"prev_id", $"next_id", $"gap_s")
+    },
+
+    // NTILE + PERCENT_RANK + CUME_DIST over a unique ordering.
+    "q28_ntile" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select($"o_orderkey", $"quartile",
+          round($"pct_rank", 9).as("pct_rank"), round($"cume", 9).as("cume"))
+    },
+
+    // Exact interpolated percentiles of an integer column.
+    "q29_percentiles" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          expr("percentile(user_id, 0.5)").as("p50"),
+          expr("percentile(user_id, 0.9)").as("p90"),
+          expr("percentile(user_id, 0.99)").as("p99"))
+    },
+
+    // Moment statistics (rounded: parallel float accumulation differs in
+    // ulps across engines; 6 dp is far beyond the drift).
+    "q30_moments" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+          round(var_samp($"l_quantity"), 6).as("var_qty"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 6).as("cov_qp"))
+    },
+
+    // Regex extraction + aggregation.
+    "q31_regexp" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("bigint"))
+        .groupBy($"event_type")
+        .agg(max($"k").as("max_k"), min($"k").as("min_k"))
+    },
+
+    // Date-part breakdown: orders by year × quarter.
+    "q32_date_parts" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(year($"o_orderdate").as("y"), quarter($"o_orderdate").as("q"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+    },
+
+    // Ordered collection aggregate: per-nation sorted customer keys.
+    "q33_collect_sorted" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .groupBy($"c_nationkey")
+        .agg(array_sort(collect_list($"c_custkey")).as("custkeys"))
+        .select($"c_nationkey", size($"custkeys").as("n"),
+          // surface as string: array-typed outputs compare awkwardly
+          concat_ws(",", $"custkeys".cast("array<string>")).as("keys_csv"))
+    },
+
+    // Conditional aggregation (FILTER clause semantics).
+    "q34_conditional_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(when($"l_quantity" > 25, 1)).as("n_big"),
+          count(when($"l_quantity" <= 25, 1)).as("n_small"),
+          dsum(when($"l_discount" > 0.05, $"l_extendedprice").otherwise(lit(0.0)))
+            .as("discounted_revenue"))
+    },
+
+    // Levenshtein distance (dynamic-programming ints: engine-exact).
+    "q35_levenshtein" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .withColumn("dist", levenshtein($"p_brand", $"p_type"))
+        .groupBy($"dist").agg(count(lit(1)).as("n"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q25_setops" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS cohort FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)""".stripMargin,
+
+    "q26_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q27_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  LAG(event_id, 1) OVER w AS prev_id,
+        |  LEAD(event_id, 1) OVER w AS next_id,
+        |  floor(epoch(ts))::BIGINT - floor(epoch(LAG(ts, 1) OVER w))::BIGINT AS gap_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+
+    "q28_ntile" ->
+      """SELECT o_orderkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  round(PERCENT_RANK() OVER w, 9) AS pct_rank,
+        |  round(CUME_DIST() OVER w, 9) AS cume
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+
+    "q29_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(user_id, 0.5) AS p50,
+        |  quantile_cont(user_id, 0.9) AS p90,
+        |  quantile_cont(user_id, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q30_moments" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q31_regexp" ->
+      """SELECT event_type,
+        |  MAX(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS max_k,
+        |  MIN(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS min_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q32_date_parts" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q33_collect_sorted" ->
+      """SELECT c_nationkey, len(ks) AS n,
+        |  array_to_string(list_sort(ks), ',') AS keys_csv
+        |FROM (SELECT c_nationkey, list(c_custkey) AS ks
+        |      FROM customer GROUP BY c_nationkey)""".stripMargin,
+
+    "q34_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (l_quantity > 25) AS n_big,
+        |  COUNT(*) FILTER (l_quantity <= 25) AS n_small,
+        |  CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+        |                     ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS discounted_revenue
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q35_levenshtein" ->
+      """SELECT levenshtein(p_brand, p_type) AS dist, COUNT(*) AS n
+        |FROM part GROUP BY 1""".stripMargin
+  )
+}
