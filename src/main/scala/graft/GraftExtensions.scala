@@ -7,12 +7,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import graft.etl.expressions.PyLiteralToJson
 import graft.functions.TopKDouble
 
-/** Session extension registering the engine's native expressions as SQL
-  * functions, so `spark.sql` users get them without touching the Scala
-  * API:
+/** Session extension registering the engine's native surface:
   *
-  *   spark.sql("SELECT py_to_json(array_trackingEvents) FROM raw")
-  *   spark.sql("SELECT k, top_k(price, 3) FROM t GROUP BY k")
+  *   - SQL functions backed by custom Catalyst expressions:
+  *     `py_to_json(col)`, `top_k(col, k)`
+  *   - the planner strategy for the custom broadcast range-join operator
+  *     ([[graft.plans.RangeJoinPlan]] → [[graft.plans.BroadcastRangeJoinExec]])
   *
   * Activate with either:
   *   SparkSession.builder().withExtensions(new GraftExtensions) — or —
@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+
     ext.injectFunction((
       new FunctionIdentifier("py_to_json"),
       new ExpressionInfo(classOf[PyLiteralToJson].getName, "py_to_json"),

@@ -40,6 +40,24 @@ object Advanced {
         .select($"user_id", $"event_id", $"asof_signup_event_id".as("signup_event_id"))
     },
 
+    // Custom physical operator (BroadcastRangeJoinExec via RangeJoinPlan):
+    // events joined to each user's first-72h window by key + time range,
+    // probed against a broadcast sorted interval index — no shuffle, no
+    // nested-loop blowup.
+    "q36_range_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val windows = ev.groupBy($"user_id".as("r_user"))
+        .agg(min($"ts").as("lo"),
+          (min($"ts") + expr("INTERVAL 72 HOURS")).as("hi"))
+      graft.plans.RangeJoin.broadcastRange(ev, windows,
+          leftKey = "user_id", rightKey = "r_user",
+          leftTime = "ts", rightLo = "lo", rightHi = "hi")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_first72h"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("value_first72h"))
+    },
+
     // Approximate distinct (HyperLogLog++): cardinalities per event type.
     // No SQL oracle — HLL implementations differ across engines; the
     // ScalaTest suite bounds the relative error against exact counts.
@@ -59,6 +77,16 @@ object Advanced {
         |    PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS rnk
         |  FROM customer JOIN orders ON c_custkey = o_custkey) t
         |WHERE rnk <= 3""".stripMargin,
+
+    "q36_range_join" ->
+      """WITH w AS (SELECT user_id AS r_user, min(ts) AS lo,
+        |             min(ts) + INTERVAL 72 HOURS AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT user_id, COUNT(*) AS n_first72h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_first72h
+        |FROM events JOIN w
+        |  ON user_id = r_user AND ts >= lo AND ts <= hi
+        |GROUP BY user_id""".stripMargin,
 
     "q22_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events
