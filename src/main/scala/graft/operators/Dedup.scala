@@ -48,13 +48,22 @@ object Dedup {
       n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, n)
     val sizes = idx.groupBy($"doc").agg(count(lit(1)).as("n_shingles"))
-    val rare = idx.withColumn("df",
-        count(lit(1)).over(Window.partitionBy($"shingle")))
-      .filter($"df" <= maxDocFreq).drop("df")
-    val common = rare.as("a")
-      .join(rare.as("b"), col("a.shingle") === col("b.shingle"))
-      .filter(col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // Single-pass inverted-index pair generation: ONE shuffle groups the
+    // postings per shingle; pairs are emitted in-place from each posting
+    // list (i<j combinations of the sorted list). No self-join — a
+    // self-join would recompute the whole index once per side — and the
+    // maxDocFreq cap bounds emission at maxDocFreq²/2 pairs per shingle
+    // (stop-shingles are dropped entirely, the quadratic-blowup guard).
+    val postings = idx.groupBy($"shingle")
+      .agg(array_sort(collect_list($"doc")).as("docs"))
+      .filter(size($"docs") >= 2 && size($"docs") <= maxDocFreq)
+    val pairs = postings.select(explode(
+      flatten(transform(sequence(lit(0), size($"docs") - 2), i =>
+        transform(slice($"docs", i + 2, size($"docs") - i - 1), b =>
+          struct(element_at($"docs", i + 1).as("doc_a"), b.as("doc_b")))))
+    ).as("p"))
+    val common = pairs
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc", "doc_a")
@@ -111,7 +120,7 @@ object Dedup {
       .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
+      .dropDuplicates("doc_a", "doc_b") // key-pair dedupe, not array hashing
     cands.withColumn("est_jaccard",
         size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y),
           b => b)).cast("double") / numPerm)
@@ -156,7 +165,7 @@ object Dedup {
       .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
-      .distinct()
+      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter($"hamming" <= maxDist)
       .select($"doc_a", $"doc_b", $"hamming")

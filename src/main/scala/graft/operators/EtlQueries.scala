@@ -30,13 +30,21 @@ object EtlQueries {
       .sorted.map(f => s"$CorpusDir/$f").toSeq
   }
 
+  /** Per-session memo of the CACHED replay outputs: several queries (the
+    * replay dumps + the interactive-SQL views) consume the same corpus —
+    * parse the 881 files once per session, not once per query. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  def replay(s: SparkSession, name: String): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(s), name), _ =>
+      (name match {
+        case "tracking" => Pipelines.tracking(s, corpus(), clock = ReplayClock)
+        case _          => Pipelines.events(s, corpus(), clock = ReplayClock)
+      }).cache())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_tracking_replay" -> { (s, _) =>
-      Pipelines.tracking(s, corpus(), clock = ReplayClock)
-    },
-    "etl_events_replay" -> { (s, _) =>
-      Pipelines.events(s, corpus(), clock = ReplayClock)
-    }
+    "etl_tracking_replay" -> ((s, _) => replay(s, "tracking")),
+    "etl_events_replay"   -> ((s, _) => replay(s, "events"))
   )
 
   val oracleSql: Map[String, String] = Map.empty

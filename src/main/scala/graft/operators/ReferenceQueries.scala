@@ -21,12 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ReferenceQueries {
 
-  /** Register the replay outputs as temp views once per session. */
+  /** Register the replay outputs as CACHED temp views once per session —
+    * the interactive-SQL surface queries the loaded tables repeatedly;
+    * re-running the 881-file parse per query would be the pandas way. */
   private def ensureViews(s: SparkSession): Unit = {
     if (!s.catalog.tableExists("tracking"))
-      EtlQueries.queries("etl_tracking_replay")(s, "").createOrReplaceTempView("tracking")
+      EtlQueries.replay(s, "tracking").createOrReplaceTempView("tracking")
     if (!s.catalog.tableExists("events"))
-      EtlQueries.queries("etl_events_replay")(s, "").createOrReplaceTempView("events")
+      EtlQueries.replay(s, "events").createOrReplaceTempView("events")
   }
 
   /** Q1 (README.md:269-279): trackings created per minute. */

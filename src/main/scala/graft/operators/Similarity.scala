@@ -91,7 +91,9 @@ object Similarity {
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         col("probe_id_v").as("q"), col("vec_id_v").as("v"))
-      .distinct()
+      // dedupe on the ID pair only — distinct() would hash-shuffle the
+      // carried vectors too
+      .dropDuplicates("probe_id", "vec_id")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     cands.withColumn("cos_sim", round(cosine(col("q"), col("v")), 9))
