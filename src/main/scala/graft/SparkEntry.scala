@@ -22,7 +22,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.DataOps.queries ++
       operators.EtlQueries.queries ++ operators.Multimodal.queries ++
       operators.Advanced.queries ++ operators.ReferenceQueries.queries ++
-      operators.Extended.queries
+      operators.Extended.queries ++ operators.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
     operators.Relational.oracleSql ++ operators.DataOps.oracleSql ++
       operators.EtlQueries.oracleSql ++ operators.Multimodal.oracleSql ++
       operators.Advanced.oracleSql ++ operators.ReferenceQueries.oracleSql ++
-      operators.Extended.oracleSql
+      operators.Extended.oracleSql ++ operators.SqlSurface.oracleSql
 }

@@ -25,10 +25,11 @@ object ReferenceQueries {
     * the interactive-SQL surface queries the loaded tables repeatedly;
     * re-running the 881-file parse per query would be the pandas way. */
   private def ensureViews(s: SparkSession): Unit = {
-    if (!s.catalog.tableExists("tracking"))
-      EtlQueries.replay(s, "tracking").createOrReplaceTempView("tracking")
-    if (!s.catalog.tableExists("events"))
-      EtlQueries.replay(s, "events").createOrReplaceTempView("events")
+    // Re-register unconditionally: other query packs may bind the same
+    // view names to other tables (the temp-view namespace is shared per
+    // session); the EtlQueries memo makes this free.
+    EtlQueries.replay(s, "tracking").createOrReplaceTempView("tracking")
+    EtlQueries.replay(s, "events").createOrReplaceTempView("events")
   }
 
   /** Q1 (README.md:269-279): trackings created per minute. */

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Oracle-gated coverage of the SQL-TEXT path (Catalyst parse → analyze →
+  * optimize) over the synthetic tables: LATERAL VIEW table generators,
+  * correlated subqueries, and CTE + window — the constructs interactive
+  * users write that the DataFrame DSL expresses differently.
+  */
+object SqlSurface {
+
+  private def withViews(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LATERAL VIEW explode (HiveQL-style table generator in SQL text).
+    "sql01_lateral_view" -> { (s, d) =>
+      withViews(s, d, "documents")
+      s.sql("""SELECT token, COUNT(*) AS n
+              |FROM documents
+              |LATERAL VIEW explode(split(text, ' ')) t AS token
+              |GROUP BY token""".stripMargin)
+    },
+
+    // Correlated scalar subquery in SQL text.
+    "sql02_correlated" -> { (s, d) =>
+      withViews(s, d, "customer", "orders")
+      s.sql("""SELECT c_custkey, c_name,
+              |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+              |    AS n_orders
+              |FROM customer
+              |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15""".stripMargin)
+    },
+
+    // CTE chain + window in SQL text.
+    "sql03_cte_window" -> { (s, d) =>
+      withViews(s, d, "events")
+      s.sql("""WITH per_user AS (
+              |  SELECT user_id, event_type, COUNT(*) AS n
+              |  FROM events GROUP BY user_id, event_type),
+              |ranked AS (
+              |  SELECT user_id, event_type, n,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id
+              |      ORDER BY n DESC, event_type ASC) AS rn
+              |  FROM per_user)
+              |SELECT user_id, event_type AS top_type, n AS top_n
+              |FROM ranked WHERE rn = 1""".stripMargin)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sql01_lateral_view" ->
+      """SELECT token, COUNT(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "sql02_correlated" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+        |    AS n_orders
+        |FROM customer
+        |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15""".stripMargin,
+
+    "sql03_cte_window" ->
+      """WITH per_user AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |ranked AS (
+        |  SELECT user_id, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type ASC) AS rn
+        |  FROM per_user)
+        |SELECT user_id, event_type AS top_type, n AS top_n
+        |FROM ranked WHERE rn = 1""".stripMargin
+  )
+}
