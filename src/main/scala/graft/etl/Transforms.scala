@@ -95,4 +95,39 @@ object Transforms {
   /** D2: full-row distinct (reference drops exact duplicate rows after
     * null-normalization). */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
+
+  /** Parse-status flag for quarantining: true when the source cell held a
+    * literal but it failed to parse (the reference's `eval` would have
+    * crashed the whole batch on such a row; we keep the row, mark it, and
+    * let the caller route it to a quarantine sink). */
+  def withParseStatus(df: DataFrame,
+      src: String = "array_trackingEvents"): DataFrame =
+    df.withColumn("parse_failed",
+      col(src).isNotNull && pyToJson(col(src)).isNull)
+
+  /** CSV ingestion with malformed-row quarantine: PERMISSIVE mode routes
+    * rows that do not match the schema into a corrupt-record column
+    * instead of failing the job (FAILFAST) or silently dropping them
+    * (DROPMALFORMED). Returns (good rows, quarantined raw lines).
+    * The input is cached: Spark disallows filtering on the corrupt
+    * column of an un-materialized scan (it is populated at parse time).
+    */
+  def readCsvWithQuarantine(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): (DataFrame, DataFrame) = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Schemas.source.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType))
+    val raw = spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(paths: _*)
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
 }

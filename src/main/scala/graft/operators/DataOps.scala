@@ -73,6 +73,15 @@ object DataOps {
           minJaccard = 0.05, maxDocFreq = 1000L))
     },
 
+    // Full dedup clustering: trigram-Jaccard pairs → connected components
+    // → cluster id + canonical-keeper flag per document.
+    "d05_dedup_clusters" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.05, maxDocFreq = 1000L)
+      ConnectedComponents.dedupClusters(docs, "doc_id", pairs)
+    },
+
     // MinHash + LSH near-dup candidates (no SQL oracle: approximate).
     "d03_minhash_pairs" -> { (s, d) =>
       Tables.documents(s, d).transform(df =>
@@ -173,6 +182,34 @@ object DataOps {
         |  JOIN sizes sa ON doc_a = sa.doc
         |  JOIN sizes sb ON doc_b = sb.doc
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin,
+
+    "d05_dedup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM sym
+        |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+        |labels AS (SELECT s AS doc, least(s, min(d)) AS cluster
+        |  FROM reach GROUP BY s)
+        |SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster,
+        |  coalesce(l.cluster, doc_id) = doc_id AS keeper
+        |FROM documents LEFT JOIN labels l ON doc_id = l.doc""".stripMargin,
 
     "s01_brute_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -46,6 +46,20 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(tableRows(t) === Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v2"))
   }
 
+  test("reading back via JDBC pushes filters into the database") {
+    val t = "pushdown_test"
+    val df = Seq(("k1", "a.csv"), ("k2", "b.csv"), ("k3", "c.csv"))
+      .toDF("oid__id", "fileName")
+    JdbcUpsert.upsert(df, url, t, "oid__id",
+      createTableColumnTypes = Some("oid__id VARCHAR(64), fileName VARCHAR(64)"))
+    val read = spark.read.jdbc(url, t, new java.util.Properties())
+      .filter($"fileName" > "a.csv")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(fileName,a.csv)"),
+      s"filter must reach the JDBC scan:\n$plan")
+    assert(read.count() === 2)
+  }
+
   test("watermark probe: absent table → None, else max(fileName)") {
     assert(JdbcUpsert.lastUploadedFile(spark, url, "nope_missing") === None)
     val t = "wm_test"
