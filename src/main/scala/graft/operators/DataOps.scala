@@ -60,6 +60,51 @@ object DataOps {
         .groupBy($"token").agg(count(lit(1)).as("n"))
     },
 
+    // TF-IDF per (document, token) — the foundational text-weighting op.
+    // ln() rounded to 6 dp: libm implementations differ in the last ulp.
+    "t06_tfidf" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tokens = docs.select($"doc_id",
+        explode(graft.functions.Text.tokens($"text")).as("token"))
+      val tf = tokens.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val df_ = tokens.select($"doc_id", $"token").distinct()
+        .groupBy($"token").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), "token")
+        .select($"doc_id", $"token",
+          round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("tfidf"))
+    },
+
+    // Deterministic train/valid/test split: md5-based bucket, stable
+    // across engines, runs, partitionings, and retries (never rand()).
+    "t07_hash_split" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "valid")
+            .otherwise("test"))
+        .select($"doc_id", $"bucket", $"split")
+    },
+
+    // Embedding-cosine near-dup pairs (exact; the LSH path in s02 is the
+    // scale variant of the same operator).
+    "d06_embedding_dups" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim",
+          round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+        .filter($"cos_sim" >= 0.45)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          $"cos_sim")
+    },
+
     // Exact dedup: content-hash groups.
     "d01_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d).transform(df =>
@@ -157,6 +202,37 @@ object DataOps {
       """SELECT token, COUNT(*) AS n FROM
         |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token""".stripMargin,
+
+    "t06_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+        |SELECT doc_id, tf.token,
+        |  round(tf * ln(n.n / df.df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n""".stripMargin,
+
+    "t07_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |    % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "d06_embedding_dups" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |    AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |  >= 0.45""".stripMargin,
 
     "d01_exact_dedup" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
