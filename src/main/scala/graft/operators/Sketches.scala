@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+
+/** Probabilistic sketch operators — the sublinear-memory path for corpus
+  * statistics at 100 TB, where exact distinct/frequency tables do not fit
+  * anywhere.
+  *
+  * These wrap Spark's mergeable sketch implementations (each executor
+  * sketches its partitions, the driver merges k small sketches): memory is
+  * O(sketch size), never O(distinct values). Deterministic given fixed
+  * seeds. Error characteristics are part of the contract and are asserted
+  * by the test suite:
+  *   - CountMinSketch: overestimates only, ε·N additive error at
+  *     confidence δ
+  *   - BloomFilter: no false negatives, bounded false-positive rate
+  *   - approx quantiles: rank error ≤ ε·N (Greenwald-Khanna)
+  */
+object Sketches {
+
+  /** Count-min sketch over a column; query any value's estimated count. */
+  def countMin(df: DataFrame, colName: String,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): CountMinSketch =
+    df.stat.countMinSketch(colName, eps, confidence, seed)
+
+  /** Estimated frequencies of the given candidate values. */
+  def estimateCounts(df: DataFrame, colName: String, candidates: Seq[Any],
+      eps: Double = 0.001, confidence: Double = 0.99): Seq[(Any, Long)] = {
+    val cms = countMin(df, colName, eps, confidence)
+    candidates.map(v => v -> cms.estimateCount(v))
+  }
+
+  /** Bloom filter over a column — the distributed membership test used to
+    * pre-filter a big join probe side (ship the filter, not the table). */
+  def bloom(df: DataFrame, colName: String, expectedItems: Long,
+      fpp: Double = 0.01): BloomFilter =
+    df.stat.bloomFilter(colName, expectedItems, fpp)
+
+  /** Filter `df` to rows whose `colName` might be in `keys` (per a Bloom
+    * filter built on `keys`) — semi-join pre-filter with no shuffle of
+    * `df`; false positives pass through (a later exact join removes
+    * them), false negatives cannot occur. */
+  def bloomPreFilter(df: DataFrame, colName: String, keys: DataFrame,
+      keyCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = bloom(keys, keyCol, expectedItems, fpp)
+    val bcast = df.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((v: Long) => bcast.value.mightContainLong(v))
+    df.filter(mightContain(col(colName)))
+  }
+
+  /** Greenwald-Khanna approximate quantiles (rank error ≤ relErr·N). */
+  def approxQuantiles(df: DataFrame, colName: String, probs: Seq[Double],
+      relErr: Double = 0.01): Seq[Double] =
+    df.stat.approxQuantile(colName, probs.toArray, relErr).toSeq
+}

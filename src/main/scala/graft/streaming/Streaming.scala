@@ -71,6 +71,31 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming deduplication bounded by the watermark: duplicate ids
+    * arriving within the lateness window are dropped; state for ids older
+    * than the watermark is evicted, so state size is bounded by the
+    * arrival rate × window, not the stream's lifetime. */
+  def dedupedStream(events: DataFrame, idCols: Seq[String],
+      watermarkCol: String = "ts", lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(watermarkCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream-stream interval join: left events matched to right events of
+    * the same key with right.ts in [left.ts - lower, left.ts + upper].
+    * Watermarks on BOTH sides bound the join state — without them a
+    * stream-stream join buffers forever. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      lowerSeconds: Long, upperSeconds: Long,
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lowerSeconds SECONDS") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperSeconds SECONDS"))
+  }
+
   final case class UserEvent(user_id: Long, event_id: Long, ts: Timestamp,
       value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long,

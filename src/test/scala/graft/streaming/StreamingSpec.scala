@@ -37,11 +37,19 @@ class StreamingSpec extends SparkSpec {
     val all = new java.io.File(corpusDir).listFiles()
       .map(_.getName).filter(_.endsWith(".csv")).sorted.take(6)
 
-    // phase 1: first 4 files, batches of 2 → 2 micro-batch transactions
-    all.take(4).foreach { f =>
-      Files.copy(Paths.get(s"$corpusDir/$f"), Paths.get(work.toString, f),
-        StandardCopyOption.REPLACE_EXISTING)
+    // The file source admits maxFilesPerTrigger files per batch ordered
+    // by MODIFICATION time; freshly-copied files share an mtime, making
+    // batch membership nondeterministic. Stagger mtimes in name order so
+    // batches are exactly {f0,f1},{f2,f3},{f4,f5}.
+    def copyStaggered(names: Seq[String]): Unit = names.zipWithIndex.foreach {
+      case (f, i) =>
+        Files.copy(Paths.get(s"$corpusDir/$f"), Paths.get(work.toString, f),
+          StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(work, f).setLastModified(1700000000000L + i * 60000L)
     }
+
+    // phase 1: first 4 files, batches of 2 → 2 micro-batch transactions
+    copyStaggered(all.take(4).toSeq)
     // The upsert sink is delete-by-key + insert: a document whose versions
     // span micro-batches keeps only its LATEST batch's rows (the
     // reference's cross-batch "latest batch wins" semantics, SURVEY §2.8).
@@ -72,9 +80,11 @@ class StreamingSpec extends SparkSpec {
 
     // phase 2: two more files appear; restart from checkpoint processes
     // ONLY the new ones (incremental, no reprocessing)
-    all.slice(4, 6).foreach { f =>
+    all.slice(4, 6).zipWithIndex.foreach { case (f, i) =>
       Files.copy(Paths.get(s"$corpusDir/$f"), Paths.get(work.toString, f),
         StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(work.toString, f)
+        .setLastModified(1700000000000L + (10 + i) * 60000L)
     }
     val q2 = Streaming.eventsFileStream(spark, work.toString, ckpt, url,
       "events_stream", maxFilesPerTrigger = 2, clock = clock,
@@ -113,6 +123,65 @@ class StreamingSpec extends SparkSpec {
       Seq("window_start", "event_type"))
     assert(joined.filter($"s.n_events" =!= $"b.n_events").count() === 0)
     assert(joined.filter($"s.sum_value" =!= $"b.sum_value").count() === 0)
+  }
+
+  test("streaming dedup drops in-window duplicates, keeps distinct ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    val deduped = Streaming.dedupedStream(input.toDS().toDF(),
+      idCols = Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    input.addData(
+      Streaming.UserEvent(1L, 100L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Streaming.UserEvent(1L, 100L, Timestamp.valueOf("2024-01-01 00:00:01"), 1.0),
+      Streaming.UserEvent(2L, 101L, Timestamp.valueOf("2024-01-01 00:00:02"), 2.0))
+    q.processAllAvailable()
+    input.addData( // same id again in a later batch, still within window
+      Streaming.UserEvent(3L, 100L, Timestamp.valueOf("2024-01-01 00:00:03"), 3.0),
+      Streaming.UserEvent(4L, 102L, Timestamp.valueOf("2024-01-01 00:00:04"), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT event_id FROM dedup_out")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(100L, 101L, 102L))
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, id: Long, t: String, v: Double) =
+      Streaming.UserEvent(u, id, Timestamp.valueOf(t), v)
+    val leftRows = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", 1), ev(1, 2, "2024-01-01 10:05:00", 1),
+      ev(2, 3, "2024-01-01 10:00:30", 1))
+    val rightRows = Seq(
+      ev(1, 11, "2024-01-01 09:59:30", 2), ev(1, 12, "2024-01-01 10:04:00", 2),
+      ev(2, 13, "2024-01-01 10:10:00", 2), ev(3, 14, "2024-01-01 10:00:00", 2))
+    val lIn = MemoryStream[Streaming.UserEvent]
+    val rIn = MemoryStream[Streaming.UserEvent]
+    val joined = Streaming.intervalJoin(
+      lIn.toDS().toDF("user_id", "l_id", "l_ts", "l_v"),
+      rIn.toDS().toDF("user_id", "r_id", "r_ts", "r_v"),
+      "user_id", "l_ts", "r_ts", lowerSeconds = 60, upperSeconds = 0)
+    val q = joined.select("l_id", "r_id").writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    lIn.addData(leftRows: _*); rIn.addData(rightRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT l_id, r_id FROM ssj_out")
+      .as[(Long, Long)].collect().toSet
+    // batch equivalent over the same finite data
+    val lB = leftRows.toDF("user_id", "l_id", "l_ts", "l_v")
+    val rB = rightRows.toDF("user_id", "r_id", "r_ts", "r_v")
+    val batch = lB.join(rB, lB("user_id") === rB("user_id") &&
+        rB("r_ts") >= lB("l_ts") - expr("INTERVAL 60 SECONDS") &&
+        rB("r_ts") <= lB("l_ts"))
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.contains((1L, 11L))) // 30s before, within window
+    assert(!streamed.contains((3L, 13L))) // outside window
   }
 
   test("sessionize: event-time gap sessions close when the watermark passes") {
