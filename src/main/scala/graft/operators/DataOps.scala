@@ -95,11 +95,15 @@ object DataOps {
     // scale variant of the same operator).
     "d06_embedding_dups" -> { (s, d) =>
       import s.implicits._
+      // Norms precomputed ONCE per vector (2N sqrt-dots), not per pair
+      // (3 dots × N²/2 pairs) — same doubles, ~3× less pair work.
       val e = Tables.embeddings(s, d)
         .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+        .withColumn("nrm", Similarity.norm($"v"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos_sim",
-          round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+          round(Similarity.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")), 6))
         .filter($"cos_sim" >= 0.45)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           $"cos_sim")

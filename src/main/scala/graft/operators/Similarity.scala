@@ -38,10 +38,14 @@ object Similarity {
     * result is a deterministic set. */
   def bruteKnn(corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms once per vector, not per (probe, vector) pair
     val c = corpus.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("v_nrm", norm(col("v")))
     val p = probes.select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("q"))
+      .withColumn("q_nrm", norm(col("q")))
     val scored = c.crossJoin(broadcast(p))
-      .withColumn("cos_sim", round(cosine(col("q"), col("v")), 9))
+      .withColumn("cos_sim",
+        round(dot(col("q"), col("v")) / (col("q_nrm") * col("v_nrm")), 9))
       .filter(col("probe_id") =!= col("vec_id"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
