@@ -88,6 +88,12 @@ object JdbcUpsert {
         st.executeUpdate(
           s"DELETE FROM $table WHERE ${q(keyCol)} IN " +
             s"(SELECT ${q(keyCol)} FROM $staging)")
+        // NULL keys never match an IN-list (NULL IN (...) is UNKNOWN), so
+        // replay would re-insert them forever; give the null-key group the
+        // same latest-batch-wins semantics explicitly.
+        st.executeUpdate(
+          s"DELETE FROM $table WHERE ${q(keyCol)} IS NULL AND EXISTS " +
+            s"(SELECT 1 FROM $staging WHERE ${q(keyCol)} IS NULL)")
         val cols = df.columns.map(q).mkString(", ")
         st.executeUpdate(
           s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
@@ -97,7 +103,11 @@ object JdbcUpsert {
       try st2.executeUpdate(s"DROP TABLE $staging") finally st2.close()
       conn.commit()
     } catch {
-      case e: Throwable => try conn.rollback() finally (); throw e
+      case e: Throwable =>
+        // rollback on a broken connection may itself throw; never let that
+        // mask the original failure
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
     } finally conn.close()
   }
 

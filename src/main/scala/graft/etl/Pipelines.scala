@@ -33,9 +33,10 @@ object Pipelines {
       Transforms.epochSecondsToTs(tagged))
     val projected = Transforms.normalizeNulls(
       Transforms.project(Schemas.trackingColumns)(converted))
-    val deduped =
-      if (intendedDedup) Transforms.dedupKeepLast(projected) else projected
-    Transforms.distinctRows(deduped)
+    // keep-last already leaves one row per key — the trailing distinct is
+    // only needed (and only can remove anything) on the non-dedup path
+    if (intendedDedup) Transforms.dedupKeepLast(projected)
+    else Transforms.distinctRows(projected)
   }
 
   /** events: one row per nested tracking event (explode_outer).

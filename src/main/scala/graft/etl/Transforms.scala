@@ -81,12 +81,19 @@ object Transforms {
   }
 
   /** D1 with the INTENDED semantics (SURVEY.md §2.8): keep the latest
-    * version per key, ordered by fileName (the CDC version order) with a
-    * final tiebreak so the result is deterministic even within one file. */
+    * version per key, ordered by fileName (the CDC version order).
+    * The within-file tiebreak orders by every remaining column — a total
+    * order over row VALUES, so the choice is deterministic regardless of
+    * partitioning, split planning, or executor count (a
+    * monotonically_increasing_id tiebreak would depend on how Spark
+    * bin-packs file splits). Rows identical in all columns are
+    * interchangeable, so ambiguity there is harmless. */
   def dedupKeepLast(df: DataFrame, key: String = "oid__id",
       orderCol: String = "fileName"): DataFrame = {
+    val rest = df.columns.filter(c => c != key && c != orderCol)
+      .map(c => col(c).desc_nulls_last)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(orderCol).desc, monotonically_increasing_id().desc)
+      .orderBy(col(orderCol).desc +: rest: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -105,15 +112,23 @@ object Transforms {
     df.withColumn("parse_failed",
       col(src).isNotNull && pyToJson(col(src)).isNull)
 
+  /** Quarantined read result; `release()` unpersists the shared cached
+    * scan once both sides have been consumed. */
+  final case class QuarantinedRead(good: DataFrame, bad: DataFrame,
+      private val underlying: DataFrame) {
+    def release(): Unit = { underlying.unpersist(); () }
+  }
+
   /** CSV ingestion with malformed-row quarantine: PERMISSIVE mode routes
     * rows that do not match the schema into a corrupt-record column
     * instead of failing the job (FAILFAST) or silently dropping them
-    * (DROPMALFORMED). Returns (good rows, quarantined raw lines).
-    * The input is cached: Spark disallows filtering on the corrupt
-    * column of an un-materialized scan (it is populated at parse time).
+    * (DROPMALFORMED).
+    * The input is cached — Spark disallows filtering on the corrupt
+    * column of an un-materialized scan (it is populated at parse time) —
+    * and the caller releases it via [[QuarantinedRead.release]].
     */
   def readCsvWithQuarantine(spark: org.apache.spark.sql.SparkSession,
-      paths: Seq[String]): (DataFrame, DataFrame) = {
+      paths: Seq[String]): QuarantinedRead = {
     val schema = org.apache.spark.sql.types.StructType(
       Schemas.source.fields :+
         org.apache.spark.sql.types.StructField("_corrupt_record",
@@ -128,6 +143,6 @@ object Transforms {
       .drop("_corrupt_record")
     val bad = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (good, bad)
+    QuarantinedRead(good, bad, raw)
   }
 }

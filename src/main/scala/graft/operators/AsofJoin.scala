@@ -29,29 +29,34 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame, timeCol: String,
       keyCols: Seq[String], rightCols: Seq[String],
       rightTieBreak: String): DataFrame = {
-    val carried = rightCols.map(c => s"__r_$c")
+    // Carried values ride in ONE struct per right row: the struct itself
+    // is never null for a right row (even when every field is), so
+    // last(ignoreNulls) tracks "latest right ROW" — a null field on the
+    // true latest match stays null instead of leaking an older row's
+    // value.
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(null).cast("long"))
-    val lAll = carried.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null)))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            right.schema(c).dataType)))))
     val r = right.select(
       (keyCols.map(col) :+ col(timeCol) :+
-        col(rightTieBreak).cast("long").as("__tie")) ++
-        rightCols.zip(carried).map { case (src, dst) => col(src).as(dst) }: _*)
+        col(rightTieBreak).cast("long").as("__tie") :+
+        struct(rightCols.map(col): _*).as("__r")): _*)
       .withColumn("__side", lit(0))
-    val unioned = lAll.unionByName(r, allowMissingColumns = true)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc, col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val filled = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     val out = filled.filter(col("__side") === 1)
-      .drop("__side", "__tie")
-    rightCols.zip(carried).foldLeft(out) { case (df, (src, dst)) =>
-      df.withColumnRenamed(dst, s"asof_$src")
-    }
+    rightCols.foldLeft(out)((df, c) =>
+        df.withColumn(s"asof_$c", col("__r").getField(c)))
+      .drop("__side", "__tie", "__r")
   }
 
   /** Variant with a tolerance: matches older than `toleranceSeconds` are

@@ -32,15 +32,23 @@ object EtlQueries {
 
   /** Per-session memo of the CACHED replay outputs: several queries (the
     * replay dumps + the interactive-SQL views) consume the same corpus —
-    * parse the 881 files once per session, not once per query. */
+    * parse the 881 files once per session, not once per query. Keyed by
+    * the session's UUID (identityHashCode can collide after GC and would
+    * hand a dead session's cached plan to a new one); entries for old
+    * sessions are evicted as they are superseded. */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-  def replay(s: SparkSession, name: String): DataFrame =
-    memo.computeIfAbsent((System.identityHashCode(s), name), _ =>
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  def replay(s: SparkSession, name: String): DataFrame = {
+    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
+    memo.keys().asIterator().forEachRemaining { k =>
+      if (k._1 != uuid) memo.remove(k)
+    }
+    memo.computeIfAbsent((uuid, name), _ =>
       (name match {
         case "tracking" => Pipelines.tracking(s, corpus(), clock = ReplayClock)
         case _          => Pipelines.events(s, corpus(), clock = ReplayClock)
       }).cache())
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_tracking_replay" -> ((s, _) => replay(s, "tracking")),

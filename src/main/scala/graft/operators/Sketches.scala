@@ -42,13 +42,25 @@ object Sketches {
   /** Filter `df` to rows whose `colName` might be in `keys` (per a Bloom
     * filter built on `keys`) — semi-join pre-filter with no shuffle of
     * `df`; false positives pass through (a later exact join removes
-    * them), false negatives cannot occur. */
+    * them), false negatives cannot occur. The probe is typed from the
+    * column's actual data type — a fixed Long-typed probe would make
+    * Spark cast string keys to bigint (→ NULL → every row dropped). */
   def bloomPreFilter(df: DataFrame, colName: String, keys: DataFrame,
       keyCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = bloom(keys, keyCol, expectedItems, fpp)
     val bcast = df.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((v: Long) => bcast.value.mightContainLong(v))
-    df.filter(mightContain(col(colName)))
+    import org.apache.spark.sql.types._
+    val probe = df.schema(colName).dataType match {
+      case StringType =>
+        udf((v: String) => v != null && bcast.value.mightContainString(v))
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((v: java.lang.Long) => v != null && bcast.value.mightContainLong(v))
+      case BinaryType =>
+        udf((v: Array[Byte]) => v != null && bcast.value.mightContainBinary(v))
+      case other => throw new IllegalArgumentException(
+        s"bloomPreFilter: unsupported key type $other")
+    }
+    df.filter(probe(col(colName)))
   }
 
   /** Greenwald-Khanna approximate quantiles (rank error ≤ relErr·N). */

@@ -48,10 +48,14 @@ object Streaming {
         val exploded = Transforms.explodeEvents(Transforms.parseEventArray(tagged))
         val converted = Transforms.withUploadDate(clock)(exploded)
         val out = Transforms.distinctRows(Transforms.normalizeNulls(
-          Transforms.project(Schemas.eventsColumns)(converted)))
-        if (!out.isEmpty)
-          JdbcUpsert.upsert(out, url, table, "oid__id", props,
-            createTableColumnTypes = createTableColumnTypes)
+          Transforms.project(Schemas.eventsColumns)(converted))).cache()
+        // cache + count: the emptiness probe and the staging write would
+        // otherwise each run the full parse/explode/distinct plan
+        try {
+          if (out.count() > 0)
+            JdbcUpsert.upsert(out, url, table, "oid__id", props,
+              createTableColumnTypes = createTableColumnTypes)
+        } finally { out.unpersist(); () }
       }
       .start()
   }

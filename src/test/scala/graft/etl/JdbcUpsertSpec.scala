@@ -46,6 +46,26 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(tableRows(t) === Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v2"))
   }
 
+  test("null-key rows replay idempotently (latest batch wins for the null group)") {
+    val t = "nullkey_test"
+    val batch = Seq((Option("k1"), "v1"), (Option.empty[String], "vnull"))
+      .toDF("oid__id", "payload")
+    JdbcUpsert.upsert(batch, url, t, "oid__id",
+      createTableColumnTypes = colTypes)
+    JdbcUpsert.upsert(batch, url, t, "oid__id",
+      createTableColumnTypes = colTypes)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $t")
+        rs.next()
+        assert(rs.getLong(1) === 2L,
+          "replaying a batch with a NULL key must not duplicate rows")
+      } finally st.close()
+    } finally conn.close()
+  }
+
   test("reading back via JDBC pushes filters into the database") {
     val t = "pushdown_test"
     val df = Seq(("k1", "a.csv"), ("k2", "b.csv"), ("k3", "c.csv"))

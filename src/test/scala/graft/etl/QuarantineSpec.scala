@@ -21,11 +21,13 @@ class QuarantineSpec extends SparkSpec {
     w.println("U,bbb,NOT_A_NUMBER,1693821695,1693821695,\"[]\"") // bad long
     w.println("U,ccc,1689877770,1693821695,1693821695,\"[]\"")
     w.close()
-    val (good, bad) = Transforms.readCsvWithQuarantine(spark, Seq(f.toString))
-    assert(good.count() === 2)
-    assert(bad.count() === 1)
-    assert(bad.as[String].head().contains("NOT_A_NUMBER"))
-    assert(good.filter($"oid__id" === "bbb").count() === 0)
+    val qr = Transforms.readCsvWithQuarantine(spark, Seq(f.toString))
+    try {
+      assert(qr.good.count() === 2)
+      assert(qr.bad.count() === 1)
+      assert(qr.bad.as[String].head().contains("NOT_A_NUMBER"))
+      assert(qr.good.filter($"oid__id" === "bbb").count() === 0)
+    } finally qr.release()
   }
 
   test("unparseable event literals are flagged, not fatal") {

@@ -62,6 +62,25 @@ class AdvancedSpec extends SparkSpec {
     assert(out(31L) === None)
   }
 
+  test("asof: a null carried value on the true latest match stays null") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L, Option("old")),
+      (1L, ts("2024-01-01 10:00:05"), 102L, Option.empty[String]) // latest, null payload
+    ).toDF("user_id", "ts", "quote_id", "note")
+    val trades = Seq((1L, ts("2024-01-01 10:00:10"), 11L))
+      .toDF("user_id", "ts", "trade_id")
+    val out = AsofJoin.backward(trades, quotes, "ts",
+        keyCols = Seq("user_id"), rightCols = Seq("quote_id", "note"),
+        rightTieBreak = "quote_id")
+      .select($"trade_id", $"asof_quote_id", $"asof_note").collect().head
+    assert(out.getAs[Long]("asof_quote_id") === 102L,
+      "must match the latest right ROW")
+    assert(out.getAs[String]("asof_note") === null,
+      "null field of the latest match must not leak an older row's value")
+  }
+
   test("asof with tolerance nulls out stale matches") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
