@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.DataOps.queries ++
       operators.EtlQueries.queries ++ operators.Multimodal.queries ++
       operators.Advanced.queries ++ operators.ReferenceQueries.queries ++
-      operators.Extended.queries ++ operators.SqlSurface.queries
+      operators.Extended.queries ++ operators.SqlSurface.queries ++
+      operators.Cdc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     operators.Relational.oracleSql ++ operators.DataOps.oracleSql ++
       operators.EtlQueries.oracleSql ++ operators.Multimodal.oracleSql ++
       operators.Advanced.oracleSql ++ operators.ReferenceQueries.oracleSql ++
-      operators.Extended.oracleSql ++ operators.SqlSurface.oracleSql
+      operators.Extended.oracleSql ++ operators.SqlSurface.oracleSql ++
+      operators.Cdc.oracleSql
 }
