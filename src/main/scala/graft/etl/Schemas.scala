@@ -50,4 +50,22 @@ object Schemas {
 
   /** Epoch-seconds columns converted to timestamps in both pipelines. */
   val epochSecondCols: Seq[String] = Seq("createdAt", "updatedAt", "lastSyncTracker")
+
+  /** The exact header every source file must carry. */
+  val expectedHeader: String = source.fields.map(_.name).mkString(",")
+
+  /** Schema-drift guard: returns (path, actualHeader) for every file
+    * whose header deviates from the contract. Run BEFORE ingesting a
+    * batch — a silently-drifted upstream schema is the classic way a CDC
+    * pipeline loads garbage for weeks. Header reads are control-plane
+    * metadata (one line per file, driver-side by design); at very large
+    * file counts run it over the file LIST in parallel instead. */
+  def validateHeaders(paths: Seq[String]): Seq[(String, String)] =
+    paths.flatMap { p =>
+      val src = scala.io.Source.fromFile(p, "ISO-8859-1")
+      try {
+        val header = src.getLines().nextOption().getOrElse("")
+        if (header != expectedHeader) Some(p -> header) else None
+      } finally src.close()
+    }
 }

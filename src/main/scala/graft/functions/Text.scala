@@ -79,6 +79,15 @@ object Text {
       aggregate(codes, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L))
   }
 
+  /** Canonicalization for dedup: lowercase, strip non-alphanumerics
+    * (keeping spaces), collapse runs of whitespace, trim. Two documents
+    * differing only in case/punctuation/spacing normalize identically —
+    * run BEFORE exact or near dedup to catch trivial variants. */
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", ""),
+      " +", " "))
+
   /** Token n-gram shingles (distinct), the unit of near-dup comparison.
     * Documents shorter than n tokens yield an empty set. */
   def shingles(c: Column, n: Int): Column = {

@@ -109,6 +109,15 @@ object DataOps {
           $"cos_sim")
     },
 
+    // Canonicalized text: case/punctuation/whitespace-insensitive digest,
+    // the preprocessing step ahead of d01/d02.
+    "t08_normalize" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        md5(graft.functions.Text.normalizeForDedup($"text")).as("norm_hash"),
+        length(graft.functions.Text.normalizeForDedup($"text")).as("norm_len"))
+    },
+
     // Exact dedup: content-hash groups.
     "d01_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d).transform(df =>
@@ -237,6 +246,14 @@ object DataOps {
         |WHERE round(list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
         |  >= 0.45""".stripMargin,
+
+    "t08_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len
+        |FROM documents""".stripMargin,
 
     "d01_exact_dedup" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,

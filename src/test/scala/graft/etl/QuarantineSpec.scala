@@ -30,6 +30,23 @@ class QuarantineSpec extends SparkSpec {
     } finally qr.release()
   }
 
+  test("header validation flags drifted files, passes the real corpus") {
+    val ok = new java.io.File(corpusFiles(0))
+    val dir = Files.createTempDirectory("hdr").toFile
+    val drifted = new java.io.File(dir, "drifted.csv")
+    val w = new java.io.PrintWriter(drifted, "UTF-8")
+    w.println("Op,oid__id,createdAt,updatedAt,array_trackingEvents") // col missing
+    w.println("U,x,1,2,\"[]\"")
+    w.close()
+    val bad = graft.etl.Schemas.validateHeaders(
+      Seq(ok.toString, drifted.toString))
+    assert(bad.map(_._1) === Seq(drifted.toString))
+    assert(bad.head._2.contains("updatedAt,array_trackingEvents"))
+  }
+
+  private val corpusFiles = new java.io.File("/root/reference/data/extracted")
+    .listFiles().map(_.toString).sorted.take(2)
+
   test("unparseable event literals are flagged, not fatal") {
     val df = Seq(
       ("a", "[{'createdAt': {'$date': 1}, 'trackingCode': 'x', 'status': None, " +
