@@ -81,19 +81,31 @@ object Transforms {
   }
 
   /** D1 with the INTENDED semantics (SURVEY.md §2.8): keep the latest
-    * version per key, ordered by fileName (the CDC version order).
-    * The within-file tiebreak orders by every remaining column — a total
-    * order over row VALUES, so the choice is deterministic regardless of
-    * partitioning, split planning, or executor count (a
-    * monotonically_increasing_id tiebreak would depend on how Spark
-    * bin-packs file splits). Rows identical in all columns are
-    * interchangeable, so ambiguity there is harmless. */
+    * version per key, ordered by fileName (the CDC batch order), then by
+    * the VERSION columns (updatedAt/lastSyncTracker — the document's own
+    * notion of recency) within a file, then by all remaining columns for
+    * a total order.
+    *
+    * Why not "last row in file order": Spark provides no stable row
+    * position after a file is split (monotonically_increasing_id depends
+    * on split bin-packing), so in-file order is not reproducible. The
+    * version columns ARE the semantic signal file position proxies in a
+    * CDC dump — a delete tombstone or newer update carries a later
+    * updatedAt, so it wins regardless of physical row placement. The
+    * final catch-all tiebreak only decides between rows identical in
+    * every version column, where the reference's own choice (pandas
+    * keep='last') is equally arbitrary. Deterministic at any
+    * partitioning/executor count. */
   def dedupKeepLast(df: DataFrame, key: String = "oid__id",
-      orderCol: String = "fileName"): DataFrame = {
-    val rest = df.columns.filter(c => c != key && c != orderCol)
+      orderCol: String = "fileName",
+      versionCols: Seq[String] = Seq("updatedAt", "lastSyncTracker")): DataFrame = {
+    val versions = versionCols.filter(df.columns.contains)
+    val rest = df.columns
+      .filter(c => c != key && c != orderCol && !versions.contains(c))
       .map(c => col(c).desc_nulls_last)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(orderCol).desc +: rest: _*)
+      .orderBy(col(orderCol).desc +:
+        (versions.map(c => col(c).desc_nulls_last) ++ rest): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

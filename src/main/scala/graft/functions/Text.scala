@@ -85,8 +85,8 @@ object Text {
     * run BEFORE exact or near dedup to catch trivial variants. */
   def normalizeForDedup(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9 ]", ""),
-      " +", " "))
+      regexp_replace(lower(c), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
 
   /** Token n-gram shingles (distinct), the unit of near-dup comparison.
     * Documents shorter than n tokens yield an empty set. */

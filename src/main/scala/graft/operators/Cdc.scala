@@ -23,13 +23,17 @@ object Cdc {
     * column. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty,
+      "snapshotDiff needs at least one compared column")
     // explicit presence markers: a row whose compared columns are all
     // null must still count as present (null-sniffing would misclassify)
-    val o = oldDf.select(col(key) +: lit(true).as("__old") +:
+    val o = oldDf.select(col(key).as("__ok") +: lit(true).as("__old") +:
       compareCols.map(c => col(c).as(s"old_$c")): _*)
-    val n = newDf.select(col(key) +: lit(true).as("__new") +:
+    val n = newDf.select(col(key).as("__nk") +: lit(true).as("__new") +:
       compareCols.map(c => col(c).as(s"new_$c")): _*)
-    val joined = o.join(n, Seq(key), "full_outer")
+    // null-SAFE key join: a null-keyed row present in both snapshots is
+    // one (possibly updated) row, not a spurious delete+insert pair
+    val joined = o.join(n, col("__ok") <=> col("__nk"), "full_outer")
     val changed = compareCols.map(c =>
       !(col(s"old_$c") <=> col(s"new_$c"))).reduce[Column](_ || _)
     val oldExists = col("__old").isNotNull
@@ -40,7 +44,7 @@ object Cdc {
           .when(oldExists && !newExists, "D")
           .when(changed, "U"))
       .filter(col("op").isNotNull)
-      .select(col(key) +: col("op") +:
+      .select(coalesce(col("__ok"), col("__nk")).as(key) +: col("op") +:
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 

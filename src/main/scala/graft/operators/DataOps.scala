@@ -250,9 +250,9 @@ object DataOps {
     "t08_normalize" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
         |  length(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_len
         |FROM documents""".stripMargin,
 
     "d01_exact_dedup" ->

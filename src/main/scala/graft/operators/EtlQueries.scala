@@ -41,7 +41,12 @@ object EtlQueries {
   def replay(s: SparkSession, name: String): DataFrame = {
     val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
     memo.keys().asIterator().forEachRemaining { k =>
-      if (k._1 != uuid) memo.remove(k)
+      if (k._1 != uuid)
+        // unpersist, not just forget: the CacheManager is shared per
+        // SparkContext and would otherwise pin the dead session's 3M-row
+        // cache until JVM exit
+        Option(memo.remove(k)).foreach(df =>
+          try df.unpersist() catch { case _: Throwable => () })
     }
     memo.computeIfAbsent((uuid, name), _ =>
       (name match {

@@ -136,6 +136,32 @@ object Extended {
             .as("discounted_revenue"))
     },
 
+    // RANGE frame: trailing window by VALUE distance (all events whose
+    // event_id lies within 100 of the current one, same user) — value
+    // ranges, unlike ROWS, include peers and gaps.
+    "q39_range_frame" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rangeBetween(-100L, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("trailing_n", count(lit(1)).over(w))
+        .withColumn("trailing_sum",
+          sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+        .select($"user_id", $"event_id", $"trailing_n", $"trailing_sum")
+    },
+
+    // first/last/nth value window functions over a bounded frame.
+    "q40_value_windows" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("first_type", first($"event_type").over(w))
+        .withColumn("last_type", last($"event_type").over(w))
+        .withColumn("third_id", nth_value($"event_id", 3).over(w))
+        .select($"user_id", $"event_id", $"first_type", $"last_type", $"third_id")
+    },
+
     // Levenshtein distance (dynamic-programming ints: engine-exact).
     "q35_levenshtein" -> { (s, d) =>
       import s.implicits._
@@ -227,6 +253,24 @@ object Extended {
 
     "q35_levenshtein" ->
       """SELECT levenshtein(p_brand, p_type) AS dist, COUNT(*) AS n
-        |FROM part GROUP BY 1""".stripMargin
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "q39_range_frame" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS trailing_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS trailing_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q40_value_windows" ->
+      """SELECT user_id, event_id,
+        |  FIRST_VALUE(event_type) OVER w AS first_type,
+        |  LAST_VALUE(event_type) OVER w AS last_type,
+        |  NTH_VALUE(event_id, 3) OVER w AS third_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
   )
 }

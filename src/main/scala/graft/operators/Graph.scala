@@ -33,8 +33,19 @@ object Graph {
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .localCheckpoint(true)
 
+    // dangling (sink) vertices: their rank mass must be redistributed
+    // uniformly each round or it leaks and ranks no longer sum to 1
+    val sinks = vertices
+      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+
     var ranks = vertices.withColumn("rank", lit(1.0 / nV))
     for (_ <- 1 to iterations) {
+      // one scalar per round (decimal-exact, so order-independent)
+      val danglingMass = ranks.join(sinks, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("rank").cast("decimal(38,28)")), lit(0))
+          .cast("double"))
+        .head().getDouble(0)
       val contrib = norm
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
@@ -47,7 +58,8 @@ object Graph {
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / nV) +
-            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+            lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
+              lit(danglingMass / nV))).as("rank"))
         .localCheckpoint(true)
     }
     ranks

@@ -47,18 +47,29 @@ object Sketches {
     * Spark cast string keys to bigint (→ NULL → every row dropped). */
   def bloomPreFilter(df: DataFrame, colName: String, keys: DataFrame,
       keyCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    def family(dt: DataType): String = dt match {
+      case StringType => "string"
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => throw new IllegalArgumentException(
+        s"bloomPreFilter: unsupported key type $other " +
+          "(Spark's bloom filter hashes integral and string keys only)")
+    }
+    // probe and filter MUST hash the same way — a long-built filter
+    // probed with string hashing (or vice versa) yields silent false
+    // negatives, the one failure mode this operator promises not to have
+    val fam = family(df.schema(colName).dataType)
+    require(fam == family(keys.schema(keyCol).dataType),
+      s"bloomPreFilter: probe column $colName (${df.schema(colName).dataType}) " +
+        s"and key column $keyCol (${keys.schema(keyCol).dataType}) must hash " +
+        "in the same family")
     val bf = bloom(keys, keyCol, expectedItems, fpp)
     val bcast = df.sparkSession.sparkContext.broadcast(bf)
-    import org.apache.spark.sql.types._
-    val probe = df.schema(colName).dataType match {
-      case StringType =>
+    val probe = fam match {
+      case "string" =>
         udf((v: String) => v != null && bcast.value.mightContainString(v))
-      case ByteType | ShortType | IntegerType | LongType =>
+      case _ =>
         udf((v: java.lang.Long) => v != null && bcast.value.mightContainLong(v))
-      case BinaryType =>
-        udf((v: Array[Byte]) => v != null && bcast.value.mightContainBinary(v))
-      case other => throw new IllegalArgumentException(
-        s"bloomPreFilter: unsupported key type $other")
     }
     df.filter(probe(col(colName)))
   }

@@ -18,12 +18,14 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks("C") - 0.3974) < 0.001, s"C: ${ranks("C")}")
   }
 
-  test("pageRank: sink vertices keep the teleport floor, hubs rank higher") {
+  test("pageRank: dangling mass is redistributed — sinks don't leak rank") {
     // star: everyone points at 'hub'; 'hub' points nowhere (sink)
     val edges = Seq(("u1", "hub"), ("u2", "hub"), ("u3", "hub"))
       .toDF("src", "dst")
-    val ranks = Graph.pageRank(edges, iterations = 20)
+    val ranks = Graph.pageRank(edges, iterations = 40)
       .as[(String, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6,
+      s"ranks must sum to 1 even with sinks: $ranks")
     assert(ranks("hub") > ranks("u1") * 3, s"hub must dominate: $ranks")
     assert(ranks("u1") === ranks("u2")) // symmetric spokes tie exactly
   }
