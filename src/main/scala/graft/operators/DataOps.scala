@@ -165,6 +165,18 @@ object DataOps {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       Similarity.lshKnn(emb, emb.filter($"vec_id" < 3), k = 5, dim = 64)
+    },
+
+    // IVF approximate top-5: k-means cells + nProbe search (no SQL
+    // oracle: approximate; recall vs brute force is spec-gated).
+    "s03_ivf_knn" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val vectors = emb.select($"vec_id",
+        Similarity.toDouble($"embedding").as("v"))
+      val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+      val indexed = Ivf.index(emb, centroids)
+      Ivf.knn(indexed, centroids, emb.filter($"vec_id" < 3), k = 5, nProbe = 4)
     }
   )
 

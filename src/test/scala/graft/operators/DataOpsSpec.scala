@@ -72,6 +72,29 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("IVF knn: centroids are deterministic, recall beats the scan fraction") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val vectors = emb.select($"vec_id",
+      Similarity.toDouble($"embedding").as("v"))
+    val c1 = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+      .orderBy($"cell").collect().map(_.toString)
+    val c2 = Ivf.kmeans(vectors.repartition(7), nCells = 16, iterations = 3)
+      .orderBy($"cell").collect().map(_.toString)
+    assert(c1 === c2, "k-means must be partitioning-independent")
+
+    val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+    val indexed = Ivf.index(emb, centroids)
+    val probes = emb.filter($"vec_id" < 5)
+    val approx = Ivf.knn(indexed, centroids, probes, k = 10, nProbe = 4)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteKnn(emb, probes, k = 10)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // nProbe/nCells = 25% of cells; with any cluster structure recall
+    // must beat the blind-scan fraction
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("brute-force knn is symmetric-sane: top neighbor of a near-clone") {
     // cosine of a vector with itself is 1; probes exclude self so the top
     // neighbor of probe 0 must have sim < 1 but the rank-1 row must exist
