@@ -43,7 +43,8 @@ object Ivf {
   /** Lloyd's k-means with deterministic init (first `nCells` vectors by
     * id). Fixed iteration count; per-dimension means are decimal-exact. */
   def kmeans(vectors: DataFrame, nCells: Int, iterations: Int = 5): DataFrame = {
-    val dim = vectors.select(size(col("v"))).head().getInt(0)
+    // NB: a cell that loses all members drops out of the means (standard
+    // Lloyd's behavior) — callers get ≤ nCells centroids back.
     var centroids = vectors.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("centroid"))
       .localCheckpoint(true)
