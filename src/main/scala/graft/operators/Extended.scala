@@ -162,6 +162,39 @@ object Extended {
         .select($"user_id", $"event_id", $"first_type", $"last_type", $"third_id")
     },
 
+    // Deterministic stratified sampling: exactly ceil(10%) of every
+    // stratum, chosen by md5 order — reproducible across engines, runs,
+    // partitionings, and retries (rand()-based sampling is none of these).
+    "q41_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val wc = Window.partitionBy($"event_type")
+      val wr = Window.partitionBy($"event_type")
+        .orderBy(md5($"event_id".cast("string")).asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("__n", count(lit(1)).over(wc))
+        .withColumn("__rn", row_number().over(wr))
+        .filter($"__rn" <= ceil($"__n" / 10.0))
+        .select($"event_id", $"event_type")
+    },
+
+    // Batch gap-based sessionization (the batch twin of the streaming
+    // flatMapGroupsWithState sessionizer): session boundary = >30 min
+    // since the previous event; session id = running count of boundaries.
+    "q42_sessionize_batch" -> { (s, d) =>
+      import s.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("__sec", $"ts".cast("long"))
+        .withColumn("__gap", $"__sec" - lag($"__sec", 1).over(wOrd))
+        .withColumn("__new",
+          when($"__gap".isNull || $"__gap" > 1800, 1).otherwise(0))
+        .withColumn("session_seq", sum($"__new").over(wRun))
+        .groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min($"__sec").as("start_sec"), max($"__sec").as("end_sec"))
+    },
+
     // Levenshtein distance (dynamic-programming ints: engine-exact).
     "q35_levenshtein" -> { (s, d) =>
       import s.implicits._
@@ -263,6 +296,33 @@ object Extended {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q41_stratified_sample" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_id::VARCHAR) ASC, event_id ASC) AS rn
+        |  FROM events) t
+        |WHERE rn <= ceil(n / 10.0)""".stripMargin,
+
+    "q42_sessionize_batch" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    floor(epoch(ts))::BIGINT AS sec FROM events),
+        |g AS (SELECT user_id, event_id, sec,
+        |    sec - LAG(sec, 1) OVER w AS gap
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |m AS (SELECT user_id, event_id, sec,
+        |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS newf
+        |  FROM g),
+        |s AS (SELECT user_id, event_id, sec,
+        |    CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(sec) AS start_sec, MAX(sec) AS end_sec
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
     "q40_value_windows" ->
       """SELECT user_id, event_id,
