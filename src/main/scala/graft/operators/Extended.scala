@@ -195,6 +195,53 @@ object Extended {
           min($"__sec").as("start_sec"), max($"__sec").as("end_sec"))
     },
 
+    // Equi-width histogram via integer bucketing.
+    "q43_histogram" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("bucket", floor($"o_totalprice" / 50000).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+    },
+
+    // GROUPING() markers distinguish subtotal rows from genuine NULL
+    // group keys in a rollup — the disambiguation q12 lacks.
+    "q44_grouping_markers" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping($"l_returnflag").cast("long").as("g_flag"),
+          grouping($"l_linestatus").cast("long").as("g_status"))
+    },
+
+    // NULL-handling scalar semantics: count(col) vs count(*), coalesce,
+    // nullif — exercised over a derived column that is null ~half the time.
+    "q45_null_semantics" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("maybe", when($"value" > 100, $"user_id"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_all"),
+          count($"maybe").as("n_nonnull"),
+          sum(coalesce($"maybe", lit(0L))).as("sum_coalesced"),
+          count(nullif($"event_type", lit("error"))).as("n_not_error"))
+    },
+
+    // UNPIVOT: melt wide per-type counts back to long form (complement
+    // of q26's pivot).
+    "q46_unpivot" -> { (s, d) =>
+      import s.implicits._
+      val wide = Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "purchase", "signup"))
+        .agg(count(lit(1))).na.fill(0L)
+      wide.unpivot(Array($"user_id"),
+          Array($"click", $"purchase", $"signup"), "event_type", "n")
+        .filter($"n" > 0)
+    },
+
     // Levenshtein distance (dynamic-programming ints: engine-exact).
     "q35_levenshtein" -> { (s, d) =>
       import s.implicits._
@@ -296,6 +343,37 @@ object Extended {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q43_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q44_grouping_markers" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q45_null_semantics" ->
+      """SELECT event_type, COUNT(*) AS n_all,
+        |  COUNT(CASE WHEN value > 100 THEN user_id END) AS n_nonnull,
+        |  SUM(coalesce(CASE WHEN value > 100 THEN user_id END, 0))
+        |    AS sum_coalesced,
+        |  COUNT(nullif(event_type, 'error')) AS n_not_error
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q46_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (event_type = 'click') AS click,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |    COUNT(*) FILTER (event_type = 'signup') AS signup
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, n FROM (
+        |  UNPIVOT wide ON click, purchase, signup
+        |  INTO NAME event_type VALUE n) t
+        |WHERE n > 0""".stripMargin,
 
     "q41_stratified_sample" ->
       """SELECT event_id, event_type FROM (

@@ -95,6 +95,25 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("multimodal decodePartitions: stable schema, deterministic features") {
+    val media = Multimodal.fromText(
+      graft.Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+    val decoded = Multimodal.decodePartitions(media, dim = 4)
+    assert(decoded.columns.toSeq ===
+      Seq("media_id", "media_type", "n_bytes", "features"))
+    val rows = decoded.collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.features.length == 4))
+    // deterministic: same blob → same features across runs/partitionings
+    val again = Multimodal.decodePartitions(media.repartition(7), dim = 4)
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    rows.foreach(r => assert(again(r.media_id) === r.features.toSeq))
+    // n_bytes matches the blob length the column functions report
+    val byLen = media.select($"media_id", $"n_bytes").as[(Long, Long)]
+      .collect().toMap
+    rows.foreach(r => assert(r.n_bytes === byLen(r.media_id)))
+  }
+
   test("brute-force knn is symmetric-sane: top neighbor of a near-clone") {
     // cosine of a vector with itself is 1; probes exclude self so the top
     // neighbor of probe 0 must have sim < 1 but the rank-1 row must exist
