@@ -242,6 +242,41 @@ object Extended {
         .filter($"n" > 0)
     },
 
+    // Date arithmetic: shipping latency in days per order priority.
+    "q47_date_arith" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .withColumn("lat_days",
+          datediff($"l_shipdate", $"o_orderdate").cast("long"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          min($"lat_days").as("min_lat"), max($"lat_days").as("max_lat"),
+          sum($"lat_days").as("total_lat"))
+    },
+
+    // dense_rank vs rank: gap behavior on ties.
+    "q48_dense_rank" -> { (s, d) =>
+      import s.implicits._
+      val byQty = Tables.lineitem(s, d)
+        .groupBy($"l_quantity").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy($"n".desc, $"l_quantity".asc)
+      byQty
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+    },
+
+    // Relational division: users that produced EVERY event type.
+    "q49_division" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val total = ev.select($"event_type").distinct().count()
+      ev.groupBy($"user_id")
+        .agg(countDistinct($"event_type").as("n_types"))
+        .filter($"n_types" === total)
+        .select($"user_id", $"n_types")
+    },
+
     // Levenshtein distance (dynamic-programming ints: engine-exact).
     "q35_levenshtein" -> { (s, d) =>
       import s.implicits._
@@ -348,6 +383,27 @@ object Extended {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q47_date_arith" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  MIN(datediff('day', o_orderdate, l_shipdate)) AS min_lat,
+        |  MAX(datediff('day', o_orderdate, l_shipdate)) AS max_lat,
+        |  SUM(datediff('day', o_orderdate, l_shipdate)) AS total_lat
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q48_dense_rank" ->
+      """SELECT l_quantity, n,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        |FROM (SELECT l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1) t
+        |WINDOW w AS (ORDER BY n DESC, l_quantity ASC)""".stripMargin,
+
+    "q49_division" ->
+      """SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id
+        |HAVING COUNT(DISTINCT event_type) =
+        |  (SELECT COUNT(DISTINCT event_type) FROM events)""".stripMargin,
 
     "q44_grouping_markers" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
