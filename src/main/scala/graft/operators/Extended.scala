@@ -270,7 +270,9 @@ object Extended {
     "q49_division" -> { (s, d) =>
       import s.implicits._
       val ev = Tables.events(s, d)
-      val total = ev.select($"event_type").distinct().count()
+      // countDistinct, not distinct().count(): the latter counts NULL as
+      // a "type", silently diverging from SQL COUNT(DISTINCT) semantics
+      val total = ev.agg(countDistinct($"event_type")).head().getLong(0)
       ev.groupBy($"user_id")
         .agg(countDistinct($"event_type").as("n_types"))
         .filter($"n_types" === total)

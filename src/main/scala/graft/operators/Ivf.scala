@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *   1. Lloyd's k-means (fixed iterations, deterministic init) learns
   *      `nCells` centroids;
   *   2. every corpus vector is assigned to its nearest centroid — the
-  *      inverted file, stored partitioned BY CELL so a probe reads only
-  *      its cells' partitions;
+  *      inverted file (for a persisted deployment, write it PARTITIONED
+  *      BY cell so probes also get storage-level pruning; in-memory the
+  *      cell join reduces the candidate set, not the scan);
   *   3. a query scans only the `nProbe` nearest cells and reranks
   *      exactly.
   *
@@ -29,16 +30,18 @@ object Ivf {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Nearest-centroid assignment: (id, v, cell). */
-  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__d").asc, col("cell").asc)
+  /** Nearest-centroid assignment: (id, v, cell). Argmin via
+    * min(struct(dist, cell)) — lexicographic struct ordering gives the
+    * deterministic (min dist, then min cell) choice with MAP-SIDE partial
+    * aggregation; a row_number window would shuffle nCells copies of
+    * every vector. */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
       .withColumn("__d", sqDist(col("v"), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d"), col("cell"))).as("__m"),
+        first(col("v")).as("v")) // v is constant per vec_id
+      .select(col("vec_id"), col("v"), col("__m.cell").as("cell"))
 
   /** Lloyd's k-means with deterministic init (first `nCells` vectors by
     * id). Fixed iteration count; per-dimension means are decimal-exact. */
@@ -83,10 +86,12 @@ object Ivf {
       .withColumn("__rn", row_number().over(wCells))
       .filter(col("__rn") <= nProbe)
       .select(col("probe_id"), col("q"), col("cell"))
-    val cands = probeCells.join(indexed, "cell")
+    // norms once per vector / per probe-cell row, never per candidate
+    // pair (the 3.4x lesson from the exact-dup path, BASELINE.md)
+    val idxN = indexed.withColumn("v_nrm", Similarity.norm(col("v")))
+    val probeN = probeCells.withColumn("q_nrm", Similarity.norm(col("q")))
+    val pn = probeN.join(idxN, "cell")
       .filter(col("probe_id") =!= col("vec_id"))
-    val pn = cands.withColumn("q_nrm", Similarity.norm(col("q")))
-      .withColumn("v_nrm", Similarity.norm(col("v")))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     pn.withColumn("cos_sim",

@@ -76,13 +76,12 @@ class DataOpsSpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
     val vectors = emb.select($"vec_id",
       Similarity.toDouble($"embedding").as("v"))
-    val c1 = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
-      .orderBy($"cell").collect().map(_.toString)
+    val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+    val c1 = centroids.orderBy($"cell").collect().map(_.toString)
     val c2 = Ivf.kmeans(vectors.repartition(7), nCells = 16, iterations = 3)
       .orderBy($"cell").collect().map(_.toString)
     assert(c1 === c2, "k-means must be partitioning-independent")
 
-    val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
     val indexed = Ivf.index(emb, centroids)
     val probes = emb.filter($"vec_id" < 5)
     val approx = Ivf.knn(indexed, centroids, probes, k = 10, nProbe = 4)
