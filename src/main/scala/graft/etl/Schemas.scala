@@ -12,6 +12,14 @@ import org.apache.spark.sql.types._
   */
 object Schemas {
 
+  /** Known corpus property: a minority of files carry Latin-1 bytes in
+    * the free-text description fields (not valid UTF-8). Spark's CSV
+    * reader replaces them with U+FFFD rather than failing; a strict
+    * decoder (or pandas' default) would crash on those files. If exact
+    * byte fidelity matters, read with .option("encoding","ISO-8859-1")
+    * per-file after sniffing — mixed-encoding corpora cannot be decoded
+    * correctly with any single setting. */
+
   /** The uniform 6-column source schema of every CDC dump file. */
   val source: StructType = StructType(Seq(
     StructField("Op", StringType),
