@@ -58,6 +58,34 @@ object Advanced {
           sum($"value".cast("decimal(18,2)")).cast("double").as("value_first72h"))
     },
 
+    // HLL sketch ROLLUP: per-(type, day) sketches unioned up to per-type
+    // distinct-user counts — the re-aggregatable form. At warehouse scale
+    // you store the small per-cell sketches and answer any coarser
+    // distinct-count rollup WITHOUT rescanning the facts (exact distinct
+    // counts cannot be re-aggregated: distinct-per-day doesn't sum).
+    // Rows-only check: sketch binaries are engine-specific; the spec
+    // bounds the estimate against exact counts.
+    "q50_hll_rollup" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(hll_sketch_agg($"user_id").as("sketch"))
+      daily.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sketch"))
+          .as("approx_distinct_users"))
+    },
+
+    // NOT IN with a guaranteed-non-null list (the null-poisoned variant
+    // returns nothing in standard SQL — use anti-joins for that case).
+    "q51_not_in" -> { (s, d) =>
+      import s.implicits._
+      val bigSpenders = Tables.orders(s, d)
+        .filter($"o_totalprice" > 400000).select($"o_custkey")
+      Tables.customer(s, d)
+        .join(bigSpenders, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_mktsegment")
+    },
+
     // Approximate distinct (HyperLogLog++): cardinalities per event type.
     // No SQL oracle — HLL implementations differ across engines; the
     // ScalaTest suite bounds the relative error against exact counts.
@@ -87,6 +115,11 @@ object Advanced {
         |FROM events JOIN w
         |  ON user_id = r_user AND ts >= lo AND ts <= hi
         |GROUP BY user_id""".stripMargin,
+
+    "q51_not_in" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
 
     "q22_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events

@@ -98,6 +98,19 @@ class AdvancedSpec extends SparkSpec {
     assert(out(12L) === None)
   }
 
+  test("HLL sketch rollup: unioned daily sketches estimate per-type users") {
+    val got = Advanced.queries("q50_hll_rollup")(spark, sf("sf0.01"))
+      .as[(String, Long)].collect().toMap
+    val exact = graft.Tables.events(spark, sf("sf0.01"))
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, x) =>
+      val e = got(k)
+      assert(math.abs(e - x).toDouble / x <= 0.05,
+        s"$k: sketch=$e exact=$x — union must preserve accuracy")
+    }
+  }
+
   test("approx_count_distinct within declared error of exact") {
     val ev = graft.Tables.events(spark, sf("sf0.01"))
     val approx = ev.agg(approx_count_distinct($"user_id", 0.02))
