@@ -60,6 +60,38 @@ object Streaming {
       .start()
   }
 
+  /** The tracking pipeline in streaming form (no explode; per-micro-batch
+    * keep-last dedup — across batches the upsert's delete-by-key gives
+    * latest-batch-wins, the same contract as the events stream). */
+  def trackingFileStream(spark: SparkSession, csvDir: String,
+      checkpointDir: String, url: String, table: String,
+      maxFilesPerTrigger: Int = 5,
+      clock: Option[Timestamp] = None,
+      props: Properties = new Properties(),
+      createTableColumnTypes: Option[String] = None): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.source)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(csvDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tagged = Transforms.addFileName(batch).drop("array_trackingEvents")
+        val converted = Transforms.withUploadDate(clock)(
+          Transforms.epochSecondsToTs(tagged))
+        val out = Transforms.dedupKeepLast(Transforms.normalizeNulls(
+          Transforms.project(Schemas.trackingColumns)(converted))).cache()
+        try {
+          if (out.count() > 0)
+            JdbcUpsert.upsert(out, url, table, "oid__id", props,
+              createTableColumnTypes = createTableColumnTypes)
+        } finally { out.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Event-time tumbling-window aggregation with a lateness watermark —
     * counts and exact decimal sums per (window, event_type). Works on any
     * streaming DF with (ts: timestamp, event_type, value). */

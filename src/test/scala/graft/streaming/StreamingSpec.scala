@@ -96,6 +96,38 @@ class StreamingSpec extends SparkSpec {
     assert(phase2 === exp2)
   }
 
+  test("streaming tracking ETL: per-key uniqueness holds after micro-batches") {
+    val work = Files.createTempDirectory("strk_in").toFile
+    val ckpt = Files.createTempDirectory("strk_ckpt").toString
+    val all = new java.io.File(corpusDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".csv")).sorted.take(4)
+    all.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(Paths.get(s"$corpusDir/$f"), Paths.get(work.toString, f),
+        StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(work, f).setLastModified(1700000000000L + i * 60000L)
+    }
+    val colTypesT = Some(
+      "oid__id VARCHAR(64), Op VARCHAR(4), fileName VARCHAR(64)")
+    val q = Streaming.trackingFileStream(spark, work.toString, ckpt, url,
+      "tracking_stream", maxFilesPerTrigger = 2, clock = clock,
+      createTableColumnTypes = colTypesT)
+    q.awaitTermination()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          """SELECT COUNT(*), COUNT(DISTINCT "oid__id") FROM tracking_stream""")
+        rs.next()
+        // delete-by-key across batches + keep-last within batch ⇒ the
+        // table is unique on the document key
+        assert(rs.getLong(1) === rs.getLong(2),
+          s"tracking table must be unique per key: ${rs.getLong(1)} vs ${rs.getLong(2)}")
+        assert(rs.getLong(1) > 0)
+      } finally st.close()
+    } finally conn.close()
+  }
+
   test("windowed aggregation over a stream equals the batch computation") {
     val eventsPath = sf("sf0.001")
     // stream schema = the RAW parquet schema (ts is nanos-as-long); apply
