@@ -171,6 +171,35 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"hamming")
   }
 
+  /** End-to-end corpus deduplication: canonicalize text, drop exact
+    * duplicates (keep min id), find near-dup pairs by trigram Jaccard,
+    * cluster them with connected components, and keep one canonical
+    * document per cluster. Returns the cleaned corpus (original columns,
+    * keepers only). This is the one-call form of the d01/d02/d05 chain —
+    * what a training-data pipeline actually runs before tokenization. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    import graft.functions.Text
+    val normalized = df.withColumn("__norm",
+      Text.normalizeForDedup(col(textCol)))
+    // exact pass on the canonical form: keeper = min id per digest
+    val exactKeepers = normalized
+      .groupBy(md5(col("__norm")).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exactDeduped = normalized.join(exactKeepers, Seq(idCol), "left_semi")
+    // near-dup pass over the survivors
+    val pairs = ngramJaccardPairs(
+      exactDeduped.select(col(idCol), col("__norm").as(textCol)),
+      idCol, textCol, shingleN, minJaccard, maxDocFreq)
+    val clusters = ConnectedComponents.dedupClusters(
+      exactDeduped, idCol, pairs)
+    exactDeduped
+      .join(clusters.filter(col("keeper")).select(col(idCol)), Seq(idCol), "left_semi")
+      .drop("__norm")
+  }
+
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

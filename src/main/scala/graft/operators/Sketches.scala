@@ -74,6 +74,17 @@ object Sketches {
     df.filter(probe(col(colName)))
   }
 
+  /** Heavy hitters: values whose frequency exceeds `support` fraction of
+    * rows (single pass, bounded memory — the "what are the hot keys"
+    * question asked before salting a join). May contain false positives
+    * (Spark's freqItems is the Karp-Schenker-Papadimitriou one-pass
+    * algorithm); verify candidates with an exact count if it matters. */
+  def heavyHitters(df: DataFrame, colName: String,
+      support: Double = 0.01): Seq[Any] = {
+    val row = df.stat.freqItems(Array(colName), support).head()
+    row.getSeq[Any](0)
+  }
+
   /** Greenwald-Khanna approximate quantiles (rank error ≤ relErr·N). */
   def approxQuantiles(df: DataFrame, colName: String, probs: Seq[Double],
       relErr: Double = 0.01): Seq[Double] =

@@ -23,6 +23,32 @@ class DataOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("dedupCorpus keeps one canonical doc per exact/near-dup cluster") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the spark engine shuffles partitions across the cluster at scale"
+    val corpus = Seq(
+      (0L, base),
+      (1L, base.toUpperCase),                 // case variant → exact dup after normalize
+      (2L, base + " tail"),                   // near dup of 0
+      (3L, "completely different words about databases and storage engines"),
+      (4L, base)                               // exact dup of 0
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.dedupCorpus(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.8)
+    val kept = cleaned.select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 3L),
+      s"one keeper per cluster plus the unrelated doc, got $kept")
+    assert(cleaned.columns.toSeq === Seq("doc_id", "text"),
+      "original schema must come back, no helper columns")
+  }
+
+  test("heavy hitters finds the hot key, supports the salting decision") {
+    val skewed = (1 to 900).map(_ => 7L) ++ (1 to 100).map(_.toLong + 100)
+    val df = skewed.toDF("k")
+    val hot = Sketches.heavyHitters(df, "k", support = 0.5)
+    assert(hot.contains(7L), s"the 90% key must surface: $hot")
+  }
+
   test("exactGroups collapses exact duplicates only") {
     val g = Dedup.exactGroups(docs, "doc_id", "text").filter($"n_copies" > 1)
     val row = g.collect()
