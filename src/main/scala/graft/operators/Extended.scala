@@ -279,6 +279,21 @@ object Extended {
         .select($"user_id", $"n_types")
     },
 
+    // Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicities (q25's INTERSECT/EXCEPT are set-semantics).
+    "q52_bag_setops" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val a = li.filter($"l_returnflag" === "R").select($"l_quantity")
+      val b = li.filter($"l_returnflag" === "A").select($"l_quantity")
+      a.exceptAll(b).groupBy($"l_quantity").agg(count(lit(1)).as("surplus"))
+        .withColumn("op", lit("except_all"))
+        .unionByName(
+          a.intersectAll(b).groupBy($"l_quantity")
+            .agg(count(lit(1)).as("surplus"))
+            .withColumn("op", lit("intersect_all")))
+    },
+
     // Levenshtein distance (dynamic-programming ints: engine-exact).
     "q35_levenshtein" -> { (s, d) =>
       import s.implicits._
@@ -385,6 +400,15 @@ object Extended {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q52_bag_setops" ->
+      """WITH a AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A')
+        |SELECT l_quantity, COUNT(*) AS surplus, 'except_all' AS op
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
+        |UNION ALL
+        |SELECT l_quantity, COUNT(*) AS surplus, 'intersect_all' AS op
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1""".stripMargin,
 
     "q47_date_arith" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
