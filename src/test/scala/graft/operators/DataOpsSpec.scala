@@ -42,6 +42,16 @@ class DataOpsSpec extends SparkSpec {
       "original schema must come back, no helper columns")
   }
 
+  test("dedupCorpus is idempotent: cleaning a cleaned corpus is a no-op") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val once = Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.5)
+    val twice = Dedup.dedupCorpus(once, "doc_id", "text", minJaccard = 0.5)
+    val a = once.select($"doc_id").as[Long].collect().toSet
+    val b = twice.select($"doc_id").as[Long].collect().toSet
+    assert(a === b, "a deduplicated corpus must contain no further duplicates")
+    assert(a.size < 500, "the planted near-dups must have been removed")
+  }
+
   test("heavy hitters finds the hot key, supports the salting decision") {
     val skewed = (1 to 900).map(_ => 7L) ++ (1 to 100).map(_.toLong + 100)
     val df = skewed.toDF("k")
