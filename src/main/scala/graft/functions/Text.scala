@@ -79,6 +79,21 @@ object Text {
       aggregate(codes, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L))
   }
 
+  /** Tiny polarity lexicons for lexicon-based sentiment scoring (the
+    * classic distributed-sentiment baseline; swap in a real lexicon for
+    * production). Order-stable constants shared with generated oracle
+    * SQL. */
+  val PositiveMarkers: Seq[String] =
+    Seq("fast", "good", "great", "small", "new", "best", "quick")
+  val NegativeMarkers: Seq[String] =
+    Seq("slow", "bad", "big", "old", "worst", "error", "broken")
+
+  /** Lexicon polarity score in [-1, 1]: (pos hits − neg hits) / tokens.
+    * Exact rational of integer counts — deterministic across engines. */
+  def sentimentScore(c: Column): Column =
+    (markerHits(c, PositiveMarkers) - markerHits(c, NegativeMarkers))
+      .cast("double") / tokenCount(c).cast("double")
+
   /** Canonicalization for dedup: lowercase, strip non-alphanumerics
     * (keeping spaces), collapse runs of whitespace, trim. Two documents
     * differing only in case/punctuation/spacing normalize identically —

@@ -118,6 +118,30 @@ object DataOps {
         length(graft.functions.Text.normalizeForDedup($"text")).as("norm_len"))
     },
 
+    // Lexicon-based sentiment polarity per document + label bucket.
+    "t09_sentiment" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        graft.functions.Text.sentimentScore($"text").as("polarity"))
+        .withColumn("label",
+          when($"polarity" > 0.02, "positive")
+            .when($"polarity" < -0.02, "negative")
+            .otherwise("neutral"))
+    },
+
+    // Dedup observability: one-row report of corpus/keeper/dup counts
+    // from the clustering output (what a pipeline logs per batch).
+    "d07_dedup_report" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.05, maxDocFreq = 1000L)
+      ConnectedComponents.dedupClusters(docs, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keeper", 1L).otherwise(0L)).as("n_keepers"),
+          sum(when($"keeper", 0L).otherwise(1L)).as("n_dups"))
+    },
+
     // Exact dedup: content-hash groups.
     "d01_exact_dedup" -> { (s, d) =>
       Tables.documents(s, d).transform(df =>
@@ -194,7 +218,25 @@ object DataOps {
     s"CASE WHEN $m = 0 THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
   }
 
+  private val sentimentSql = {
+    val pos = inList(graft.functions.Text.PositiveMarkers)
+    val neg = inList(graft.functions.Text.NegativeMarkers)
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN $pos)) -
+       |       len(list_filter(string_split(text, ' '), x -> x IN $neg))
+       |    AS DOUBLE) / len(string_split(text, ' ')) AS polarity,
+       |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN $pos)) -
+       |            len(list_filter(string_split(text, ' '), x -> x IN $neg))
+       |         AS DOUBLE) / len(string_split(text, ' ')) > 0.02 THEN 'positive'
+       |       WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN $pos)) -
+       |            len(list_filter(string_split(text, ' '), x -> x IN $neg))
+       |         AS DOUBLE) / len(string_split(text, ' ')) < -0.02 THEN 'negative'
+       |       ELSE 'neutral' END AS label
+       |FROM documents""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t09_sentiment" -> sentimentSql,
     "t01_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |  length(text) AS n_chars,
@@ -319,6 +361,38 @@ object DataOps {
         |SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster,
         |  coalesce(l.cluster, doc_id) = doc_id AS keeper
         |FROM documents LEFT JOIN labels l ON doc_id = l.doc""".stripMargin,
+
+    "d07_dedup_report" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM sym
+        |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+        |labels AS (SELECT s AS doc, least(s, min(d)) AS cluster
+        |  FROM reach GROUP BY s),
+        |assign AS (SELECT doc_id,
+        |    coalesce(l.cluster, doc_id) = doc_id AS keeper
+        |  FROM documents LEFT JOIN labels l ON doc_id = l.doc)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+        |  CAST(SUM(CASE WHEN keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dups
+        |FROM assign""".stripMargin,
 
     "s01_brute_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
