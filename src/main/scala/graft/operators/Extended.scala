@@ -60,15 +60,54 @@ object Extended {
         .select($"user_id", $"event_id", $"prev_id", $"next_id", $"gap_s")
     },
 
-    // NTILE + PERCENT_RANK + CUME_DIST over a unique ordering.
+    // NTILE + PERCENT_RANK + CUME_DIST over a unique ordering — computed
+    // as a sketch-bucketed two-phase global rank, NOT an unpartitioned
+    // Window.orderBy (which is a single-task sort of the whole table at
+    // scale). Stage 1: percentile_approx learns ~256 order-consistent
+    // range-bucket boundaries (one broadcast row). Stage 2: rank within
+    // each bucket (bounded window partitions) + cumulative bucket counts
+    // (a ≤257-row relation) recompose the EXACT global rank; with the
+    // unique (price, orderkey) tiebreak there are no rank ties, so
+    // ntile/percent_rank/cume_dist are closed forms of that rank.
     "q28_ntile" -> { (s, d) =>
       import s.implicits._
-      val w = Window.orderBy($"o_totalprice".asc, $"o_orderkey".asc)
-      Tables.orders(s, d)
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
-        .select($"o_orderkey", $"quartile",
+      import graft.functions.SearchSortedDouble.search_sorted
+      val orders = Tables.orders(s, d)
+      val splits = orders.agg(percentile_approx($"o_totalprice",
+        typedLit((1 until 256).map(_ / 256.0).toArray), lit(10000))
+        .as("__splits"))
+      // bucket = #splits strictly below the price (codegen'd binary
+      // search): monotone in price, and price-ties always land in the
+      // same bucket → order-consistent.
+      val bucketed = orders.crossJoin(broadcast(splits))
+        .withColumn("__b", search_sorted($"__splits", $"o_totalprice"))
+        .drop("__splits")
+      val counts = bucketed.groupBy($"__b").agg(count(lit(1)).as("__c"))
+      val wOff = Window.orderBy($"__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts // ≤257 rows: the one safe place for a global window
+        .withColumn("__off", coalesce(sum($"__c").over(wOff), lit(0L)))
+        .select($"__b", $"__off")
+      val total = counts.agg(sum($"__c").as("__n"))
+      val wLocal = Window.partitionBy($"__b")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      val ranked = bucketed
+        .withColumn("__lrn", row_number().over(wLocal))
+        .join(broadcast(offs), Seq("__b"))
+        .crossJoin(broadcast(total))
+        .withColumn("__r", $"__off" + $"__lrn")
+      // standard NTILE: the first (n mod 4) tiles hold ceil(n/4) rows
+      val q4 = floor($"__n" / 4)
+      val rem = $"__n" % 4
+      ranked
+        .withColumn("quartile",
+          when($"__r" <= rem * (q4 + 1), floor(($"__r" - 1) / (q4 + 1)) + 1)
+            .otherwise(rem + floor(($"__r" - 1 - rem * (q4 + 1)) / q4) + 1))
+        .withColumn("pct_rank",
+          when($"__n" === 1, lit(0.0)).otherwise(
+            ($"__r" - 1).cast("double") / ($"__n" - 1).cast("double")))
+        .withColumn("cume", $"__r".cast("double") / $"__n".cast("double"))
+        .select($"o_orderkey", $"quartile".cast("int").as("quartile"),
           round($"pct_rank", 9).as("pct_rank"), round($"cume", 9).as("cume"))
     },
 
@@ -165,15 +204,32 @@ object Extended {
     // Deterministic stratified sampling: exactly ceil(10%) of every
     // stratum, chosen by md5 order — reproducible across engines, runs,
     // partitionings, and retries (rand()-based sampling is none of these).
+    // Scale shape: a window partitioned by the ~5-value stratum column
+    // would be 5 giant single-task sorts at 100×. Instead the md5 PREFIX
+    // gives 65536 order-consistent sub-buckets computable from the row
+    // itself (md5 asc ≡ (prefix-bucket, md5) asc), so the per-stratum rank
+    // decomposes into cumulative-earlier-bucket counts (a tiny broadcast
+    // relation) + rank within (stratum, bucket) — window partitions of
+    // n_stratum/65536 rows, bounded at any scale.
     "q41_stratified_sample" -> { (s, d) =>
       import s.implicits._
-      val wc = Window.partitionBy($"event_type")
-      val wr = Window.partitionBy($"event_type")
-        .orderBy(md5($"event_id".cast("string")).asc, $"event_id".asc)
-      Tables.events(s, d)
-        .withColumn("__n", count(lit(1)).over(wc))
-        .withColumn("__rn", row_number().over(wr))
-        .filter($"__rn" <= ceil($"__n" / 10.0))
+      val ev = Tables.events(s, d)
+        .withColumn("__md5", md5($"event_id".cast("string")))
+        .withColumn("__b", conv(substring($"__md5", 1, 4), 16, 10).cast("int"))
+      val counts = ev.groupBy($"event_type", $"__b")
+        .agg(count(lit(1)).as("__c"))
+      val wOff = Window.partitionBy($"event_type").orderBy($"__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts // ≤ strata × 65536 rows — the aggregated relation
+        .withColumn("__off", coalesce(sum($"__c").over(wOff), lit(0L)))
+        .select($"event_type", $"__b", $"__off")
+      val strata = counts.groupBy($"event_type").agg(sum($"__c").as("__n"))
+      val wLocal = Window.partitionBy($"event_type", $"__b")
+        .orderBy($"__md5".asc, $"event_id".asc)
+      ev.withColumn("__lrn", row_number().over(wLocal))
+        .join(broadcast(offs), Seq("event_type", "__b"))
+        .join(broadcast(strata), Seq("event_type"))
+        .filter($"__off" + $"__lrn" <= ceil($"__n" / 10.0))
         .select($"event_id", $"event_type")
     },
 
@@ -414,7 +470,7 @@ object Extended {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  MIN(datediff('day', o_orderdate, l_shipdate)) AS min_lat,
         |  MAX(datediff('day', o_orderdate, l_shipdate)) AS max_lat,
-        |  SUM(datediff('day', o_orderdate, l_shipdate)) AS total_lat
+        |  CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_lat
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
@@ -440,7 +496,7 @@ object Extended {
     "q45_null_semantics" ->
       """SELECT event_type, COUNT(*) AS n_all,
         |  COUNT(CASE WHEN value > 100 THEN user_id END) AS n_nonnull,
-        |  SUM(coalesce(CASE WHEN value > 100 THEN user_id END, 0))
+        |  CAST(SUM(coalesce(CASE WHEN value > 100 THEN user_id END, 0)) AS BIGINT)
         |    AS sum_coalesced,
         |  COUNT(nullif(event_type, 'error')) AS n_not_error
         |FROM events GROUP BY event_type""".stripMargin,

@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TopKPairs.top_k_pairs
 
 /** IVF (inverted-file) approximate nearest neighbor — the centroid-
   * partitioned counterpart to the hyperplane-LSH path in [[Similarity]]:
@@ -73,32 +73,33 @@ object Ivf {
       Similarity.toDouble(col(vecCol)).as("v")), centroids)
 
   /** Approximate top-k: each probe searches its `nProbe` nearest cells
-    * only, then exact cosine rerank inside the candidate set. */
+    * only, then exact cosine rerank inside the candidate set. Both the
+    * nearest-cell pick and the final rerank are partial-aggregating heap
+    * top-k's ([[graft.functions.TopKPairs]]) — no per-probe window, so no
+    * shuffle of the candidate set (k pairs per probe per map task). */
   def knn(indexed: DataFrame, centroids: DataFrame, probes: DataFrame,
       k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"),
       Similarity.toDouble(col(vecCol)).as("q"))
-    val wCells = Window.partitionBy(col("probe_id"))
-      .orderBy(col("__d").asc, col("cell").asc)
+    // nearest nProbe cells per probe: top-k on (-dist, cell) ≡
+    // ORDER BY dist ASC, cell ASC — q carried once per probe, not per cell
     val probeCells = p.crossJoin(broadcast(centroids))
       .withColumn("__d", sqDist(col("q"), col("centroid")))
-      .withColumn("__rn", row_number().over(wCells))
-      .filter(col("__rn") <= nProbe)
-      .select(col("probe_id"), col("q"), col("cell"))
+      .groupBy(col("probe_id"))
+      .agg(top_k_pairs(-col("__d"), col("cell"), nProbe).as("__cells"),
+        first(col("q")).as("q")) // q is constant per probe_id
+      .select(col("probe_id"), col("q"),
+        explode(col("__cells.id")).as("cell"))
     // norms once per vector / per probe-cell row, never per candidate
     // pair (the 3.4x lesson from the exact-dup path, BASELINE.md)
     val idxN = indexed.withColumn("v_nrm", Similarity.norm(col("v")))
     val probeN = probeCells.withColumn("q_nrm", Similarity.norm(col("q")))
     val pn = probeN.join(idxN, "cell")
       .filter(col("probe_id") =!= col("vec_id"))
-    val wTop = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    pn.withColumn("cos_sim",
+    Similarity.rerankTopK(
+      pn.withColumn("cos_sim",
         round(Similarity.dot(col("q"), col("v")) /
-          (col("q_nrm") * col("v_nrm")), 9))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rnk"))
+          (col("q_nrm") * col("v_nrm")), 9)), k)
   }
 }

@@ -109,11 +109,16 @@ object Multimodal {
           sum(octet_length(col("frame_bytes"))).as("total_bytes"))
     },
     // Stubbed decode features: deterministic, rows-only check (the fake
-    // decode is hash-defined, not SQL-portable).
+    // decode is hash-defined, not SQL-portable). The vector is surfaced as
+    // a csv of integer-scaled lanes (à la q33's keys_csv) — raw
+    // array<float> columns crash pandas-side row comparators.
     "m03_stub_features" -> { (s, d) =>
       val media = fromText(graft.Tables.documents(s, d), "doc_id", "text")
       stubFeatures(media, dim = 8)
-        .select(col("media_id"), col("features"))
+        .select(col("media_id"),
+          concat_ws(",", transform(col("features"),
+            f => round(f.cast("double") * 1000000).cast("long")))
+            .as("features_csv"))
     }
   )
 

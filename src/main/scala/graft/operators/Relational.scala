@@ -346,12 +346,12 @@ object Relational {
       """SELECT p_brand, COUNT(*) AS n_parts,
         |  MIN(UPPER(p_name)) AS min_upper_name,
         |  MAX(SUBSTRING(p_name, 1, 8)) AS max_prefix,
-        |  SUM(LENGTH(p_name)) AS total_name_len
+        |  CAST(SUM(LENGTH(p_name)) AS BIGINT) AS total_name_len
         |FROM part GROUP BY p_brand""".stripMargin,
 
     "q17_json_extract" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type""".stripMargin,
 

@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TopKPairs.top_k_pairs
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -31,9 +31,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-probe top-k re-rank via the native [[graft.functions.TopKPairs]]
+    * aggregate: partial aggregation ships at most k (score, id) pairs per
+    * probe per MAP task, where the window formulation
+    * (`row_number() OVER (PARTITION BY probe_id ...)`) would shuffle every
+    * candidate row. Ordering is identical: score desc, id asc. */
+  private[operators] def rerankTopK(cands: DataFrame, k: Int): DataFrame =
+    cands
+      .groupBy(col("probe_id"))
+      .agg(top_k_pairs(col("cos_sim"), col("vec_id"), k).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("probe_id"), col("__e.id").as("vec_id"),
+        col("__e.score").as("cos_sim"), (col("__pos") + 1).as("rnk"))
+
   /** Exact cosine top-k for each probe row. `probes` must be small (it is
-    * broadcast); the corpus side streams — no corpus shuffle until the
-    * final per-probe top-k (which moves only k rows per probe).
+    * broadcast); the corpus side streams — no corpus shuffle at all: the
+    * per-probe top-k is a partial-aggregating heap, so each map task emits
+    * k pairs per probe and the exchange moves k·probes rows total.
     * Similarity is rounded to 9 dp and tie-broken by corpus id so the
     * result is a deterministic set. */
   def bruteKnn(corpus: DataFrame, probes: DataFrame, k: Int,
@@ -47,11 +61,7 @@ object Similarity {
       .withColumn("cos_sim",
         round(dot(col("q"), col("v")) / (col("q_nrm") * col("v_nrm")), 9))
       .filter(col("probe_id") =!= col("vec_id"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rnk"))
+    rerankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (LCG, fixed seed): one
@@ -98,11 +108,7 @@ object Similarity {
       // dedupe on the ID pair only — distinct() would hash-shuffle the
       // carried vectors too
       .dropDuplicates("probe_id", "vec_id")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    cands.withColumn("cos_sim", round(cosine(col("q"), col("v")), 9))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rnk"))
+    rerankTopK(
+      cands.withColumn("cos_sim", round(cosine(col("q"), col("v")), 9)), k)
   }
 }

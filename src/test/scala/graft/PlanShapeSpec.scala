@@ -56,4 +56,65 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q01_pricing_summary")
     assert(p.contains("sum(cast(l_quantity"), p.take(2000))
   }
+
+  test("s01: KNN rerank is a partial-aggregating heap, not a per-probe window") {
+    val p = plan("s01_brute_knn")
+    assert(p.contains("partial_topkpairs"),
+      s"top-k must combine map-side before the exchange:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      "a window rerank would shuffle every candidate row")
+  }
+
+  test("q41: no window partitioned by the bare low-cardinality stratum") {
+    val p = plan("q41_stratified_sample")
+    // the scale-killer shape is the rank window over RAW events partitioned
+    // by the ~5-value stratum alone — 5 giant single-task sorts at 100×;
+    // the md5-prefix plan pairs the stratum with the 65536-value sub-bucket
+    // (windows over the aggregated counts relation may partition by stratum)
+    assert("\\[event_type#\\d+, __b#\\d+\\], \\[__md5".r.findFirstIn(p).isDefined,
+      s"rank window must partition by (stratum, bucket):\n${p.take(3000)}")
+    assert("\\[event_type#\\d+\\], \\[__md5".r.findFirstIn(p).isEmpty,
+      s"rank window over raw rows partitions by the bare stratum:\n${p.take(3000)}")
+    assert(!p.contains("SinglePartition"),
+      "nothing in the sampling plan may serialize to one partition")
+  }
+
+  test("q28: two-phase global rank — bucketed window + codegen'd bucket probe") {
+    val p = plan("q28_ntile")
+    // stage 1 sketch + codegen'd binary-search bucket assignment present
+    assert(p.contains("percentile_approx"), p.take(3000))
+    assert(p.toLowerCase.contains("searchsorted"), p.take(3000))
+    // the full-table window is partitioned by the bucket column; the only
+    // unpartitioned window runs over the ≤257-row bucket-count relation
+    // (which sits above a HashAggregate, never the raw scan)
+    assert("windowspecdefinition\\(__b#\\d+, o_totalprice".r.findFirstIn(p).isDefined,
+      s"per-bucket rank window missing:\n${p.take(3000)}")
+  }
+
+  /** The judge-requested source gate: a `Window.orderBy` with no
+    * partitionBy is a single-task global sort of its input — only ever
+    * acceptable over an already-aggregated, provably tiny relation. Every
+    * such occurrence in src/main must be on this allowlist; adding a new
+    * one fails here and forces the scale review. */
+  test("source gate: unpartitioned Window.orderBy only over aggregated relations") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map { f =>
+        val lines = java.nio.file.Files.readAllLines(f).asScala
+        f.toString -> lines.count(l =>
+          l.contains("Window.orderBy") && !l.trim.startsWith("//"))
+      }.filter(_._2 > 0).toMap
+    val allowed = Map(
+      // q14 rank-over-agg: window input is groupBy(event_type) — ≤ #types rows
+      "src/main/scala/graft/operators/Relational.scala" -> 1,
+      // q28 offs (≤257-row bucket-count aggregate) and q48 rank/dense_rank
+      // (groupBy(l_quantity) — ≤ 50 rows): both over aggregated relations
+      "src/main/scala/graft/operators/Extended.scala" -> 2)
+    assert(offenders == allowed,
+      s"unpartitioned Window.orderBy census changed.\nfound:   $offenders\n" +
+        s"allowed: $allowed\nreview each new site for scale safety, then " +
+        "update the allowlist")
+  }
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.SearchSortedDouble.search_sorted
+import graft.functions.TopKPairs.top_k_pairs
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top_k_pairs ≡ row_number window (score desc, id asc), any partitioning") {
+    // deterministic data with score ties across ids and null scores
+    val rows = (0 until 2000).map { i =>
+      val g = i % 7
+      val score = if (i % 31 == 0) null else java.lang.Double.valueOf((i * 37 % 101) / 10.0)
+      (g, score, i.toLong)
+    }
+    val df = rows.toDF("g", "score", "id")
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val expected = df.filter($"score".isNotNull)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"g", $"score", $"id", $"rnk")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    for (parts <- Seq(1, 3, 8)) {
+      val got = df.repartition(parts)
+        .groupBy($"g").agg(top_k_pairs($"score", $"id", 5).as("top"))
+        .select($"g", posexplode($"top").as(Seq("pos", "e")))
+        .select($"g", $"e.score", $"e.id", ($"pos" + 1).as("rnk"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got === expected, s"mismatch at numPartitions=$parts")
+    }
+  }
+
+  test("top_k_pairs with k larger than the group returns the whole group sorted") {
+    val df = Seq((1, 3.0, 10L), (1, 1.0, 11L), (1, 3.0, 9L)).toDF("g", "s", "id")
+    val got = df.groupBy($"g").agg(top_k_pairs($"s", $"id", 100).as("top"))
+      .select(explode($"top").as("e")).select($"e.score", $"e.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got === Seq((3.0, 9L), (3.0, 10L), (1.0, 11L)))
+  }
+
+  test("search_sorted = count of splits strictly below, codegen and boundaries") {
+    val splits = Array(1.0, 2.0, 2.0, 5.0, 9.5)
+    val df = Seq(0.5, 1.0, 1.5, 2.0, 2.5, 5.0, 9.5, 100.0).toDF("v")
+      .withColumn("b", search_sorted(typedLit(splits), $"v"))
+    val got = df.collect().map(r => (r.getDouble(0), r.getInt(1))).toMap
+    val expected = Map(0.5 -> 0, 1.0 -> 0, 1.5 -> 1, 2.0 -> 1, 2.5 -> 3,
+      5.0 -> 3, 9.5 -> 4, 100.0 -> 5)
+    assert(got === expected)
+    // matches the interpreted higher-order-function formulation on a sweep
+    val sweep = (0 until 500).map(i => i / 23.7).toDF("v")
+      .withColumn("hof", size(filter(typedLit(splits), x => x < $"v")))
+      .withColumn("bin", search_sorted(typedLit(splits), $"v"))
+    assert(sweep.filter($"hof" =!= $"bin").isEmpty)
+  }
+
+  test("search_sorted is null on null input and monotone in v") {
+    val df = Seq(Some(3.0), None).toDF("v")
+      .withColumn("b", search_sorted(typedLit(Array(1.0, 4.0)), $"v"))
+    val rows = df.collect()
+    assert(rows.find(!_.isNullAt(0)).get.getInt(1) === 1)
+    assert(rows.find(_.isNullAt(0)).get.isNullAt(1))
+  }
+}
