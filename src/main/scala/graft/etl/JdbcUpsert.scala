@@ -36,6 +36,33 @@ object JdbcUpsert {
 
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
+  /** The exact SQL the promotion transaction executes, exposed so dialect
+    * tests can pin the strings (no Postgres server ships in the sandbox;
+    * the statements below are what a Postgres 12 target receives —
+    * standard-SQL quoting, `IN (SELECT ...)` promotion, `WITH NO DATA`
+    * clone). Order: delete-by-key, delete-null-keys, insert. */
+  private[etl] def promotionSql(table: String, staging: String,
+      keyCol: String, cols: Seq[String]): Seq[String] = {
+    val colList = cols.map(q).mkString(", ")
+    Seq(
+      s"DELETE FROM $table WHERE ${q(keyCol)} IN " +
+        s"(SELECT ${q(keyCol)} FROM $staging)",
+      s"DELETE FROM $table WHERE ${q(keyCol)} IS NULL AND EXISTS " +
+        s"(SELECT 1 FROM $staging WHERE ${q(keyCol)} IS NULL)",
+      s"INSERT INTO $table ($colList) SELECT $colList FROM $staging")
+  }
+
+  /** S4 create-if-absent statement (standard form + the fallback for
+    * engines that reject WITH NO DATA in CTAS). */
+  private[etl] def createCloneSql(table: String, staging: String): String =
+    s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA"
+  private[etl] def createCloneFallbackSql(table: String, staging: String): String =
+    s"CREATE TABLE $table AS SELECT * FROM $staging WHERE 1=0"
+
+  /** S6 watermark probe statement. */
+  private[etl] def watermarkSql(table: String, fileCol: String): String =
+    s"SELECT MAX(${q(fileCol)}) FROM $table"
+
   /** Spark's built-in Derby dialect maps StringType → CLOB, which (a)
     * cannot be compared in `key IN (SELECT ...)` and (b) makes
     * `setNull(Types.CLOB)` fail against VARCHAR columns (Derby 22005).
@@ -84,20 +111,12 @@ object JdbcUpsert {
       conn.setAutoCommit(false)
       ensureTargetExists(conn, table, staging)
       val st = conn.createStatement()
-      try {
-        st.executeUpdate(
-          s"DELETE FROM $table WHERE ${q(keyCol)} IN " +
-            s"(SELECT ${q(keyCol)} FROM $staging)")
-        // NULL keys never match an IN-list (NULL IN (...) is UNKNOWN), so
-        // replay would re-insert them forever; give the null-key group the
-        // same latest-batch-wins semantics explicitly.
-        st.executeUpdate(
-          s"DELETE FROM $table WHERE ${q(keyCol)} IS NULL AND EXISTS " +
-            s"(SELECT 1 FROM $staging WHERE ${q(keyCol)} IS NULL)")
-        val cols = df.columns.map(q).mkString(", ")
-        st.executeUpdate(
-          s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
-      } finally st.close()
+      // NULL keys never match an IN-list (NULL IN (...) is UNKNOWN), so
+      // replay would re-insert them forever; the second statement gives
+      // the null-key group the same latest-batch-wins semantics.
+      try promotionSql(table, staging, keyCol, df.columns.toSeq)
+        .foreach(st.executeUpdate)
+      finally st.close()
       conn.commit()
       val st2 = conn.createStatement()
       try st2.executeUpdate(s"DROP TABLE $staging") finally st2.close()
@@ -124,13 +143,11 @@ object JdbcUpsert {
     if (!exists) {
       val st = conn.createStatement()
       // Standard SQL empty-clone; works on Derby and Postgres alike.
-      try st.executeUpdate(
-        s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+      try st.executeUpdate(createCloneSql(table, staging))
       catch {
         case _: Exception =>
           conn.rollback()
-          st.executeUpdate(
-            s"CREATE TABLE $table AS SELECT * FROM $staging WHERE 1=0")
+          st.executeUpdate(createCloneFallbackSql(table, staging))
       } finally st.close()
       conn.commit()
     }
@@ -155,7 +172,7 @@ object JdbcUpsert {
       else {
         val st = conn.createStatement()
         try {
-          val r = st.executeQuery(s"SELECT MAX(${q(fileCol)}) FROM $table")
+          val r = st.executeQuery(watermarkSql(table, fileCol))
           if (r.next()) Option(r.getString(1)) else None
         } finally st.close()
       }

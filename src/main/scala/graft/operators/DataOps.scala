@@ -164,6 +164,36 @@ object DataOps {
       ConnectedComponents.dedupClusters(docs, "doc_id", pairs)
     },
 
+    // Approximate-dedup observability: recall of the MinHash-LSH and
+    // SimHash candidate generators against the exact trigram-Jaccard
+    // ground truth at the threshold LSH targets (0.5). One row per run —
+    // what a production dedup pipeline logs so recall regressions (band
+    // tuning, permutation changes) show up numerically per round. No SQL
+    // oracle (the approximate sides are hash-defined); the floor is
+    // spec-gated on the planted near-dup corpus.
+    "d08_dedup_recall" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.5, maxDocFreq = 1000L).select($"doc_a", $"doc_b")
+      val mh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5)
+        .select($"doc_a", $"doc_b")
+      val sh = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+        .select($"doc_a", $"doc_b")
+      // all-lazy: three 1-row aggregates crossed into the report row
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nMhHit = truth.join(mh, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_minhash_hit"))
+      val nShHit = truth.join(sh, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_simhash_hit"))
+      nTruth.crossJoin(nMhHit).crossJoin(nShHit)
+        .withColumn("minhash_recall",
+          round($"n_minhash_hit" / $"n_truth", 6))
+        .withColumn("simhash_recall",
+          round($"n_simhash_hit" / $"n_truth", 6))
+    },
+
     // MinHash + LSH near-dup candidates (no SQL oracle: approximate).
     "d03_minhash_pairs" -> { (s, d) =>
       Tables.documents(s, d).transform(df =>

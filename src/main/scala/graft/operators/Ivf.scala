@@ -72,6 +72,20 @@ object Ivf {
     assign(corpus.select(col(idCol).as("vec_id"),
       Similarity.toDouble(col(vecCol)).as("v")), centroids)
 
+  /** Persisted deployment of the inverted file: written PARTITIONED BY
+    * (cell), so a probe that searches nProbe cells prunes to
+    * nProbe/nCells of the corpus at the STORAGE layer — the irrelevant
+    * cell directories are never listed, opened, or scheduled
+    * (`PartitionFilters` in the scan, asserted by IvfStorageSpec) — on
+    * top of the candidate-set reduction the cell join already gives. */
+  def writeIndex(indexed: DataFrame, path: String): Unit =
+    graft.sources.ParquetSink.writePartitioned(indexed, path, Seq("cell"))
+
+  /** Read the persisted inverted file back (partition column `cell` is
+    * restored from the directory layout). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.sources.ParquetSink.read(spark, path)
+
   /** Approximate top-k: each probe searches its `nProbe` nearest cells
     * only, then exact cosine rerank inside the candidate set. Both the
     * nearest-cell pick and the final rerank are partial-aggregating heap

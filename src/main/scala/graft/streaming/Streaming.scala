@@ -138,13 +138,20 @@ object Streaming {
       total_value: Double, session_start: Timestamp, session_end: Timestamp)
 
   /** Custom state: event-time gap sessionization via
-    * flatMapGroupsWithState. A session closes — and its summary is emitted
-    * — when the event-time watermark passes (last event + gap). Event-time
-    * (not processing-time) timeouts make the operator deterministic and
-    * replayable from a checkpoint: the same input always yields the same
-    * sessions. This is the stateful-stream surface the reference lacks
-    * entirely; state lives per-key in the state store, shuffled once by
-    * user_id, so it scales with distinct keys, not event volume. */
+    * flatMapGroupsWithState. Sessions split on EVERY event-time gap >
+    * gapMs — including gaps BETWEEN events of one micro-batch: under
+    * Trigger.AvailableNow backfill a whole multi-hour history can arrive
+    * in one batch, and collapsing it to a single session would diverge
+    * from the batch sessionizer (q42) this operator twins. So the update
+    * path scans the sorted batch, emits a closed session at each gap
+    * boundary, and keeps only the trailing open session in state; that
+    * open session closes — and emits — when the watermark passes
+    * (last event + gap). Event-time (not processing-time) timeouts make
+    * the operator deterministic and replayable from a checkpoint: the
+    * same input always yields the same sessions. This is the
+    * stateful-stream surface the reference lacks entirely; state lives
+    * per-key in the state store, shuffled once by user_id, so it scales
+    * with distinct keys, not event volume. */
   def sessionize(events: Dataset[UserEvent], gapMs: Long,
       lateness: String = "0 seconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
@@ -159,20 +166,28 @@ object Streaming {
             state.remove()
             out
           } else {
-            val events = batch.toSeq
-            if (events.isEmpty) Iterator.empty
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
             else {
-              val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
-              val prev = state.getOption
-              val merged = SessionSummary(
-                userId,
-                prev.map(_.n_events).getOrElse(0L) + sorted.size,
-                prev.map(_.total_value).getOrElse(0.0) + sorted.map(_.value).sum,
-                prev.map(_.session_start).getOrElse(sorted.head.ts),
-                sorted.last.ts)
-              state.update(merged)
-              state.setTimeoutTimestamp(merged.session_end.getTime + gapMs)
-              Iterator.empty
+              val closed = Seq.newBuilder[SessionSummary]
+              var open = state.getOption
+              sorted.foreach { e =>
+                open = open match {
+                  case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+                    // extend; a late (pre-end) event never moves end backwards
+                    Some(s.copy(n_events = s.n_events + 1,
+                      total_value = s.total_value + e.value,
+                      session_end =
+                        if (e.ts.after(s.session_end)) e.ts else s.session_end))
+                  case other =>
+                    other.foreach(closed += _) // gap boundary: emit closed
+                    Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+                }
+              }
+              val last = open.get
+              state.update(last)
+              state.setTimeoutTimestamp(last.session_end.getTime + gapMs)
+              closed.result().iterator
             }
           }
         })

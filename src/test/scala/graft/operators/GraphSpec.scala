@@ -5,6 +5,25 @@ import graft.SparkSpec
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connected components: 200-node chain converges inside maxIter") {
+    // a path graph is the worst case for one-hop min-label propagation
+    // (O(diameter) rounds); pointer jumping must close it in O(log n) —
+    // without jumping this would exhaust maxIter=20 and throw
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = ConnectedComponents.run(edges).as[(Long, Long)].collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_._2 == 0L),
+      s"chain is one component labeled by its min id: ${labels.take(5).toSeq}")
+  }
+
+  test("connected components: unconverged labels throw, never return") {
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("pageRank on a known graph matches the hand-computed fixpoint") {
     // Classic 3-node example: A→B, A→C, B→C, C→A. Converged ranks
     // (d=0.85): A≈0.388, B≈0.215, C≈0.397 (normalized to sum 1).

@@ -245,4 +245,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.find(_.user_id == 2L).exists(_.n_events == 1))
   }
 
+  test("sessionize splits on intra-batch gaps (AvailableNow backfill replay)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    val sessions = Streaming.sessionize(input.toDS(), gapMs = 30000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_backfill").start()
+    // ONE batch carrying three sessions' worth of history for user 1:
+    // gaps of 10 minutes between the groups — a backfill shape
+    input.addData(
+      Streaming.UserEvent(1L, 1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Streaming.UserEvent(1L, 2L, Timestamp.valueOf("2024-01-01 00:00:05"), 2.0),
+      Streaming.UserEvent(1L, 3L, Timestamp.valueOf("2024-01-01 00:10:00"), 4.0),
+      Streaming.UserEvent(1L, 4L, Timestamp.valueOf("2024-01-01 00:20:00"), 8.0),
+      Streaming.UserEvent(1L, 5L, Timestamp.valueOf("2024-01-01 00:20:10"), 16.0))
+    q.processAllAvailable()
+    // the two NON-trailing sessions must emit from the same batch, split
+    // at each >30s gap, exactly as the q42 batch sessionizer would
+    val mid = spark.sql("SELECT * FROM sess_backfill")
+      .as[Streaming.SessionSummary].collect().sortBy(_.session_start.getTime)
+    assert(mid.length === 2, s"expected 2 closed sessions, got ${mid.toSeq}")
+    assert(mid(0).n_events === 2 && mid(0).total_value === 3.0)
+    assert(mid(0).session_end === Timestamp.valueOf("2024-01-01 00:00:05"))
+    assert(mid(1).n_events === 1 && mid(1).total_value === 4.0)
+    // later watermark advance closes the trailing open session too
+    input.addData(Streaming.UserEvent(2L, 6L,
+      Timestamp.valueOf("2024-01-01 02:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.sql("SELECT * FROM sess_backfill")
+      .as[Streaming.SessionSummary].collect().filter(_.user_id == 1L)
+      .sortBy(_.session_start.getTime)
+    assert(all.length === 3)
+    assert(all(2).n_events === 2 && all(2).total_value === 24.0)
+  }
+
 }
