@@ -65,15 +65,18 @@ object DataOps {
     "t06_tfidf" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // corpus size as a broadcast 1-row aggregate (à la q19) — keeps the
+      // plan fully lazy instead of an eager docs.count() at build time
+      val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
       val tokens = docs.select($"doc_id",
         explode(graft.functions.Text.tokens($"text")).as("token"))
       val tf = tokens.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
       val df_ = tokens.select($"doc_id", $"token").distinct()
         .groupBy($"token").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df_), "token")
+        .crossJoin(broadcast(nDf))
         .select($"doc_id", $"token",
-          round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("tfidf"))
+          round($"tf" * log($"__n" / $"df"), 6).as("tfidf"))
     },
 
     // Deterministic train/valid/test split: md5-based bucket, stable

@@ -327,11 +327,15 @@ object Extended {
       import s.implicits._
       val ev = Tables.events(s, d)
       // countDistinct, not distinct().count(): the latter counts NULL as
-      // a "type", silently diverging from SQL COUNT(DISTINCT) semantics
-      val total = ev.agg(countDistinct($"event_type")).head().getLong(0)
+      // a "type", silently diverging from SQL COUNT(DISTINCT) semantics.
+      // The corpus-wide type count rides along as a broadcast 1-row
+      // aggregate (à la q19) — no eager head() at plan-build time.
+      val totalDf = ev.agg(countDistinct($"event_type").as("__total"))
       ev.groupBy($"user_id")
         .agg(countDistinct($"event_type").as("n_types"))
-        .filter($"n_types" === total)
+        .crossJoin(broadcast(totalDf))
+        .filter($"n_types" === $"__total")
+        .drop("__total")
         .select($"user_id", $"n_types")
     },
 
