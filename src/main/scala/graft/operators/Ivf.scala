@@ -26,9 +26,10 @@ import graft.functions.TopKPairs.top_k_pairs
   */
 object Ivf {
 
+  // codegen'd fused loop; identical left-to-right doubles as the
+  // higher-order-function form (see VectorExprs determinism contract)
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.sq_dist_double(a, b)
 
   /** Nearest-centroid assignment: (id, v, cell). Argmin via
     * min(struct(dist, cell)) — lexicographic struct ordering gives the

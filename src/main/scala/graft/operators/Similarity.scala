@@ -14,18 +14,23 @@ import graft.functions.TopKPairs.top_k_pairs
   *     signature; probes only scan their own bucket(s). This is the 100 TB
   *     path: the full-corpus scan is replaced by an equi-join on bucket id.
   *
-  * All vector math is `zip_with`/`aggregate` higher-order functions over
-  * double-cast arrays — codegen'd, deterministic left-to-right summation
-  * (the same order DuckDB's list functions use, so oracles can match
-  * bit-for-bit).
+  * All vector math runs through the native codegen'd fold expressions in
+  * [[graft.functions.VectorExprs]] — deterministic left-to-right
+  * summation (the same order DuckDB's list functions use, so oracles
+  * match bit-for-bit) in a primitive fused loop.
   */
 object Similarity {
 
   /** Elementwise-cast to double; float→double is exact. */
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Native codegen'd dot product ([[graft.functions.DotProductDouble]]):
+    * same left-to-right doubles as the higher-order-function form (and as
+    * DuckDB's list_dot_product, so value-exact oracles hold), but a
+    * primitive fused loop instead of an interpreted boxed fold — on
+    * pairwise scoring this is most of the runtime. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dot_double(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

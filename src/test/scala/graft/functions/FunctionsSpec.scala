@@ -56,6 +56,29 @@ class FunctionsSpec extends SparkSpec {
     assert(sweep.filter($"hof" =!= $"bin").isEmpty)
   }
 
+  test("dot_double / sq_dist_double are bit-identical to the HOF fold") {
+    // the determinism contract: same left-to-right doubles as
+    // aggregate(zip_with(...)) — oracles depend on this bit-for-bit
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 131 + j * 17) * 3.7))
+    }
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").join(df.as("b"),
+      col("a.id") < col("b.id") && col("b.id") - col("a.id") <= 3)
+    val hofDot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofSq = aggregate(zip_with(col("a.v"), col("b.v"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val cmp = pairs.select(
+      VectorExprs.dot_double(col("a.v"), col("b.v")).as("nd"),
+      hofDot.as("hd"),
+      VectorExprs.sq_dist_double(col("a.v"), col("b.v")).as("ns"),
+      hofSq.as("hs"))
+    // exact equality, not approximate: same summation order, same bits
+    assert(cmp.filter(col("nd") =!= col("hd") || col("ns") =!= col("hs")).isEmpty)
+    assert(cmp.count() > 0)
+  }
+
   test("search_sorted is null on null input and monotone in v") {
     val df = Seq(Some(3.0), None).toDF("v")
       .withColumn("b", search_sorted(typedLit(Array(1.0, 4.0)), $"v"))
