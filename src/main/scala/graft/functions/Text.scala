@@ -103,6 +103,20 @@ object Text {
       regexp_replace(lower(c), "[^a-z0-9\\s]", ""),
       "\\s+", " "))
 
+  /** PII patterns for training-data scrubbing. Kept to syntax valid in
+    * BOTH Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no
+    * lookaround. Email first, then phone — order matters when one string
+    * could match both. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+  /** Redact emails then phone-like sequences. The replacement tokens keep
+    * the document tokenizable (single tokens, no whitespace). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<email>"),
+      PhonePattern, "<phone>")
+
   /** Token n-gram shingles (distinct), the unit of near-dup comparison.
     * Documents shorter than n tokens yield an empty set. */
   def shingles(c: Column, n: Int): Column = {

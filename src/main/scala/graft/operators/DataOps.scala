@@ -132,6 +132,42 @@ object DataOps {
             .otherwise("neutral"))
     },
 
+    // PII scrubbing: email/phone redaction ahead of training. The corpus
+    // is clean, so the oracle also proves the transform is an identity on
+    // non-PII text; planted-PII behavior is spec-gated (TextSpec-style
+    // assertions in DataOpsSpec).
+    "t10_pii_scrub" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        md5(Text.scrubPii($"text")).as("scrubbed_hash"),
+        length(Text.scrubPii($"text")).as("scrubbed_len"),
+        (regexp_count($"text", lit(Text.EmailPattern)) +
+          regexp_count($"text", lit(Text.PhonePattern))).as("n_pii"))
+    },
+
+    // Embedding normalization + deterministic int8 quantization — the
+    // storage/serving prep step for ANN at scale (ship 1 byte per lane,
+    // rescale on read). floor(x·s + 0.5) rounding: identical semantics in
+    // Spark and DuckDB (round() is not — HALF_UP vs HALF_EVEN).
+    "e01_embedding_quantize" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+        .withColumn("l2_norm", Similarity.norm($"v"))
+        .withColumn("max_abs",
+          array_max(transform($"v", x => abs(x))))
+      e.select($"vec_id",
+        round($"l2_norm", 6).as("l2_norm"),
+        size($"v").as("n_dims"),
+        round($"max_abs", 6).as("max_abs"),
+        // int8 checksum: sum of floor(x * 127/max_abs + 0.5) over lanes;
+        // all-zero vectors quantize to 0 (no 0/0 NaN)
+        when($"max_abs" === 0.0, lit(0L)).otherwise(
+          aggregate(transform($"v",
+              x => floor(x * lit(127.0) / $"max_abs" + 0.5).cast("long")),
+            lit(0L), (acc, q) => acc + q)).as("q8_sum"))
+    },
+
     // Dedup observability: one-row report of corpus/keeper/dup counts
     // from the clustering output (what a pipeline logs per batch).
     "d07_dedup_report" -> { (s, d) =>
@@ -268,7 +304,37 @@ object DataOps {
        |FROM documents""".stripMargin
   }
 
+  // generated from the SAME pattern constants the Spark expressions use —
+  // the two sides cannot drift (langid/sentiment convention)
+  private val piiSql = {
+    val em = graft.functions.Text.EmailPattern
+    val ph = graft.functions.Text.PhonePattern
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(text, '$em', '<email>', 'g'),
+       |      '$ph', '<phone>', 'g')) AS scrubbed_hash,
+       |  length(regexp_replace(regexp_replace(text, '$em', '<email>', 'g'),
+       |      '$ph', '<phone>', 'g')) AS scrubbed_len,
+       |  len(regexp_extract_all(text, '$em')) +
+       |    len(regexp_extract_all(text, '$ph')) AS n_pii
+       |FROM documents""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t10_pii_scrub" -> piiSql,
+
+    "e01_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  sqrt(list_dot_product(v, v)) AS l2,
+        |  list_max(list_transform(v, x -> abs(x))) AS ma FROM e)
+        |SELECT vec_id, round(l2, 6) AS l2_norm, len(v) AS n_dims,
+        |  round(ma, 6) AS max_abs,
+        |  CASE WHEN ma = 0 THEN 0 ELSE
+        |    CAST(list_sum(list_transform(v,
+        |      x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))) AS BIGINT)
+        |  END AS q8_sum
+        |FROM m""".stripMargin,
+
     "t09_sentiment" -> sentimentSql,
     "t01_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

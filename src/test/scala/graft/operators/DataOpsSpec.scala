@@ -85,6 +85,34 @@ class DataOpsSpec extends SparkSpec {
       "unrelated docs must not pair")
   }
 
+  test("scrubPii redacts planted emails and phone numbers, leaves clean text") {
+    import graft.functions.Text
+    val df = Seq(
+      (1L, "contact me at alice.smith+test@example.co.uk for details"),
+      (2L, "call +1 (555) 123-4567 or 555-987-6543 now"),
+      (3L, "clean document with no contact info at all"),
+      (4L, "mixed bob@corp.io and +44 20 7946 0958 in one line"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Text.scrubPii($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(df(1L) === "contact me at <email> for details")
+    assert(df(2L) === "call <phone> or <phone> now")
+    assert(df(3L) === "clean document with no contact info at all")
+    assert(df(4L) === "mixed <email> and <phone> in one line")
+  }
+
+  test("embedding quantization: q8 values bounded by ±127, norm positive") {
+    val rows = DataOps.queries("e01_embedding_quantize")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("l2_norm") > 0.0)
+      assert(r.getAs[Int]("n_dims") === 64)
+      // |q8_sum| ≤ 127 · dims by construction
+      assert(math.abs(r.getAs[Long]("q8_sum")) <= 127L * 64)
+    }
+  }
+
   test("d08 recall report: one row, recall in [0,1], LSH floor on real corpus") {
     val row = DataOps.queries("d08_dedup_recall")(spark, sf("sf0.01")).collect()
     assert(row.length === 1)
