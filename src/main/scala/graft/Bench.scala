@@ -19,8 +19,14 @@ object Bench {
     catch { case _: Throwable => () }
     // Optional comma-separated query filter for local iteration; the
     // driver never sets it, so the full surface is benched per round.
+    // Unknown names fail fast — a typo must not yield an empty "success".
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY: empty or unknown queries: ${unknown.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

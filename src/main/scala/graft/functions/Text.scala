@@ -106,7 +106,14 @@ object Text {
   /** PII patterns for training-data scrubbing. Kept to syntax valid in
     * BOTH Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no
     * lookaround. Email first, then phone — order matters when one string
-    * could match both. */
+    * could match both.
+    *
+    * Recall-first by design: the phone pattern matches ANY 8+ character
+    * digit run with phone separators, so dates and numeric ids get
+    * redacted too. Without lookaround (RE2 has none) a regex cannot
+    * separate "2023-04-13 18:04" from a phone number; a privacy-first
+    * scrubber prefers over-redaction, and callers needing precision layer
+    * a validator on top. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
 

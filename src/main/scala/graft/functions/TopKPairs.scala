@@ -1,13 +1,12 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.io.{DataInputStream, DataOutputStream}
 
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -19,25 +18,22 @@ import org.apache.spark.sql.types._
   * `ORDER BY score DESC, id ASC`) and returns them best-first as
   * `array<struct<score double, id bigint>>`.
   *
-  * This is the aggregate formulation of per-group top-k re-ranking. The
-  * window formulation (`row_number() OVER (PARTITION BY g ORDER BY score
-  * DESC) <= k`) must shuffle EVERY candidate row to the reducer that owns
-  * its group; this `TypedImperativeAggregate` runs partial aggregation
-  * map-side, so each map task ships at most k pairs per group — at 100 TB
-  * of KNN candidates that is the difference between shuffling the
-  * candidate set and shuffling k·probes rows. Memory is O(k) per group
-  * (bounded min-heap), merge is associative and commutative.
+  * This is the aggregate formulation of per-group top-k re-ranking
+  * ([[BoundedHeapAggregate]]). The window formulation (`row_number()
+  * OVER (PARTITION BY g ORDER BY score DESC) <= k`) must shuffle EVERY
+  * candidate row to the reducer that owns its group; this aggregate runs
+  * partial aggregation map-side, so each map task ships at most k pairs
+  * per group — at 100 TB of KNN candidates that is the difference between
+  * shuffling the candidate set and shuffling k·probes rows.
   */
 case class TopKPairs(left: Expression, right: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
-  with BinaryLike[Expression] {
+  extends BoundedHeapAggregate[(Double, Long)] with BinaryLike[Expression] {
 
   require(k > 0, "top_k_pairs requires k > 0")
 
-  // "worst-first" order: the heap head is the pair that loses to every
-  // other kept pair (lowest score; among equal scores, largest id).
-  private val worstFirst: Ordering[(Double, Long)] =
+  // worse = lower score; among equal scores, larger id
+  override protected val worstFirst: Ordering[(Double, Long)] =
     new Ordering[(Double, Long)] {
       def compare(a: (Double, Long), b: (Double, Long)): Int = {
         val c = java.lang.Double.compare(b._1, a._1)
@@ -45,14 +41,12 @@ case class TopKPairs(left: Expression, right: Expression, k: Int,
       }
     }
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
-
-  private def offer(buf: mutable.PriorityQueue[(Double, Long)],
+  override protected def writeElem(out: DataOutputStream,
       e: (Double, Long)): Unit = {
-    if (buf.size < k) buf.enqueue(e)
-    else if (worstFirst.compare(e, buf.head) < 0) { buf.dequeue(); buf.enqueue(e) }
+    out.writeDouble(e._1); out.writeLong(e._2)
   }
+  override protected def readElem(in: DataInputStream): (Double, Long) =
+    (in.readDouble(), in.readLong())
 
   override def update(buf: mutable.PriorityQueue[(Double, Long)],
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
@@ -63,37 +57,10 @@ case class TopKPairs(left: Expression, right: Expression, k: Int,
     buf
   }
 
-  override def merge(buf: mutable.PriorityQueue[(Double, Long)],
-      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
-    other.foreach(offer(buf, _))
-    buf
-  }
-
-  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    // ascending under worstFirst = best pair first (worse compares greater)
-    val best = buf.toArray.sorted(worstFirst)
-    new GenericArrayData(best.map { case (s, i) =>
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any =
+    new GenericArrayData(bestFirst(buf).map { case (s, i) =>
       new GenericInternalRow(Array[Any](s, i))
     })
-  }
-
-  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) { buf.enqueue((in.readDouble(), in.readLong())); i += 1 }
-    buf
-  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
     copy(mutableAggBufferOffset = newOffset)

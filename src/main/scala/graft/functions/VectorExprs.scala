@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * upward — bit-for-bit the same doubles as the higher-order-function
   * form and as DuckDB's `list_dot_product`, so existing value-exact
   * oracles are unaffected. Null ARRAYS propagate null; null ELEMENTS are
-  * not supported (callers pass dense embedding vectors). If the arrays
-  * differ in length, the extra tail is ignored (zip semantics).
+  * not supported (callers pass dense embedding vectors). Length-mismatched
+  * arrays return NULL — matching the zip_with form, where the padded null
+  * lanes poison the sum; a truncated (corrupt) vector must surface as a
+  * conspicuous null similarity, never as a plausible partial dot product.
   */
 abstract class VectorFoldExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -42,14 +44,19 @@ abstract class VectorFoldExpression extends BinaryExpression {
   /** Java accumulation statement template (codegen path). */
   protected def stepCode(acc: String, x: String, y: String): String
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc = step(acc, xs.getDouble(i), ys.getDouble(i)); i += 1 }
-    acc
+    val n = xs.numElements()
+    if (n != ys.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc = step(acc, xs.getDouble(i), ys.getDouble(i)); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,12 +65,16 @@ abstract class VectorFoldExpression extends BinaryExpression {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${stepCode(acc, s"$a.getDouble($i)", s"$b.getDouble($i)")}
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${stepCode(acc, s"$a.getDouble($i)", s"$b.getDouble($i)")}
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }

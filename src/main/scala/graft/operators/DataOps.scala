@@ -132,17 +132,21 @@ object DataOps {
             .otherwise("neutral"))
     },
 
-    // PII scrubbing: email/phone redaction ahead of training. The corpus
-    // is clean, so the oracle also proves the transform is an identity on
-    // non-PII text; planted-PII behavior is spec-gated (TextSpec-style
-    // assertions in DataOpsSpec).
+    // PII scrubbing: email/phone redaction ahead of training
+    // (recall-first — see Text.EmailPattern scaladoc for the
+    // over-redaction tradeoff). Phones are counted on the email-scrubbed
+    // text, mirroring the sequential replace, so an email whose local
+    // part looks phone-like is not double-counted. Planted-PII behavior
+    // is spec-gated in DataOpsSpec.
     "t10_pii_scrub" -> { (s, d) =>
       import s.implicits._
+      val emailScrubbed =
+        regexp_replace($"text", lit(Text.EmailPattern), lit("<email>"))
       Tables.documents(s, d).select($"doc_id",
         md5(Text.scrubPii($"text")).as("scrubbed_hash"),
         length(Text.scrubPii($"text")).as("scrubbed_len"),
         (regexp_count($"text", lit(Text.EmailPattern)) +
-          regexp_count($"text", lit(Text.PhonePattern))).as("n_pii"))
+          regexp_count(emailScrubbed, lit(Text.PhonePattern))).as("n_pii"))
     },
 
     // Embedding normalization + deterministic int8 quantization — the
@@ -315,7 +319,8 @@ object DataOps {
        |  length(regexp_replace(regexp_replace(text, '$em', '<email>', 'g'),
        |      '$ph', '<phone>', 'g')) AS scrubbed_len,
        |  len(regexp_extract_all(text, '$em')) +
-       |    len(regexp_extract_all(text, '$ph')) AS n_pii
+       |    len(regexp_extract_all(
+       |      regexp_replace(text, '$em', '<email>', 'g'), '$ph')) AS n_pii
        |FROM documents""".stripMargin
   }
 

@@ -73,9 +73,15 @@ object Extended {
       import s.implicits._
       import graft.functions.SearchSortedDouble.search_sorted
       val orders = Tables.orders(s, d)
+      // localCheckpoint (lazy): the sketch is evaluated ONCE and every
+      // branch below reads the same materialized row. Without it the
+      // counts and rank branches hold separate copies of the subplan and
+      // correctness would hinge on ReuseExchange deduplicating them —
+      // percentile_approx's merge is not deterministic across evaluations.
       val splits = orders.agg(percentile_approx($"o_totalprice",
         typedLit((1 until 256).map(_ / 256.0).toArray), lit(10000))
         .as("__splits"))
+        .localCheckpoint(false)
       // bucket = #splits strictly below the price (codegen'd binary
       // search): monotone in price, and price-ties always land in the
       // same bucket → order-consistent.

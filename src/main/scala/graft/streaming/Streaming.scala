@@ -142,52 +142,74 @@ object Streaming {
     * gapMs — including gaps BETWEEN events of one micro-batch: under
     * Trigger.AvailableNow backfill a whole multi-hour history can arrive
     * in one batch, and collapsing it to a single session would diverge
-    * from the batch sessionizer (q42) this operator twins. So the update
-    * path scans the sorted batch, emits a closed session at each gap
-    * boundary, and keeps only the trailing open session in state; that
-    * open session closes — and emits — when the watermark passes
-    * (last event + gap). Event-time (not processing-time) timeouts make
-    * the operator deterministic and replayable from a checkpoint: the
-    * same input always yields the same sessions. This is the
-    * stateful-stream surface the reference lacks entirely; state lives
-    * per-key in the state store, shuffled once by user_id, so it scales
-    * with distinct keys, not event volume. */
+    * from the batch sessionizer (q42) this operator twins.
+    *
+    * State is the per-user list of sessions that are not yet FINAL
+    * (watermark < session_end + gap). Each batch interval-merges its
+    * events into that list — so an admitted late event (within the
+    * lateness watermark) still lands in, extends, or bridges the session
+    * it belongs to, exactly as a batch replay would place it. A session
+    * is emitted only once the watermark passes (session_end + gap), at
+    * which point no admissible event can change it — emission is
+    * watermark-FINAL, which is what makes Append-mode output equal to the
+    * q42 batch result over the same (admissible) inputs. Event-time (not
+    * processing-time) timeouts keep the operator deterministic and
+    * replayable from a checkpoint. State lives per-key in the state
+    * store, shuffled once by user_id, bounded by sessions-per-lateness-
+    * window — it scales with distinct keys, not event volume. */
   def sessionize(events: Dataset[UserEvent], gapMs: Long,
       lateness: String = "0 seconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+
+    // union-merge a start-sorted session list: adjacent sessions whose
+    // boundary events are within gapMs belong to one session (the exact
+    // event-level rule, since the boundary events ARE cur's last / next's
+    // first). Aggregates compose exactly.
+    def mergeAdjacent(sorted: Seq[SessionSummary]): Seq[SessionSummary] =
+      sorted.foldLeft(Vector.empty[SessionSummary]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p)
+              if s.session_start.getTime - p.session_end.getTime <= gapMs =>
+            acc.init :+ p.copy(
+              n_events = p.n_events + s.n_events,
+              total_value = p.total_value + s.total_value,
+              session_end = if (s.session_end.after(p.session_end))
+                s.session_end else p.session_end)
+          case _ => acc :+ s
+        }
+      }
+
+    def finalize_(merged: Seq[SessionSummary], state: GroupState[Seq[SessionSummary]])
+        : Iterator[SessionSummary] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (done, live) =
+        merged.partition(_.session_end.getTime + gapMs <= wm)
+      if (live.nonEmpty) {
+        state.update(live)
+        // live sessions all have end+gap > wm, so the timeout is legal
+        state.setTimeoutTimestamp(
+          live.map(_.session_end.getTime).min + gapMs)
+      } else state.remove()
+      done.iterator
+    }
+
     events.withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[UserEvent],
-         state: GroupState[SessionSummary]) => {
+         state: GroupState[Seq[SessionSummary]]) => {
           if (state.hasTimedOut) {
-            val out = state.getOption.iterator
-            state.remove()
-            out
+            finalize_(state.get, state)
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            if (sorted.isEmpty) Iterator.empty
+            val singles = batch.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+              .map(e => SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+            if (singles.isEmpty) Iterator.empty
             else {
-              val closed = Seq.newBuilder[SessionSummary]
-              var open = state.getOption
-              sorted.foreach { e =>
-                open = open match {
-                  case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
-                    // extend; a late (pre-end) event never moves end backwards
-                    Some(s.copy(n_events = s.n_events + 1,
-                      total_value = s.total_value + e.value,
-                      session_end =
-                        if (e.ts.after(s.session_end)) e.ts else s.session_end))
-                  case other =>
-                    other.foreach(closed += _) // gap boundary: emit closed
-                    Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
-                }
-              }
-              val last = open.get
-              state.update(last)
-              state.setTimeoutTimestamp(last.session_end.getTime + gapMs)
-              closed.result().iterator
+              val all = (state.getOption.getOrElse(Seq.empty) ++ singles)
+                .sortBy(s => (s.session_start.getTime, s.session_end.getTime))
+              finalize_(mergeAdjacent(all), state)
             }
           }
         })

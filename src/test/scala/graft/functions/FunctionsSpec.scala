@@ -79,6 +79,16 @@ class FunctionsSpec extends SparkSpec {
     assert(cmp.count() > 0)
   }
 
+  test("vector folds null out length-mismatched (corrupt) vectors") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(VectorExprs.dot_double(col("a"), col("b")).as("d"),
+        VectorExprs.sq_dist_double(col("a"), col("b")).as("s"))
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "a truncated vector must surface as null, never a partial result")
+  }
+
   test("search_sorted is null on null input and monotone in v") {
     val df = Seq(Some(3.0), None).toDF("v")
       .withColumn("b", search_sorted(typedLit(Array(1.0, 4.0)), $"v"))

@@ -281,4 +281,42 @@ class StreamingSpec extends SparkSpec {
     assert(all(2).n_events === 2 && all(2).total_value === 24.0)
   }
 
+  test("sessionize merges admitted-late events into the pending session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    // 10-minute lateness: events above the watermark must still land in
+    // the session a batch replay would put them in — emission is
+    // watermark-final, so nothing is emitted prematurely
+    val sessions = Streaming.sessionize(input.toDS(), gapMs = 30000,
+      lateness = "10 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    // batch 1: two sessions for user 1 (gap 00:00:00 → 00:05:00)
+    input.addData(
+      Streaming.UserEvent(1L, 1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Streaming.UserEvent(1L, 2L, Timestamp.valueOf("2024-01-01 00:05:00"), 2.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sess_late").isEmpty,
+      "nothing is final yet — watermark trails by the lateness")
+    // batch 2: a late-but-admissible event 10s after the FIRST session's
+    // end; batch semantics put it in that first session, not the open one
+    input.addData(Streaming.UserEvent(1L, 3L,
+      Timestamp.valueOf("2024-01-01 00:00:10"), 4.0))
+    q.processAllAvailable()
+    // batch 3: far-future event closes everything for user 1
+    input.addData(Streaming.UserEvent(2L, 4L,
+      Timestamp.valueOf("2024-01-01 02:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT * FROM sess_late")
+      .as[Streaming.SessionSummary].collect().filter(_.user_id == 1L)
+      .sortBy(_.session_start.getTime)
+    assert(out.length === 2, s"two sessions expected: ${out.toSeq}")
+    assert(out(0).n_events === 2 && out(0).total_value === 5.0,
+      s"late event must merge into the FIRST session: ${out(0)}")
+    assert(out(0).session_end === Timestamp.valueOf("2024-01-01 00:00:10"))
+    assert(out(1).n_events === 1 && out(1).total_value === 2.0)
+  }
+
 }
