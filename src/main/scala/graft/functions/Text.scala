@@ -67,17 +67,14 @@ object Text {
   }
 
   /** Polynomial rolling hash over the document's characters:
-    * fp = fold(0, acc * 31 + ascii(char)) mod 1e9+7.
-    * Stays in (codegen'd) higher-order functions; the modulus keeps every
+    * fp = fold(0, acc * 31 + codePoint) mod 1e9+7. Native codegen'd
+    * expression ([[RollingHashLong]]) — the per-character fold is the
+    * whole cost of fingerprinting a corpus, so it must not run on the
+    * interpreted higher-order-function path. The modulus keeps every
     * intermediate below 2^35 so the arithmetic is exact in both Spark and
     * any BIGINT-based oracle. Empty input → 0.
     */
-  def charFingerprint(c: Column): Column = {
-    val codes = transform(sequence(lit(1), length(c)),
-      i => ascii(c.substr(i, lit(1))).cast("long"))
-    when(length(c) === 0, lit(0L)).otherwise(
-      aggregate(codes, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L))
-  }
+  def charFingerprint(c: Column): Column = RollingHashLong.rolling_hash(c)
 
   /** Tiny polarity lexicons for lexicon-based sentiment scoring (the
     * classic distributed-sentiment baseline; swap in a real lexicon for

@@ -79,6 +79,19 @@ class FunctionsSpec extends SparkSpec {
     assert(cmp.count() > 0)
   }
 
+  test("rolling_hash ≡ the HOF ascii-fold, including unicode and empty") {
+    val docs = Seq("", "a", "hello world", "ASCII 123 !@#",
+      "héllo wörld ünïcode", "日本語テキスト", "a" * 5000)
+    val df = docs.toDF("t").select(
+      RollingHashLong.rolling_hash($"t").as("native"),
+      when(length($"t") === 0, 0L).otherwise(
+        aggregate(transform(sequence(lit(1), length($"t")),
+            i => ascii($"t".substr(i, lit(1))).cast("long")),
+          lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)).as("hof"))
+    assert(df.filter($"native" =!= $"hof").isEmpty)
+    assert(df.filter($"native" === $"hof").count() === docs.length)
+  }
+
   test("vector folds null out length-mismatched (corrupt) vectors") {
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
       .toDF("a", "b")
