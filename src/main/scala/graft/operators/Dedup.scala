@@ -50,20 +50,18 @@ object Dedup {
     val sizes = idx.groupBy($"doc").agg(count(lit(1)).as("n_shingles"))
     // Single-pass inverted-index pair generation: ONE shuffle groups the
     // postings per shingle; pairs are emitted in-place from each posting
-    // list (i<j combinations of the sorted list). No self-join — a
-    // self-join would recompute the whole index once per side — and the
+    // list (i<j combinations of the sorted list) by the native
+    // ArrayPairs generator — streamed, not materialized. No self-join —
+    // a self-join would recompute the whole index once per side — and the
     // maxDocFreq cap bounds emission at maxDocFreq²/2 pairs per shingle
     // (stop-shingles are dropped entirely, the quadratic-blowup guard).
     val postings = idx.groupBy($"shingle")
       .agg(array_sort(collect_list($"doc")).as("docs"))
       .filter(size($"docs") >= 2 && size($"docs") <= maxDocFreq)
-    val pairs = postings.select(explode(
-      flatten(transform(sequence(lit(0), size($"docs") - 2), i =>
-        transform(slice($"docs", i + 2, size($"docs") - i - 1), b =>
-          struct(element_at($"docs", i + 1).as("doc_a"), b.as("doc_b")))))
-    ).as("p"))
+    val pairs = postings.select(
+      graft.functions.ArrayPairs.array_pairs($"docs").as(Seq("doc_a", "doc_b")))
     val common = pairs
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc", "doc_a")

@@ -79,6 +79,26 @@ class FunctionsSpec extends SparkSpec {
     assert(cmp.count() > 0)
   }
 
+  test("array_pairs emits every i<j combination in order; degenerate inputs empty") {
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(5L, 6L)),
+      (3L, Seq(7L)),
+      (4L, Seq.empty[Long])).toDF("id", "docs")
+    val got = df.select($"id",
+        ArrayPairs.array_pairs($"docs").as(Seq("a", "b")))
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 10L, 20L), (1L, 10L, 30L), (1L, 10L, 40L),
+      (1L, 20L, 30L), (1L, 20L, 40L), (1L, 30L, 40L),
+      (2L, 5L, 6L))
+    assert(got === expected, "ids 3 and 4 must generate nothing")
+    // null array behaves like explode of null: no rows
+    val withNull = Seq((1L, null: Seq[Long])).toDF("id", "docs")
+      .select(ArrayPairs.array_pairs($"docs").as(Seq("a", "b")))
+    assert(withNull.isEmpty)
+  }
+
   test("rolling_hash ≡ the HOF ascii-fold, including unicode and empty") {
     val docs = Seq("", "a", "hello world", "ASCII 123 !@#",
       "héllo wörld ünïcode", "日本語テキスト", "a" * 5000)
