@@ -110,16 +110,24 @@ object Text {
     * redacted too. Without lookaround (RE2 has none) a regex cannot
     * separate "2023-04-13 18:04" from a phone number; a privacy-first
     * scrubber prefers over-redaction, and callers needing precision layer
-    * a validator on top. */
+    * a validator on top.
+    *
+    * The separator class spells whitespace out as [\t\n\f\r ] instead of
+    * \s — Java's \s includes \x0B (vertical tab), RE2's does not, and a
+    * shorthand whose SEMANTICS differ between the engine and the oracle
+    * is a hash mismatch waiting for the right document. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\t\\n\\f\\r ]{6,}[0-9]"
+
+  /** Email-only scrub step — shared by [[scrubPii]] and the n_pii phone
+    * count (which must run on exactly this intermediate text). */
+  def scrubEmails(c: Column): Column =
+    regexp_replace(c, EmailPattern, "<email>")
 
   /** Redact emails then phone-like sequences. The replacement tokens keep
     * the document tokenizable (single tokens, no whitespace). */
   def scrubPii(c: Column): Column =
-    regexp_replace(
-      regexp_replace(c, EmailPattern, "<email>"),
-      PhonePattern, "<phone>")
+    regexp_replace(scrubEmails(c), PhonePattern, "<phone>")
 
   /** Token n-gram shingles (distinct), the unit of near-dup comparison.
     * Documents shorter than n tokens yield an empty set. */

@@ -140,8 +140,7 @@ object DataOps {
     // is spec-gated in DataOpsSpec.
     "t10_pii_scrub" -> { (s, d) =>
       import s.implicits._
-      val emailScrubbed =
-        regexp_replace($"text", lit(Text.EmailPattern), lit("<email>"))
+      val emailScrubbed = Text.scrubEmails($"text")
       Tables.documents(s, d).select($"doc_id",
         md5(Text.scrubPii($"text")).as("scrubbed_hash"),
         length(Text.scrubPii($"text")).as("scrubbed_len"),

@@ -73,15 +73,17 @@ object Extended {
       import s.implicits._
       import graft.functions.SearchSortedDouble.search_sorted
       val orders = Tables.orders(s, d)
-      // localCheckpoint (lazy): the sketch is evaluated ONCE and every
-      // branch below reads the same materialized row. Without it the
-      // counts and rank branches hold separate copies of the subplan and
-      // correctness would hinge on ReuseExchange deduplicating them —
-      // percentile_approx's merge is not deterministic across evaluations.
+      // EAGER localCheckpoint: the sketch must be materialized exactly
+      // once BEFORE any consumer runs — the counts and rank branches are
+      // submitted as concurrent jobs, and a lazy checkpoint lets both
+      // race past the unwritten cache and re-run percentile_approx's
+      // order-sensitive merge to different split arrays (wrong ranks).
+      // One tiny eager job per query build is the price of making the
+      // single-evaluation invariant structural.
       val splits = orders.agg(percentile_approx($"o_totalprice",
         typedLit((1 until 256).map(_ / 256.0).toArray), lit(10000))
         .as("__splits"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       // bucket = #splits strictly below the price (codegen'd binary
       // search): monotone in price, and price-ties always land in the
       // same bucket → order-consistent.

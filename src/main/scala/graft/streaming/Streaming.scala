@@ -156,7 +156,13 @@ object Streaming {
     * processing-time) timeouts keep the operator deterministic and
     * replayable from a checkpoint. State lives per-key in the state
     * store, shuffled once by user_id, bounded by sessions-per-lateness-
-    * window — it scales with distinct keys, not event volume. */
+    * window — it scales with distinct keys, not event volume.
+    *
+    * State-schema note: state is `Seq[SessionSummary]` (the non-final
+    * session list); checkpoints written by the pre-list (single-summary)
+    * version of this operator are NOT restorable — discard the
+    * checkpoint and backfill through the batch sessionizer when
+    * upgrading across that boundary. */
   def sessionize(events: Dataset[UserEvent], gapMs: Long,
       lateness: String = "0 seconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
@@ -182,13 +188,17 @@ object Streaming {
     def finalize_(merged: Seq[SessionSummary], state: GroupState[Seq[SessionSummary]])
         : Iterator[SessionSummary] = {
       val wm = state.getCurrentWatermarkMs()
+      // STRICT <: an event with ts == wm is still admitted by the
+      // watermark filter, and ts - end == gap still merges — a session
+      // with end + gap == wm is therefore not final yet
       val (done, live) =
-        merged.partition(_.session_end.getTime + gapMs <= wm)
+        merged.partition(_.session_end.getTime + gapMs < wm)
       if (live.nonEmpty) {
         state.update(live)
-        // live sessions all have end+gap > wm, so the timeout is legal
+        // a live session may sit at end+gap == wm; the timeout timestamp
+        // must be strictly above the watermark, so clamp to wm + 1
         state.setTimeoutTimestamp(
-          live.map(_.session_end.getTime).min + gapMs)
+          math.max(live.map(_.session_end.getTime).min + gapMs, wm + 1))
       } else state.remove()
       done.iterator
     }
