@@ -216,6 +216,12 @@ object DataOps {
     "d08_dedup_recall" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // NB: the truth pair set feeds three aggregate branches; measured,
+      // ReuseExchange already deduplicates the identical deterministic
+      // subplans (an explicit localCheckpoint here was ~2× SLOWER — it
+      // forces a standalone materialization job and forfeits the shared
+      // scan). Deterministic subplans may rely on reuse; only
+      // NON-deterministic ones (q28's sketch) must checkpoint.
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
         minJaccard = 0.5, maxDocFreq = 1000L).select($"doc_a", $"doc_b")
       val mh = Dedup.minHashLshPairs(docs, "doc_id", "text",
