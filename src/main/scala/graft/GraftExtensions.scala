@@ -5,12 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.etl.expressions.PyLiteralToJson
-import graft.functions.TopKDouble
+import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, SearchSortedDouble, SqDistDouble, TopKDouble, TopKPairs}
 
 /** Session extension registering the engine's native surface:
   *
   *   - SQL functions backed by custom Catalyst expressions:
-  *     `py_to_json(col)`, `top_k(col, k)`
+  *     `py_to_json(col)`, `top_k(col, k)`, `top_k_pairs(score, id, k)`,
+  *     `dot_double(a, b)`, `sq_dist_double(a, b)`, `search_sorted(xs, v)`,
+  *     `rolling_hash(s)`, `array_pairs(xs)`
   *   - the planner strategy for the custom broadcast range-join operator
   *     ([[graft.plans.RangeJoinPlan]] → [[graft.plans.BroadcastRangeJoinExec]])
   *
@@ -44,6 +46,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "top_k(col, k) takes exactly two arguments")
         TopKDouble(args.head, intArg(args(1), "top_k")).toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "top_k_pairs(score, id, k) takes exactly three arguments")
+        TopKPairs(args(0), args(1), intArg(args(2), "top_k_pairs"))
+          .toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("dot_double"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "dot_double"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_double(a, b) takes exactly two arguments")
+        DotProductDouble(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("sq_dist_double"),
+      new ExpressionInfo(classOf[SqDistDouble].getName, "sq_dist_double"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sq_dist_double(a, b) takes exactly two arguments")
+        SqDistDouble(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("search_sorted"),
+      new ExpressionInfo(classOf[SearchSortedDouble].getName, "search_sorted"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "search_sorted(splits, v) takes exactly two arguments")
+        SearchSortedDouble(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashLong].getName, "rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_hash(s) takes exactly one argument")
+        RollingHashLong(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("array_pairs"),
+      new ExpressionInfo(classOf[ArrayPairs].getName, "array_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "array_pairs(xs) takes exactly one argument")
+        ArrayPairs(args.head)
       }))
   }
 }

@@ -46,6 +46,34 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("b") === Seq(2.0))
   }
 
+  test("round-2 native expressions are callable from SQL") {
+    val sp = spark; import sp.implicits._
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      """SELECT dot_double(a, b) AS d, sq_dist_double(a, b) AS s,
+        |  search_sorted(array(1.0d, 5.0d), 3.0d) AS bkt,
+        |  rolling_hash('ab') AS fp
+        |FROM vecs""".stripMargin).head()
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 27.0)
+    assert(r.getInt(2) === 1)
+    assert(r.getLong(3) === (97L * 31 + 98) % 1000000007L)
+
+    val pairs = spark.sql(
+      "SELECT array_pairs(array(1L, 2L, 3L)) AS (x, y)")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    Seq(("a", 1.0, 10L), ("a", 5.0, 11L), ("a", 3.0, 12L))
+      .toDF("k", "score", "id").createOrReplaceTempView("scored")
+    val top = spark.sql(
+      "SELECT k, top_k_pairs(score, id, 2) AS t FROM scored GROUP BY k")
+      .selectExpr("t[0].score", "t[0].id", "t[1].score", "t[1].id").head()
+    assert((top.getDouble(0), top.getLong(1)) === ((5.0, 11L)))
+    assert((top.getDouble(2), top.getLong(3)) === ((3.0, 12L)))
+  }
+
   test("py_to_json of a literal is constant-folded by Catalyst") {
     val df = spark.sql("SELECT py_to_json(\"{'x': None}\") AS j")
     val optimized = df.queryExecution.optimizedPlan.toString
