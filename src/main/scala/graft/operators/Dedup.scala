@@ -99,11 +99,20 @@ object Dedup {
 
   /** LSH candidate pairs from banded signatures + estimated Jaccard
     * (fraction of matching signature positions). Documents collide iff one
-    * full band matches, so the join fans out per (band, bucket) — never
-    * all-pairs. bands × rowsPerBand must equal numPerm. */
+    * full band matches, so pairs fan out per (band, bucket) — never
+    * all-pairs. bands × rowsPerBand must equal numPerm.
+    *
+    * Same pair-generation shape as [[ngramJaccardPairs]]: ONE shuffle
+    * groups each bucket's postings, [[graft.functions.ArrayPairs]] streams
+    * the i<j combinations (no self-join — a self-join recomputes the whole
+    * signature subplan per side), and `maxBucket` drops degenerate hot
+    * buckets before they emit maxBucket²/2 pairs — the quadratic-blowup
+    * guard at corpus scale. Identical documents collide in EVERY band and
+    * belong to the EXACT dedup pass (d01) that runs before near-dup LSH;
+    * capping them here is by design, mirroring d02's stop-shingle cap. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5, maxBucket: Long = 1000L): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     val sigs = minHashSignatures(df, idCol, textCol, shingleN, numPerm)
@@ -112,10 +121,11 @@ object Dedup {
         b => xxhash64(concat_ws("_", b,
           concat_ws(",", slice($"sig", b * r + lit(1), lit(r)))))))
         .as(Seq("band", "bucket")))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .filter(col("a.doc") < col("b.doc"))
+    val postings = banded.groupBy($"band", $"bucket")
+      .agg(array_sort(collect_list(struct($"doc", $"sig"))).as("ps"))
+      .filter(size($"ps") >= 2 && size($"ps") <= maxBucket)
+    val cands = postings
+      .select(graft.functions.ArrayPairs.array_pairs($"ps").as(Seq("a", "b")))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b") // key-pair dedupe, not array hashing
@@ -146,10 +156,12 @@ object Dedup {
   /** Near-dup pairs with Hamming distance ≤ maxDist over SimHash.
     * Pigeonhole banding: split 64 bits into `maxDist+1` chunks — any pair
     * within maxDist must agree on at least one full chunk, so candidates
-    * are found with an equi-join on (chunk index, chunk value), then
-    * verified with popcount(xor). */
+    * pair only inside a (chunk index, chunk value) bucket, then verify
+    * with popcount(xor). Posting-list pair generation + `maxBucket` hot-
+    * bucket cap, same scale rationale as [[minHashLshPairs]] (the
+    * all-zero simhash of near-empty docs is the classic hot value). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Long = 1000L): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     val fp = simHash(df, idCol, textCol)
@@ -157,10 +169,11 @@ object Dedup {
       posexplode(array((0 until chunks).map(i =>
         shiftrightunsigned($"simhash", i * width)
           .bitwiseAND((1L << width) - 1)): _*)).as(Seq("chunk", "val")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val"))
-      .filter(col("a.doc") < col("b.doc"))
+    val postings = banded.groupBy($"chunk", $"val")
+      .agg(array_sort(collect_list(struct($"doc", $"simhash"))).as("ps"))
+      .filter(size($"ps") >= 2 && size($"ps") <= maxBucket)
+    postings
+      .select(graft.functions.ArrayPairs.array_pairs($"ps").as(Seq("a", "b")))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
       .dropDuplicates("doc_a", "doc_b")

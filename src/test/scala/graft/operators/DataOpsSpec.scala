@@ -129,6 +129,31 @@ class DataOpsSpec extends SparkSpec {
     assert(mhRecall >= 0.5, s"MinHash-LSH recall dropped: $mhRecall")
   }
 
+  test("LSH hot-bucket cap bounds the quadratic blowup on degenerate corpora") {
+    // 60 identical docs + 2 planted near-dups: every identical doc
+    // collides in EVERY band → without the cap that is 60²/2 pairs per
+    // band. With maxBucket below 60 the identical cluster is dropped
+    // (it belongs to the exact-dedup pass) while the near-dup pair —
+    // whose bucket stays small — must survive.
+    val clones = (0L until 60L).map(i => (i, "alpha beta gamma delta " * 6))
+    val nearA = (100L, "solar panel array generates clean power output today")
+    val nearB = (101L, "solar panel array generates clean power output now")
+    val distinct_ = (200L, "completely unrelated text about deep sea biology")
+    val df = (clones :+ nearA :+ nearB :+ distinct_).toDF("doc_id", "text")
+    val capped = Dedup.minHashLshPairs(df, "doc_id", "text",
+      shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5,
+      maxBucket = 50L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)), s"near-dup must survive the cap: $capped")
+    assert(!capped.exists(p => p._1 < 60L && p._2 < 60L),
+      "identical-clone pairs are capped out (exact dedup's job)")
+    val uncapped = Dedup.minHashLshPairs(df, "doc_id", "text",
+      shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(uncapped.count(p => p._1 < 60L && p._2 < 60L) === 60 * 59 / 2,
+      "default cap (1000) keeps the full clone clique")
+  }
+
   test("simHashPairs: identical docs at distance 0, near-dups within 3") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
       .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
