@@ -30,6 +30,82 @@ object PyLiteralParser {
       if (p.pos != s.length) null else sb.toString
     } catch { case _: ParseError => null }
 
+  /** Sentinel distinguishing "failed to parse" from a literal `None`. */
+  case object Malformed
+
+  /** Number node: keeps the RAW literal text; integral-vs-float is
+    * decided by spelling (presence of '.'/'e'), matching Jackson's token
+    * classification of the same text. */
+  final case class PyNum(text: String) {
+    def isIntegral: Boolean =
+      text.indexOf('.') < 0 && text.indexOf('e') < 0 && text.indexOf('E') < 0
+  }
+
+  /** Parse to a value tree for direct struct construction
+    * ([[graft.etl.expressions.PyEventsArray]]): dict →
+    * java.util.LinkedHashMap[String, AnyRef], list →
+    * java.util.ArrayList[AnyRef], string → String (unescaped content),
+    * number → [[PyNum]], True/False → java.lang.Boolean, None → null.
+    * Returns [[Malformed]] on any parse failure. */
+  def parseTree(s: String): AnyRef =
+    try {
+      val p = new Parser(s)
+      p.skipWs()
+      val v = p.tree()
+      p.skipWs()
+      if (p.pos != s.length) Malformed else v
+    } catch { case _: ParseError => Malformed }
+
+  /** Canonical JSON text of a tree node — identical to what [[toJson]]
+    * emits for the same input (used for string-coercing nested values,
+    * matching from_json's raw-subtree stringification). */
+  def treeToJson(v: AnyRef): String = {
+    val sb = new StringBuilder
+    appendJson(v, sb)
+    sb.toString
+  }
+
+  private def appendJson(v: AnyRef, sb: StringBuilder): Unit = v match {
+    case null => sb.append("null")
+    case b: java.lang.Boolean => sb.append(if (b) "true" else "false")
+    case PyNum(t) => sb.append(t)
+    case s: String => appendJsonString(s, sb)
+    case l: java.util.ArrayList[_] =>
+      sb.append('[')
+      var i = 0
+      while (i < l.size) {
+        if (i > 0) sb.append(',')
+        appendJson(l.get(i).asInstanceOf[AnyRef], sb); i += 1
+      }
+      sb.append(']')
+    case m: java.util.LinkedHashMap[_, _] =>
+      sb.append('{')
+      var first = true
+      m.forEach { (k, x) =>
+        if (!first) sb.append(',')
+        first = false
+        appendJsonString(k.asInstanceOf[String], sb)
+        sb.append(':')
+        appendJson(x.asInstanceOf[AnyRef], sb)
+      }
+      sb.append('}')
+    case other => throw new IllegalStateException(s"unexpected node $other")
+  }
+
+  private def appendJsonString(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\t' => sb.append("\\t")
+      case '\r' => sb.append("\\r")
+      case x if x < ' ' => sb.append(f"\\u${x.toInt}%04x")
+      case x    => sb.append(x)
+    }
+    sb.append('"')
+  }
+
   private final class ParseError extends RuntimeException
 
   private final class Parser(s: String) {
@@ -57,6 +133,108 @@ object PyLiteralParser {
         case 'F'                          => keyword("False", "false", sb)
         case _                            => fail()
       }
+    }
+
+    /** Tree-building twin of [[value]] (see [[PyLiteralParser.parseTree]]). */
+    def tree(): AnyRef = {
+      skipWs()
+      peek match {
+        case '{'                        => dictTree()
+        case '['                        => listTree()
+        case '\'' | '"'                 => strTree()
+        case c if c == '-' || c.isDigit => numberTree()
+        case 'N' => keywordTree("None", null)
+        case 'T' => keywordTree("True", java.lang.Boolean.TRUE)
+        case 'F' => keywordTree("False", java.lang.Boolean.FALSE)
+        case _   => fail()
+      }
+    }
+
+    private def keywordTree(py: String, v: AnyRef): AnyRef = {
+      if (!s.startsWith(py, pos)) fail()
+      pos += py.length
+      v
+    }
+
+    private def dictTree(): java.util.LinkedHashMap[String, AnyRef] = {
+      expect('{'); skipWs()
+      val m = new java.util.LinkedHashMap[String, AnyRef]()
+      var first = true
+      while (peek != '}') {
+        if (!first) { expect(','); skipWs() }
+        first = false
+        val k = strTree(); skipWs()
+        expect(':')
+        val v = tree(); skipWs()
+        m.put(k, v)
+      }
+      expect('}')
+      m
+    }
+
+    private def listTree(): java.util.ArrayList[AnyRef] = {
+      expect('['); skipWs()
+      val l = new java.util.ArrayList[AnyRef]()
+      var first = true
+      while (peek != ']') {
+        if (!first) { expect(','); skipWs() }
+        first = false
+        l.add(tree()); skipWs()
+      }
+      expect(']')
+      l
+    }
+
+    /** Raw (unescaped) string content — same lexical rules as [[str]]. */
+    private def strTree(): String = {
+      val quote = peek
+      if (quote != '\'' && quote != '"') fail()
+      pos += 1
+      val sb = new StringBuilder
+      while (peek != quote) {
+        if (pos >= s.length) fail()
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          if (pos + 1 >= s.length) fail()
+          s.charAt(pos + 1) match {
+            case '\'' => sb.append('\'')
+            case '"'  => sb.append('"')
+            case '\\' => sb.append('\\')
+            case 'n'  => sb.append('\n')
+            case 't'  => sb.append('\t')
+            case 'r'  => sb.append('\r')
+            case _    => fail()
+          }
+          pos += 2
+        } else { sb.append(c); pos += 1 }
+      }
+      pos += 1
+      sb.toString
+    }
+
+    /** Like [[number]] but enforces strict JSON number syntax (no leading
+      * zeros, no trailing dot): the two-pass pipeline would emit such
+      * text into the JSON and Jackson would reject the whole cell, so the
+      * tree parser must fail identically. */
+    private def numberTree(): PyNum = {
+      val start = pos
+      if (peek == '-') pos += 1
+      if (!peek.isDigit) fail()
+      val firstDigit = pos
+      while (peek.isDigit) pos += 1
+      if (pos - firstDigit > 1 && s.charAt(firstDigit) == '0') fail()
+      if (peek == '.') {
+        pos += 1
+        if (!peek.isDigit) fail()
+        while (peek.isDigit) pos += 1
+      }
+      if (peek == 'e' || peek == 'E') {
+        pos += 1
+        if (peek == '+' || peek == '-') pos += 1
+        if (!peek.isDigit) fail()
+        while (peek.isDigit) pos += 1
+      }
+      PyNum(s.substring(start, pos))
     }
 
     private def keyword(py: String, json: String, sb: StringBuilder): Unit = {

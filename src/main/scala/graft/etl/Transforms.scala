@@ -30,12 +30,14 @@ object Transforms {
   def afterWatermark(watermark: Option[String])(df: DataFrame): DataFrame =
     watermark.fold(df)(wm => df.filter(col("fileName") > lit(wm)))
 
-  /** N2+N1 (parse): Python-literal string → JSON (native codegen'd
-    * expression) → typed array column. Malformed literals become null
-    * arrays rather than killing the job. */
+  /** N2+N1 (parse): Python-literal string → typed array column in ONE
+    * native codegen'd pass ([[graft.etl.expressions.PyEventsArray]] —
+    * no intermediate JSON string, no Jackson re-tokenization; the
+    * two-pass `from_json(py_to_json(...))` equivalence is spec-gated).
+    * Malformed literals become null arrays rather than killing the job. */
   def parseEventArray(df: DataFrame,
       src: String = "array_trackingEvents", dst: String = "events"): DataFrame =
-    df.withColumn(dst, from_json(pyToJson(col(src)), Schemas.eventArray))
+    df.withColumn(dst, graft.etl.expressions.PyEventsArray.pyEvents(col(src)))
       .drop(src)
 
   /** N1 (explode+normalize): one row per event element. `explode_outer`,

@@ -1,0 +1,139 @@
+package graft.etl.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.{PyLiteralParser, Schemas}
+import graft.etl.PyLiteralParser.{Malformed, PyNum}
+
+/** Fused Python-literal → typed event array: parses the CDC cell straight
+  * into `Schemas.eventArray` rows, replacing the two-pass
+  * `from_json(py_to_json(col))` pipeline which materializes an
+  * intermediate JSON string per cell and re-tokenizes it with Jackson.
+  * One recursive-descent pass builds the `InternalRow`s directly.
+  *
+  * Coercion contract (PERMISSIVE-equivalent, spec-asserted cell-by-cell
+  * against the two-pass form in PyEventsArraySpec — every rule below was
+  * MEASURED against from_json, not assumed):
+  *   - malformed literal (incl. JSON-invalid numbers like `0123`/`1.`),
+  *     a scalar root, or a scalar array ELEMENT → the WHOLE cell is null;
+  *   - a bare dict at the root parses as a one-element array (Jackson's
+  *     object-as-array compatibility);
+  *   - FIELD-level type mismatches null the field, not the cell: a
+  *     scalar `createdAt`, a non-integral or out-of-range `$date`;
+  *   - `None` element → null element; missing fields → null fields;
+  *     unknown fields ignored;
+  *   - string fields coerce: integers via parsed-long text, floats via
+  *     parsed-double rendering (`1e-3` → "0.001", as Jackson re-renders),
+  *     booleans to true/false, nested dicts/lists to canonical JSON text.
+  */
+case class PyEventsArray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Schemas.eventArray
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PyEventsArray.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("evArr")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.etl.expressions.PyEventsArray.parse($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PyEventsArray =
+    copy(child = newChild)
+}
+
+object PyEventsArray {
+
+  private val fieldNames: Array[String] =
+    Schemas.eventElement.fields.map(_.name)
+
+  /** Static so generated code calls it directly. Returns null (cell-level)
+    * on malformed input or any schema mismatch. */
+  def parse(u: UTF8String): ArrayData = {
+    PyLiteralParser.parseTree(u.toString) match {
+      case Malformed => null
+      case l: java.util.ArrayList[_] => rows(l.asInstanceOf[java.util.ArrayList[AnyRef]])
+      case m: java.util.LinkedHashMap[_, _] =>
+        val one = new java.util.ArrayList[AnyRef](1)
+        one.add(m.asInstanceOf[AnyRef])
+        rows(one)
+      case _ => null // scalar root is not an event array
+    }
+  }
+
+  private def rows(l: java.util.ArrayList[AnyRef]): ArrayData = {
+    val out = new Array[Any](l.size)
+    var i = 0
+    while (i < l.size) {
+      l.get(i) match {
+        case null => out(i) = null
+        case m: java.util.LinkedHashMap[_, _] =>
+          out(i) = element(m.asInstanceOf[java.util.LinkedHashMap[String, AnyRef]])
+        case _ => return null // scalar array element nullifies the cell
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One event struct; field-level mismatches null the FIELD. */
+  private def element(m: java.util.LinkedHashMap[String, AnyRef]): GenericInternalRow = {
+    val vals = new Array[Any](fieldNames.length)
+    var i = 0
+    while (i < fieldNames.length) {
+      val name = fieldNames(i)
+      val v = m.get(name)
+      if (i == 0) {
+        // createdAt: struct<$date: long>; mismatched shapes → null field
+        vals(0) = v match {
+          case inner: java.util.LinkedHashMap[_, _] =>
+            inner.asInstanceOf[java.util.LinkedHashMap[String, AnyRef]]
+              .get("$date") match {
+              case n @ PyNum(t) if n.isIntegral =>
+                try new GenericInternalRow(
+                  Array[Any](java.lang.Long.parseLong(t)))
+                catch { case _: NumberFormatException =>
+                  new GenericInternalRow(Array[Any](null)) // out of range
+                }
+              case _ => new GenericInternalRow(Array[Any](null))
+            }
+          case _ => null
+        }
+      } else {
+        // string fields: scalars → coerced text, containers → JSON text
+        vals(i) = v match {
+          case null => null
+          case s: String => UTF8String.fromString(s)
+          case n @ PyNum(t) =>
+            val text =
+              if (n.isIntegral)
+                try java.lang.Long.parseLong(t).toString
+                catch { case _: NumberFormatException => BigInt(t).toString }
+              else java.lang.Double.toString(t.toDouble)
+            UTF8String.fromString(text)
+          case b: java.lang.Boolean =>
+            UTF8String.fromString(if (b) "true" else "false")
+          case other =>
+            UTF8String.fromString(PyLiteralParser.treeToJson(other))
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  /** Column API: `py_events($"array_trackingEvents")`. */
+  def pyEvents(c: Column): Column =
+    ColumnBridge.column(PyEventsArray(ColumnBridge.expression(c)))
+}
