@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.etl.expressions.PyLiteralToJson
+import graft.etl.expressions.{PyEventsArray, PyLiteralToJson}
 import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, SearchSortedDouble, SqDistDouble, TopKDouble, TopKPairs}
 
 /** Session extension registering the engine's native surface:
   *
   *   - SQL functions backed by custom Catalyst expressions:
-  *     `py_to_json(col)`, `top_k(col, k)`, `top_k_pairs(score, id, k)`,
-  *     `dot_double(a, b)`, `sq_dist_double(a, b)`, `search_sorted(xs, v)`,
+  *     `py_to_json(col)`, `py_events(col)`, `top_k(col, k)`,
+  *     `top_k_pairs(score, id, k)`, `dot_double(a, b)`,
+  *     `sq_dist_double(a, b)`, `search_sorted(xs, v)`,
   *     `rolling_hash(s)`, `array_pairs(xs)`
   *   - the planner strategy for the custom broadcast range-join operator
   *     ([[graft.plans.RangeJoinPlan]] → [[graft.plans.BroadcastRangeJoinExec]])
@@ -38,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "py_to_json(col) takes exactly one argument")
         PyLiteralToJson(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("py_events"),
+      new ExpressionInfo(classOf[PyEventsArray].getName, "py_events"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "py_events(col) takes exactly one argument")
+        PyEventsArray(args.head)
       }))
 
     ext.injectFunction((
