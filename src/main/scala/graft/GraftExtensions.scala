@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.etl.expressions.{PyEventsArray, PyLiteralToJson}
 import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, SearchSortedDouble, SqDistDouble, TopKDouble, TopKPairs}
@@ -54,7 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKDouble].getName, "top_k"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "top_k(col, k) takes exactly two arguments")
-        TopKDouble(args.head, intArg(args(1), "top_k")).toAggregateExpression()
+        // cast like the Column API does: the aggregate's update path
+        // assumes Double and would ClassCastException on int/decimal input
+        TopKDouble(Cast(args.head, DoubleType), intArg(args(1), "top_k"))
+          .toAggregateExpression()
       }))
 
     ext.injectFunction((
@@ -63,8 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3,
           "top_k_pairs(score, id, k) takes exactly three arguments")
-        TopKPairs(args(0), args(1), intArg(args(2), "top_k_pairs"))
-          .toAggregateExpression()
+        TopKPairs(Cast(args(0), DoubleType), Cast(args(1), LongType),
+          intArg(args(2), "top_k_pairs")).toAggregateExpression()
       }))
 
     ext.injectFunction((

@@ -41,12 +41,44 @@ object PyLiteralParser {
       text.indexOf('.') < 0 && text.indexOf('e') < 0 && text.indexOf('E') < 0
   }
 
+  /** Dict node: preserves ENTRY ORDER AND DUPLICATE KEYS — Jackson's
+    * raw-subtree copy keeps duplicates verbatim when a nested dict is
+    * coerced into a string field, so the tree must too. Field lookup is
+    * last-occurrence-wins, matching the row writer's behavior. */
+  final class PyDict {
+    val entries = new java.util.ArrayList[(String, AnyRef)]()
+    def put(k: String, v: AnyRef): Unit = entries.add((k, v))
+    def get(key: String): AnyRef = {
+      var r: AnyRef = null
+      var i = 0
+      while (i < entries.size) {
+        if (entries.get(i)._1 == key) r = entries.get(i)._2
+        i += 1
+      }
+      r
+    }
+  }
+
+  /** The text Jackson's copy/re-render produces for a number token: longs
+    * via parsed value (BigInteger beyond Long range), floats via parsed
+    * double — "1e-3" becomes "0.001" — and overflowed floats as the
+    * QUOTED non-numeric form `"Infinity"`. */
+  def jacksonNumberText(n: PyNum): String =
+    if (n.isIntegral)
+      try java.lang.Long.parseLong(n.text).toString
+      catch { case _: NumberFormatException => BigInt(n.text).toString }
+    else {
+      val d = n.text.toDouble
+      if (java.lang.Double.isInfinite(d))
+        if (d > 0) "\"Infinity\"" else "\"-Infinity\""
+      else java.lang.Double.toString(d)
+    }
+
   /** Parse to a value tree for direct struct construction
-    * ([[graft.etl.expressions.PyEventsArray]]): dict →
-    * java.util.LinkedHashMap[String, AnyRef], list →
-    * java.util.ArrayList[AnyRef], string → String (unescaped content),
-    * number → [[PyNum]], True/False → java.lang.Boolean, None → null.
-    * Returns [[Malformed]] on any parse failure. */
+    * ([[graft.etl.expressions.PyEventsArray]]): dict → [[PyDict]],
+    * list → java.util.ArrayList[AnyRef], string → String (unescaped
+    * content), number → [[PyNum]], True/False → java.lang.Boolean,
+    * None → null. Returns [[Malformed]] on any parse failure. */
   def parseTree(s: String): AnyRef =
     try {
       val p = new Parser(s)
@@ -56,9 +88,12 @@ object PyLiteralParser {
       if (p.pos != s.length) Malformed else v
     } catch { case _: ParseError => Malformed }
 
-  /** Canonical JSON text of a tree node — identical to what [[toJson]]
-    * emits for the same input (used for string-coercing nested values,
-    * matching from_json's raw-subtree stringification). */
+  /** JSON text of a tree node AS JACKSON WOULD RE-RENDER IT — not as the
+    * raw literal spelled it. Used for string-coercing nested containers:
+    * the two-pass pipeline runs the subtree through Jackson's
+    * copyCurrentStructure, which re-renders numbers from their parsed
+    * values and re-escapes strings with Jackson's table (\b \f \t \n \r
+    * shortforms, uppercase \u00XX for other control chars). */
   def treeToJson(v: AnyRef): String = {
     val sb = new StringBuilder
     appendJson(v, sb)
@@ -68,7 +103,7 @@ object PyLiteralParser {
   private def appendJson(v: AnyRef, sb: StringBuilder): Unit = v match {
     case null => sb.append("null")
     case b: java.lang.Boolean => sb.append(if (b) "true" else "false")
-    case PyNum(t) => sb.append(t)
+    case n: PyNum => sb.append(jacksonNumberText(n))
     case s: String => appendJsonString(s, sb)
     case l: java.util.ArrayList[_] =>
       sb.append('[')
@@ -78,15 +113,16 @@ object PyLiteralParser {
         appendJson(l.get(i).asInstanceOf[AnyRef], sb); i += 1
       }
       sb.append(']')
-    case m: java.util.LinkedHashMap[_, _] =>
+    case m: PyDict =>
       sb.append('{')
-      var first = true
-      m.forEach { (k, x) =>
-        if (!first) sb.append(',')
-        first = false
-        appendJsonString(k.asInstanceOf[String], sb)
+      var i = 0
+      while (i < m.entries.size) {
+        if (i > 0) sb.append(',')
+        val (k, x) = m.entries.get(i)
+        appendJsonString(k, sb)
         sb.append(':')
-        appendJson(x.asInstanceOf[AnyRef], sb)
+        appendJson(x, sb)
+        i += 1
       }
       sb.append('}')
     case other => throw new IllegalStateException(s"unexpected node $other")
@@ -97,10 +133,12 @@ object PyLiteralParser {
     s.foreach {
       case '"'  => sb.append("\\\"")
       case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
       case '\n' => sb.append("\\n")
       case '\t' => sb.append("\\t")
       case '\r' => sb.append("\\r")
-      case x if x < ' ' => sb.append(f"\\u${x.toInt}%04x")
+      case x if x < ' ' => sb.append(f"\\u${x.toInt}%04X")
       case x    => sb.append(x)
     }
     sb.append('"')
@@ -156,9 +194,9 @@ object PyLiteralParser {
       v
     }
 
-    private def dictTree(): java.util.LinkedHashMap[String, AnyRef] = {
+    private def dictTree(): PyDict = {
       expect('{'); skipWs()
-      val m = new java.util.LinkedHashMap[String, AnyRef]()
+      val m = new PyDict()
       var first = true
       while (peek != '}') {
         if (!first) { expect(','); skipWs() }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DataType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.etl.{PyLiteralParser, Schemas}
-import graft.etl.PyLiteralParser.{Malformed, PyNum}
+import graft.etl.PyLiteralParser.{Malformed, PyDict, PyNum}
 
 /** Fused Python-literal → typed event array: parses the CDC cell straight
   * into `Schemas.eventArray` rows, replacing the two-pass
@@ -64,9 +64,9 @@ object PyEventsArray {
     PyLiteralParser.parseTree(u.toString) match {
       case Malformed => null
       case l: java.util.ArrayList[_] => rows(l.asInstanceOf[java.util.ArrayList[AnyRef]])
-      case m: java.util.LinkedHashMap[_, _] =>
+      case m: PyDict =>
         val one = new java.util.ArrayList[AnyRef](1)
-        one.add(m.asInstanceOf[AnyRef])
+        one.add(m)
         rows(one)
       case _ => null // scalar root is not an event array
     }
@@ -78,8 +78,7 @@ object PyEventsArray {
     while (i < l.size) {
       l.get(i) match {
         case null => out(i) = null
-        case m: java.util.LinkedHashMap[_, _] =>
-          out(i) = element(m.asInstanceOf[java.util.LinkedHashMap[String, AnyRef]])
+        case m: PyDict => out(i) = element(m)
         case _ => return null // scalar array element nullifies the cell
       }
       i += 1
@@ -88,7 +87,7 @@ object PyEventsArray {
   }
 
   /** One event struct; field-level mismatches null the FIELD. */
-  private def element(m: java.util.LinkedHashMap[String, AnyRef]): GenericInternalRow = {
+  private def element(m: PyDict): GenericInternalRow = {
     val vals = new Array[Any](fieldNames.length)
     var i = 0
     while (i < fieldNames.length) {
@@ -97,9 +96,8 @@ object PyEventsArray {
       if (i == 0) {
         // createdAt: struct<$date: long>; mismatched shapes → null field
         vals(0) = v match {
-          case inner: java.util.LinkedHashMap[_, _] =>
-            inner.asInstanceOf[java.util.LinkedHashMap[String, AnyRef]]
-              .get("$date") match {
+          case inner: PyDict =>
+            inner.get("$date") match {
               case n @ PyNum(t) if n.isIntegral =>
                 try new GenericInternalRow(
                   Array[Any](java.lang.Long.parseLong(t)))
@@ -111,17 +109,14 @@ object PyEventsArray {
           case _ => null
         }
       } else {
-        // string fields: scalars → coerced text, containers → JSON text
+        // string fields: scalars → Jackson-rendered text, containers →
+        // Jackson-rendered JSON text (shared helper — see
+        // PyLiteralParser.jacksonNumberText for the float/Infinity rules)
         vals(i) = v match {
           case null => null
           case s: String => UTF8String.fromString(s)
-          case n @ PyNum(t) =>
-            val text =
-              if (n.isIntegral)
-                try java.lang.Long.parseLong(t).toString
-                catch { case _: NumberFormatException => BigInt(t).toString }
-              else java.lang.Double.toString(t.toDouble)
-            UTF8String.fromString(text)
+          case n: PyNum =>
+            UTF8String.fromString(PyLiteralParser.jacksonNumberText(n))
           case b: java.lang.Boolean =>
             UTF8String.fromString(if (b) "true" else "false")
           case other =>

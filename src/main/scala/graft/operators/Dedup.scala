@@ -32,6 +32,51 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Shared posting-list pair generation for the whole near-dup family:
+    * group `payload` per bucket key, stream the i<j combinations with
+    * [[graft.functions.ArrayPairs]]. Pair order: `a < b` by payload order
+    * (sort on the leading field — the doc id).
+    *
+    * Scale controls, both enforced BEFORE any posting list is
+    * materialized (a count pre-filter + semi-join — collecting a hot
+    * bucket first and dropping it after would already have built the
+    * multi-million-element aggregation row the cap exists to prevent):
+    *
+    *   - buckets with 2..cap members emit full i<j pairs;
+    *   - larger buckets either drop entirely (`starHot = false` — d02's
+    *     stop-shingle semantics: a shingle shared by thousands of docs
+    *     carries no similarity signal) or degrade to STAR pairs around
+    *     the bucket's min-payload representative (`starHot = true` — the
+    *     LSH paths): O(n) pairs instead of O(n²), streamed through a
+    *     join with no per-bucket materialization at all. Star pairs keep
+    *     a near-identical mega-cluster CONNECTED for the downstream
+    *     connected-components clustering — dropping it would silently
+    *     keep every member — at the cost of pair-level recall inside the
+    *     cluster (members pair via the representative, not all-pairs). */
+  private def bucketPairs(items: DataFrame, keyCols: Seq[String],
+      payload: Column, cap: Long, starHot: Boolean): DataFrame = {
+    val keys = keyCols.map(col)
+    val tagged = items.select(keys :+ payload.as("__p"): _*)
+    val stats = tagged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"), min(col("__p")).as("__rep"))
+    val normalKeys = stats
+      .filter(col("__n") >= 2 && col("__n") <= cap).select(keys: _*)
+    val normal = tagged.join(normalKeys, keyCols, "left_semi")
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(col("__p"))).as("__ps"))
+      .select(graft.functions.ArrayPairs.array_pairs(col("__ps"))
+        .as(Seq("a", "b")))
+    if (!starHot) normal
+    else {
+      val hotInfo = stats.filter(col("__n") > cap)
+        .select(keys :+ col("__rep"): _*)
+      val hot = tagged.join(hotInfo, keyCols)
+        .filter(col("__p") =!= col("__rep"))
+        .select(col("__rep").as("a"), col("__p").as("b"))
+      normal.unionByName(hot)
+    }
+  }
+
   /** Distinct (id, shingle) pairs — the inverted-index input. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc"),
@@ -48,18 +93,14 @@ object Dedup {
       n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, n)
     val sizes = idx.groupBy($"doc").agg(count(lit(1)).as("n_shingles"))
-    // Single-pass inverted-index pair generation: ONE shuffle groups the
-    // postings per shingle; pairs are emitted in-place from each posting
-    // list (i<j combinations of the sorted list) by the native
-    // ArrayPairs generator — streamed, not materialized. No self-join —
-    // a self-join would recompute the whole index once per side — and the
-    // maxDocFreq cap bounds emission at maxDocFreq²/2 pairs per shingle
-    // (stop-shingles are dropped entirely, the quadratic-blowup guard).
-    val postings = idx.groupBy($"shingle")
-      .agg(array_sort(collect_list($"doc")).as("docs"))
-      .filter(size($"docs") >= 2 && size($"docs") <= maxDocFreq)
-    val pairs = postings.select(
-      graft.functions.ArrayPairs.array_pairs($"docs").as(Seq("doc_a", "doc_b")))
+    // Single-pass inverted-index pair generation via [[bucketPairs]]:
+    // pairs are emitted in-place from each shingle's posting list; the
+    // maxDocFreq cap drops stop-shingles BEFORE their posting lists are
+    // built (a shingle shared by thousands of docs carries no signal and
+    // would otherwise contribute maxDocFreq²/2 pair rows).
+    val pairs = bucketPairs(idx, Seq("shingle"), $"doc",
+        cap = maxDocFreq, starHot = false)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
     val common = pairs
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_common"))
@@ -102,14 +143,12 @@ object Dedup {
     * full band matches, so pairs fan out per (band, bucket) — never
     * all-pairs. bands × rowsPerBand must equal numPerm.
     *
-    * Same pair-generation shape as [[ngramJaccardPairs]]: ONE shuffle
-    * groups each bucket's postings, [[graft.functions.ArrayPairs]] streams
-    * the i<j combinations (no self-join — a self-join recomputes the whole
-    * signature subplan per side), and `maxBucket` drops degenerate hot
-    * buckets before they emit maxBucket²/2 pairs — the quadratic-blowup
-    * guard at corpus scale. Identical documents collide in EVERY band and
-    * belong to the EXACT dedup pass (d01) that runs before near-dup LSH;
-    * capping them here is by design, mirroring d02's stop-shingle cap. */
+    * Same pair-generation shape as [[ngramJaccardPairs]]
+    * ([[bucketPairs]]): full i<j pairs inside normal buckets, STAR pairs
+    * around the min-doc representative for buckets above `maxBucket` —
+    * a near-identical mega-cluster stays connected for downstream
+    * clustering with O(n) pairs instead of O(n²), and no posting list is
+    * ever materialized for it. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.5, maxBucket: Long = 1000L): DataFrame = {
@@ -121,11 +160,8 @@ object Dedup {
         b => xxhash64(concat_ws("_", b,
           concat_ws(",", slice($"sig", b * r + lit(1), lit(r)))))))
         .as(Seq("band", "bucket")))
-    val postings = banded.groupBy($"band", $"bucket")
-      .agg(array_sort(collect_list(struct($"doc", $"sig"))).as("ps"))
-      .filter(size($"ps") >= 2 && size($"ps") <= maxBucket)
-    val cands = postings
-      .select(graft.functions.ArrayPairs.array_pairs($"ps").as(Seq("a", "b")))
+    val cands = bucketPairs(banded, Seq("band", "bucket"),
+        struct($"doc", $"sig"), cap = maxBucket, starHot = true)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b") // key-pair dedupe, not array hashing
@@ -157,9 +193,9 @@ object Dedup {
     * Pigeonhole banding: split 64 bits into `maxDist+1` chunks — any pair
     * within maxDist must agree on at least one full chunk, so candidates
     * pair only inside a (chunk index, chunk value) bucket, then verify
-    * with popcount(xor). Posting-list pair generation + `maxBucket` hot-
-    * bucket cap, same scale rationale as [[minHashLshPairs]] (the
-    * all-zero simhash of near-empty docs is the classic hot value). */
+    * with popcount(xor). [[bucketPairs]] with star degradation for hot
+    * buckets, same scale rationale as [[minHashLshPairs]] (the all-zero
+    * simhash of near-empty docs is the classic hot value). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Long = 1000L): DataFrame = {
     val chunks = maxDist + 1
@@ -169,11 +205,8 @@ object Dedup {
       posexplode(array((0 until chunks).map(i =>
         shiftrightunsigned($"simhash", i * width)
           .bitwiseAND((1L << width) - 1)): _*)).as(Seq("chunk", "val")))
-    val postings = banded.groupBy($"chunk", $"val")
-      .agg(array_sort(collect_list(struct($"doc", $"simhash"))).as("ps"))
-      .filter(size($"ps") >= 2 && size($"ps") <= maxBucket)
-    postings
-      .select(graft.functions.ArrayPairs.array_pairs($"ps").as(Seq("a", "b")))
+    bucketPairs(banded, Seq("chunk", "val"),
+        struct($"doc", $"simhash"), cap = maxBucket, starHot = true)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
       .dropDuplicates("doc_a", "doc_b")

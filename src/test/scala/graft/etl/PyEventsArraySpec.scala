@@ -39,10 +39,17 @@ class PyEventsArraySpec extends SparkSpec {
       // escapes + unicode + quotes
       "[{'description': 'it\\'s \"quoted\" and está à caminho'}]",
       "[{'description': 'tab\\there'}]",
-      // scalar coercions into string fields
+      // scalar coercions into string fields (Jackson re-renders numbers)
       "[{'status': 123, 'description': True, 'from': 1e-3, 'to': -4.5}]",
-      // nested containers into string fields (raw-JSON coercion)
+      "[{'status': 1e400, 'from': -1e400}]", // overflow → quoted Infinity
+      "[{'status': 99999999999999999999999}]", // BigInteger rendering
+      // nested containers into string fields (Jackson re-rendered JSON)
       "[{'description': {'a': [1, 2]}, 'to': ['x', None]}]",
+      "[{'description': {'a': 1.50, 'b': 1e-3, 'c': -0}}]",
+      "[{'description': {'a': 1, 'a': 2}}]", // duplicate keys preserved
+      "[{'description': ['line\\nbreak', 'tab\\there']}]",
+      // duplicate keys at the event level (last occurrence wins)
+      "[{'status': 'first', 'status': 'second'}]",
       // dict at root (object-as-array compatibility)
       "{'trackingCode': 'solo'}",
       // field-level mismatches (null the field, keep the row)
@@ -81,7 +88,11 @@ class PyEventsArraySpec extends SparkSpec {
       value <- Gen.oneOf(
         strGen.map(s => s"'${s.replace("\\", "").replace("'", "")}'"),
         Gen.const("None"),
-        Gen.choose(-999999L, 999999L).map(_.toString))
+        Gen.choose(-999999L, 999999L).map(_.toString),
+        // floats (incl. exponent spellings Jackson re-renders)
+        Gen.oneOf("3.25", "-0.5", "1e-3", "2.5e2", "123.456"),
+        // nested containers (coerced to Jackson-rendered JSON text)
+        Gen.oneOf("{'k': 1.5}", "[1, 2.5, None]", "{'a': {'b': 'c'}}"))
     } yield (name, value)
     val eventGen: Gen[String] = for {
       fields <- Gen.listOfN(4, fieldGen)

@@ -129,12 +129,13 @@ class DataOpsSpec extends SparkSpec {
     assert(mhRecall >= 0.5, s"MinHash-LSH recall dropped: $mhRecall")
   }
 
-  test("LSH hot-bucket cap bounds the quadratic blowup on degenerate corpora") {
+  test("LSH hot-bucket cap: star degradation bounds blowup, keeps clusters connected") {
     // 60 identical docs + 2 planted near-dups: every identical doc
     // collides in EVERY band → without the cap that is 60²/2 pairs per
-    // band. With maxBucket below 60 the identical cluster is dropped
-    // (it belongs to the exact-dedup pass) while the near-dup pair —
-    // whose bucket stays small — must survive.
+    // band. With maxBucket below 60 the mega-cluster degrades to STAR
+    // pairs around its min-doc representative — O(n) pairs that keep the
+    // cluster connected for downstream components — while the near-dup
+    // pair, whose bucket stays small, still gets the full comparison.
     val clones = (0L until 60L).map(i => (i, "alpha beta gamma delta " * 6))
     val nearA = (100L, "solar panel array generates clean power output today")
     val nearB = (101L, "solar panel array generates clean power output now")
@@ -145,8 +146,9 @@ class DataOpsSpec extends SparkSpec {
       maxBucket = 50L)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(capped.contains((100L, 101L)), s"near-dup must survive the cap: $capped")
-    assert(!capped.exists(p => p._1 < 60L && p._2 < 60L),
-      "identical-clone pairs are capped out (exact dedup's job)")
+    val clonePairs = capped.filter(p => p._1 < 60L && p._2 < 60L)
+    assert(clonePairs === (1L until 60L).map(i => (0L, i)).toSet,
+      s"hot bucket must degrade to the representative star, got $clonePairs")
     val uncapped = Dedup.minHashLshPairs(df, "doc_id", "text",
       shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
