@@ -61,7 +61,10 @@ object Dedup {
       .agg(count(lit(1)).as("__n"), min(col("__p")).as("__rep"))
     val normalKeys = stats
       .filter(col("__n") >= 2 && col("__n") <= cap).select(keys: _*)
-    val normal = tagged.join(normalKeys, keyCols, "left_semi")
+    // shuffle_hash: the semi-join exists only to gate the collect — a
+    // sort-merge join would add a full sort of the fact side per call
+    val normal = tagged
+      .join(normalKeys.hint("shuffle_hash"), keyCols, "left_semi")
       .groupBy(keys: _*)
       .agg(array_sort(collect_list(col("__p"))).as("__ps"))
       .select(graft.functions.ArrayPairs.array_pairs(col("__ps"))
