@@ -57,6 +57,19 @@ object PyLiteralParser {
       }
       r
     }
+    /** All values bound to `key`, in occurrence order — needed where a
+      * LATER duplicate can fail conversion and the EARLIER value must
+      * survive (Jackson writes per occurrence; a failed write keeps the
+      * previously written value). */
+    def occurrences(key: String): java.util.ArrayList[AnyRef] = {
+      val r = new java.util.ArrayList[AnyRef]()
+      var i = 0
+      while (i < entries.size) {
+        if (entries.get(i)._1 == key) r.add(entries.get(i)._2)
+        i += 1
+      }
+      r
+    }
   }
 
   /** The text Jackson's copy/re-render produces for a number token: longs

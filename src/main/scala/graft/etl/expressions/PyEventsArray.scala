@@ -94,20 +94,37 @@ object PyEventsArray {
       val name = fieldNames(i)
       val v = m.get(name)
       if (i == 0) {
-        // createdAt: struct<$date: long>; mismatched shapes → null field
-        vals(0) = v match {
-          case inner: PyDict =>
-            inner.get("$date") match {
-              case n @ PyNum(t) if n.isIntegral =>
-                try new GenericInternalRow(
-                  Array[Any](java.lang.Long.parseLong(t)))
-                catch { case _: NumberFormatException =>
-                  new GenericInternalRow(Array[Any](null)) // out of range
+        // createdAt: struct<$date: long>, occurrence-wise like Jackson's
+        // per-occurrence writes (MEASURED): a null or object occurrence
+        // REPLACES the field (an object's failed inner $date yields
+        // struct(null)), a scalar occurrence FAILS and keeps the prior
+        // value; inside the object, '$date' follows the same rule.
+        var created: Any = null
+        val occ = m.occurrences(name)
+        var j = 0
+        while (j < occ.size) {
+          occ.get(j) match {
+            case null => created = null
+            case inner: PyDict =>
+              var date: Any = null
+              val dOcc = inner.occurrences("$date")
+              var k = 0
+              while (k < dOcc.size) {
+                dOcc.get(k) match {
+                  case null => date = null
+                  case n @ PyNum(t) if n.isIntegral =>
+                    try date = java.lang.Long.parseLong(t)
+                    catch { case _: NumberFormatException => () } // keep prior
+                  case _ => () // failed conversion keeps the prior value
                 }
-              case _ => new GenericInternalRow(Array[Any](null))
-            }
-          case _ => null
+                k += 1
+              }
+              created = new GenericInternalRow(Array[Any](date))
+            case _ => () // scalar occurrence fails; prior value survives
+          }
+          j += 1
         }
+        vals(0) = created
       } else {
         // string fields: scalars → Jackson-rendered text, containers →
         // Jackson-rendered JSON text (shared helper — see

@@ -61,8 +61,12 @@ case class TopKDouble(child: Expression, k: Int,
 }
 
 object TopKDouble {
-  /** Column API: `top_k($"x", 10)` → array<double> of the 10 largest. */
+  /** Column API: `top_k($"x", 10)` → array<double> of the 10 largest.
+    * Input is cast to double (matching [[TopKPairs.top_k_pairs]] and the
+    * SQL registration): the update path assumes Double and would
+    * ClassCastException on int/decimal columns otherwise. */
   def top_k(c: Column, k: Int): Column =
     ColumnBridge.column(
-      TopKDouble(ColumnBridge.expression(c), k).toAggregateExpression())
+      TopKDouble(ColumnBridge.expression(c.cast("double")), k)
+        .toAggregateExpression())
 }

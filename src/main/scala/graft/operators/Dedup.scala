@@ -57,8 +57,15 @@ object Dedup {
       payload: Column, cap: Long, starHot: Boolean): DataFrame = {
     val keys = keyCols.map(col)
     val tagged = items.select(keys :+ payload.as("__p"): _*)
-    val stats = tagged.groupBy(keys: _*)
-      .agg(count(lit(1)).as("__n"), min(col("__p")).as("__rep"))
+    // NB: the index/banding subplan is evaluated twice (stats + the
+    // gated collect) — the deliberate price of never materializing a
+    // hot posting list; both passes are narrow projections and the
+    // stats shuffle is partial-aggregated to one row per bucket. The
+    // representative is only aggregated when star mode needs it.
+    val statsAggs =
+      if (starHot) Seq(count(lit(1)).as("__n"), min(col("__p")).as("__rep"))
+      else Seq(count(lit(1)).as("__n"))
+    val stats = tagged.groupBy(keys: _*).agg(statsAggs.head, statsAggs.tail: _*)
     val normalKeys = stats
       .filter(col("__n") >= 2 && col("__n") <= cap).select(keys: _*)
     // shuffle_hash: the semi-join exists only to gate the collect — a

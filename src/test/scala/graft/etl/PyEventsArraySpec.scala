@@ -50,6 +50,16 @@ class PyEventsArraySpec extends SparkSpec {
       "[{'description': ['line\\nbreak', 'tab\\there']}]",
       // duplicate keys at the event level (last occurrence wins)
       "[{'status': 'first', 'status': 'second'}]",
+      "[{'status': 'first', 'status': None}]",
+      // duplicate keys where the LATER occurrence fails conversion — the
+      // earlier value survives (Jackson writes per occurrence); an object
+      // occurrence always replaces, even with a failed inner $date
+      "[{'createdAt': {'$date': 5}, 'createdAt': 'oops'}]",
+      "[{'createdAt': {'$date': 5}, 'createdAt': {'$date': 'x'}}]",
+      "[{'createdAt': {'$date': 5, '$date': 'x'}}]",
+      "[{'createdAt': {'$date': 'x', '$date': 5}}]",
+      "[{'createdAt': 'oops', 'createdAt': {'$date': 5}}]",
+      "[{'createdAt': {'$date': 5}, 'createdAt': None}]",
       // dict at root (object-as-array compatibility)
       "{'trackingCode': 'solo'}",
       // field-level mismatches (null the field, keep the row)
