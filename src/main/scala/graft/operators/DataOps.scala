@@ -154,20 +154,25 @@ object DataOps {
     // Spark and DuckDB (round() is not — HALF_UP vs HALF_EVEN).
     "e01_embedding_quantize" -> { (s, d) =>
       import s.implicits._
+      // internal names must NOT collide with the output aliases: a select
+      // list `round(max_abs,6) AS max_abs` makes a later `$"max_abs"` in
+      // the SAME list resolve to the ROUNDED lateral alias, and dividing
+      // by the rounded scale shifted a boundary lane (x == -max_abs,
+      // scaled exactly -126.5) across floor() vs the oracle at sf0.001
       val e = Tables.embeddings(s, d)
         .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
-        .withColumn("l2_norm", Similarity.norm($"v"))
-        .withColumn("max_abs",
+        .withColumn("__l2", Similarity.norm($"v"))
+        .withColumn("__ma",
           array_max(transform($"v", x => abs(x))))
       e.select($"vec_id",
-        round($"l2_norm", 6).as("l2_norm"),
+        round($"__l2", 6).as("l2_norm"),
         size($"v").as("n_dims"),
-        round($"max_abs", 6).as("max_abs"),
+        round($"__ma", 6).as("max_abs"),
         // int8 checksum: sum of floor(x * 127/max_abs + 0.5) over lanes;
         // all-zero vectors quantize to 0 (no 0/0 NaN)
-        when($"max_abs" === 0.0, lit(0L)).otherwise(
+        when($"__ma" === 0.0, lit(0L)).otherwise(
           aggregate(transform($"v",
-              x => floor(x * lit(127.0) / $"max_abs" + 0.5).cast("long")),
+              x => floor(x * lit(127.0) / $"__ma" + 0.5).cast("long")),
             lit(0L), (acc, q) => acc + q)).as("q8_sum"))
     },
 
