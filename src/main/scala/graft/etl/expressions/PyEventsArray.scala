@@ -36,6 +36,14 @@ case class PyEventsArray(child: Expression) extends UnaryExpression {
   override def dataType: DataType = Schemas.eventArray
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"py_events expects string, got ${child.dataType.catalogString}")
+
   override def nullSafeEval(input: Any): Any =
     PyEventsArray.parse(input.asInstanceOf[UTF8String])
 
@@ -92,7 +100,6 @@ object PyEventsArray {
     var i = 0
     while (i < fieldNames.length) {
       val name = fieldNames(i)
-      val v = m.get(name)
       if (i == 0) {
         // createdAt: struct<$date: long>, occurrence-wise like Jackson's
         // per-occurrence writes (MEASURED): a null or object occurrence
@@ -128,8 +135,9 @@ object PyEventsArray {
       } else {
         // string fields: scalars → Jackson-rendered text, containers →
         // Jackson-rendered JSON text (shared helper — see
-        // PyLiteralParser.jacksonNumberText for the float/Infinity rules)
-        vals(i) = v match {
+        // PyLiteralParser.jacksonNumberText for the float/Infinity rules).
+        // Every coercion succeeds, so plain last-occurrence lookup works.
+        vals(i) = m.get(name) match {
           case null => null
           case s: String => UTF8String.fromString(s)
           case n: PyNum =>

@@ -86,9 +86,13 @@ object Extended {
         .localCheckpoint(true)
       // bucket = #splits strictly below the price (codegen'd binary
       // search): monotone in price, and price-ties always land in the
-      // same bucket → order-consistent.
+      // same bucket → order-consistent. NULL prices land in bucket -1 —
+      // first in bucket order, reproducing the replaced ASC window's
+      // nulls-first ranking (a null __b would silently vanish at the
+      // equi-joins below instead).
       val bucketed = orders.crossJoin(broadcast(splits))
-        .withColumn("__b", search_sorted($"__splits", $"o_totalprice"))
+        .withColumn("__b",
+          coalesce(search_sorted($"__splits", $"o_totalprice"), lit(-1)))
         .drop("__splits")
       val counts = bucketed.groupBy($"__b").agg(count(lit(1)).as("__c"))
       val wOff = Window.orderBy($"__b")

@@ -105,7 +105,10 @@ object Ivf {
       .agg(top_k_pairs(-col("__d"), col("cell"), nProbe).as("__cells"),
         first(col("q")).as("q")) // q is constant per probe_id
       .select(col("probe_id"), col("q"),
-        explode(col("__cells.id")).as("cell"))
+        // back to int: the aggregate widened the cell id to long, and a
+        // widened join key would wrap the inverted file's (partition)
+        // cell column in a cast at every probe join
+        explode(col("__cells.id").cast("array<int>")).as("cell"))
     // norms once per vector / per probe-cell row, never per candidate
     // pair (the 3.4x lesson from the exact-dup path, BASELINE.md)
     val idxN = indexed.withColumn("v_nrm", Similarity.norm(col("v")))

@@ -40,9 +40,17 @@ object Similarity {
     * aggregate: partial aggregation ships at most k (score, id) pairs per
     * probe per MAP task, where the window formulation
     * (`row_number() OVER (PARTITION BY probe_id ...)`) would shuffle every
-    * candidate row. Ordering is identical: score desc, id asc. */
+    * candidate row. Ordering is identical: score desc, id asc.
+    *
+    * Null-similarity candidates (a corrupt/truncated vector — see the
+    * VectorExprs length-mismatch contract) are EXCLUDED from KNN results
+    * by explicit filter, as a documented contract rather than an
+    * aggregate accident: a nonsense neighbor is worse than a missing
+    * one. Pipelines wanting to QUARANTINE corrupt vectors should scan
+    * for `dot(v, v) IS NULL` upstream, where the null is conspicuous. */
   private[operators] def rerankTopK(cands: DataFrame, k: Int): DataFrame =
     cands
+      .filter(col("cos_sim").isNotNull)
       .groupBy(col("probe_id"))
       .agg(top_k_pairs(col("cos_sim"), col("vec_id"), k).as("__top"))
       .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
