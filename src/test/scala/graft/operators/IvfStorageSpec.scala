@@ -45,10 +45,19 @@ class IvfStorageSpec extends SparkSpec {
 
     // and KNN over the persisted index matches KNN over the in-memory one
     val probes = emb.filter($"vec_id" < 2)
-    val fromDisk = Ivf.knn(onDisk, centroids, probes, k = 5, nProbe = 3)
+    val diskKnn = Ivf.knn(onDisk, centroids, probes, k = 5, nProbe = 3)
+    val fromDisk = diskKnn
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val fromMem = Ivf.knn(indexed, centroids, probes, k = 5, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fromDisk === fromMem)
+
+    // the probe join key must stay the partition column's own type — a
+    // widened key would PROJECT cast(cell as bigint) on the index side
+    // of the join and defeat partition-level pruning. (The tiny
+    // centroid-side cast inside the top-k aggregate's input is benign.)
+    val knnPlan = diskKnn.queryExecution.executedPlan.toString
+    assert("cast\\(cell#\\d+ as bigint\\) AS".r.findFirstIn(knnPlan).isEmpty,
+      s"probe join must not re-key the partition column:\n${knnPlan.take(2500)}")
   }
 }
