@@ -170,7 +170,14 @@ object Streaming {
     // union-merge a start-sorted session list: adjacent sessions whose
     // boundary events are within gapMs belong to one session (the exact
     // event-level rule, since the boundary events ARE cur's last / next's
-    // first). Aggregates compose exactly.
+    // first). Counts and timestamps compose exactly; total_value composes
+    // exactly up to floating-point ASSOCIATIVITY — fragments are summed in
+    // start order, so a late event that bridges two already-summed
+    // fragments can yield a ULP-level difference vs the batch (q42)
+    // event-order sum. Making the order bit-identical would require
+    // carrying every raw event value in state (unbounded) — the contract
+    // is therefore "equal up to ULP"; exact-value equality in tests must
+    // use exactly-representable values (as StreamingSpec does).
     def mergeAdjacent(sorted: Seq[SessionSummary]): Seq[SessionSummary] =
       sorted.foldLeft(Vector.empty[SessionSummary]) { (acc, s) =>
         acc.lastOption match {

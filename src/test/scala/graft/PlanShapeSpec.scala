@@ -123,4 +123,28 @@ class PlanShapeSpec extends SparkSpec {
         s"allowed: $allowed\nreview each new site for scale safety, then " +
         "update the allowlist")
   }
+
+  /** Semantic companion to the source census above: the census is a text
+    * tripwire (a multiline `Window\n.orderBy`, an import rename, or a
+    * windowSpec builder would slip past it), so this gate checks the
+    * OPTIMIZED plans themselves — across the entire registered query
+    * surface, every Window with an empty partitionSpec must sit over a
+    * subtree containing an Aggregate (i.e. a provably small, already-
+    * aggregated relation), never over raw rows. */
+  test("optimized-plan gate: no unpartitioned Window over a non-aggregated child") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
+    val dir = sf("sf0.001")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        plan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty &&
+              w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+            s"$name: ${w.windowExpressions.map(_.name).mkString(",")}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over non-aggregated input in optimized plans:\n" +
+        offenders.mkString("\n"))
+  }
 }
