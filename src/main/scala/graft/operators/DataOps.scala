@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
@@ -284,6 +285,148 @@ object DataOps {
       val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
       val indexed = Ivf.index(emb, centroids)
       Ivf.knn(indexed, centroids, emb.filter($"vec_id" < 3), k = 5, nProbe = 4)
+    },
+
+    // Gopher-style repetition signals per document: the fraction of
+    // 2-gram occurrences claimed by the most frequent 2-gram, the
+    // fraction inside any repeated 2-gram, and the top-token fraction —
+    // the standard boilerplate/spam filters ahead of training. Exact
+    // integer ratios (one division, no float accumulation), computed via
+    // explode + two-level hash aggregation: shuffle is O(gram
+    // occurrences) with map-side partial counts, and nothing here is a
+    // per-document quadratic loop (HOF lambdas are interpreted — see
+    // Text.scala — so gram FREQUENCIES per row would be O(len²); the
+    // aggregation form stays linear and codegen'd).
+    "t11_repetition" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val toks = docs.select($"doc_id", Text.tokens($"text").as("__t"))
+      // non-distinct 2-grams (repetition needs occurrences; Text.shingles
+      // dedups, so build inline). sequence(1, size-1) is only valid for
+      // size >= 2 — Spark generates a DESCENDING sequence for 1..0.
+      val grams = toks.filter(size($"__t") >= 2)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"__t") - 1),
+          i => concat_ws(" ", slice($"__t", i, lit(2))))).as("gram"))
+      val gd = grams.groupBy($"doc_id", $"gram")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy($"doc_id")
+        .agg(sum($"__c").as("__gtot"), max($"__c").as("__gmx"),
+          sum(when($"__c" > 1, $"__c").otherwise(0L)).as("__gdup"))
+      val td = toks.select($"doc_id", explode($"__t").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("__c"))
+        .groupBy($"doc_id")
+        .agg(sum($"__c").as("__ttot"), max($"__c").as("__tmx"))
+      docs.select($"doc_id")
+        .join(gd, Seq("doc_id"), "left") // <2-token docs have no 2-grams
+        .join(td, Seq("doc_id"))         // every doc has >= 1 token
+        .select($"doc_id",
+          coalesce($"__gtot", lit(0L)).as("n_2grams"),
+          coalesce($"__gmx".cast("double") / $"__gtot", lit(0.0))
+            .as("top_2gram_frac"),
+          coalesce($"__gdup".cast("double") / $"__gtot", lit(0.0))
+            .as("dup_2gram_frac"),
+          ($"__tmx".cast("double") / $"__ttot").as("top_token_frac"))
+    },
+
+    // Per-document n-gram coverage: what fraction of a document's
+    // distinct trigram shingles also appear elsewhere in the corpus —
+    // the per-document "how much of me is boilerplate/near-dup" signal
+    // that complements the pairwise d02 view (a doc can be 90% covered
+    // without any single pair clearing a Jaccard threshold). One shuffle
+    // on shingle (window count, no self-join re-scan), one on doc.
+    "d09_ngram_coverage" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+      val perDoc = idx
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy($"shingle")))
+        .groupBy($"doc")
+        .agg(count(lit(1)).as("__n_sh"),
+          sum(when($"__df" >= 2, 1L).otherwise(0L)).as("__n_shared"))
+      docs.select($"doc_id")
+        .join(perDoc.withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"__n_sh", lit(0L)).as("n_shingles"),
+          coalesce($"__n_shared", lit(0L)).as("n_shared"),
+          coalesce($"__n_shared".cast("double") / $"__n_sh", lit(0.0))
+            .as("shared_frac"))
+    },
+
+    // Benchmark-contamination check: training documents sharing any
+    // distinct word-4-gram with the held-out benchmark split (doc_id %
+    // 53 == 0 stands in for the eval suite). The benchmark gram set is
+    // BROADCAST — at 100 TB the corpus side streams map-only through the
+    // semi-join, because an eval suite is fixed-size by construction;
+    // the corpus is never shuffled at all before the per-doc count.
+    "c01_contamination" -> { (s, d) =>
+      import s.implicits._
+      val idx = Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", 4)
+      val bench = idx.filter($"doc" % 53 === 0).select($"shingle").distinct()
+      val train = idx.filter($"doc" % 53 =!= 0)
+      val hits = train.join(broadcast(bench), Seq("shingle"), "left_semi")
+        .groupBy($"doc").agg(count(lit(1)).as("__n_hit"))
+      val sizes = train.groupBy($"doc").agg(count(lit(1)).as("__n_gr"))
+      hits.join(sizes, "doc")
+        .select($"doc".as("doc_id"),
+          $"__n_hit".as("n_contaminated"),
+          $"__n_gr".as("n_grams"),
+          ($"__n_hit".cast("double") / $"__n_gr").as("contamination_frac"))
+    },
+
+    // Sequence packing (concat-and-chunk): lay the corpus out as one
+    // global token stream in doc_id order, cut into fixed 512-token
+    // context windows, and report which chunks each document spans —
+    // the tokenizer-side layout step of a pretraining pipeline. The
+    // global running sum is TWO-PHASE (the q28 pattern): doc_id-range
+    // buckets (order-consistent because the bucket map is monotone in
+    // doc_id), per-bucket sums rolled into offsets over the ≤1024-row
+    // aggregate, then a per-bucket window — no global sort of the corpus
+    // at any scale. (Bucketing by id RANGE, not modulo: the cumulative
+    // sum needs bucket order to agree with doc order.)
+    "p01_pack_chunks" -> { (s, d) =>
+      import s.implicits._
+      val capacity = 512L
+      val nBuckets = 1024L
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", Text.tokenCount($"text").cast("long").as("n_tokens"))
+      val bounds = docs.agg(min($"doc_id").as("__lo"), max($"doc_id").as("__hi"))
+      val bucketed = docs.crossJoin(broadcast(bounds))
+        .withColumn("__b", floor(($"doc_id" - $"__lo") * lit(nBuckets) /
+          ($"__hi" - $"__lo" + 1)))
+        .drop("__lo", "__hi")
+      val counts = bucketed.groupBy($"__b").agg(sum($"n_tokens").as("__c"))
+      val wOff = Window.orderBy($"__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts // ≤1024 rows: over the bucket aggregate only
+        .withColumn("__off", coalesce(sum($"__c").over(wOff), lit(0L)))
+        .select($"__b", $"__off")
+      val wLocal = Window.partitionBy($"__b").orderBy($"doc_id")
+      bucketed
+        .withColumn("__lcum", sum($"n_tokens").over(wLocal))
+        .join(broadcast(offs), Seq("__b"))
+        .withColumn("__cum", $"__lcum" + $"__off")
+        // doc occupies token interval [cum - n, cum); chunk = floor(/cap)
+        // (exact: token totals sit far below 2^53)
+        .select($"doc_id", $"n_tokens",
+          floor(($"__cum" - $"n_tokens") / capacity).as("first_chunk"),
+          floor(($"__cum" - 1) / capacity).as("last_chunk"))
+        .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
+    },
+
+    // Embedding near-dup pairs through IVF cells — the scale path that
+    // replaces d06's intentional O(N²) oracle anchor as the default:
+    // multi-probe cell assignment + per-cell pair generation + exact
+    // cosine verify. No SQL oracle (candidate set is clustering-
+    // defined); recall vs d06's exact pairs is spec-gated.
+    "d10_semantic_pairs" -> { (s, d) =>
+      import s.implicits._
+      val vectors = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+      // nProbe=3 of 16 cells: 18.75% scan fraction per vector, measured
+      // recall vs d06 exact pairs 0.85-0.93 at all three SFs (spec-gated)
+      Dedup.semanticDupPairs(vectors, centroids, minCosSim = 0.45, nProbe = 3)
     }
   )
 
@@ -336,6 +479,71 @@ object DataOps {
 
   val oracleSql: Map[String, String] = Map(
     "t10_pii_scrub" -> piiSql,
+
+    // ratios are single divisions of exact integer counts — no float
+    // accumulation, so no decimal-cast dance needed on either side
+    "t11_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM toks WHERE len(t) >= 2),
+        |gc AS (SELECT doc_id, gram, COUNT(*) c FROM g GROUP BY 1, 2),
+        |gd AS (SELECT doc_id, SUM(c) tot, MAX(c) mx,
+        |    SUM(CASE WHEN c > 1 THEN c ELSE 0 END) dup FROM gc GROUP BY 1),
+        |tc AS (SELECT doc_id, tok, COUNT(*) c FROM
+        |    (SELECT doc_id, unnest(t) tok FROM toks) GROUP BY 1, 2),
+        |td AS (SELECT doc_id, SUM(c) tot, MAX(c) mx FROM tc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(gd.tot, 0) AS BIGINT) AS n_2grams,
+        |  COALESCE(gd.mx::DOUBLE / gd.tot, 0.0) AS top_2gram_frac,
+        |  COALESCE(gd.dup::DOUBLE / gd.tot, 0.0) AS dup_2gram_frac,
+        |  td.mx::DOUBLE / td.tot AS top_token_frac
+        |FROM documents d
+        |  LEFT JOIN gd ON d.doc_id = gd.doc_id
+        |  JOIN td ON d.doc_id = td.doc_id""".stripMargin,
+
+    "d09_ngram_coverage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |wd AS (SELECT doc, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh),
+        |pd AS (SELECT doc, COUNT(*) n_sh,
+        |    SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) n_shared
+        |  FROM wd GROUP BY doc)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_sh, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(n_shared::DOUBLE / n_sh, 0.0) AS shared_frac
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc""".stripMargin,
+
+    "c01_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+        |  FROM toks WHERE len(t) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
+        |train AS (SELECT * FROM g WHERE doc_id % 53 <> 0),
+        |hits AS (SELECT doc_id, COUNT(*) n_hit FROM train
+        |  WHERE gram IN (SELECT gram FROM bench) GROUP BY 1),
+        |sizes AS (SELECT doc_id, COUNT(*) n_gr FROM train GROUP BY 1)
+        |SELECT h.doc_id,
+        |  CAST(n_hit AS BIGINT) AS n_contaminated,
+        |  CAST(n_gr AS BIGINT) AS n_grams,
+        |  n_hit::DOUBLE / n_gr AS contamination_frac
+        |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id""".stripMargin,
+
+    "p01_pack_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST((cum - n) // 512 AS BIGINT) AS first_chunk,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
+        |  CAST((cum - 1) // 512 - (cum - n) // 512 + 1 AS BIGINT) AS n_chunks
+        |FROM c""".stripMargin,
 
     "e01_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

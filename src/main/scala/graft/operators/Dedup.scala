@@ -254,6 +254,50 @@ object Dedup {
       .drop("__norm")
   }
 
+  /** Embedding near-dup pairs via IVF cells — the SCALE path for the
+    * exact-quadratic cosine baseline (d06): candidate pairs only ever
+    * meet inside a k-means cell, so pair volume is bounded by cell
+    * occupancy, never corpus². Multi-probe assignment (each vector
+    * indexes into its `nProbe` nearest cells) recovers the near-dups
+    * that straddle a cell boundary — the standard IVF recall lever —
+    * at the cost of `nProbe`× index rows. Pairs are generated per cell
+    * through the shared posting-list machinery ([[bucketPairs]], star
+    * degradation on hot cells keeps a mega-cluster connected without
+    * quadratic blow-up), scored with the exact codegen'd cosine, and
+    * deduped on ids (a pair co-bucketed in two cells scores
+    * identically in both).
+    *
+    * `vectors` must be (vec_id, v: array<double>); `centroids` is
+    * [[Ivf.kmeans]] output. No SQL oracle (the candidate set is
+    * clustering-defined); recall vs the exact pairs is spec-gated. */
+  def semanticDupPairs(vectors: DataFrame, centroids: DataFrame,
+      minCosSim: Double, nProbe: Int = 2,
+      cellCap: Long = 100000L): DataFrame = {
+    import graft.functions.TopKPairs.top_k_pairs
+    val assigned = vectors.crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        graft.functions.VectorExprs.sq_dist_double($"v", $"centroid"))
+      .groupBy($"vec_id")
+      // nProbe nearest cells: partial-aggregating heap on (-dist, cell),
+      // never a per-vector window (the s01 rerank lesson)
+      .agg(top_k_pairs(-$"__d", $"cell", nProbe).as("__cells"),
+        first($"v").as("v")) // v is constant per vec_id
+      // norm once per vector, never per pair
+      .withColumn("__nrm", Similarity.norm($"v"))
+      .select($"vec_id", $"v", $"__nrm",
+        explode($"__cells.id".cast("array<int>")).as("cell"))
+    // payload sorts by its leading field (vec_id, unique) → a < b by id
+    val pairs = bucketPairs(assigned, Seq("cell"),
+      struct($"vec_id", $"__nrm", $"v"), cap = cellCap, starHot = true)
+    pairs
+      .withColumn("cos_sim",
+        round(Similarity.dot($"a.v", $"b.v") / ($"a.__nrm" * $"b.__nrm"), 6))
+      .filter($"cos_sim" >= minCosSim)
+      // id-keyed dedupe (never .distinct() over vector payloads)
+      .groupBy($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .agg(max($"cos_sim").as("cos_sim"))
+  }
+
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -117,7 +117,10 @@ class PlanShapeSpec extends SparkSpec {
       "src/main/scala/graft/operators/Relational.scala" -> 1,
       // q28 offs (≤257-row bucket-count aggregate) and q48 rank/dense_rank
       // (groupBy(l_quantity) — ≤ 50 rows): both over aggregated relations
-      "src/main/scala/graft/operators/Extended.scala" -> 2)
+      "src/main/scala/graft/operators/Extended.scala" -> 2,
+      // p01 offs: cumulative bucket offsets over the ≤1024-row per-bucket
+      // token-sum aggregate (the q28 two-phase pattern)
+      "src/main/scala/graft/operators/DataOps.scala" -> 1)
     assert(offenders == allowed,
       s"unpartitioned Window.orderBy census changed.\nfound:   $offenders\n" +
         s"allowed: $allowed\nreview each new site for scale safety, then " +
