@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.etl.expressions.{PyEventsArray, PyLiteralToJson}
-import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, SearchSortedDouble, SqDistDouble, TopKDouble, TopKPairs}
+import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs}
 
 /** Session extension registering the engine's native surface:
   *
@@ -111,6 +111,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "array_pairs(xs) takes exactly one argument")
         ArrayPairs(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "token_shingles(text, n [, distinct]) takes two or three arguments")
+        val dist = if (args.length < 3) true else args(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"token_shingles: third argument must be a boolean literal, got $other")
+        }
+        TokenShingles(args.head, intArg(args(1), "token_shingles"), dist)
       }))
   }
 }

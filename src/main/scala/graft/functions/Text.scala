@@ -130,12 +130,18 @@ object Text {
     regexp_replace(scrubEmails(c), PhonePattern, "<phone>")
 
   /** Token n-gram shingles (distinct), the unit of near-dup comparison.
-    * Documents shorter than n tokens yield an empty set. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    array_distinct(when(size(toks) >= n, grams)
-      .otherwise(array().cast("array<string>")))
-  }
+    * Documents shorter than n tokens yield an empty set; NULL text too
+    * (parity with the original HOF form, whose `when` fell through to
+    * the empty-array branch on a null size). Backed by the native
+    * [[TokenShingles]] expression — the HOF form interpreted its
+    * lambdas per gram, which made shingling the hot loop under the
+    * whole near-dup family. */
+  def shingles(c: Column, n: Int): Column =
+    coalesce(TokenShingles.token_shingles(c, n),
+      array().cast("array<string>"))
+
+  /** Non-distinct token n-gram occurrences (repetition statistics). */
+  def ngrams(c: Column, n: Int): Column =
+    coalesce(TokenShingles.token_ngrams(c, n),
+      array().cast("array<string>"))
 }

@@ -300,20 +300,17 @@ object DataOps {
     "t11_repetition" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val toks = docs.select($"doc_id", Text.tokens($"text").as("__t"))
-      // non-distinct 2-grams (repetition needs occurrences; Text.shingles
-      // dedups, so build inline). sequence(1, size-1) is only valid for
-      // size >= 2 — Spark generates a DESCENDING sequence for 1..0.
-      val grams = toks.filter(size($"__t") >= 2)
-        .select($"doc_id", explode(transform(
-          sequence(lit(1), size($"__t") - 1),
-          i => concat_ws(" ", slice($"__t", i, lit(2))))).as("gram"))
+      // non-distinct 2-grams (repetition needs occurrences, so
+      // Text.ngrams, not the deduping Text.shingles); explode drops
+      // <2-token docs via their empty gram array
+      val grams = docs.select($"doc_id",
+        explode(Text.ngrams($"text", 2)).as("gram"))
       val gd = grams.groupBy($"doc_id", $"gram")
         .agg(count(lit(1)).as("__c"))
         .groupBy($"doc_id")
         .agg(sum($"__c").as("__gtot"), max($"__c").as("__gmx"),
           sum(when($"__c" > 1, $"__c").otherwise(0L)).as("__gdup"))
-      val td = toks.select($"doc_id", explode($"__t").as("tok"))
+      val td = docs.select($"doc_id", explode(Text.tokens($"text")).as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("__c"))
         .groupBy($"doc_id")
         .agg(sum($"__c").as("__ttot"), max($"__c").as("__tmx"))
@@ -363,13 +360,20 @@ object DataOps {
       import s.implicits._
       val idx = Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", 4)
       val bench = idx.filter($"doc" % 53 === 0).select($"shingle").distinct()
-      val train = idx.filter($"doc" % 53 =!= 0)
-      val hits = train.join(broadcast(bench), Seq("shingle"), "left_semi")
-        .groupBy($"doc").agg(count(lit(1)).as("__n_hit"))
-      val sizes = train.groupBy($"doc").agg(count(lit(1)).as("__n_gr"))
-      hits.join(sizes, "doc")
+        .withColumn("__hit", lit(1))
+      // ONE pass over the train grams: the broadcast left join marks
+      // benchmark grams in place, so gram totals and hit counts come out
+      // of the same map-side-partial aggregation (a semi-join + separate
+      // sizes aggregation would scan the exploded index twice)
+      Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", 4)
+        .filter($"doc" % 53 =!= 0)
+        .join(broadcast(bench), Seq("shingle"), "left")
+        .groupBy($"doc")
+        .agg(count(lit(1)).as("__n_gr"),
+          sum(coalesce($"__hit", lit(0))).as("__n_hit"))
+        .filter($"__n_hit" > 0)
         .select($"doc".as("doc_id"),
-          $"__n_hit".as("n_contaminated"),
+          $"__n_hit".cast("long").as("n_contaminated"),
           $"__n_gr".as("n_grams"),
           ($"__n_hit".cast("double") / $"__n_gr").as("contamination_frac"))
     },

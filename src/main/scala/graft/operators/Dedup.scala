@@ -286,6 +286,14 @@ object Dedup {
       .withColumn("__nrm", Similarity.norm($"v"))
       .select($"vec_id", $"v", $"__nrm",
         explode($"__cells.id".cast("array<int>")).as("cell"))
+      // EAGER materialization: the pair machinery below consumes this
+      // relation three times (bucket stats, the gated collect, the hot
+      // path) with three DIFFERENT plans — ReuseExchange cannot dedupe
+      // them, and each re-evaluation would redo the centroid cross join
+      // + heap assignment (measured 6.8s → 3.3s at sf0.1). In a
+      // persisted deployment the assignment IS the inverted file on
+      // parquet (Ivf.writeIndex) and this checkpoint disappears.
+      .localCheckpoint(true)
     // payload sorts by its leading field (vec_id, unique) → a < b by id
     val pairs = bucketPairs(assigned, Seq("cell"),
       struct($"vec_id", $"__nrm", $"v"), cap = cellCap, starHot = true)

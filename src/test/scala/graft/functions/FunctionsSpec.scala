@@ -112,6 +112,56 @@ class FunctionsSpec extends SparkSpec {
     assert(df.filter($"native" === $"hof").count() === docs.length)
   }
 
+  test("token_shingles ≡ the HOF transform/slice/distinct form, edge cases included") {
+    // edge inventory: empty string (one empty token), single token, exact-n,
+    // doubled/leading/trailing spaces (EMPTY tokens are real tokens),
+    // repeats (distinct order = first occurrence), unicode
+    val docs = Seq("", "one", "a b", "a b c d e", "a  b", " a b ",
+      "x y x y x y", "héllo wörld tokens ünïcode", ("tok " * 500).trim)
+    for (n <- Seq(1, 2, 3)) {
+      val df = docs.toDF("t").select(
+        TokenShingles.token_shingles($"t", n).as("native"),
+        TokenShingles.token_ngrams($"t", n).as("native_all"),
+        {
+          val toks = split($"t", " ")
+          val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))
+          array_distinct(when(size(toks) >= n, grams)
+            .otherwise(array().cast("array<string>")))
+        }.as("hof"),
+        {
+          val toks = split($"t", " ")
+          when(size(toks) >= n, transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+            .otherwise(array().cast("array<string>"))
+        }.as("hof_all"))
+      assert(df.filter($"native" =!= $"hof" || $"native_all" =!= $"hof_all")
+        .isEmpty, s"n=$n mismatch vs HOF form")
+      assert(df.count() === docs.length)
+    }
+    // null text: expression yields null; Text.shingles coalesces to empty
+    val nullDf = Seq((1L, null: String)).toDF("id", "t")
+    assert(nullDf.select(TokenShingles.token_shingles($"t", 2).as("s"))
+      .filter($"s".isNull).count() === 1)
+    assert(nullDf.select(Text.shingles($"t", 2).as("s"))
+      .filter(size($"s") === 0).count() === 1)
+  }
+
+  test("token_shingles on the real corpus matches the HOF shingle set") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cmp = docs.select(
+      TokenShingles.token_shingles($"text", 3).as("native"),
+      {
+        val toks = split($"text", " ")
+        val grams = transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3))))
+        array_distinct(when(size(toks) >= 3, grams)
+          .otherwise(array().cast("array<string>")))
+      }.as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").isEmpty)
+    assert(cmp.count() === 500)
+  }
+
   test("vector folds null out length-mismatched (corrupt) vectors") {
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
       .toDF("a", "b")
