@@ -418,6 +418,45 @@ object DataOps {
         .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
     },
 
+    // The corpus-cleaning decision table — the capstone that composes the
+    // text-quality family the way a production pretraining pipeline does:
+    // per document, one boolean per filter stage plus the final keep flag.
+    //   lang_pass:       marker-langid prediction matches the labeled lang
+    //                    (unsupported languages fail, by design)
+    //   quality_pass:    t02's length + distinct-token-ratio gate
+    //   repetition_pass: top-2-gram fraction <= 0.1 (boilerplate/spam tail)
+    //   pii_pass:        no email/phone matches (t10's recall-first regexes)
+    //   dedup_pass:      exact-dup keeper (min doc_id per content digest —
+    //                    digest-partitioned window, shuffle O(rows))
+    // Everything is one scan + one 2-gram aggregation join + one digest
+    // window; all thresholds compare exact integer ratios, so the DuckDB
+    // oracle agrees bit-for-bit.
+    "t12_clean_report" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val rep = docs.select($"doc_id",
+          explode(Text.ngrams($"text", 2)).as("gram"))
+        .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("__c"))
+        .groupBy($"doc_id")
+        .agg((max($"__c").cast("double") / sum($"__c")).as("__top2"))
+      docs
+        .join(rep, Seq("doc_id"), "left") // <2-token docs: no grams → pass
+        .withColumn("__keeper",
+          min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        .select($"doc_id",
+          (Text.langId($"text") === $"lang").as("lang_pass"),
+          (Text.tokenCount($"text") >= 5 &&
+            Text.distinctTokenRatio($"text") >= 0.2).as("quality_pass"),
+          (coalesce($"__top2", lit(0.0)) <= 0.1).as("repetition_pass"),
+          ((regexp_count($"text", lit(Text.EmailPattern)) +
+            regexp_count(Text.scrubEmails($"text"),
+              lit(Text.PhonePattern))) === 0).as("pii_pass"),
+          ($"doc_id" === $"__keeper").as("dedup_pass"))
+        .withColumn("keep",
+          $"lang_pass" && $"quality_pass" && $"repetition_pass" &&
+            $"pii_pass" && $"dedup_pass")
+    },
+
     // Embedding near-dup pairs through IVF cells — the scale path that
     // replaces d06's intentional O(N²) oracle anchor as the default:
     // multi-probe cell assignment + per-cell pair generation + exact
@@ -481,8 +520,46 @@ object DataOps {
        |FROM documents""".stripMargin
   }
 
+  // the clean-report oracle reuses the generated language CASE and the
+  // shared PII pattern constants — the sides cannot drift (t03/t10
+  // convention); thresholds compare exact integer ratios on both sides
+  private def cleanReportSql = {
+    val em = graft.functions.Text.EmailPattern
+    val ph = graft.functions.Text.PhonePattern
+    s"""WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') t
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS gram
+       |  FROM toks WHERE len(t) >= 2),
+       |gc AS (SELECT doc_id, gram, COUNT(*) c FROM g GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) top2 FROM gc GROUP BY 1),
+       |base AS (SELECT doc_id, lang, text, t,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM toks)
+       |SELECT b.doc_id,
+       |  ($langCaseSql) = b.lang AS lang_pass,
+       |  (len(t) >= 5 AND
+       |   len(list_distinct(t))::DOUBLE / len(t) >= 0.2) AS quality_pass,
+       |  COALESCE(rep.top2, 0.0) <= 0.1 AS repetition_pass,
+       |  (len(regexp_extract_all(text, '$em')) +
+       |   len(regexp_extract_all(
+       |     regexp_replace(text, '$em', '<email>', 'g'), '$ph')) = 0)
+       |    AS pii_pass,
+       |  b.doc_id = b.keeper AS dedup_pass,
+       |  (($langCaseSql) = b.lang AND
+       |   (len(t) >= 5 AND
+       |    len(list_distinct(t))::DOUBLE / len(t) >= 0.2) AND
+       |   COALESCE(rep.top2, 0.0) <= 0.1 AND
+       |   (len(regexp_extract_all(text, '$em')) +
+       |    len(regexp_extract_all(
+       |      regexp_replace(text, '$em', '<email>', 'g'), '$ph')) = 0) AND
+       |   b.doc_id = b.keeper) AS keep
+       |FROM base b LEFT JOIN rep ON b.doc_id = rep.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "t10_pii_scrub" -> piiSql,
+    "t12_clean_report" -> cleanReportSql,
 
     // ratios are single divisions of exact integer counts — no float
     // accumulation, so no decimal-cast dance needed on either side
