@@ -418,6 +418,18 @@ object DataOps {
         .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
     },
 
+    // Incremental dedup: the per-ingest join — a new crawl batch
+    // (doc_id % 7 == 0 stands in for it) against the kept corpus plus
+    // itself. Old×old pairs are never generated; old-only shingle
+    // buckets are never even collected.
+    "d11_incremental_pairs" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("is_new", $"doc_id" % 7 === 0)
+        .transform(df => Dedup.incrementalJaccardPairs(df, "doc_id", "text",
+          "is_new", n = 3, minJaccard = 0.05, maxDocFreq = 1000L))
+    },
+
     // The corpus-cleaning decision table — the capstone that composes the
     // text-quality family the way a production pretraining pipeline does:
     // per document, one boolean per filter stage plus the final keep flag.
@@ -560,6 +572,31 @@ object DataOps {
   val oracleSql: Map[String, String] = Map(
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
+
+    "d11_incremental_pairs" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 7 = 0 AS is_new,
+        |    string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc, is_new,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, is_new, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |    a.is_new AS new_a, b.is_new AS new_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  WHERE a.is_new OR b.is_new
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, new_a, new_b, n_common,
+        |  sa.n_sh AS size_a, sb.n_sh AS size_b,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        |  >= 0.05""".stripMargin,
 
     // ratios are single divisions of exact integer counts — no float
     // accumulation, so no decimal-cast dance needed on either side

@@ -254,6 +254,61 @@ object Dedup {
       .drop("__norm")
   }
 
+  /** Incremental near-dup pairs: a NEW batch (crawl increment) against
+    * the already-kept corpus plus itself — the join a production dedup
+    * pipeline actually runs per ingest, where re-pairing the full corpus
+    * against itself every batch would be quadratic in corpus AGE, not
+    * batch size.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]], with two
+    * incremental gates: only shingles observed in at least one NEW
+    * document activate a posting list (old-only buckets — the vast
+    * majority at steady state — are never collected), and generated
+    * pairs keep only new×old and new×new combinations. `maxDocFreq`
+    * keeps d02's stop-shingle drop semantics, counted over the WHOLE
+    * relation (old + new) so a shingle does not regain signal just
+    * because the batch is small. Jaccard is exact over both documents'
+    * full shingle sets.
+    *
+    * `isNewCol` is a boolean column on `df` marking the batch side.
+    * Output adds `new_a`/`new_b` so downstream can route new×old hits
+    * (drop the new doc) separately from new×new clusters. */
+  def incrementalJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      isNewCol: String, n: Int, minJaccard: Double,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val idx = df.select(col(idCol).as("doc"), col(isNewCol).as("__new"),
+      explode(Text.shingles(col(textCol), n)).as("shingle"))
+    val sizes = idx.groupBy($"doc").agg(count(lit(1)).as("n_shingles"))
+    // bucket gate: 2..cap members AND at least one new doc (the stats
+    // pass precedes any posting-list materialization, as in bucketPairs)
+    val active = idx.groupBy($"shingle")
+      .agg(count(lit(1)).as("__n"), max($"__new").as("__has_new"))
+      .filter($"__n" >= 2 && $"__n" <= maxDocFreq && $"__has_new")
+      .select($"shingle")
+    val pairs = idx
+      .join(active.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      .groupBy($"shingle")
+      .agg(array_sort(collect_list(struct($"doc", $"__new"))).as("__ps"))
+      .select(graft.functions.ArrayPairs.array_pairs($"__ps").as(Seq("a", "b")))
+      .filter($"a.__new" || $"b.__new") // old×old never leaves the bucket
+      .select($"a.doc".as("doc_a"), $"b.doc".as("doc_b"),
+        $"a.__new".as("new_a"), $"b.__new".as("new_b"))
+    val common = pairs
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        first($"new_a").as("new_a"), first($"new_b").as("new_b"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard", $"n_common".cast("double") /
+        ($"size_a" + $"size_b" - $"n_common").cast("double"))
+      .filter($"jaccard" >= minJaccard)
+      .select($"doc_a", $"doc_b", $"new_a", $"new_b", $"n_common",
+        $"size_a", $"size_b", $"jaccard")
+  }
+
   /** Embedding near-dup pairs via IVF cells — the SCALE path for the
     * exact-quadratic cosine baseline (d06): candidate pairs only ever
     * meet inside a k-means cell, so pair volume is bounded by cell

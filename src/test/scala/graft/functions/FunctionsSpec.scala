@@ -162,6 +162,33 @@ class FunctionsSpec extends SparkSpec {
     assert(cmp.count() === 500)
   }
 
+  test("token_shingles property: matches the sliding-window reference on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // alphabet stresses the split semantics: doubled/leading/trailing
+    // spaces (empty tokens), unicode, repeats that exercise distinct
+    val textGen = Gen.listOf(Gen.oneOf("a", "bb", "é", "日本", "", " "))
+      .map(_.mkString(" "))
+    val nGen = Gen.choose(1, 4)
+    val prop = Prop.forAll(textGen, nGen) { (t: String, n: Int) =>
+      def ref(distinct: Boolean): Seq[String] = {
+        val toks = t.split(" ", -1).toSeq
+        val grams =
+          if (toks.length < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        if (distinct) grams.distinct else grams
+      }
+      def native(distinct: Boolean): Seq[String] =
+        TokenShingles.compute(UTF8String.fromString(t), n, distinct)
+          .array.map(_.toString).toSeq
+      native(distinct = true) == ref(distinct = true) &&
+        native(distinct = false) == ref(distinct = false)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("vector folds null out length-mismatched (corrupt) vectors") {
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
       .toDF("a", "b")

@@ -302,6 +302,31 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("d11 incremental pairs = d02 pairs touching the new batch, never old×old") {
+    // the incremental join must agree exactly with the full-corpus d02
+    // result restricted to pairs with >= 1 new side — same shingles, same
+    // stop-shingle cap, same exact Jaccard — and emit nothing else
+    val full = DataOps.queries("d02_jaccard_pairs")(spark, sf("sf0.01"))
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inc = DataOps.queries("d11_incremental_pairs")(spark, sf("sf0.01"))
+      .collect()
+    assert(inc.nonEmpty, "some planted near-dup pair must touch the batch")
+    inc.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(r.getAs[Boolean]("new_a") || r.getAs[Boolean]("new_b"),
+        s"old×old pair ($a,$b) leaked through the incremental gate")
+      assert(r.getAs[Boolean]("new_a") === (a % 7 == 0))
+      assert(r.getAs[Boolean]("new_b") === (b % 7 == 0))
+      assert(full.get((a, b)).contains(r.getAs[Double]("jaccard")),
+        s"pair ($a,$b) disagrees with the full d02 join")
+    }
+    val expected = full.keys.filter { case (a, b) => a % 7 == 0 || b % 7 == 0 }
+    assert(inc.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet === expected.toSet,
+      "incremental result must cover every full-join pair touching the batch")
+  }
+
   test("brute-force knn is symmetric-sane: top neighbor of a near-clone") {
     // cosine of a vector with itself is 1; probes exclude self so the top
     // neighbor of probe 0 must have sim < 1 but the rank-1 row must exist
