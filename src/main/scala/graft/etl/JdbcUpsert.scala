@@ -52,6 +52,36 @@ object JdbcUpsert {
       s"INSERT INTO $table ($colList) SELECT $colList FROM $staging")
   }
 
+  /** Server-side MERGE promotion — one statement instead of
+    * delete+insert, for dialects that support it (Postgres 15+, Derby
+    * 10.11+; standard SQL:2003 syntax).
+    *
+    * CONTRACT: the staged batch must hold AT MOST ONE row per key
+    * (including at most one null-key row) — MERGE is row-to-row, so a
+    * key with several staged rows would either error ("cannot affect
+    * row a second time") or silently lose the group semantics the
+    * delete+insert path gives multi-row-per-key tables (events). Use it
+    * for keep-last-deduped single-row-per-key batches (tracking); the
+    * delete+insert promotion remains the general path.
+    *
+    * The ON clause pairs null keys explicitly: a bare `t.k = s.k` never
+    * matches NULL (UNKNOWN), which would re-insert the null-key row on
+    * every replay — the same trap the second DELETE in [[promotionSql]]
+    * exists for. */
+  private[etl] def mergePromotionSql(table: String, staging: String,
+      keyCol: String, cols: Seq[String]): String = {
+    val k = q(keyCol)
+    val others = cols.filterNot(_ == keyCol)
+    require(others.nonEmpty, "MERGE needs at least one non-key column to SET")
+    val setList = others.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+    val colList = cols.map(q).mkString(", ")
+    val valList = cols.map(c => s"s.${q(c)}").mkString(", ")
+    s"MERGE INTO $table t USING $staging s " +
+      s"ON (t.$k = s.$k OR (t.$k IS NULL AND s.$k IS NULL)) " +
+      s"WHEN MATCHED THEN UPDATE SET $setList " +
+      s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($valList)"
+  }
+
   /** S4 create-if-absent statement (standard form + the fallback for
     * engines that reject WITH NO DATA in CTAS). */
   private[etl] def createCloneSql(table: String, staging: String): String =
@@ -95,7 +125,8 @@ object JdbcUpsert {
   def upsert(df: DataFrame, url: String, table: String, keyCol: String,
       props: Properties = new Properties(),
       numStagingPartitions: Int = 0,
-      createTableColumnTypes: Option[String] = None): Unit = {
+      createTableColumnTypes: Option[String] = None,
+      useMerge: Boolean = false): Unit = {
     ensureDialect(url)
     val staging = table + "_staging"
     val toWrite = if (numStagingPartitions > 0) df.repartition(numStagingPartitions) else df
@@ -114,9 +145,15 @@ object JdbcUpsert {
       // NULL keys never match an IN-list (NULL IN (...) is UNKNOWN), so
       // replay would re-insert them forever; the second statement gives
       // the null-key group the same latest-batch-wins semantics.
-      try promotionSql(table, staging, keyCol, df.columns.toSeq)
-        .foreach(st.executeUpdate)
-      finally st.close()
+      // useMerge: single server-side MERGE — see mergePromotionSql's
+      // unique-key-per-batch contract before opting in.
+      try {
+        if (useMerge)
+          st.executeUpdate(
+            mergePromotionSql(table, staging, keyCol, df.columns.toSeq))
+        else promotionSql(table, staging, keyCol, df.columns.toSeq)
+          .foreach(st.executeUpdate)
+      } finally st.close()
       conn.commit()
       val st2 = conn.createStatement()
       try st2.executeUpdate(s"DROP TABLE $staging") finally st2.close()

@@ -66,6 +66,32 @@ class JdbcUpsertSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("MERGE promotion: latest-batch-wins, idempotent replay, null key — executed on Derby") {
+    // Derby implements SQL:2003 MERGE (10.11+), so the merge path runs
+    // for real here, not just as a pinned string: same three sink
+    // properties as delete+insert, on unique-key-per-batch input
+    val t = "merge_test"
+    val batch1 = Seq((Option("k1"), "v1"), (Option("k2"), "v1"),
+      (Option.empty[String], "vn1")).toDF("oid__id", "payload")
+    JdbcUpsert.upsert(batch1, url, t, "oid__id",
+      createTableColumnTypes = colTypes, useMerge = true)
+    assert(tableRows(t) === Map("k1" -> "v1", "k2" -> "v1", (null: String) -> "vn1"))
+
+    // overlap: k2 replaced, k3 added, the null-key row replaced not duped
+    val batch2 = Seq((Option("k2"), "v2"), (Option("k3"), "v2"),
+      (Option.empty[String], "vn2")).toDF("oid__id", "payload")
+    JdbcUpsert.upsert(batch2, url, t, "oid__id",
+      createTableColumnTypes = colTypes, useMerge = true)
+    assert(tableRows(t) ===
+      Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v2", (null: String) -> "vn2"))
+
+    // idempotent replay
+    JdbcUpsert.upsert(batch2, url, t, "oid__id",
+      createTableColumnTypes = colTypes, useMerge = true)
+    assert(tableRows(t) ===
+      Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v2", (null: String) -> "vn2"))
+  }
+
   test("reading back via JDBC pushes filters into the database") {
     val t = "pushdown_test"
     val df = Seq(("k1", "a.csv"), ("k2", "b.csv"), ("k3", "c.csv"))
