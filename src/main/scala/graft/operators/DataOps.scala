@@ -20,6 +20,19 @@ object DataOps {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** e02's Rademacher projection matrix: sign(i, j) from the parity of
+    * md5("i_j")'s first byte — deterministic, engine-independent, and
+    * generated ONCE here for both the Spark literals and the oracle SQL. */
+  private[operators] val ProjK = 8
+  private[operators] val ProjDim = 64
+  private[operators] def projRow(j: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(ProjDim) { i =>
+      val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + per-document length stats.
     "t01_token_stats" -> { (s, d) =>
@@ -418,6 +431,30 @@ object DataOps {
         .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
     },
 
+    // Unigram language-model scoring (the CCNet-style quality filter):
+    // score each document by the mean log-probability of its tokens under
+    // the corpus unigram distribution — low scores flag gibberish /
+    // out-of-domain text. Corpus totals ride a broadcast 1-row aggregate
+    // (lazy, q19 pattern); the per-token ln is rounded to 6 dp BEFORE the
+    // decimal-cast sum so parallel accumulation order and libm last-ulp
+    // differences cannot leak into the result (t06/dsum conventions).
+    "t13_unigram_logprob" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tokens = docs.select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      val freqs = tokens.groupBy($"tok").agg(count(lit(1)).as("__tf"))
+      val total = tokens.agg(count(lit(1)).cast("double").as("__n"))
+      tokens
+        .join(freqs.hint("shuffle_hash"), "tok") // vocab ~ corpus-sized: no broadcast
+        .crossJoin(broadcast(total))
+        .select($"doc_id",
+          round(log($"__tf" / $"__n"), 6).as("__logp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum($"__logp".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_logprob"))
+    },
+
     // Incremental dedup: the per-ingest join — a new crawl batch
     // (doc_id % 7 == 0 stands in for it) against the kept corpus plus
     // itself. Old×old pairs are never generated; old-only shingle
@@ -428,6 +465,25 @@ object DataOps {
         .withColumn("is_new", $"doc_id" % 7 === 0)
         .transform(df => Dedup.incrementalJaccardPairs(df, "doc_id", "text",
           "is_new", n = 3, minJaccard = 0.05, maxDocFreq = 1000L))
+    },
+
+    // Johnson-Lindenstrauss random projection 64 → 8 dims — the
+    // dimensionality-reduction step ahead of sketching/ANN at scale
+    // (ship 8 doubles instead of 64 floats into downstream index
+    // builds). The Rademacher sign matrix is derived from MD5 parity by
+    // ONE Scala function and inlined as literals into both the Spark
+    // plan and the generated oracle SQL (langid convention: the sides
+    // cannot drift); each output lane is a single codegen'd dot product
+    // against a 64-element constant, rounded at 6 dp.
+    "e02_random_projection" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      val lanes = (0 until ProjK).map { j =>
+        round(graft.functions.VectorExprs.dot_double(
+          $"v", typedLit(projRow(j))), 6).as(s"p$j")
+      }
+      e.select($"vec_id" +: lanes: _*)
     },
 
     // The corpus-cleaning decision table — the capstone that composes the
@@ -569,9 +625,34 @@ object DataOps {
        |FROM base b LEFT JOIN rep ON b.doc_id = rep.doc_id""".stripMargin
   }
 
+  // generated from the SAME projRow constants the Spark plan inlines
+  private def randomProjectionSql = {
+    val lanes = (0 until ProjK).map { j =>
+      val arr = projRow(j).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"round(list_dot_product(v, $arr), 6) AS p$j"
+    }.mkString(",\n|  ")
+    s"""SELECT vec_id,
+       |  $lanes
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
+      .stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
+    "e02_random_projection" -> randomProjectionSql,
+
+    "t13_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+        |n AS (SELECT COUNT(*)::DOUBLE AS n FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CAST(round(ln(tf / n.n), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*) AS avg_logprob
+        |FROM tok JOIN f USING (tok) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
 
     "d11_incremental_pairs" ->
       """WITH toks AS (SELECT doc_id, doc_id % 7 = 0 AS is_new,

