@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.etl.expressions.{PyEventsArray, PyLiteralToJson}
-import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs}
+import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs, VectorMeanDecimal}
 
 /** Session extension registering the engine's native surface:
   *
@@ -111,6 +111,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "array_pairs(xs) takes exactly one argument")
         ArrayPairs(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("vector_mean"),
+      new ExpressionInfo(classOf[VectorMeanDecimal].getName, "vector_mean"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vector_mean(v) takes exactly one argument")
+        VectorMeanDecimal(args.head).toAggregateExpression()
       }))
 
     ext.injectFunction((

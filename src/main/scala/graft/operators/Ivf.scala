@@ -45,7 +45,13 @@ object Ivf {
       .select(col("vec_id"), col("v"), col("__m.cell").as("cell"))
 
   /** Lloyd's k-means with deterministic init (first `nCells` vectors by
-    * id). Fixed iteration count; per-dimension means are decimal-exact. */
+    * id). Fixed iteration count; per-dimension means are decimal-exact
+    * via the [[graft.functions.VectorMeanDecimal]] aggregate — whole
+    * vectors partial-aggregate map-side, so the per-iteration shuffle
+    * ships one (count, sums) buffer per (partition, cell) instead of the
+    * corpus×dim posexplode rows the groupBy(cell, dim) formulation moved
+    * (a 64× inflation at our embedding width, and the reason k-means at
+    * full corpus scale would otherwise be trained on a sample only). */
   def kmeans(vectors: DataFrame, nCells: Int, iterations: Int = 5): DataFrame = {
     // NB: a cell that loses all members drops out of the means (standard
     // Lloyd's behavior) — callers get ≤ nCells centroids back.
@@ -55,13 +61,8 @@ object Ivf {
     for (_ <- 1 to iterations) {
       val assigned = assign(vectors, centroids)
       val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg((sum(col("x").cast("decimal(38,20)")) / count(lit(1)))
-          .cast("double").as("m"))
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+        .agg(graft.functions.VectorMean.vector_mean(col("v")).as("centroid"))
       centroids = means.localCheckpoint(true)
     }
     centroids

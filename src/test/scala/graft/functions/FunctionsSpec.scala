@@ -189,6 +189,47 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("vector_mean ≡ posexplode decimal mean, invariant under repartitioning") {
+    import graft.functions.VectorMean.vector_mean
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(($"vec_id" % 7).as("g"),
+        graft.operators.Similarity.toDouble($"embedding").as("v"))
+    def collectMeans(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val native = collectMeans(
+      vecs.groupBy($"g").agg(vector_mean($"v").as("m")))
+    // reference: the posexplode + decimal-sum formulation it replaces
+    val ref = collectMeans(vecs
+      .select($"g", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"g", $"dim")
+      .agg((sum($"x".cast("decimal(38,20)")) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy($"g")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        s => s.getField("m")).as("m")))
+    assert(native.keySet === ref.keySet)
+    native.foreach { case (g, m) =>
+      m.zip(ref(g)).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-12, s"group $g dim $i: $a vs $b")
+      }
+    }
+    // partitioning invariance (the property a double mean does NOT have)
+    val repart = collectMeans(vecs.repartition(13)
+      .groupBy($"g").agg(vector_mean($"v").as("m")))
+    assert(repart === native, "means must be bit-identical under repartitioning")
+    // null vectors skipped; all-null group is null; mixed dims throw
+    val withNull = Seq((1L, Seq(1.0, 3.0)), (1L, null: Seq[Double]),
+      (2L, null: Seq[Double])).toDF("g", "v")
+    val rows = withNull.groupBy($"g").agg(vector_mean($"v").as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(rows(1L).get === Seq(1.0, 3.0))
+    assert(rows(2L).isEmpty)
+    val mixed = Seq((1L, Seq(1.0)), (1L, Seq(1.0, 2.0))).toDF("g", "v")
+    intercept[org.apache.spark.SparkException] {
+      mixed.groupBy($"g").agg(vector_mean($"v").as("m")).collect()
+    }
+  }
+
   test("vector folds null out length-mismatched (corrupt) vectors") {
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
       .toDF("a", "b")
