@@ -20,6 +20,11 @@ object DataOps {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** t14's BPE-ish pre-tokenizer split: letter runs, single digits
+    * (GPT-2 style — numbers merge from digit pieces), punctuation runs.
+    * Explicit classes only — identical under Java regex and RE2. */
+  private[operators] val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
   /** e02's Rademacher projection matrix: sign(i, j) from the parity of
     * md5("i_j")'s first byte — deterministic, engine-independent, and
     * generated ONCE here for both the Spark literals and the oracle SQL. */
@@ -431,6 +436,21 @@ object DataOps {
         .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
     },
 
+    // BPE-style pre-tokenization stats: the GPT-2-ish pre-tokenizer split
+    // (letter runs | single digits | punctuation runs) that BPE merges
+    // start from — the token-budget estimate a pipeline uses BEFORE
+    // running the real tokenizer. The pattern spells every class out
+    // (no \w, no \s): Java and RE2 read those differently (the t08
+    // lesson), and the pieces must match the DuckDB oracle exactly.
+    "t14_bpe_tokens" -> { (s, d) =>
+      import s.implicits._
+      val pieces = regexp_extract_all($"text", lit(BpePattern), lit(0))
+      Tables.documents(s, d).select($"doc_id",
+        size(pieces).as("n_pieces"),
+        size(array_distinct(pieces)).as("n_distinct_pieces"),
+        (length($"text").cast("double") / size(pieces)).as("chars_per_piece"))
+    },
+
     // Unigram language-model scoring (the CCNet-style quality filter):
     // score each document by the mean log-probability of its tokens under
     // the corpus unigram distribution — low scores flag gibberish /
@@ -642,6 +662,15 @@ object DataOps {
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
+
+    "t14_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$BpePattern')) AS n_pieces,
+         |  len(list_distinct(regexp_extract_all(text, '$BpePattern')))
+         |    AS n_distinct_pieces,
+         |  length(text)::DOUBLE / len(regexp_extract_all(text, '$BpePattern'))
+         |    AS chars_per_piece
+         |FROM documents""".stripMargin,
 
     "t13_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

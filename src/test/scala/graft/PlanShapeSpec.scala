@@ -94,6 +94,24 @@ class PlanShapeSpec extends SparkSpec {
       s"per-bucket rank window missing:\n${p.take(3000)}")
   }
 
+  test("c01: benchmark grams broadcast; the corpus side never sort-merges") {
+    val p = plan("c01_contamination")
+    // the eval-suite gram set is fixed-size by construction — it must be
+    // the broadcast build side so the 100TB corpus streams map-only
+    // through the join into the partial aggregation
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "contamination must never sort the corpus gram stream")
+    assert(p.contains("partial_count"), "per-doc counts must combine map-side")
+  }
+
+  test("t13: vocab join is shuffle-hash (no sort of the token stream)") {
+    val p = plan("t13_unigram_logprob")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge vocab join would sort corpus×tokens rows")
+  }
+
   /** The judge-requested source gate: a `Window.orderBy` with no
     * partitionBy is a single-task global sort of its input — only ever
     * acceptable over an already-aggregated, provably tiny relation. Every
