@@ -305,6 +305,28 @@ object DataOps {
       Ivf.knn(indexed, centroids, emb.filter($"vec_id" < 3), k = 5, nProbe = 4)
     },
 
+    // PQ search layer: product-quantized corpus (8 subspaces × 16 codes
+    // ≈ 8 bytes/vector, 32× compression) + asymmetric-distance shortlist
+    // + exact rerank — the two-stage index shape real billion-vector ANN
+    // serves from. Codes live in RAM, full vectors are read only for the
+    // 50-deep shortlist; candidates ship k-per-probe-per-task through
+    // the heap aggregate. No SQL oracle (codebooks are clustering-
+    // defined); recall + reconstruction-error contracts are spec-gated
+    // vs the exact brute-force path.
+    "s04_pq_knn" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val vectors = emb.select($"vec_id",
+        Similarity.toDouble($"embedding").as("v"))
+      val books = Pq.trainCodebooks(vectors, dim = 64, numSubspaces = 8,
+        numCodes = 16)
+      val encoded = Pq.encode(vectors, books, dim = 64, numSubspaces = 8)
+      val probes = emb.filter($"vec_id" < 3).select($"vec_id".as("probe_id"),
+        Similarity.toDouble($"embedding").as("q"))
+      Pq.searchKnn(encoded, books, vectors, probes, dim = 64,
+        numSubspaces = 8, k = 5, shortlist = 50)
+    },
+
     // Gopher-style repetition signals per document: the fraction of
     // 2-gram occurrences claimed by the most frequent 2-gram, the
     // fraction inside any repeated 2-gram, and the top-token fraction —

@@ -46,6 +46,22 @@ object SqlSurface {
               |  FROM per_user)
               |SELECT user_id, event_type AS top_type, n AS top_n
               |FROM ranked WHERE rn = 1""".stripMargin)
+    },
+
+    // Explicit GROUPING SETS — the general form rollup (q12) and cube
+    // (q24) specialize; grouping_id disambiguates real NULLs from
+    // superaggregate rows (q44 precedent). Decimal-cast sum per dsum.
+    "sql04_grouping_sets" -> { (s, d) =>
+      withViews(s, d, "orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+              |  COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+              |  (o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }
   )
 
@@ -72,6 +88,16 @@ object SqlSurface {
         |      ORDER BY n DESC, event_type ASC) AS rn
         |  FROM per_user)
         |SELECT user_id, event_type AS top_type, n AS top_n
-        |FROM ranked WHERE rn = 1""".stripMargin
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "sql04_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())""".stripMargin
   )
 }

@@ -375,6 +375,47 @@ class DataOpsSpec extends SparkSpec {
       s"scores must spread: [${scored.min}, ${scored.max}]")
   }
 
+  test("PQ: reconstruction beats the global-mean baseline; shortlist+rerank recall holds") {
+    val d = sf("sf0.001")
+    val vectors = graft.Tables.embeddings(spark, d)
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+    val books = Pq.trainCodebooks(vectors, dim = 64, numSubspaces = 8, numCodes = 16)
+    val encoded = Pq.encode(vectors, books, dim = 64, numSubspaces = 8)
+    // every vector gets exactly 8 codes in [0, 16)
+    val codeRows = encoded.collect()
+    assert(codeRows.length === 500) // sf0.001 embeddings table size
+    codeRows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 8 && cs.forall(c => c >= 0 && c < 16))
+    }
+    // quantization must EXPLAIN variance: mean squared reconstruction
+    // error well below the single-global-centroid baseline (k-means with
+    // one code per subspace would equal it; 16 codes must beat it)
+    val err = Pq.decode(encoded, books).join(vectors, "vec_id")
+      .select(graft.functions.VectorExprs.sq_dist_double($"v", $"v_hat").as("e"))
+      .agg(avg($"e")).head().getDouble(0)
+    val meanV = vectors.groupBy(lit(1))
+      .agg(graft.functions.VectorMean.vector_mean($"v").as("m"))
+      .select($"m").head().getSeq[Double](0).toArray
+    val base = vectors.select(
+        graft.functions.VectorExprs.sq_dist_double($"v", typedLit(meanV)).as("e"))
+      .agg(avg($"e")).head().getDouble(0)
+    assert(err < base * 0.8, s"PQ error $err must beat global-mean $base by 20%+")
+    // two-stage search (ADC shortlist-50 → exact rerank) vs brute-force
+    // top-5: the shortlist reads 10% of the corpus' full vectors, so the
+    // recall floor is high — the rerank restores exact ordering for
+    // every true neighbor the shortlist retains
+    val brute = Similarity.bruteKnn(graft.Tables.embeddings(spark, d),
+        graft.Tables.embeddings(spark, d).filter($"vec_id" < 3), k = 5)
+      .select($"probe_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = DataOps.queries("s04_pq_knn")(spark, d)
+      .select($"probe_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ+rerank recall@5 $recall too low")
+  }
+
   test("brute-force knn is symmetric-sane: top neighbor of a near-clone") {
     // cosine of a vector with itself is 1; probes exclude self so the top
     // neighbor of probe 0 must have sim < 1 but the rank-1 row must exist
