@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) — the compression layer of IVF-PQ ANN
@@ -31,17 +32,46 @@ object Pq {
     graft.functions.VectorExprs.sq_dist_double(a, b)
 
   /** Per-subspace codebooks: (m, code, centroid) for `numSubspaces`
-    * slices of `dim` dims each, `numCodes` centroids per subspace. */
+    * slices of `dim` dims each, `numCodes` centroids per subspace.
+    *
+    * All subspaces train in ONE Lloyd's loop over the composite
+    * (m, cell) key — per-subspace sequential k-means would run
+    * subspaces × iterations checkpointed jobs (measured 12s at sf0.1
+    * for 8×3; this shape runs 3). Same determinism contract as
+    * [[Ivf.kmeans]]: first-`numCodes`-ids init, argmin via
+    * min(struct(dist, cell)), decimal-exact means. Final codes are
+    * relabeled 0..numCodes-1 per subspace (codes are storage — 4 bits
+    * at 16 — so labels must be compact, not init-vector ids); the
+    * relabel window partitions by m. */
   def trainCodebooks(vectors: DataFrame, dim: Int, numSubspaces: Int,
       numCodes: Int, iterations: Int = 3): DataFrame = {
     require(dim % numSubspaces == 0, "dim must divide evenly into subspaces")
     val subDim = dim / numSubspaces
-    (0 until numSubspaces).map { m =>
-      val sub = vectors.select(col("vec_id"),
-        slice(col("v"), m * subDim + 1, subDim).as("v"))
-      Ivf.kmeans(sub, nCells = numCodes, iterations = iterations)
-        .select(lit(m).as("m"), col("cell").as("code"), col("centroid"))
-    }.reduce(_ unionByName _)
+    val sub = vectors.select(col("vec_id"), posexplode(
+      array((0 until numSubspaces).map(m =>
+        slice(col("v"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+    val initIds = vectors.orderBy(col("vec_id")).limit(numCodes)
+      .select(col("vec_id"))
+    var centroids = sub.join(broadcast(initIds), "vec_id")
+      .select(col("m"), col("vec_id").cast("int").as("cell"),
+        col("sv").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val assigned = sub.join(broadcast(centroids), "m")
+        .withColumn("__d", sqDist(col("sv"), col("centroid")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("__d"), col("cell"))).as("__best"),
+          first(col("sv")).as("sv")) // sv is constant per (vec_id, m)
+        .select(col("m"), col("__best.cell").as("cell"), col("sv"))
+      centroids = assigned
+        .groupBy(col("m"), col("cell"))
+        .agg(graft.functions.VectorMean.vector_mean(col("sv")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    centroids.withColumn("code",
+        row_number().over(Window.partitionBy(col("m"))
+          .orderBy(col("cell"))) - 1)
+      .select(col("m"), col("code"), col("centroid"))
   }
 
   /** PQ-encode: one row per vector, `codes[m]` = nearest centroid id in
