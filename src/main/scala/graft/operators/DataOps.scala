@@ -458,6 +458,21 @@ object DataOps {
         .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
     },
 
+    // Keyword extraction: top-3 TF-IDF terms per document — the tagging/
+    // routing step downstream of t06. The rank window partitions by
+    // doc_id (high-cardinality — scale-safe; ties broken by token so the
+    // keyword set is deterministic); tfidf is pre-rounded at 6 dp per
+    // the t06 contract, so rank boundaries agree with the oracle.
+    "t15_keywords" -> { (s, d) =>
+      import s.implicits._
+      val tfidf = queries("t06_tfidf")(s, d)
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tfidf".desc, $"token".asc)
+      tfidf.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"token", $"tfidf", $"rnk")
+    },
+
     // BPE-style pre-tokenization stats: the GPT-2-ish pre-tokenizer split
     // (letter runs | single digits | punctuation runs) that BPE merges
     // start from — the token-budget estimate a pipeline uses BEFORE
@@ -684,6 +699,22 @@ object DataOps {
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
+
+    "t15_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        |x AS (SELECT doc_id, tf.token,
+        |    round(tf * ln(n.n / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+        |SELECT doc_id, token, tfidf, rnk FROM (
+        |  SELECT doc_id, token, tfidf, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+        |  FROM x) t
+        |WHERE rnk <= 3""".stripMargin,
 
     "t14_bpe_tokens" ->
       s"""SELECT doc_id,
