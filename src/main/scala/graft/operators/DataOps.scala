@@ -370,14 +370,19 @@ object DataOps {
     // distinct trigram shingles also appear elsewhere in the corpus —
     // the per-document "how much of me is boilerplate/near-dup" signal
     // that complements the pairwise d02 view (a doc can be 90% covered
-    // without any single pair clearing a Jaccard threshold). One shuffle
-    // on shingle (window count, no self-join re-scan), one on doc.
+    // without any single pair clearing a Jaccard threshold). The df
+    // counts come from a groupBy (map-side partial counts — a hot
+    // stop-shingle reduces BEFORE the shuffle) joined back shuffle-hash;
+    // a count-over-shingle window would instead buffer the hot shingle's
+    // ENTIRE posting list in one window task — the exact skew the
+    // near-dup family's caps exist to prevent.
     "d09_ngram_coverage" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
       val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+      val dfc = idx.groupBy($"shingle").agg(count(lit(1)).as("__df"))
       val perDoc = idx
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy($"shingle")))
+        .join(dfc.hint("shuffle_hash"), Seq("shingle"))
         .groupBy($"doc")
         .agg(count(lit(1)).as("__n_sh"),
           sum(when($"__df" >= 2, 1L).otherwise(0L)).as("__n_shared"))
@@ -482,10 +487,15 @@ object DataOps {
     "t14_bpe_tokens" -> { (s, d) =>
       import s.implicits._
       val pieces = regexp_extract_all($"text", lit(BpePattern), lit(0))
+      // piece-less docs (empty/space-only text): 0, not a 0-divisor —
+      // Spark's non-ANSI divide yields NULL there while DuckDB yields
+      // inf, so an unguarded ratio breaks oracle parity
       Tables.documents(s, d).select($"doc_id",
         size(pieces).as("n_pieces"),
         size(array_distinct(pieces)).as("n_distinct_pieces"),
-        (length($"text").cast("double") / size(pieces)).as("chars_per_piece"))
+        when(size(pieces) === 0, lit(0.0))
+          .otherwise(length($"text").cast("double") / size(pieces))
+          .as("chars_per_piece"))
     },
 
     // Unigram language-model scoring (the CCNet-style quality filter):
@@ -721,7 +731,9 @@ object DataOps {
          |  len(regexp_extract_all(text, '$BpePattern')) AS n_pieces,
          |  len(list_distinct(regexp_extract_all(text, '$BpePattern')))
          |    AS n_distinct_pieces,
-         |  length(text)::DOUBLE / len(regexp_extract_all(text, '$BpePattern'))
+         |  CASE WHEN len(regexp_extract_all(text, '$BpePattern')) = 0 THEN 0.0
+         |       ELSE length(text)::DOUBLE /
+         |            len(regexp_extract_all(text, '$BpePattern')) END
          |    AS chars_per_piece
          |FROM documents""".stripMargin,
 

@@ -36,17 +36,20 @@ def main():
     shared = sorted(set(a) & set(b))
     if not shared:
         sys.exit("no shared queries parsed — check the inputs")
-    rows = []
-    for q in shared:
-        if a[q] <= 0 or b[q] <= 0:  # -1 marks a failed query
-            rows.append((float("inf"), q, a[q], b[q]))
-        else:
-            rows.append((b[q] / a[q], q, a[q], b[q]))
-    rows.sort(reverse=True)
+    # a query that stopped working is the worst regression there is —
+    # surface it first and keep the -1 sentinels OUT of the arithmetic
+    # (totals must not have failures subtracted, ratios must not be inf)
+    broken = [q for q in shared if b[q] < 0 <= a[q]]
+    ok = [q for q in shared if a[q] >= 0 and b[q] >= 0]
+    rows = sorted(((b[q] / a[q], q, a[q], b[q]) for q in ok if a[q] > 0),
+                  reverse=True)
     regressions = [r for r in rows if r[0] > 1.5 and r[3] >= 0.5]
     print(f"shared queries: {len(shared)}   "
-          f"total {sum(a[q] for q in shared):.1f}s -> "
-          f"{sum(b[q] for q in shared):.1f}s")
+          f"total {sum(a[q] for q in ok):.1f}s -> "
+          f"{sum(b[q] for q in ok):.1f}s  (over {len(ok)} passing in both)")
+    if broken:
+        print(f"\nBROKEN in {sys.argv[2]} (passed before, -1 now): "
+              + ", ".join(broken))
     print(f"\nregressions >1.5x (ignoring sub-0.5s noise): "
           f"{len(regressions)}")
     for ratio, q, ta, tb in regressions:
