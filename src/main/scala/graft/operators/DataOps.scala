@@ -463,6 +463,35 @@ object DataOps {
         .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
     },
 
+    // Mixture sampling (data mixing): down-sample each source toward an
+    // equal-share target budget — the step that turns a skewed crawl
+    // into the training mixture. Per-source keep-rates derive from
+    // broadcast per-source counts; the keep decision is a deterministic
+    // md5 threshold per document (t07 convention — stable across runs,
+    // partitionings, and retries, never rand()), so the sample is
+    // reproducible and the expected per-source yield is
+    // min(n_source, budget/n_sources); budget 200 exercises real down-sampling at every SF. Rates are exact IEEE doubles
+    // computed identically in the oracle. Scale: one broadcast of the
+    // ~#sources-row count table; the corpus streams map-only through
+    // the filter — no shuffle of kept rows at all.
+    "t16_mixture_sample" -> { (s, d) =>
+      import s.implicits._
+      val budget = 200.0
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy($"source").agg(count(lit(1)).as("__n_src"))
+      val nSources = counts.agg(count(lit(1)).as("__k"))
+      docs
+        .join(broadcast(counts), "source")
+        .crossJoin(broadcast(nSources))
+        .withColumn("keep_rate",
+          least(lit(1.0), lit(budget) / $"__k" / $"__n_src"))
+        .withColumn("__bucket",
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .filter($"__bucket".cast("double") < $"keep_rate" * 4294967296.0)
+        .select($"doc_id", $"source", round($"keep_rate", 9).as("keep_rate"))
+    },
+
     // Keyword extraction: top-3 TF-IDF terms per document — the tagging/
     // routing step downstream of t06. The rank window partitions by
     // doc_id (high-cardinality — scale-safe; ties broken by token so the
@@ -709,6 +738,18 @@ object DataOps {
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
+
+    "t16_mixture_sample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents
+        |  GROUP BY source),
+        |k AS (SELECT COUNT(*)::DOUBLE AS k FROM c)
+        |SELECT doc_id, source, round(keep_rate, 9) AS keep_rate FROM (
+        |  SELECT d.doc_id, d.source,
+        |    least(1.0, 200.0 / k.k / c.n_src) AS keep_rate,
+        |    CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |      AS bucket
+        |  FROM documents d JOIN c USING (source) CROSS JOIN k) t
+        |WHERE bucket::DOUBLE < keep_rate * 4294967296.0""".stripMargin,
 
     "t15_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
