@@ -463,6 +463,24 @@ object DataOps {
         .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
     },
 
+    // Corpus profile: the one-row observability report a pipeline logs
+    // per ingest batch — sizes, token volume, source/language mix, exact-
+    // dup rate. Single pass over the corpus (one aggregate; the token
+    // total is a size() sum, not an explode) plus a digest-distinct count.
+    "o01_corpus_profile" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount($"text").cast("long")).as("total_tokens"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        (sum(when($"lang" === "en", 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("en_share"),
+        (lit(1.0) - countDistinct(md5($"text")).cast("double") /
+          count(lit(1))).as("exact_dup_rate"))
+    },
+
     // Mixture sampling (data mixing): down-sample each source toward an
     // equal-share target budget — the step that turns a skewed crawl
     // into the training mixture. Per-source keep-rates derive from
@@ -738,6 +756,18 @@ object DataOps {
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
+
+    "o01_corpus_profile" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS en_share,
+        |  1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+        |    AS exact_dup_rate
+        |FROM documents""".stripMargin,
 
     "t16_mixture_sample" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents
