@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -19,6 +19,15 @@ object DataOps {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Deterministic 32-bit sampling bucket: md5's leading 8 hex chars of
+    * the stringified id. The ONE definition both t07 (train/valid/test
+    * split) and t16 (mixture sampling) key on — their oracle SQL mirrors
+    * it with the `'0x' || substring(md5(...)) → UBIGINT` cast, so a tweak
+    * here must change both oracles too (a silent drift would re-split
+    * the corpus). */
+  private def md5Bucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** t14's BPE-ish pre-tokenizer split: letter runs, single digits
     * (GPT-2 style — numbers merge from digit pieces), punctuation runs.
@@ -103,9 +112,7 @@ object DataOps {
     "t07_hash_split" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .withColumn("bucket",
-          (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
-            .cast("long") % 100).as("bucket"))
+        .withColumn("bucket", md5Bucket($"doc_id") % 100)
         .withColumn("split",
           when($"bucket" < 80, "train")
             .when($"bucket" < 90, "valid")
@@ -488,8 +495,9 @@ object DataOps {
     // md5 threshold per document (t07 convention — stable across runs,
     // partitionings, and retries, never rand()), so the sample is
     // reproducible and the expected per-source yield is
-    // min(n_source, budget/n_sources); budget 200 exercises real down-sampling at every SF. Rates are exact IEEE doubles
-    // computed identically in the oracle. Scale: one broadcast of the
+    // min(n_source, budget/n_sources). Budget 200 exercises real
+    // down-sampling at every SF; rates are exact IEEE doubles computed
+    // identically in the oracle. Scale: one broadcast of the
     // ~#sources-row count table; the corpus streams map-only through
     // the filter — no shuffle of kept rows at all.
     "t16_mixture_sample" -> { (s, d) =>
@@ -503,10 +511,8 @@ object DataOps {
         .crossJoin(broadcast(nSources))
         .withColumn("keep_rate",
           least(lit(1.0), lit(budget) / $"__k" / $"__n_src"))
-        .withColumn("__bucket",
-          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
-            .cast("long"))
-        .filter($"__bucket".cast("double") < $"keep_rate" * 4294967296.0)
+        .filter(md5Bucket($"doc_id").cast("double") <
+          $"keep_rate" * 4294967296.0)
         .select($"doc_id", $"source", round($"keep_rate", 9).as("keep_rate"))
     },
 
@@ -534,9 +540,11 @@ object DataOps {
     "t14_bpe_tokens" -> { (s, d) =>
       import s.implicits._
       val pieces = regexp_extract_all($"text", lit(BpePattern), lit(0))
-      // piece-less docs (empty/space-only text): 0, not a 0-divisor —
-      // Spark's non-ANSI divide yields NULL there while DuckDB yields
-      // inf, so an unguarded ratio breaks oracle parity
+      // piece-less docs (empty/space-only text): defined as 0, not NULL
+      // — both engines would yield NULL on the 0-divisor (Spark non-ANSI
+      // divide and DuckDB double/0 alike), so parity would survive, but
+      // an explicit 0 keeps the column's contract total instead of
+      // leaning on the driver's NULL normalization
       Tables.documents(s, d).select($"doc_id",
         size(pieces).as("n_pieces"),
         size(array_distinct(pieces)).as("n_distinct_pieces"),

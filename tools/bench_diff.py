@@ -40,6 +40,7 @@ def main():
     # surface it first and keep the -1 sentinels OUT of the arithmetic
     # (totals must not have failures subtracted, ratios must not be inf)
     broken = [q for q in shared if b[q] < 0 <= a[q]]
+    chronic = [q for q in shared if a[q] < 0 and b[q] < 0]
     ok = [q for q in shared if a[q] >= 0 and b[q] >= 0]
     rows = sorted(((b[q] / a[q], q, a[q], b[q]) for q in ok if a[q] > 0),
                   reverse=True)
@@ -50,6 +51,9 @@ def main():
     if broken:
         print(f"\nBROKEN in {sys.argv[2]} (passed before, -1 now): "
               + ", ".join(broken))
+    if chronic:
+        print("\nfailing in BOTH rounds (-1 twice — chronically broken): "
+              + ", ".join(chronic))
     print(f"\nregressions >1.5x (ignoring sub-0.5s noise): "
           f"{len(regressions)}")
     for ratio, q, ta, tb in regressions:
