@@ -470,6 +470,34 @@ object DataOps {
         .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
     },
 
+    // Full IVF-PQ (IVFADC) top-5: coarse cells prune, residual PQ codes
+    // score, exact rerank orders — the composition of s03's pruning and
+    // s04's compression that real billion-vector indexes serve from.
+    // The small index pieces (assignment, residuals) are eagerly
+    // materialized once: training, encoding, and search all consume
+    // them with different plans (the d10 lesson).
+    "s05_ivfpq_knn" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val vectors = emb.select($"vec_id",
+        Similarity.toDouble($"embedding").as("v"))
+      val coarse = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+      val assigned = Ivf.index(emb, coarse).localCheckpoint(true)
+      val resid = assigned.join(broadcast(coarse), "cell")
+        .select($"vec_id", $"cell",
+          zip_with($"v", $"centroid", (x, c) => x - c).as("v"))
+        .localCheckpoint(true)
+      val books = Pq.trainCodebooks(resid.select($"vec_id", $"v"),
+        dim = 64, numSubspaces = 8, numCodes = 16)
+      val encodedCells = Pq.encode(resid.select($"vec_id", $"v"), books,
+          dim = 64, numSubspaces = 8)
+        .join(resid.select($"vec_id", $"cell"), "vec_id")
+      val probes = emb.filter($"vec_id" < 3).select($"vec_id".as("probe_id"),
+        Similarity.toDouble($"embedding").as("q"))
+      Pq.ivfPqKnn(assigned, coarse, books, encodedCells, probes,
+        dim = 64, numSubspaces = 8, nProbe = 4, k = 5, shortlist = 30)
+    },
+
     // Corpus profile: the one-row observability report a pipeline logs
     // per ingest batch — sizes, token volume, source/language mix, exact-
     // dup rate. Single pass over the corpus (one aggregate; the token

@@ -159,6 +159,73 @@ object Pq {
     Similarity.rerankTopK(scored, k)
   }
 
+  /** Full IVF-PQ (IVFADC): coarse cells prune the corpus, PQ codes over
+    * RESIDUALS (v − coarse centroid — residuals are much smaller than
+    * raw vectors, so the same 8×16 codes quantize far finer) score the
+    * survivors, exact rerank orders the shortlist. This is the canonical
+    * billion-vector serving index: the coarse+code index is bytes per
+    * vector, cells bound the scan, and full vectors are read only for
+    * the shortlist.
+    *
+    * Inputs are the prepared index pieces so the expensive stages build
+    * once: `assigned` (vec_id, v, cell) from [[Ivf.assign]]/index,
+    * `coarse` the cell centroids, `codebooks` PQ books trained on
+    * residuals, `encodedCells` (vec_id, cell, codes). Probe flow:
+    * nProbe nearest cells per probe (heap, never a window) → per-cell
+    * residual query → per-(probe, cell) ADC lookup table, broadcast →
+    * candidates join on cell (only probed cells' postings are touched)
+    * → decimal-exact ADC sum → shortlist heap → exact cosine rerank
+    * against the true vectors. Output matches s01/s03/s04:
+    * (probe_id, vec_id, cos_sim, rnk). */
+  def ivfPqKnn(assigned: DataFrame, coarse: DataFrame, codebooks: DataFrame,
+      encodedCells: DataFrame, probes: DataFrame,
+      dim: Int, numSubspaces: Int, nProbe: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    import graft.functions.TopKPairs.top_k_pairs
+    val subDim = dim / numSubspaces
+    // nProbe nearest coarse cells per probe
+    val probeCells = probes.crossJoin(broadcast(coarse))
+      .withColumn("__d", sqDist(col("q"), col("centroid")))
+      .groupBy(col("probe_id"))
+      .agg(top_k_pairs(-col("__d"), col("cell"), nProbe).as("__cells"),
+        first(col("q")).as("q")) // q is constant per probe_id
+      .select(col("probe_id"), col("q"),
+        explode(col("__cells.id").cast("array<int>")).as("cell"))
+    // residual query per probed cell, then the ADC lookup table:
+    // (probe, cell, m, code) — P × nProbe × m × codes rows, broadcast
+    val lut = probeCells.join(broadcast(coarse), "cell")
+      .select(col("probe_id"), col("cell"),
+        zip_with(col("q"), col("centroid"), (x, c) => x - c).as("qr"))
+      .select(col("probe_id"), col("cell"), posexplode(
+        array((0 until numSubspaces).map(m =>
+          slice(col("qr"), m * subDim + 1, subDim)): _*)).as(Seq("m", "qv")))
+      .join(broadcast(codebooks), "m")
+      .select(col("probe_id"), col("cell"), col("m"), col("code"),
+        sqDist(col("qv"), col("centroid")).as("__dt"))
+    // ADC over probed cells only: the cell equi-join IS the pruning
+    val cand = encodedCells
+      .select(col("vec_id"), col("cell"), posexplode(col("codes"))
+        .as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("cell", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("__dt").cast("decimal(28,12)")).cast("double")
+        .as("adc_dist"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .groupBy(col("probe_id"))
+      .agg(top_k_pairs(-col("adc_dist"), col("vec_id"), shortlist)
+        .as("__top"))
+      .select(col("probe_id"), explode(col("__top.id")).as("vec_id"))
+    // exact rerank of the shortlist against the TRUE vectors
+    val cv = assigned.select(col("vec_id"), col("v"))
+      .withColumn("v_nrm", Similarity.norm(col("v")))
+    val pv = probes.withColumn("q_nrm", Similarity.norm(col("q")))
+    Similarity.rerankTopK(
+      cand.join(cv, "vec_id").join(pv, "probe_id")
+        .withColumn("cos_sim",
+          round(Similarity.dot(col("q"), col("v")) /
+            (col("q_nrm") * col("v_nrm")), 9)), k)
+  }
+
   /** Decode: reconstruct the centroid concatenation for error audits. */
   def decode(encoded: DataFrame, codebooks: DataFrame): DataFrame =
     encoded

@@ -416,6 +416,28 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ+rerank recall@5 $recall too low")
   }
 
+  test("s05 IVF-PQ: recall holds while scanning a quarter of the cells") {
+    val d = sf("sf0.001")
+    val brute = Similarity.bruteKnn(graft.Tables.embeddings(spark, d),
+        graft.Tables.embeddings(spark, d).filter($"vec_id" < 3), k = 5)
+      .select($"probe_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DataOps.queries("s05_ivfpq_knn")(spark, d)
+      .select($"probe_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    // 4/16 cells scanned + residual codes + exact rerank: the residual
+    // quantization is finer than s04's raw-vector codes, so the floor
+    // matches it despite touching only a quarter of the corpus
+    assert(recall >= 0.6, s"IVF-PQ recall@5 $recall too low")
+    // rnk is a proper 1..5 ranking per probe
+    val ranks = DataOps.queries("s05_ivfpq_knn")(spark, d)
+      .groupBy($"probe_id").agg(collect_list($"rnk").as("rs"))
+      .collect()
+    ranks.foreach(r =>
+      assert(r.getSeq[Int](1).sorted === Seq(1, 2, 3, 4, 5)))
+  }
+
   test("brute-force knn is symmetric-sane: top neighbor of a near-clone") {
     // cosine of a vector with itself is 1; probes exclude self so the top
     // neighbor of probe 0 must have sim < 1 but the rank-1 row must exist
