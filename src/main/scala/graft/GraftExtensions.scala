@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.etl.expressions.{PyEventsArray, PyLiteralToJson}
-import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs, VectorMeanDecimal}
+import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, RollingWindowHashes, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs, VectorMeanDecimal}
 
 /** Session extension registering the engine's native surface:
   *
@@ -111,6 +111,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "array_pairs(xs) takes exactly one argument")
         ArrayPairs(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[RollingWindowHashes].getName, "window_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "window_hashes(text, w [, stride]) takes two or three arguments")
+        val stride = if (args.length < 3) 1 else intArg(args(2), "window_hashes")
+        RollingWindowHashes(args.head, intArg(args(1), "window_hashes"), stride)
       }))
 
     ext.injectFunction((

@@ -605,6 +605,16 @@ object DataOps {
             count(lit(1))).as("avg_logprob"))
     },
 
+    // Exact substring dedup: pairs sharing a verbatim 50-char span —
+    // catches licence boilerplate / quoted text / benchmark leakage
+    // that token-Jaccard dilutes away. Counts are exact (hash
+    // candidates, substring-verified).
+    "d12_substring_pairs" -> { (s, d) =>
+      Tables.documents(s, d).transform(df =>
+        Dedup.substringDupPairs(df, "doc_id", "text", window = 50,
+          maxDocFreq = 1000L))
+    },
+
     // Incremental dedup: the per-ingest join — a new crawl batch
     // (doc_id % 7 == 0 stands in for it) against the kept corpus plus
     // itself. Old×old pairs are never generated; old-only shingle
@@ -854,6 +864,29 @@ object DataOps {
         |    / COUNT(*) AS avg_logprob
         |FROM tok JOIN f USING (tok) CROSS JOIN n
         |GROUP BY doc_id""".stripMargin,
+
+    // the window hash is the SAME fold the Spark generator rolls
+    // (t04's ascii/list_reduce pattern), so cap semantics agree even at
+    // a hash collision; the wt equality mirrors the verify join
+    "d12_substring_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce(list_transform(range(1, 51),
+        |      j -> ascii(substring(text, pos + j, 1))::BIGINT),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+        |    substring(text, pos + 1, 50) AS wt
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, greatest(length(text) - 49, 0))) AS pos
+        |        FROM documents)),
+        |rare AS (SELECT * FROM
+        |  (SELECT doc_id, pos, h, wt,
+        |     COUNT(*) OVER (PARTITION BY h) AS df FROM w)
+        |  WHERE df <= 1000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS n_shared_windows
+        |FROM rare a JOIN rare b
+        |  ON a.h = b.h AND a.wt = b.wt AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "d11_incremental_pairs" ->
       """WITH toks AS (SELECT doc_id, doc_id % 7 = 0 AS is_new,

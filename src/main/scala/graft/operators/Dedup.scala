@@ -254,6 +254,47 @@ object Dedup {
       .drop("__norm")
   }
 
+  /** Exact substring duplication: document pairs sharing at least one
+    * identical `window`-code-point character span — the exact-substring
+    * dedup signal (verbatim quotes, licence boilerplate, benchmark
+    * leakage) that token-level Jaccard misses when the shared span is a
+    * small fraction of each document.
+    *
+    * Shape: the O(len)-per-document rolling window hash
+    * ([[graft.functions.RollingWindowHashes]]) builds the inverted
+    * index; candidate pairs meet inside a hash bucket (cap-guarded,
+    * stop-window drop semantics like d02); every candidate is then
+    * VERIFIED by comparing the actual substrings, so hash collisions
+    * cannot create a false pair and the result is exactly defined:
+    * one count per aligned (posA, posB) pair of equal windows. Only
+    * digests and positions shuffle — never the windows themselves
+    * (the bytes-never-shuffle rule); window text is only materialized
+    * per surviving candidate at the verify join. */
+  def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, maxDocFreq: Long = 1000L): DataFrame = {
+    import graft.functions.RollingWindowHashes.window_hashes
+    val idx = df.select(col(idCol).as("doc"),
+      window_hashes(col(textCol), window).as(Seq("pos", "h")))
+    val pairs = bucketPairs(idx, Seq("h"), struct($"doc", $"pos"),
+        cap = maxDocFreq, starHot = false)
+      .filter($"a.doc" < $"b.doc") // drop within-doc repeats; a<b by sort
+      .select($"a.doc".as("doc_a"), $"a.pos".as("pos_a"),
+        $"b.doc".as("doc_b"), $"b.pos".as("pos_b"))
+    val texts = df.select(col(idCol).as("doc"), col(textCol).as("__t"))
+    pairs
+      .join(texts.select($"doc".as("doc_a"), $"__t".as("__ta")), "doc_a")
+      .join(texts.select($"doc".as("doc_b"), $"__t".as("__tb")), "doc_b")
+      .filter(substring_index_window($"__ta", $"pos_a", window) ===
+        substring_index_window($"__tb", $"pos_b", window))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
+  // substring(text, pos+1, w) with a COLUMN start — the builtin DSL
+  // substring() takes literal ints only
+  private def substring_index_window(t: Column, pos: Column, w: Int): Column =
+    t.substr(pos + 1, lit(w))
+
   /** Incremental near-dup pairs: a NEW batch (crawl increment) against
     * the already-kept corpus plus itself — the join a production dedup
     * pipeline actually runs per ingest, where re-pairing the full corpus

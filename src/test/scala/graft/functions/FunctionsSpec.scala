@@ -189,6 +189,41 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("window_hashes property: rolling ≡ naive per-window fold on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.{RollingHashLong, RollingWindowHashes}
+    // the rolling subtract-multiply-add must equal the direct fold for
+    // every window — including unicode (code points, not chars) and
+    // strides that skip positions
+    val textGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("é"), Gen.const("日")))
+      .map(_.mkString)
+    val prop = Prop.forAll(textGen, Gen.choose(1, 6), Gen.choose(1, 3)) {
+      (t: String, w: Int, stride: Int) =>
+        val cps = t.codePoints().toArray
+        def naive(start: Int): Long = {
+          var h = 0L
+          var i = start
+          while (i < start + w) {
+            h = (h * 31 + cps(i)) % RollingHashLong.Mod; i += 1
+          }
+          h
+        }
+        val expected = (0 to cps.length - w by stride)
+          .map(p => (p, naive(p)))
+        val got = RollingWindowHashes(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              UTF8String.fromString(t),
+              org.apache.spark.sql.types.StringType), w, stride)
+          .eval(null).iterator.map(r => (r.getInt(0), r.getLong(1))).toSeq
+        got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("vector_mean ≡ posexplode decimal mean, invariant under repartitioning") {
     import graft.functions.VectorMean.vector_mean
     val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
