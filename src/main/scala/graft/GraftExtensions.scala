@@ -24,11 +24,12 @@ import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, RollingWi
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, fn: String): Int = e match {
+  private def intArg(e: Expression, fn: String,
+      which: String = "second"): Int = e match {
     case Literal(v: Int, _)   => v
     case Literal(v: Long, _)  => v.toInt
     case other => throw new IllegalArgumentException(
-      s"$fn: second argument must be an integer literal, got $other")
+      s"$fn: $which argument must be an integer literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -68,7 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3,
           "top_k_pairs(score, id, k) takes exactly three arguments")
         TopKPairs(Cast(args(0), DoubleType), Cast(args(1), LongType),
-          intArg(args(2), "top_k_pairs")).toAggregateExpression()
+          intArg(args(2), "top_k_pairs", "third")).toAggregateExpression()
       }))
 
     ext.injectFunction((
@@ -119,7 +120,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2 || args.length == 3,
           "window_hashes(text, w [, stride]) takes two or three arguments")
-        val stride = if (args.length < 3) 1 else intArg(args(2), "window_hashes")
+        val stride = if (args.length < 3) 1
+          else intArg(args(2), "window_hashes", "third")
         RollingWindowHashes(args.head, intArg(args(1), "window_hashes"), stride)
       }))
 

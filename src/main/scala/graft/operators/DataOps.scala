@@ -867,7 +867,8 @@ object DataOps {
 
     // the window hash is the SAME fold the Spark generator rolls
     // (t04's ascii/list_reduce pattern), so cap semantics agree even at
-    // a hash collision; the wt equality mirrors the verify join
+    // a hash collision; arg_min mirrors the per-(doc, hash)
+    // min-pos representative and the wt equality mirrors the verify join
     "d12_substring_pairs" ->
       """WITH w AS (
         |  SELECT doc_id, pos,
@@ -878,9 +879,11 @@ object DataOps {
         |  FROM (SELECT doc_id, text,
         |          unnest(range(0, greatest(length(text) - 49, 0))) AS pos
         |        FROM documents)),
+        |dw AS (SELECT doc_id, h, arg_min(wt, pos) AS wt FROM w
+        |  GROUP BY doc_id, h),
         |rare AS (SELECT * FROM
-        |  (SELECT doc_id, pos, h, wt,
-        |     COUNT(*) OVER (PARTITION BY h) AS df FROM w)
+        |  (SELECT doc_id, h, wt,
+        |     COUNT(*) OVER (PARTITION BY h) AS df FROM dw)
         |  WHERE df <= 1000)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  COUNT(*) AS n_shared_windows

@@ -262,38 +262,45 @@ object Dedup {
     *
     * Shape: the O(len)-per-document rolling window hash
     * ([[graft.functions.RollingWindowHashes]]) builds the inverted
-    * index; candidate pairs meet inside a hash bucket (cap-guarded,
-    * stop-window drop semantics like d02); every candidate is then
-    * VERIFIED by comparing the actual substrings, so hash collisions
-    * cannot create a false pair and the result is exactly defined:
-    * one count per aligned (posA, posB) pair of equal windows. Only
-    * digests and positions shuffle — never the windows themselves
-    * (the bytes-never-shuffle rule); window text is only materialized
-    * per surviving candidate at the verify join. */
+    * index, deduplicated to one representative per (doc, hash);
+    * candidate pairs meet inside a hash bucket (cap-guarded on true
+    * DOCUMENT frequency, stop-window drop semantics like d02); every
+    * candidate is then VERIFIED by comparing the actual substrings, so
+    * hash collisions cannot create a false pair and the result is
+    * exactly defined: one count per distinct shared span. Only digests
+    * and positions shuffle — never document bodies (the
+    * bytes-never-shuffle rule); each surviving candidate materializes
+    * exactly one `window`-char span at the verify join. */
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int, maxDocFreq: Long = 1000L): DataFrame = {
     import graft.functions.RollingWindowHashes.window_hashes
+    // ONE representative (min pos) per (doc, hash): the cap below then
+    // counts true DOCUMENT frequency — occurrence counting would let a
+    // single internally-repetitive document blow a shared span's bucket
+    // past the cap and censor its cross-doc detection — and
+    // n_shared_windows counts distinct shared spans, not pos×pos combos
     val idx = df.select(col(idCol).as("doc"),
-      window_hashes(col(textCol), window).as(Seq("pos", "h")))
+        window_hashes(col(textCol), window).as(Seq("pos", "h")))
+      .groupBy($"doc", $"h").agg(min($"pos").as("pos"))
     val pairs = bucketPairs(idx, Seq("h"), struct($"doc", $"pos"),
         cap = maxDocFreq, starHot = false)
-      .filter($"a.doc" < $"b.doc") // drop within-doc repeats; a<b by sort
       .select($"a.doc".as("doc_a"), $"a.pos".as("pos_a"),
         $"b.doc".as("doc_b"), $"b.pos".as("pos_b"))
+    // verify on the 50-char spans, never shipping document bodies: the
+    // window is projected out IMMEDIATELY after each text join (Catalyst
+    // won't push a partial expression through a join by itself, and
+    // carrying full texts into the second shuffle would move megabytes
+    // per candidate row for long documents)
     val texts = df.select(col(idCol).as("doc"), col(textCol).as("__t"))
     pairs
       .join(texts.select($"doc".as("doc_a"), $"__t".as("__ta")), "doc_a")
+      .select($"doc_a", $"doc_b", $"pos_b",
+        $"__ta".substr($"pos_a" + 1, lit(window)).as("__wa"))
       .join(texts.select($"doc".as("doc_b"), $"__t".as("__tb")), "doc_b")
-      .filter(substring_index_window($"__ta", $"pos_a", window) ===
-        substring_index_window($"__tb", $"pos_b", window))
+      .filter($"__wa" === $"__tb".substr($"pos_b" + 1, lit(window)))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared_windows"))
   }
-
-  // substring(text, pos+1, w) with a COLUMN start — the builtin DSL
-  // substring() takes literal ints only
-  private def substring_index_window(t: Column, pos: Column, w: Int): Column =
-    t.substr(pos + 1, lit(w))
 
   /** Incremental near-dup pairs: a NEW batch (crawl increment) against
     * the already-kept corpus plus itself — the join a production dedup

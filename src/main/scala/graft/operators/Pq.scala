@@ -148,15 +148,23 @@ object Pq {
     val cand = adcKnn(encoded, codebooks, probes, dim, numSubspaces,
         k = shortlist)
       .select(col("probe_id"), col("vec_id"))
+    exactRerank(cand, vectors, probes, k)
+  }
+
+  /** Shared exact-rerank tail of the two-stage searches (s04/s05): join
+    * the (probe_id, vec_id) shortlist against true vectors + probes,
+    * score with the 9-dp-rounded cosine, heap top-k. ONE definition so
+    * the determinism contract (rounding, tiebreak) cannot diverge
+    * between the PQ and IVF-PQ paths. */
+  private def exactRerank(cand: DataFrame, vectors: DataFrame,
+      probes: DataFrame, k: Int): DataFrame = {
     val cv = vectors.withColumn("v_nrm", Similarity.norm(col("v")))
     val pv = probes.withColumn("q_nrm", Similarity.norm(col("q")))
-    val scored = cand
-      .join(cv, "vec_id")
-      .join(pv, "probe_id")
-      .withColumn("cos_sim",
-        round(Similarity.dot(col("q"), col("v")) /
-          (col("q_nrm") * col("v_nrm")), 9))
-    Similarity.rerankTopK(scored, k)
+    Similarity.rerankTopK(
+      cand.join(cv, "vec_id").join(pv, "probe_id")
+        .withColumn("cos_sim",
+          round(Similarity.dot(col("q"), col("v")) /
+            (col("q_nrm") * col("v_nrm")), 9)), k)
   }
 
   /** Full IVF-PQ (IVFADC): coarse cells prune the corpus, PQ codes over
@@ -216,14 +224,7 @@ object Pq {
         .as("__top"))
       .select(col("probe_id"), explode(col("__top.id")).as("vec_id"))
     // exact rerank of the shortlist against the TRUE vectors
-    val cv = assigned.select(col("vec_id"), col("v"))
-      .withColumn("v_nrm", Similarity.norm(col("v")))
-    val pv = probes.withColumn("q_nrm", Similarity.norm(col("q")))
-    Similarity.rerankTopK(
-      cand.join(cv, "vec_id").join(pv, "probe_id")
-        .withColumn("cos_sim",
-          round(Similarity.dot(col("q"), col("v")) /
-            (col("q_nrm") * col("v_nrm")), 9)), k)
+    exactRerank(cand, assigned.select(col("vec_id"), col("v")), probes, k)
   }
 
   /** Decode: reconstruct the centroid concatenation for error audits. */

@@ -74,6 +74,40 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((top.getDouble(2), top.getLong(3)) === ((3.0, 12L)))
   }
 
+  test("round-3 native expressions are callable from SQL") {
+    val sp = spark; import sp.implicits._
+    // token_shingles: distinct default + explicit occurrence form
+    val sh = spark.sql(
+      """SELECT token_shingles('a b a b', 2) AS d,
+        |  token_shingles('a b a b', 2, false) AS all""".stripMargin).head()
+    assert(sh.getSeq[String](0) === Seq("a b", "b a"))
+    assert(sh.getSeq[String](1) === Seq("a b", "b a", "a b"))
+    // window_hashes: 2-arg (stride defaults to 1) and 3-arg forms; the
+    // w=2 hash of "ab" equals rolling_hash('ab')
+    val rows = spark.sql(
+      "SELECT window_hashes('abc', 2) AS (pos, h)")
+      .as[(Int, Long)].collect().toSeq
+    assert(rows === Seq(
+      (0, (97L * 31 + 98) % 1000000007L),
+      (1, (98L * 31 + 99) % 1000000007L)))
+    val strided = spark.sql(
+      "SELECT window_hashes('abcd', 2, 2) AS (pos, h)")
+      .as[(Int, Long)].collect().map(_._1).toSeq
+    assert(strided === Seq(0, 2))
+    // vector_mean aggregate
+    Seq((1, Array(1.0, 3.0)), (1, Array(3.0, 5.0)))
+      .toDF("g", "v").createOrReplaceTempView("vm")
+    val m = spark.sql("SELECT vector_mean(v) AS m FROM vm GROUP BY g")
+      .as[Seq[Double]].head()
+    assert(m === Seq(2.0, 4.0))
+    // a non-literal stride must fail fast with the right position named
+    val err = intercept[Exception] {
+      spark.sql("SELECT window_hashes('ab', 2, length('x')) AS (p, h)")
+        .collect()
+    }
+    assert(err.getMessage.contains("third argument"), err.getMessage)
+  }
+
   test("py_to_json of a literal is constant-folded by Catalyst") {
     val df = spark.sql("SELECT py_to_json(\"{'x': None}\") AS j")
     val optimized = df.queryExecution.optimizedPlan.toString
