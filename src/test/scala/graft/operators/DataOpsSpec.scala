@@ -438,6 +438,32 @@ class DataOpsSpec extends SparkSpec {
       assert(g.map(_.getAs[Int]("rnk")).sorted === Seq(1, 2, 3, 4, 5)))
   }
 
+  test("d12 substring pairs: planted shared span yields exact window counts") {
+    // doc 1 and doc 2 share exactly one 60-char span (unique filler
+    // around it): a 60-char common run contains 60-50+1 = 11 distinct
+    // 50-char windows; docs 3/4 share nothing 50 chars long
+    val span = "S" * 30 + "0123456789abcdefghij" + "T" * 10 // 60 chars
+    assert(span.length === 60)
+    val planted = Seq(
+      (1L, "A" * 40 + span + "B" * 40),
+      (2L, "C" * 25 + span + "D" * 55),
+      (3L, "E" * 120),
+      (4L, "F" * 120)
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupPairs(planted, "doc_id", "text",
+        window = 50, maxDocFreq = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 11L),
+      s"expected exactly the planted pair with 11 shared windows, got $got")
+    // below-window spans stay invisible: share only 49 chars → no pair
+    val shorter = Seq(
+      (1L, "A" * 40 + span.take(49) + "B" * 40),
+      (2L, "C" * 40 + span.take(49) + "D" * 40)
+    ).toDF("doc_id", "text")
+    assert(Dedup.substringDupPairs(shorter, "doc_id", "text",
+      window = 50, maxDocFreq = 1000L).isEmpty)
+  }
+
   test("brute-force knn is symmetric-sane: top neighbor of a near-clone") {
     // cosine of a vector with itself is 1; probes exclude self so the top
     // neighbor of probe 0 must have sim < 1 but the rank-1 row must exist
