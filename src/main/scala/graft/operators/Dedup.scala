@@ -357,6 +357,34 @@ object Dedup {
         $"size_a", $"size_b", $"jaccard")
   }
 
+  /** One-call corpus curation — the full production pre-training prep:
+    * the t12 quality gates (language-ID matches the label, length +
+    * distinct-token ratio, top-2-gram repetition tail ≤ 0.1, PII-free)
+    * followed by the exact + near-dup [[dedupCorpus]] chain. Returns the
+    * curated corpus (original columns, keepers only). Idempotent:
+    * curating a curated corpus is a no-op (spec-gated) — every gate is a
+    * deterministic per-document predicate and the dedup chain keeps one
+    * canonical doc per cluster, so a second pass finds nothing new. */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, maxTop2GramFrac: Double = 0.1): DataFrame = {
+    val rep = df.select(col(idCol).as("__id"),
+        explode(Text.ngrams(col(textCol), 2)).as("__g"))
+      .groupBy($"__id", $"__g").agg(count(lit(1)).as("__c"))
+      .groupBy($"__id")
+      .agg((max($"__c").cast("double") / sum($"__c")).as("__top2"))
+    val kept = df
+      .join(rep, df(idCol) === rep("__id"), "left")
+      .filter(Text.langId(col(textCol)) === col(langCol))
+      .filter(Text.tokenCount(col(textCol)) >= 5 &&
+        Text.distinctTokenRatio(col(textCol)) >= 0.2)
+      .filter(coalesce($"__top2", lit(0.0)) <= maxTop2GramFrac)
+      .filter((regexp_count(col(textCol), lit(Text.EmailPattern)) +
+        regexp_count(Text.scrubEmails(col(textCol)),
+          lit(Text.PhonePattern))) === 0)
+      .drop("__id", "__top2")
+    dedupCorpus(kept, idCol, textCol)
+  }
+
   /** Embedding near-dup pairs via IVF cells — the SCALE path for the
     * exact-quadratic cosine baseline (d06): candidate pairs only ever
     * meet inside a k-means cell, so pair volume is bounded by cell

@@ -438,6 +438,27 @@ class DataOpsSpec extends SparkSpec {
       assert(g.map(_.getAs[Int]("rnk")).sorted === Seq(1, 2, 3, 4, 5)))
   }
 
+  test("curateCorpus: idempotent, and every survivor passes the t12 gates") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val curated = Dedup.curateCorpus(docs, "doc_id", "text", "lang")
+    val ids = curated.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < 500,
+      s"curation must keep a strict non-empty subset, kept ${ids.size}")
+    // subset of the t12 keep set intersected with dedup keepers: every
+    // survivor's clean-report row must say keep (dedup_pass aside —
+    // curateCorpus' near-dup pass is stricter than t12's exact-only one)
+    val t12Keep = DataOps.queries("t12_clean_report")(spark, sf("sf0.001"))
+      .filter($"lang_pass" && $"quality_pass" && $"repetition_pass" &&
+        $"pii_pass")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(t12Keep),
+      s"curated docs failing t12 gates: ${ids -- t12Keep}")
+    // idempotence: curating the curated corpus changes nothing
+    val again = Dedup.curateCorpus(curated, "doc_id", "text", "lang")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
+
   test("d12 substring pairs: planted shared span yields exact window counts") {
     // doc 1 and doc 2 share exactly one 60-char span (unique filler
     // around it): a 60-char common run contains 60-50+1 = 11 distinct
