@@ -29,6 +29,28 @@ object DataOps {
   private def md5Bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** The t12 quality-gate definitions, single-sourced so the clean
+    * report and [[Dedup.curateCorpus]] cannot drift (thresholds live
+    * here and only here; the oracle SQL is assembled from the same
+    * shared pattern constants). */
+  private[operators] def langPassCol(textCol: Column, langCol: Column): Column =
+    Text.langId(textCol) === langCol
+  private[operators] def qualityPassCol(textCol: Column): Column =
+    Text.tokenCount(textCol) >= 5 && Text.distinctTokenRatio(textCol) >= 0.2
+  private[operators] def piiPassCol(textCol: Column): Column =
+    (regexp_count(textCol, lit(Text.EmailPattern)) +
+      regexp_count(Text.scrubEmails(textCol), lit(Text.PhonePattern))) === 0
+  private[operators] val MaxTop2GramFrac = 0.1
+  /** Per-document top-2-gram fraction: (id, __top2); docs with <2 tokens
+    * have no row (callers coalesce to 0 = pass). */
+  private[operators] def repetitionTop2(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("__rid"),
+        explode(Text.ngrams(col(textCol), 2)).as("__g"))
+      .groupBy(col("__rid"), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__rid"))
+      .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("__top2"))
+
   /** t14's BPE-ish pre-tokenizer split: letter runs, single digits
     * (GPT-2 style — numbers merge from digit pieces), punctuation runs.
     * Explicit classes only — identical under Java regex and RE2. */
@@ -662,23 +684,17 @@ object DataOps {
     "t12_clean_report" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val rep = docs.select($"doc_id",
-          explode(Text.ngrams($"text", 2)).as("gram"))
-        .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("__c"))
-        .groupBy($"doc_id")
-        .agg((max($"__c").cast("double") / sum($"__c")).as("__top2"))
       docs
-        .join(rep, Seq("doc_id"), "left") // <2-token docs: no grams → pass
+        .join(repetitionTop2(docs, "doc_id", "text"),
+          $"doc_id" === $"__rid", "left") // <2-token docs: no grams → pass
         .withColumn("__keeper",
           min($"doc_id").over(Window.partitionBy(md5($"text"))))
         .select($"doc_id",
-          (Text.langId($"text") === $"lang").as("lang_pass"),
-          (Text.tokenCount($"text") >= 5 &&
-            Text.distinctTokenRatio($"text") >= 0.2).as("quality_pass"),
-          (coalesce($"__top2", lit(0.0)) <= 0.1).as("repetition_pass"),
-          ((regexp_count($"text", lit(Text.EmailPattern)) +
-            regexp_count(Text.scrubEmails($"text"),
-              lit(Text.PhonePattern))) === 0).as("pii_pass"),
+          langPassCol($"text", $"lang").as("lang_pass"),
+          qualityPassCol($"text").as("quality_pass"),
+          (coalesce($"__top2", lit(0.0)) <= MaxTop2GramFrac)
+            .as("repetition_pass"),
+          piiPassCol($"text").as("pii_pass"),
           ($"doc_id" === $"__keeper").as("dedup_pass"))
         .withColumn("keep",
           $"lang_pass" && $"quality_pass" && $"repetition_pass" &&

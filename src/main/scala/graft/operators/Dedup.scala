@@ -358,31 +358,41 @@ object Dedup {
   }
 
   /** One-call corpus curation — the full production pre-training prep:
-    * the t12 quality gates (language-ID matches the label, length +
-    * distinct-token ratio, top-2-gram repetition tail ≤ 0.1, PII-free)
-    * followed by the exact + near-dup [[dedupCorpus]] chain. Returns the
-    * curated corpus (original columns, keepers only). Idempotent:
-    * curating a curated corpus is a no-op (spec-gated) — every gate is a
-    * deterministic per-document predicate and the dedup chain keeps one
-    * canonical doc per cluster, so a second pass finds nothing new. */
+    * the t12 quality gates (SHARED definitions — [[DataOps.langPassCol]]
+    * etc., so the clean report and this path cannot drift) followed by
+    * the exact + near-dup [[dedupCorpus]] chain. Returns the curated
+    * corpus (original columns, keepers only).
+    *
+    * The cheap per-row gates run FIRST: the 2-gram repetition histogram
+    * (the dominant cost — an explode + two aggregations) is computed
+    * only over documents that survive them, which on a multilingual
+    * crawl excludes the non-matching-language majority before any
+    * n-gram work.
+    *
+    * Idempotence: the quality gates are per-document predicates and
+    * re-curating keeps every keeper — EXCEPT when the dedup chain's
+    * `maxDocFreq` stop-shingle cap binds, because shingle document
+    * frequency is corpus-dependent: a shingle dropped as a stop-shingle
+    * in pass 1 can fall back under the cap once curation shrinks the
+    * corpus, activating pairs a second pass then deduplicates. At the
+    * default cap this requires >maxDocFreq-document boilerplate;
+    * size the cap above the corpus' boilerplate frequency (or re-run
+    * to a fixpoint) when exact idempotence matters. Spec-gated at the
+    * scale where the cap cannot bind. */
   def curateCorpus(df: DataFrame, idCol: String, textCol: String,
-      langCol: String, maxTop2GramFrac: Double = 0.1): DataFrame = {
-    val rep = df.select(col(idCol).as("__id"),
-        explode(Text.ngrams(col(textCol), 2)).as("__g"))
-      .groupBy($"__id", $"__g").agg(count(lit(1)).as("__c"))
-      .groupBy($"__id")
-      .agg((max($"__c").cast("double") / sum($"__c")).as("__top2"))
-    val kept = df
-      .join(rep, df(idCol) === rep("__id"), "left")
-      .filter(Text.langId(col(textCol)) === col(langCol))
-      .filter(Text.tokenCount(col(textCol)) >= 5 &&
-        Text.distinctTokenRatio(col(textCol)) >= 0.2)
+      langCol: String, maxTop2GramFrac: Double = DataOps.MaxTop2GramFrac,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val preGated = df
+      .filter(DataOps.langPassCol(col(textCol), col(langCol)))
+      .filter(DataOps.qualityPassCol(col(textCol)))
+      .filter(DataOps.piiPassCol(col(textCol)))
+    val rep = DataOps.repetitionTop2(preGated, idCol, textCol)
+    val kept = preGated
+      .join(rep, preGated(idCol) === rep("__rid"), "left")
       .filter(coalesce($"__top2", lit(0.0)) <= maxTop2GramFrac)
-      .filter((regexp_count(col(textCol), lit(Text.EmailPattern)) +
-        regexp_count(Text.scrubEmails(col(textCol)),
-          lit(Text.PhonePattern))) === 0)
-      .drop("__id", "__top2")
-    dedupCorpus(kept, idCol, textCol)
+      .drop("__rid", "__top2")
+    dedupCorpus(kept, idCol, textCol, shingleN, minJaccard, maxDocFreq)
   }
 
   /** Embedding near-dup pairs via IVF cells — the SCALE path for the
