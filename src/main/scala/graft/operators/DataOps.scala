@@ -69,6 +69,25 @@ object DataOps {
     }
   }
 
+  /** t17's hashed linear classifier weights: bucket b's weight is derived
+    * from md5("qc_b") — a uniform 3-decimal value in [-1, 1] — generated
+    * ONCE here and inlined as literals into both the Spark plan and the
+    * DuckDB oracle SQL (the e02 sign-matrix convention: the sides cannot
+    * drift). 64 buckets keeps both literal lists reviewable; a production
+    * model would broadcast a learned 2^20-row weight table instead — the
+    * plan shape (map-side lookup, no shuffle before the per-doc agg) is
+    * the same. */
+  private[operators] val QcBuckets = 64
+  private[operators] val QcWeights: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(QcBuckets) { b =>
+      val h = md.digest(s"qc_$b".getBytes("UTF-8"))
+      val u = java.lang.Integer.toUnsignedLong(
+        java.nio.ByteBuffer.wrap(h, 0, 4).getInt)
+      ((u % 2001L) - 1000L).toDouble / 1000.0
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + per-document length stats.
     "t01_token_stats" -> { (s, d) =>
@@ -566,6 +585,35 @@ object DataOps {
         .select($"doc_id", $"source", round($"keep_rate", 9).as("keep_rate"))
     },
 
+    // Hashed linear quality classifier (fastText-style scoring): each
+    // token hashes to one of QcBuckets weight slots; a document's score
+    // is the mean weight, squashed to a probability. This is the shape
+    // of every learned quality/toxicity/domain filter in a pre-training
+    // pipeline: the weight table is a map-side literal (broadcast at
+    // real vocab sizes), so the corpus streams through a narrow
+    // hash→lookup pipeline and the only shuffle is the per-doc partial
+    // aggregate. Weights are md5-derived (see QcWeights) so DuckDB
+    // scores every document identically; the mean rides the exact
+    // decimal-cast sum, and the logistic output is rounded at 6 dp
+    // (libm exp last-ulp convention).
+    "t17_quality_classifier" -> { (s, d) =>
+      import s.implicits._
+      val wArr = array(QcWeights.map(lit(_)): _*)
+      Tables.documents(s, d)
+        .select($"doc_id", explode(Text.tokens($"text")).as("__tok"))
+        .select($"doc_id",
+          element_at(wArr,
+            (md5Bucket($"__tok") % QcBuckets).cast("int") + 1).as("__w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum($"__w".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("quality_score"))
+        .select($"doc_id", $"n_tokens", $"quality_score",
+          round(lit(1.0) / (lit(1.0) + exp(-$"quality_score")), 6)
+            .as("quality_prob"),
+          ($"quality_score" > 0).as("quality_pass"))
+    },
+
     // Keyword extraction: top-3 TF-IDF terms per document — the tagging/
     // routing step downstream of t06. The rank window partitions by
     // doc_id (high-cardinality — scale-safe; ties broken by token so the
@@ -842,6 +890,26 @@ object DataOps {
         |      AS bucket
         |  FROM documents d JOIN c USING (source) CROSS JOIN k) t
         |WHERE bucket::DOUBLE < keep_rate * 4294967296.0""".stripMargin,
+
+    // weight list inlined from the SAME QcWeights array the Spark plan
+    // uses; the score is the exact decimal-cast mean, so quality_pass's
+    // strict > 0 cannot straddle an ulp
+    "t17_quality_classifier" ->
+      s"""WITH w AS (SELECT ${QcWeights.mkString("[", ", ", "]")} AS wt),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents),
+         |sc AS (SELECT doc_id,
+         |    wt[(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT)
+         |        % $QcBuckets)::INT + 1] AS w
+         |  FROM tok CROSS JOIN w),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |      AS quality_score
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, quality_score,
+         |  round(1.0 / (1.0 + exp(-quality_score)), 6) AS quality_prob,
+         |  quality_score > 0 AS quality_pass
+         |FROM agg""".stripMargin,
 
     "t15_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

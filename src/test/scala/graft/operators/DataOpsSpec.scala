@@ -375,6 +375,44 @@ class DataOpsSpec extends SparkSpec {
       s"scores must spread: [${scored.min}, ${scored.max}]")
   }
 
+  test("t17 quality classifier: single-token score is the bucket weight; outputs consistent") {
+    // hand-compute the expected weight of one token through the same
+    // md5 → bucket → QcWeights path the query takes
+    def bucketOf(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % DataOps.QcBuckets).toInt
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("t17").toString
+    Seq((0L, "spark", "en", "webcrawl"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val row = DataOps.queries("t17_quality_classifier")(spark, outDir)
+      .collect().head
+    val expected = DataOps.QcWeights(bucketOf("spark"))
+    assert(row.getAs[Double]("quality_score") === expected,
+      s"1-token doc scores exactly its bucket weight ($expected)")
+    assert(row.getAs[Long]("n_tokens") === 1L)
+
+    // real corpus: prob is the rounded logistic of the score, pass is
+    // the strict sign test, and the scorer separates documents
+    val rows = DataOps.queries("t17_quality_classifier")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("quality_score")
+      assert(sc >= -1.0 && sc <= 1.0, s"mean of [-1,1] weights: $sc")
+      val prob = BigDecimal(1.0 / (1.0 + math.exp(-sc)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("quality_prob") === prob)
+      assert(r.getAs[Boolean]("quality_pass") === (sc > 0.0))
+    }
+    val scores = rows.map(_.getAs[Double]("quality_score"))
+    assert(scores.max > scores.min + 0.05,
+      s"hashed weights must separate docs: [${scores.min}, ${scores.max}]")
+  }
+
   test("PQ: reconstruction beats the global-mean baseline; shortlist+rerank recall holds") {
     val d = sf("sf0.001")
     val vectors = graft.Tables.embeddings(spark, d)
