@@ -86,6 +86,23 @@ object Advanced {
         .select($"c_custkey", $"c_mktsegment")
     },
 
+    // Z-order (Morton) clustering key over (l_partkey, l_suppkey) — the
+    // multi-dimensional data-skipping layout: sort/range-partition the
+    // table by z and a file-stats index can prune on EITHER column
+    // (ZOrderLayoutSpec measures the file-skipping win vs a single-
+    // column sort). The bit-interleave is codegen'd 64-bit arithmetic,
+    // computed map-side; the oracle SQL is generated from the same
+    // (shift, mask) step list. Sampled to one order in 97 so the
+    // per-row output stays driver-friendly at every SF.
+    "z01_zorder_key" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 97 === 0)
+        .select($"l_orderkey", $"l_linenumber",
+          graft.functions.ZOrder.interleave16($"l_partkey", $"l_suppkey")
+            .as("z"))
+    },
+
     // Approximate distinct (HyperLogLog++): cardinalities per event type.
     // No SQL oracle — HLL implementations differ across engines; the
     // ScalaTest suite bounds the relative error against exact counts.
@@ -120,6 +137,11 @@ object Advanced {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN
         |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "z01_zorder_key" -> graft.functions.ZOrder.interleaveSql(
+      "l_partkey", "l_suppkey",
+      "lineitem WHERE l_orderkey % 97 = 0",
+      "l_orderkey, l_linenumber"),
 
     "q22_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events
