@@ -614,6 +614,16 @@ object DataOps {
           ($"quality_score" > 0).as("quality_pass"))
     },
 
+    // BPE tokenizer training: learn the first 20 merges from the corpus
+    // (see operators/Bpe — corpus touched once for word frequencies,
+    // then the merge loop runs over the vocabulary relation). Inherently
+    // iterative: the argmax of each round feeds the next, so the entry
+    // runs its jobs eagerly; no SQL oracle (a 20-round fixpoint isn't a
+    // query) — golden-merge and monotonicity specs gate it instead.
+    "t18_bpe_merges" -> { (s, d) =>
+      Bpe.trainBpe(Tables.documents(s, d), "text", numMerges = 20)
+    },
+
     // Keyword extraction: top-3 TF-IDF terms per document — the tagging/
     // routing step downstream of t06. The rank window partitions by
     // doc_id (high-cardinality — scale-safe; ties broken by token so the
