@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytic surface round-out beyond [[Extended]]: the SQL:2003 linear
+  * regression aggregate family, ordered-set quantile aggregates
+  * (PERCENTILE_CONT / PERCENTILE_DISC / MEDIAN), gaps-and-islands
+  * interval merging, and the array higher-order-function surface.
+  *
+  * Determinism conventions follow [[Extended]]: moment-style statistics
+  * are rounded (parallel float accumulation differs in low-order bits
+  * across partitionings and engines), orderings always carry a unique
+  * tiebreak key, and array results are surfaced as csv strings because
+  * the driver's row-checker cannot sort raw array columns (q33/m03
+  * precedent).
+  */
+object Analytics {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL:2003 regression aggregates: OLS fit of extended price on
+    // quantity per return flag. Single partial-aggregable pass (the
+    // regr_* family reduces to co-moment sums) — map-side combine, one
+    // 3-row exchange; identical shape at any scale.
+    "q53_regression" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6)
+            .as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6)
+            .as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6)
+            .as("avg_x"),
+          round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6)
+            .as("avg_y"))
+    },
+
+    // Ordered-set aggregates: exact interpolated and discrete quantiles.
+    // l_quantity holds integral doubles, so the 0.25/0.5/0.75
+    // interpolation fractions are exactly representable and the results
+    // are bit-identical across engines — no rounding needed, kept
+    // anyway for uniformity with q29/q30.
+    "q54_ordered_set_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("median(l_quantity)"), 6).as("med_qty"),
+          round(expr(
+            "percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)"), 6)
+            .as("q25_cont"),
+          round(expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)"), 6)
+            .as("q75_disc"))
+    },
+
+    // Gaps-and-islands: merge each customer's order dates into maximal
+    // streaks where consecutive orders are <= 30 days apart. The windows
+    // partition by o_custkey (high cardinality — bounded per-customer
+    // partitions at any scale, unlike a bare low-cardinality stratum;
+    // see the q41 rework), and the island id is a running sum of
+    // gap-break flags, so one sort per customer produces the merge.
+    "q55_order_islands" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          to_date($"o_orderdate").as("o_date"), $"o_orderdate")
+        .withColumn("gap_break",
+          when(datediff($"o_date",
+            lag($"o_date", 1).over(w)) > 30 ||
+            lag($"o_date", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("island",
+          sum($"gap_break")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"o_custkey", $"island")
+        .agg(
+          min($"o_date").as("start_date"),
+          max($"o_date").as("end_date"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // Array higher-order surface: split/distinct/sort/slice/reverse over
+    // token arrays, surfaced as csv strings (driver row-checker cannot
+    // sort array columns — m03 precedent). All codegen'd collection
+    // expressions; per-row work, no shuffle beyond the scan.
+    "q56_array_funcs" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .select(
+          $"doc_id",
+          size($"toks").as("n_tokens"),
+          size(array_distinct($"toks")).as("n_distinct"),
+          concat_ws(",", slice(sort_array(array_distinct($"toks")), 1, 5))
+            .as("first5_asc"),
+          concat_ws(",", slice(reverse(sort_array($"toks")), 1, 3))
+            .as("top3_desc"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q53_regression" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q54_ordered_set_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(median(l_quantity), 6) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q25_cont,
+        |  round(quantile_disc(l_quantity, 0.75), 6) AS q75_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q55_order_islands" ->
+      """WITH dated AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |    o_orderdate
+        |  FROM orders),
+        |flagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_date,
+        |    CASE WHEN LAG(o_date) OVER w IS NULL
+        |           OR date_diff('day', LAG(o_date) OVER w, o_date) > 30
+        |         THEN 1 ELSE 0 END AS gap_break
+        |  FROM dated
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |islanded AS (
+        |  SELECT o_custkey, o_date,
+        |    SUM(gap_break) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged)
+        |SELECT o_custkey, island,
+        |  MIN(o_date) AS start_date, MAX(o_date) AS end_date,
+        |  COUNT(*) AS n_orders
+        |FROM islanded GROUP BY o_custkey, island""".stripMargin,
+
+    "q56_array_funcs" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  array_to_string(
+        |    list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
+        |    AS first5_asc,
+        |  array_to_string(
+        |    list_reverse_sort(string_split(text, ' '))[1:3], ',')
+        |    AS top3_desc
+        |FROM documents""".stripMargin
+  )
+}

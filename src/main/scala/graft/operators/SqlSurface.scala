@@ -62,6 +62,31 @@ object SqlSurface {
               |FROM orders
               |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
               |  (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+
+    // WITH RECURSIVE (Spark 4 iterative CTE): generate the dense month
+    // spine between the first and last order month, then left join the
+    // monthly order counts — the canonical zero-filled calendar query.
+    // The recursion depth is O(months of history), never O(rows): the
+    // recursive relation stays one row per month at any data scale.
+    "sql05_recursive_cte" -> { (s, d) =>
+      withViews(s, d, "orders")
+      s.sql("""WITH RECURSIVE bounds AS (
+              |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+              |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+              |  FROM orders),
+              |months(m) AS (
+              |  SELECT lo FROM bounds
+              |  UNION ALL
+              |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE)
+              |  FROM months JOIN bounds ON m < hi),
+              |monthly AS (
+              |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+              |         COUNT(*) AS n
+              |  FROM orders GROUP BY 1)
+              |SELECT months.m AS month_start,
+              |       COALESCE(monthly.n, 0) AS n_orders
+              |FROM months LEFT JOIN monthly ON months.m = monthly.m""".stripMargin)
     }
   )
 
@@ -98,6 +123,24 @@ object SqlSurface {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-        |  (o_orderstatus), (o_orderpriority), ())""".stripMargin
+        |  (o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "sql05_recursive_cte" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        |  FROM orders),
+        |months(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+        |  FROM months JOIN bounds ON m < hi),
+        |monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT months.m AS month_start,
+        |       COALESCE(monthly.n, 0) AS n_orders
+        |FROM months LEFT JOIN monthly ON months.m = monthly.m""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantics pins for the [[Analytics]] additions, on planted inputs
+  * (the value-level gate is the DuckDB oracle at all SFs).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q55 islands: 30-day gaps split, <=30-day gaps merge, per customer") {
+    // Customer 1: days 0, 10, 45 -> two islands ([0,10], [45]).
+    // Customer 2: days 0, 30 (exactly 30 apart -> merged), 200 -> two.
+    val orders = Seq(
+      (1L, 101L, "2024-01-01"), (1L, 102L, "2024-01-11"),
+      (1L, 103L, "2024-02-15"),
+      (2L, 201L, "2024-01-01"), (2L, 202L, "2024-01-31"),
+      (2L, 203L, "2024-07-19")
+    ).toDF("o_custkey", "o_orderkey", "d")
+      .withColumn("o_orderdate", to_timestamp($"d"))
+      .drop("d")
+
+    val dir = java.nio.file.Files.createTempDirectory("islands").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Analytics.queries("q55_order_islands")(spark, dir)
+      .orderBy($"o_custkey", $"island")
+      .select($"o_custkey", $"start_date".cast("string"),
+        $"end_date".cast("string"), $"n_orders")
+      .collect()
+    assert(out.toSeq === Seq(
+      Row(1L, "2024-01-01", "2024-01-11", 2L),
+      Row(1L, "2024-02-15", "2024-02-15", 1L),
+      Row(2L, "2024-01-01", "2024-01-31", 2L),
+      Row(2L, "2024-07-19", "2024-07-19", 1L)))
+  }
+
+  test("sql05: month spine is dense and zero-fills empty months") {
+    // Orders in Jan and Apr only -> spine Jan..Apr with Feb/Mar at 0.
+    val orders = Seq(
+      (1L, "2024-01-05"), (2L, "2024-01-20"), (3L, "2024-04-02")
+    ).toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+    val dir = java.nio.file.Files.createTempDirectory("spine").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val out = SqlSurface.queries("sql05_recursive_cte")(spark, dir)
+      .orderBy($"month_start")
+      .select($"month_start".cast("string"), $"n_orders")
+      .collect()
+    assert(out.toSeq === Seq(
+      Row("2024-01-01", 2L), Row("2024-02-01", 0L),
+      Row("2024-03-01", 0L), Row("2024-04-01", 1L)))
+  }
+
+  test("q54 quantiles: interpolation and discrete pick on a known group") {
+    // Values 1..4: median 2.5, q25_cont 1.75, q75_disc = smallest v with
+    // cume_dist >= 0.75 -> 3.
+    val li = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0))
+      .toDF("l_returnflag", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("osa").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Analytics.queries("q54_ordered_set_agg")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Double]("med_qty") === 2.5)
+    assert(row.getAs[Double]("q25_cont") === 1.75)
+    assert(row.getAs[Double]("q75_disc") === 3.0)
+  }
+
+  test("q53 regression recovers a planted exact linear relationship") {
+    // y = 3x + 7 exactly -> slope 3, intercept 7, r2 1.
+    val li = (1 to 50).map(i => ("A", i.toDouble, 3.0 * i + 7.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("regr").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val row = Analytics.queries("q53_regression")(spark, dir).collect().head
+    assert(row.getAs[Double]("slope") === 3.0)
+    assert(row.getAs[Double]("intercept") === 7.0)
+    assert(row.getAs[Double]("r2") === 1.0)
+  }
+}
