@@ -624,6 +624,34 @@ object DataOps {
       Bpe.trainBpe(Tables.documents(s, d), "text", numMerges = 20)
     },
 
+    // Tokenizer APPLICATION: encode the corpus with its own t18-trained
+    // merge table — the step that turns curated text into token ids for
+    // training, and the real consumer of every BPE trainer. Training is
+    // eager (20 driver-sequenced rounds, t18 contract); the learned
+    // table then rides the plan as an expression constant into
+    // [[graft.functions.BpeEncode]], a codegen'd primitive loop per
+    // pre-token — the corpus streams map-only, no shuffle, no UDF. No
+    // SQL oracle (a rank-ordered merge fold isn't a query); golden
+    // segmentations, the encode≡training-fold parity sweep, and the
+    // round-trip property are spec-gated.
+    "t20_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.BpeEncode.bpe_encode
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
+        .orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val pieces = regexp_extract_all($"text", lit(BpePattern), lit(0))
+      val toks = flatten(transform(pieces, p => bpe_encode(p, merges)))
+      docs.select($"doc_id",
+        size(pieces).as("n_pieces"),
+        size(toks).as("n_bpe_tokens"),
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(length($"text").cast("double") / size(toks))
+          .as("chars_per_token"),
+        concat_ws(",", slice(toks, 1, 8)).as("first8_tokens"))
+    },
+
     // Keyword extraction: top-3 TF-IDF terms per document — the tagging/
     // routing step downstream of t06. The rank window partitions by
     // doc_id (high-cardinality — scale-safe; ties broken by token so the
@@ -772,6 +800,48 @@ object DataOps {
       // nProbe=3 of 16 cells: 18.75% scan fraction per vector, measured
       // recall vs d06 exact pairs 0.85-0.93 at all three SFs (spec-gated)
       Dedup.semanticDupPairs(vectors, centroids, minCosSim = 0.45, nProbe = 3)
+    },
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each
+    // document draws a deterministic uniform u from its md5 bucket
+    // (t07 convention — reproducible across runs/partitionings) and is
+    // ranked by ln(u)/w with w = n_chars, so longer documents are
+    // proportionally likelier to be kept but no document appears twice —
+    // the length-weighted corpus subset a mixture builder draws. The
+    // top-k global selection is TakeOrderedAndProject (k rows per map
+    // task, never a global sort); the key is rounded at 12 dp on both
+    // sides so libm-ln last-ulp differences cannot flip a rank boundary.
+    "t19_weighted_sample" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          round(
+            log((md5Bucket($"doc_id") + 1L).cast("double") / 4294967296.0) /
+              greatest($"n_chars", lit(1L)), 12).as("es_key"))
+        .orderBy($"es_key".desc, $"doc_id".asc)
+        .limit(100)
+    },
+
+    // Per-dimension embedding profile: mean / stddev / min / max for
+    // every lane — the drift check before any geometric op (quantize,
+    // project, cluster) and the input to standardization. One
+    // posexplode pass with map-side partial aggregation: the exchange
+    // carries 64 rows per map task, not N×64 (this is the GOOD use of
+    // posexplode that the k-means mean rework removed — a one-shot
+    // profile, not a per-iteration inner loop). Moments rounded at 6 dp
+    // (q30 convention); min/max are exact float-to-double widenings.
+    "e03_dim_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(posexplode($"embedding").as(Seq("__d0", "__x")))
+        .select(($"__d0" + 1).cast("long").as("dim"),
+          $"__x".cast("double").as("__x"))
+        .groupBy($"dim")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"__x"), 6).as("mean_x"),
+          round(stddev_pop($"__x"), 6).as("sd_x"),
+          min($"__x").as("min_x"),
+          max($"__x").as("max_x"))
     }
   )
 
@@ -1258,6 +1328,29 @@ object DataOps {
         |  SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (
         |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
         |  FROM scored) t
-        |WHERE rnk <= 5""".stripMargin
+        |WHERE rnk <= 5""".stripMargin,
+
+    "t19_weighted_sample" ->
+      """SELECT doc_id, source, es_key FROM (
+        |  SELECT doc_id, source,
+        |    round(ln((CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+        |        AS UBIGINT) + 1)::DOUBLE / 4294967296.0)
+        |      / greatest(n_chars, 1), 12) AS es_key
+        |  FROM documents) t
+        |ORDER BY es_key DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
+
+    // parallel unnests in one SELECT zip elementwise in DuckDB, so the
+    // range() unnest is the ordinal of the embedding unnest
+    "e03_dim_stats" ->
+      """SELECT dim, COUNT(*) AS n,
+        |  round(avg(x), 6) AS mean_x,
+        |  round(stddev_pop(x), 6) AS sd_x,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM (
+        |  SELECT CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings) t
+        |GROUP BY dim""".stripMargin
   )
 }

@@ -47,6 +47,13 @@ class PlanShapeSpec extends SparkSpec {
       s"TypedImperativeAggregate must combine map-side:\n${p.take(3000)}")
   }
 
+  test("t19: weighted top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("t19_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "k rows per map task — a range-partitioned global sort defeats it")
+  }
+
   test("q36: range join plans the custom physical operator, no exchange") {
     val p = plan("q36_range_join")
     assert(p.contains("BroadcastRangeJoin"), p.take(2000))
