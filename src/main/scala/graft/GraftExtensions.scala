@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.etl.expressions.{PyEventsArray, PyLiteralToJson}
-import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, RollingWindowHashes, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs, VectorMeanDecimal}
+import graft.functions.{ArrayPairs, BpeEncode, DotProductDouble, RollingHashLong, RollingWindowHashes, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs, VectorMeanDecimal}
 
 /** Session extension registering the engine's native surface:
   *
@@ -14,7 +15,9 @@ import graft.functions.{ArrayPairs, DotProductDouble, RollingHashLong, RollingWi
   *     `py_to_json(col)`, `py_events(col)`, `top_k(col, k)`,
   *     `top_k_pairs(score, id, k)`, `dot_double(a, b)`,
   *     `sq_dist_double(a, b)`, `search_sorted(xs, v)`,
-  *     `rolling_hash(s)`, `array_pairs(xs)`
+  *     `rolling_hash(s)`, `array_pairs(xs)`, `window_hashes(s, w[, st])`,
+  *     `vector_mean(v)`, `token_shingles(s, n[, distinct])`,
+  *     `bpe_encode(piece, merges)`
   *   - the planner strategy for the custom broadcast range-join operator
   *     ([[graft.plans.RangeJoinPlan]] → [[graft.plans.BroadcastRangeJoinExec]])
   *
@@ -145,6 +148,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"token_shingles: third argument must be a boolean literal, got $other")
         }
         TokenShingles(args.head, intArg(args(1), "token_shingles"), dist)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bpe_encode(piece, merges) takes exactly two arguments")
+        // the merge table must be a plan constant: a foldable
+        // array(array(l, r), ...) evaluated once at resolution — never a
+        // per-row column (see BpeEncode's scaladoc)
+        val m = args(1)
+        require(m.foldable && m.dataType.isInstanceOf[ArrayType],
+          "bpe_encode: merges must be a foldable array(array(l, r), ...)")
+        val arr = m.eval().asInstanceOf[ArrayData]
+        val merges = (0 until arr.numElements()).map { i =>
+          val pair = arr.getArray(i)
+          require(pair != null && pair.numElements() == 2,
+            "bpe_encode: each merge must be a 2-element array(l, r)")
+          (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+        }
+        BpeEncode(args.head, merges)
       }))
   }
 }

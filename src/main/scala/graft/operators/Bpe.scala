@@ -46,6 +46,11 @@ object Bpe {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(s)))))
 
+  /** Test-only exposure of the training fold: the encode expression
+    * ([[graft.functions.BpeEncode]]) must agree with it piece-for-piece. */
+  private[operators] def applyMergeForTest(syms: Column, l: String,
+      r: String): Column = applyMerge(syms, l, r)
+
   /** Learn `numMerges` BPE merges from `df`'s `textCol`. Returns the
     * merge table: (rank, left, right, merged, pair_count), rank 1 = the
     * first (highest-count) merge. Stops early if no pair remains. */

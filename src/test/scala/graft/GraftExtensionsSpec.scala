@@ -108,6 +108,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("third argument"), err.getMessage)
   }
 
+  test("bpe_encode is callable from SQL with a foldable merge table") {
+    val toks = spark.sql(
+      """SELECT bpe_encode('hugs',
+        |  array(array('u','g'), array('h','ug'))) AS t""".stripMargin)
+      .head().getSeq[String](0)
+    assert(toks === Seq("hug", "s"))
+    // a non-foldable merge table must fail fast
+    val err = intercept[Exception] {
+      spark.sql("""SELECT bpe_encode(s, array(array(s, s))) AS t
+                  |FROM (SELECT 'x' AS s)""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("foldable"), err.getMessage)
+  }
+
   test("py_to_json of a literal is constant-folded by Catalyst") {
     val df = spark.sql("SELECT py_to_json(\"{'x': None}\") AS j")
     val optimized = df.queryExecution.optimizedPlan.toString

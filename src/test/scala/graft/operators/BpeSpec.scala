@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** BPE trainer semantics: the classic worked example must reproduce its
   * known merge sequence exactly, and on the real corpus the selection
@@ -63,5 +63,73 @@ class BpeSpec extends SparkSpec {
     counts.sliding(2).foreach { case Array(a, b) =>
       assert(a >= b, s"counts must be non-increasing: $a then $b")
     }
+  }
+
+  test("encode: golden segmentation under the hug/pug merge table") {
+    import graft.functions.BpeEncode.bpe_encode
+    import org.apache.spark.sql.functions.col
+    // merge table from the golden trainer test: ug, un, hug
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+    val out = Seq("hug", "pug", "pun", "bun", "hugs", "mug", "gu")
+      .toDF("w")
+      .select(bpe_encode(col("w"), merges).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    assert(out.toSeq === Seq(
+      Seq("hug"), Seq("p", "ug"), Seq("p", "un"), Seq("b", "un"),
+      Seq("hug", "s"), Seq("m", "ug"), Seq("g", "u")))
+  }
+
+  test("encode: zero merges = code points; round-trip concat restores the word") {
+    import graft.functions.BpeEncode.bpe_encode
+    import org.apache.spark.sql.functions.col
+    val words = Seq("hello", "a", "", "héllo", "日本語abc")
+    val none = words.toDF("w")
+      .select(col("w"), bpe_encode(col("w"), Seq.empty).as("toks"))
+      .collect()
+    none.foreach { r =>
+      val w = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks.mkString("") === w, s"round-trip of '$w'")
+      // zero merges: one token per code point (never per UTF-16 char)
+      assert(toks.length ===
+        w.codePointCount(0, w.length), s"code-point split of '$w'")
+    }
+    // round-trip also holds under a real merge table
+    val merges = Seq(("l", "l"), ("h", "e"), ("he", "ll"))
+    words.toDF("w")
+      .select(col("w"), bpe_encode(col("w"), merges).as("toks"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](1).mkString("") === r.getString(0))
+      }
+  }
+
+  test("encode matches the trainer's fold on every real-corpus pre-token") {
+    import graft.functions.BpeEncode.bpe_encode
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
+      .orderBy($"rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // reference: the training fold (Bpe.applyMerge), one merge per round
+    // with a localCheckpoint between rounds exactly like trainBpe (the
+    // fold references its input several times, so chaining all 20 in one
+    // expression tree blows up exponentially — the checkpoint IS the
+    // trainer's contract) — vs the primitive-loop expression
+    var ref = docs
+      .select(explode(regexp_extract_all($"text",
+        lit(DataOps.BpePattern), lit(0))).as("w"))
+      .distinct()
+      .select($"w", transform(sequence(lit(1), length($"w")),
+        i => $"w".substr(i, lit(1))).as("ref"))
+      .localCheckpoint()
+    merges.foreach { case (l, r) =>
+      ref = ref.select($"w", Bpe.applyMergeForTest($"ref", l, r).as("ref"))
+        .localCheckpoint()
+    }
+    val diff = ref
+      .withColumn("fast", bpe_encode($"w", merges))
+      .filter(not($"fast" <=> $"ref"))
+      .count()
+    assert(diff === 0L, "expression and training fold must agree on all pieces")
   }
 }
