@@ -88,6 +88,26 @@ object Analytics {
           count(lit(1)).as("n_orders"))
     },
 
+    // Last-observation-carried-forward gap fill: error events mask their
+    // reading to NULL, and each user's stream fills forward from the
+    // last good value — the time-series repair every sensor/metrics
+    // pipeline runs. One window per user (high-cardinality partition),
+    // unique (ts, event_id) ordering; leading NULLs (a user whose first
+    // events all errored) stay NULL by contract. Values pass through
+    // untouched (no float arithmetic), so no rounding is needed.
+    "q57_locf" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v_masked",
+          when($"event_type" === "error", lit(null).cast("double"))
+            .otherwise($"value"))
+        .withColumn("v_filled", last($"v_masked", ignoreNulls = true).over(w))
+        .select($"user_id", $"event_id",
+          ($"event_type" === "error").as("is_masked"), $"v_filled")
+    },
+
     // Array higher-order surface: split/distinct/sort/slice/reverse over
     // token arrays, surfaced as csv strings (driver row-checker cannot
     // sort array columns — m03 precedent). All codegen'd collection
@@ -147,6 +167,16 @@ object Analytics {
         |  MIN(o_date) AS start_date, MAX(o_date) AS end_date,
         |  COUNT(*) AS n_orders
         |FROM islanded GROUP BY o_custkey, island""".stripMargin,
+
+    "q57_locf" ->
+      """SELECT user_id, event_id,
+        |  event_type = 'error' AS is_masked,
+        |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_filled
+        |FROM events""".stripMargin,
 
     "q56_array_funcs" ->
       """SELECT doc_id,

@@ -471,6 +471,48 @@ object DataOps {
           ($"__n_hit".cast("double") / $"__n_gr").as("contamination_frac"))
     },
 
+    // Contamination REMOVAL — the action c01's detection feeds: the
+    // training split minus every document sharing a word-4-gram with
+    // the held-out benchmark. The contaminated-id relation is ids only
+    // (tiny at any corpus scale — bounded by benchmark-hit docs), so it
+    // broadcasts and the corpus streams map-only through the anti join;
+    // never the other way around.
+    "c02_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      val contaminated = queries("c01_contamination")(s, d).select($"doc_id")
+      Tables.documents(s, d)
+        .filter($"doc_id" % 53 =!= 0)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source", $"lang", $"n_chars")
+    },
+
+    // Sliding-window chunking with overlap: cut each document's token
+    // stream into size-32 windows advancing by stride 24 (8-token
+    // overlap; sized to the synthetic corpus' 10-100-token documents so
+    // multi-chunk splitting is actually exercised — production sizes are
+    // a parameter change) — the context-window layout step when examples must not
+    // lose boundary context (p01 is the disjoint concat-and-chunk
+    // variant). Pure integer arithmetic per document (ceil-div via
+    // floor on positive operands — identical in Spark and DuckDB), one
+    // explode, no shuffle at all: chunk bounds are closed forms of
+    // (n_tokens, chunk_no).
+    "p02_sliding_chunks" -> { (s, d) =>
+      import s.implicits._
+      val size = 32L
+      val stride = 24L
+      Tables.documents(s, d)
+        .select($"doc_id", Text.tokenCount($"text").cast("long").as("n_tokens"))
+        .withColumn("__nc",
+          when($"n_tokens" <= size, lit(1L)).otherwise(
+            floor(($"n_tokens" - size + stride - 1) / stride).cast("long") + 1L))
+        .select($"doc_id", $"n_tokens",
+          explode(sequence(lit(0L), $"__nc" - 1)).as("chunk_no"))
+        .select($"doc_id", $"n_tokens", $"chunk_no",
+          (lit(stride) * $"chunk_no").as("tok_start"),
+          least($"n_tokens" - lit(stride) * $"chunk_no", lit(size))
+            .as("tok_len"))
+    },
+
     // Sequence packing (concat-and-chunk): lay the corpus out as one
     // global token stream in doc_id order, cut into fixed 512-token
     // context windows, and report which chunks each document spans —
@@ -1133,6 +1175,31 @@ object DataOps {
         |  CAST(n_gr AS BIGINT) AS n_grams,
         |  n_hit::DOUBLE / n_gr AS contamination_frac
         |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id""".stripMargin,
+
+    "c02_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+        |  FROM toks WHERE len(t) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
+        |hits AS (SELECT DISTINCT doc_id FROM g
+        |  WHERE doc_id % 53 <> 0 AND gram IN (SELECT gram FROM bench))
+        |SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id % 53 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+
+    "p02_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    CASE WHEN n <= 32 THEN 1
+        |         ELSE (n - 32 + 23) // 24 + 1 END AS nc FROM t),
+        |x AS (SELECT doc_id, n, unnest(range(0, nc)) AS chunk_no FROM c)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(chunk_no AS BIGINT) AS chunk_no,
+        |  CAST(24 * chunk_no AS BIGINT) AS tok_start,
+        |  CAST(least(n - 24 * chunk_no, 32) AS BIGINT) AS tok_len
+        |FROM x""".stripMargin,
 
     "p01_pack_chunks" ->
       """WITH t AS (SELECT doc_id,

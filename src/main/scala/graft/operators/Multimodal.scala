@@ -119,6 +119,18 @@ object Multimodal {
           concat_ws(",", transform(col("features"),
             f => round(f.cast("double") * 1000000).cast("long")))
             .as("features_csv"))
+    },
+    // The mapPartitions decode path surfaced end-to-end: one typed batch
+    // per partition (where a real codec would init once), deterministic
+    // fake features, csv-surfaced lanes (m03 convention). Rows-only
+    // check — the fake decode is JVM-hash-defined, not SQL-portable.
+    "m04_batch_decode" -> { (s, d) =>
+      val media = fromText(graft.Tables.documents(s, d), "doc_id", "text")
+      decodePartitions(media, dim = 8).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          concat_ws(",", transform(col("features"),
+            f => round(f.cast("double") * 65536).cast("long")))
+            .as("features_csv"))
     }
   )
 

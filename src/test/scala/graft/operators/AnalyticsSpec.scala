@@ -69,6 +69,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getAs[Double]("q75_disc") === 3.0)
   }
 
+  test("q57 LOCF: masked values fill from the last good reading per user") {
+    // user 1: v=10, error, error, v=20, error -> fills 10,10,10,20,20
+    // user 2: leading error stays NULL, then 5 fills forward
+    val ev = Seq(
+      (1L, 1L, "click", 10.0, "2024-01-01 00:00:01"),
+      (1L, 2L, "error", 99.0, "2024-01-01 00:00:02"),
+      (1L, 3L, "error", 98.0, "2024-01-01 00:00:03"),
+      (1L, 4L, "view", 20.0, "2024-01-01 00:00:04"),
+      (1L, 5L, "error", 97.0, "2024-01-01 00:00:05"),
+      (2L, 6L, "error", 96.0, "2024-01-01 00:00:01"),
+      (2L, 7L, "click", 5.0, "2024-01-01 00:00:02")
+    ).toDF("user_id", "event_id", "event_type", "value", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    val dir = java.nio.file.Files.createTempDirectory("locf").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.queries("q57_locf")(spark, dir)
+      .orderBy($"event_id")
+      .select($"event_id", $"v_filled")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(out.toSeq === Seq(
+      (1L, Some(10.0)), (2L, Some(10.0)), (3L, Some(10.0)),
+      (4L, Some(20.0)), (5L, Some(20.0)),
+      (6L, None), (7L, Some(5.0))))
+  }
+
   test("q53 regression recovers a planted exact linear relationship") {
     // y = 3x + 7 exactly -> slope 3, intercept 7, r2 1.
     val li = (1 to 50).map(i => ("A", i.toDouble, 3.0 * i + 7.0))

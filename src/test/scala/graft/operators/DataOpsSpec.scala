@@ -302,6 +302,46 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("c02 decontaminate = train split minus exactly the c01-flagged docs") {
+    val dir = sf("sf0.001")
+    val flagged = DataOps.queries("c01_contamination")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val kept = DataOps.queries("c02_decontaminate")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val train = graft.Tables.documents(spark, dir)
+      .filter($"doc_id" % 53 =!= 0).select($"doc_id").as[Long].collect().toSet
+    assert(kept === train -- flagged)
+    assert(flagged.nonEmpty, "planted overlap must actually remove docs")
+  }
+
+  test("p02 sliding chunks: windows cover [0, n) with the exact overlap") {
+    val out = DataOps.queries("p02_sliding_chunks")(spark, sf("sf0.001"))
+      .orderBy($"doc_id", $"chunk_no").collect()
+    assert(out.exists(_.getAs[Long]("chunk_no") > 0L),
+      "corpus must exercise multi-chunk docs")
+    out.groupBy(_.getLong(0)).foreach { case (docId, rows) =>
+      val n = rows.head.getAs[Long]("n_tokens")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_no") === i.toLong, s"doc $docId dense ids")
+        assert(r.getAs[Long]("tok_start") === 24L * i)
+        val len = r.getAs[Long]("tok_len")
+        assert(len >= 1 && len <= 32, s"doc $docId chunk $i len $len")
+      }
+      // coverage: last window ends exactly at n; every next window starts
+      // 8 tokens before the previous one ends (stride 24 of size 32)
+      val last = rows.last
+      assert(last.getAs[Long]("tok_start") + last.getAs[Long]("tok_len") === n,
+        s"doc $docId must be covered to its last token")
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_start") <
+            a.getAs[Long]("tok_start") + a.getAs[Long]("tok_len"),
+            s"doc $docId: windows must overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("d11 incremental pairs = d02 pairs touching the new batch, never old×old") {
     // the incremental join must agree exactly with the full-corpus d02
     // result restricted to pairs with >= 1 new side — same shingles, same
