@@ -755,6 +755,40 @@ object DataOps {
             count(lit(1))).as("avg_logprob"))
     },
 
+    // Bigram language-model scoring with add-one smoothing — t13's
+    // unigram filter upgraded one order: each document scores the mean
+    // ln P(w2|w1) = ln((C2(w1,w2)+1) / (C1(w1)+V)) under the corpus
+    // bigram distribution, the sharper gibberish/boilerplate signal
+    // (production pipelines use 5-gram KenLM; the join/aggregation
+    // shape is identical from bigrams up). Bigrams come from the native
+    // occurrence-form TokenShingles (no interpreted HOF chain); both
+    // count joins are shuffle-hash (bigram vocab scales with the
+    // corpus — never broadcast, never sort the token stream); V and
+    // the per-token ln ride the t13 conventions (broadcast 1-row
+    // aggregate; round 6dp before the decimal-cast sum).
+    "t21_bigram_logprob" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.Text
+      val docs = Tables.documents(s, d)
+      val bigrams = docs.select($"doc_id",
+        explode(Text.ngrams($"text", 2)).as("bg"))
+      val unigrams = docs.select(explode(Text.tokens($"text")).as("tok"))
+      val c2 = bigrams.groupBy($"bg").agg(count(lit(1)).as("__c2"))
+      val c1 = unigrams.groupBy($"tok").agg(count(lit(1)).as("__c1"))
+      val v = unigrams.agg(countDistinct($"tok").cast("double").as("__v"))
+      bigrams
+        .join(c2.hint("shuffle_hash"), "bg")
+        .withColumn("__w1", substring_index($"bg", " ", 1))
+        .join(c1.hint("shuffle_hash"), $"__w1" === c1("tok"))
+        .crossJoin(broadcast(v))
+        .select($"doc_id",
+          round(log(($"__c2" + 1.0) / ($"__c1" + $"__v")), 6).as("__logp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum($"__logp".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_logprob2"))
+    },
+
     // Exact substring dedup: pairs sharing a verbatim 50-char span —
     // catches licence boilerplate / quoted text / benchmark leakage
     // that token-Jaccard dilutes away. Counts are exact (hash
@@ -1175,6 +1209,24 @@ object DataOps {
         |  CAST(n_gr AS BIGINT) AS n_grams,
         |  n_hit::DOUBLE / n_gr AS contamination_frac
         |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id""".stripMargin,
+
+    "t21_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+        |v AS (SELECT COUNT(DISTINCT tok)::DOUBLE AS v FROM uni)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CAST(round(ln((c2 + 1.0) / (c1 + v)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_logprob2
+        |FROM bg
+        |JOIN c2 USING (w1, w2)
+        |JOIN c1 ON bg.w1 = c1.tok
+        |CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
 
     "c02_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
