@@ -159,17 +159,26 @@ object Dedup {
     * a near-identical mega-cluster stays connected for downstream
     * clustering with O(n) pairs instead of O(n²), and no posting list is
     * ever materialized for it. */
+  /** (doc, sig, band, bucket) rows: one bucket hash per signature band.
+    * Signatures are per-document (min over the doc's own shingles), so
+    * banding a batch separately from a corpus yields identical rows —
+    * the property the persisted-index probe relies on. */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    minHashSignatures(df, idCol, textCol, shingleN, numPerm)
+      .select($"doc", $"sig",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", b,
+            concat_ws(",", slice($"sig", b * r + lit(1), lit(r)))))))
+          .as(Seq("band", "bucket")))
+  }
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.5, maxBucket: Long = 1000L): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val r = numPerm / bands
-    val sigs = minHashSignatures(df, idCol, textCol, shingleN, numPerm)
-    val banded = sigs.select($"doc", $"sig",
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", b,
-          concat_ws(",", slice($"sig", b * r + lit(1), lit(r)))))))
-        .as(Seq("band", "bucket")))
+    val banded = bandedSignatures(df, idCol, textCol, shingleN, numPerm, bands)
     val cands = bucketPairs(banded, Seq("band", "bucket"),
         struct($"doc", $"sig"), cap = maxBucket, starHot = true)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -180,6 +189,54 @@ object Dedup {
           b => b)).cast("double") / numPerm)
       .filter($"est_jaccard" >= minEstJaccard)
       .select($"doc_a", $"doc_b", $"est_jaccard")
+  }
+
+  /** Persist the banded MinHash index for INCREMENTAL ingest — the
+    * storage half of [[incrementalJaccardPairs]]: the kept corpus's
+    * (doc, sig, band, bucket) rows land once, partitioned by a bucket
+    * prefix (`bucket_p = pmod(bucket, indexParts)`), and every future
+    * batch probes the index instead of re-shingling the corpus.
+    *
+    * Partitioning by the RAW bucket would create one directory per
+    * distinct hash (unbounded); the prefix keeps the directory count
+    * fixed at `indexParts` while still letting a probe batch — whose
+    * bucket set is small — dynamically prune the directories it cannot
+    * match. Per-ingest read cost therefore scales with the batch's
+    * bucket footprint, not with corpus age (the d11 argument, minus
+    * even the corpus re-scan). */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      indexParts: Int = 64): Unit =
+    graft.sources.ParquetSink.writePartitioned(
+      bandedSignatures(df, idCol, textCol, shingleN, numPerm, bands)
+        .withColumn("bucket_p", pmod($"bucket", lit(indexParts))),
+      dir, Seq("bucket_p"))
+
+  /** Probe a persisted band index with a new batch: old×new candidate
+    * pairs meet on (bucket_p, band, bucket) — bucket_p is the partition
+    * column, so the broadcast probe side drives DYNAMIC partition
+    * pruning on the index scan (IvfStorageSpec's cell-join mechanics) —
+    * then estimated Jaccard filters exactly like [[minHashLshPairs]].
+    * Signature params must match the ones the index was written with.
+    * New×new pairs are the in-memory path's job ([[minHashLshPairs]] on
+    * the batch); old×old pairs are never regenerated. */
+  def probeBandIndex(index: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5, indexParts: Int = 64): DataFrame = {
+    val probes = bandedSignatures(newDocs, idCol, textCol, shingleN,
+        numPerm, bands)
+      .withColumn("bucket_p", pmod($"bucket", lit(indexParts)))
+      .withColumnRenamed("doc", "doc_new")
+      .withColumnRenamed("sig", "sig_new")
+    index
+      .join(broadcast(probes), Seq("bucket_p", "band", "bucket"))
+      .filter($"doc" =!= $"doc_new")
+      .dropDuplicates("doc", "doc_new") // key-pair dedupe, not array hashing
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sig", $"sig_new", (x, y) => x === y),
+          b => b)).cast("double") / numPerm)
+      .filter($"est_jaccard" >= minEstJaccard)
+      .select($"doc".as("doc_old"), $"doc_new", $"est_jaccard")
   }
 
   /** 64-bit SimHash per document: per-bit majority vote of token hashes.

@@ -116,6 +116,17 @@ object Streaming {
     events.withWatermark(watermarkCol, lateness)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-static enrichment: a stream joined to a dimension table. The
+    * static side is planned per micro-batch like any batch relation —
+    * broadcast when small (dims virtually always are), no streaming
+    * state at all: this is the cheapest join in Structured Streaming and
+    * the default way to attach document/user/tenant attributes on
+    * ingest. No watermark is needed (nothing buffers). */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
+      dimCols: String*): DataFrame =
+    stream.join(broadcast(dim.select((keyCol +: dimCols).map(col): _*)),
+      Seq(keyCol), "left")
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key with right.ts in [left.ts - lower, left.ts + upper].
     * Watermarks on BOTH sides bound the join state — without them a

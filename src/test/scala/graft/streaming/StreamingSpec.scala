@@ -216,6 +216,31 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains((3L, 13L))) // outside window
   }
 
+  test("stream-static enrichment joins the dim per micro-batch, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold", "eu"), (2L, "basic", "us"))
+      .toDF("user_id", "tier", "region")
+    val input = MemoryStream[Streaming.UserEvent]
+    val enriched = Streaming.enrich(input.toDS().toDF(), dim,
+      "user_id", "tier", "region")
+    val q = enriched.select("event_id", "tier", "region")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    input.addData(
+      Streaming.UserEvent(1L, 100L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Streaming.UserEvent(2L, 101L, Timestamp.valueOf("2024-01-01 00:00:01"), 2.0),
+      Streaming.UserEvent(9L, 102L, Timestamp.valueOf("2024-01-01 00:00:02"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT event_id, tier, region FROM enrich_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    // left join: the unknown user (9) passes through with NULL attributes
+    assert(out === Seq((100L, "gold", "eu"), (101L, "basic", "us"),
+      (102L, null, null)))
+  }
+
   test("sessionize: event-time gap sessions close when the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
