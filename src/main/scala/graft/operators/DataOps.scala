@@ -51,6 +51,154 @@ object DataOps {
       .groupBy(col("__rid"))
       .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("__top2"))
 
+  /** p01's concat-and-chunk packing as a reusable stage: exact global
+    * token-stream cumsum via doc-id-range buckets + per-bucket windows
+    * (the q28 two-phase pattern — no global sort at any scale). Output:
+    * (idCol, n_tokens, first_chunk, last_chunk, n_chunks). */
+  def packChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", capacity: Long = 512L,
+      nBuckets: Long = 1024L): DataFrame = {
+    val id = col(idCol)
+    val sized = docs
+      .select(id, Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val bounds = sized.agg(min(id).as("__lo"), max(id).as("__hi"))
+    val bucketed = sized.crossJoin(broadcast(bounds))
+      .withColumn("__b", floor((id - col("__lo")) * lit(nBuckets) /
+        (col("__hi") - col("__lo") + 1)))
+      .drop("__lo", "__hi")
+    val counts = bucketed.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__c"))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts // ≤nBuckets rows: over the bucket aggregate only
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wLocal = Window.partitionBy(col("__b")).orderBy(id)
+    bucketed
+      .withColumn("__lcum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offs), Seq("__b"))
+      .withColumn("__cum", col("__lcum") + col("__off"))
+      // doc occupies token interval [cum - n, cum); chunk = floor(/cap)
+      // (exact: token totals sit far below 2^53)
+      .select(id, col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / capacity).as("first_chunk"),
+        floor((col("__cum") - 1) / capacity).as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
+
+  /** p03: greedy next-fit bin packing WITHOUT document splitting — the
+    * packing variant used when truncation/splitting is off the table
+    * (instruction tuning, long-context curation): each document lands
+    * whole in one bin; a bin closes when the next document doesn't fit.
+    * An oversized document (> capacity) occupies a bin alone.
+    *
+    * Scale shape: packing is inherently sequential, so the sequence is
+    * BUCKETED first (doc-id range → `nBuckets` buckets, the p01/q28
+    * two-phase pattern), one shuffle clusters each bucket, and a
+    * constant-memory `mapPartitions` scan packs within the bucket. Bins
+    * never span buckets, so every bucket packs independently and in
+    * parallel — at 100 TB, nBuckets scales with the cluster while the
+    * per-task state stays two longs. Deterministic under retries and
+    * any input partitioning: bucket membership and in-bucket order are
+    * pure functions of doc_id.
+    *
+    * Output: (doc_id, n_tokens, bucket, bin_id) with bin_id globally
+    * unique (bucket ⊕ bucket-local bin counter). */
+  def binPack(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", capacity: Long = 512L,
+      nBuckets: Long = 64L): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val id = col(idCol)
+    val sized = docs
+      .select(id.cast("long").as("doc_id"),
+        Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val bounds = sized.agg(min($"doc_id").as("__lo"), max($"doc_id").as("__hi"))
+    sized.crossJoin(broadcast(bounds))
+      // exact while (hi-lo)*nBuckets < 2^53 — same arithmetic as p01
+      .select(floor(($"doc_id" - $"__lo") * lit(nBuckets) /
+          ($"__hi" - $"__lo" + 1)).cast("long").as("__b"),
+        $"doc_id", $"n_tokens")
+      .as[(Long, Long, Long)]
+      .repartition(col("__b"))
+      .sortWithinPartitions($"__b", $"doc_id")
+      .mapPartitions { it =>
+        // a task may hold several whole buckets: state resets per bucket
+        var curB = Long.MinValue
+        var fill = 0L
+        var bin = -1L
+        it.map { case (b, docId, n) =>
+          val eff = math.min(n, capacity)
+          if (b != curB) { curB = b; fill = 0L; bin = -1L }
+          if (bin < 0L || fill + eff > capacity) { bin += 1; fill = eff }
+          else fill += eff
+          (docId, n, b, b * (1L << 40) + bin)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bucket", "bin_id")
+  }
+
+  /** c01's detection generalized to an explicit benchmark relation: ids
+    * of corpus docs sharing any word n-gram with the benchmark. The
+    * benchmark gram set broadcasts; the corpus gram stream semi-joins
+    * map-only (ids only — when the caller needs per-doc counts, that is
+    * c01's one-pass aggregate instead). */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 4): DataFrame = {
+    val grams = Dedup.shingleIndex(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    Dedup.shingleIndex(corpus, idCol, textCol, n)
+      .join(broadcast(grams), Seq("shingle"), "left_semi")
+      .select(col("doc").as(idCol)).distinct()
+  }
+
+  /** t22's temperature sampling as a reusable stage: per-source quotas
+    * follow n_src^0.5 (sqrt is IEEE-exact; weights decimal-summed), keep
+    * decisions are the deterministic md5 threshold. Returns the sampled
+    * rows with keep_rate appended. */
+  def temperatureSample(docs: DataFrame, budget: Double,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val weights = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n_src"))
+      .withColumn("__w",
+        round(sqrt(col("__n_src").cast("double")), 9).cast("decimal(18,9)"))
+    val tot = weights.agg(sum(col("__w")).as("__tot"))
+    docs
+      .join(broadcast(weights), Seq(sourceCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("keep_rate",
+        round(least(lit(1.0),
+          lit(budget) * col("__w").cast("double") / col("__tot").cast("double") /
+            col("__n_src")), 9))
+      .filter(md5Bucket(col(idCol)).cast("double") <
+        col("keep_rate") * 4294967296.0)
+      .drop("__n_src", "__w", "__tot")
+  }
+
+  /** One-call training-set preparation — the composition a pipeline
+    * actually ships: quality/PII/repetition gates + exact/near dedup
+    * ([[Dedup.curateCorpus]]), benchmark decontamination
+    * ([[contaminatedIds]] anti-join), temperature mixture sampling
+    * ([[temperatureSample]]), and context-window packing
+    * ([[packChunks]]). Every stage is individually oracled/spec-gated;
+    * the composition is gated by the x01 subset/tiling spec. */
+  def prepareTrainingSet(docs: DataFrame, benchmark: DataFrame,
+      budget: Double = 200.0): DataFrame = {
+    // each stage's output is re-referenced downstream (the anti-join and
+    // the pack both consume survivors twice): localCheckpoint the small
+    // survivor relations so the expensive curation lineage runs ONCE
+    // (the CC/BPE convention), not once per reference
+    val curated = Dedup.curateCorpus(docs, "doc_id", "text", "lang")
+      .localCheckpoint()
+    val clean = curated.join(
+      broadcast(contaminatedIds(curated, benchmark)),
+      Seq("doc_id"), "left_anti")
+    val sampled = temperatureSample(clean, budget).localCheckpoint()
+    packChunks(sampled)
+      .join(sampled.select(col("doc_id"), col("source"), col("keep_rate")),
+        Seq("doc_id"))
+  }
+
   /** t14's BPE-ish pre-tokenizer split: letter runs, single digits
     * (GPT-2 style — numbers merge from digit pieces), punctuation runs.
     * Explicit classes only — identical under Java regex and RE2. */
@@ -513,6 +661,15 @@ object DataOps {
             .as("tok_len"))
     },
 
+    // Greedy next-fit bin packing WITHOUT splitting: whole documents
+    // into 512-token bins, bucketed doc-id ranges packed independently
+    // (one shuffle + constant-memory sequential scan per bucket — the
+    // p01 two-phase pattern where the sequential half is a mapPartitions
+    // fold, since a running sum WITH RESET is not a window function).
+    "p03_bin_pack" -> { (s, d) =>
+      binPack(Tables.documents(s, d))
+    },
+
     // Sequence packing (concat-and-chunk): lay the corpus out as one
     // global token stream in doc_id order, cut into fixed 512-token
     // context windows, and report which chunks each document spans —
@@ -524,33 +681,19 @@ object DataOps {
     // at any scale. (Bucketing by id RANGE, not modulo: the cumulative
     // sum needs bucket order to agree with doc order.)
     "p01_pack_chunks" -> { (s, d) =>
+      packChunks(Tables.documents(s, d))
+    },
+
+    // The one-call capstone: curate → decontaminate (vs the doc_id % 53
+    // holdout, the c01/c02 benchmark stand-in) → temperature-sample →
+    // pack. Value-oracled END-TO-END (trainingSetSql composes the
+    // stages' own oracle fragments), plus the subset/tiling spec.
+    "x01_training_set" -> { (s, d) =>
       import s.implicits._
-      val capacity = 512L
-      val nBuckets = 1024L
       val docs = Tables.documents(s, d)
-        .select($"doc_id", Text.tokenCount($"text").cast("long").as("n_tokens"))
-      val bounds = docs.agg(min($"doc_id").as("__lo"), max($"doc_id").as("__hi"))
-      val bucketed = docs.crossJoin(broadcast(bounds))
-        .withColumn("__b", floor(($"doc_id" - $"__lo") * lit(nBuckets) /
-          ($"__hi" - $"__lo" + 1)))
-        .drop("__lo", "__hi")
-      val counts = bucketed.groupBy($"__b").agg(sum($"n_tokens").as("__c"))
-      val wOff = Window.orderBy($"__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = counts // ≤1024 rows: over the bucket aggregate only
-        .withColumn("__off", coalesce(sum($"__c").over(wOff), lit(0L)))
-        .select($"__b", $"__off")
-      val wLocal = Window.partitionBy($"__b").orderBy($"doc_id")
-      bucketed
-        .withColumn("__lcum", sum($"n_tokens").over(wLocal))
-        .join(broadcast(offs), Seq("__b"))
-        .withColumn("__cum", $"__lcum" + $"__off")
-        // doc occupies token interval [cum - n, cum); chunk = floor(/cap)
-        // (exact: token totals sit far below 2^53)
-        .select($"doc_id", $"n_tokens",
-          floor(($"__cum" - $"n_tokens") / capacity).as("first_chunk"),
-          floor(($"__cum" - 1) / capacity).as("last_chunk"))
-        .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1)
+      prepareTrainingSet(
+        docs.filter($"doc_id" % 53 =!= 0),
+        docs.filter($"doc_id" % 53 === 0))
     },
 
     // Full IVF-PQ (IVFADC) top-5: coarse cells prune, residual PQ codes
@@ -625,6 +768,22 @@ object DataOps {
         .filter(md5Bucket($"doc_id").cast("double") <
           $"keep_rate" * 4294967296.0)
         .select($"doc_id", $"source", round($"keep_rate", 9).as("keep_rate"))
+    },
+
+    // Temperature-based mixture sampling (the multilingual-LM standard):
+    // per-source keep quotas follow n_src^alpha with alpha = 0.5, so
+    // low-resource sources are UP-weighted relative to their share
+    // (t16 is the alpha→0 equal-share limit). Determinism across
+    // engines: alpha = 0.5 rides sqrt (IEEE correctly-rounded in both
+    // JVM and DuckDB — pow is NOT), each weight is rounded to 9 dp and
+    // cast to decimal so the cross-source total is an exact associative
+    // sum, and the keep decision is the t07 md5 threshold. Same scale
+    // shape as t16: one broadcast of the ~#sources weight table, corpus
+    // streams map-only.
+    "t22_temperature_mix" -> { (s, d) =>
+      import s.implicits._
+      temperatureSample(Tables.documents(s, d), budget = 200.0)
+        .select($"doc_id", $"source", $"keep_rate")
     },
 
     // Hashed linear quality classifier (fastText-style scoring): each
@@ -1005,6 +1164,113 @@ object DataOps {
        |FROM base b LEFT JOIN rep ON b.doc_id = rep.doc_id""".stripMargin
   }
 
+  // The x01 capstone oracled END-TO-END: every stage of
+  // prepareTrainingSet re-expressed over the same fragments its pieces
+  // are individually oracled with — the t12 gates (shared generated
+  // langCase + PII constants), the d01/d05 normalize→exact→Jaccard→
+  // recursive-CTE-CC dedup chain at curateCorpus defaults (minJaccard
+  // 0.8), the c01 4-gram contamination NOT-IN, the t22 temperature
+  // quotas, and the p01 cumsum pack. Value-level agreement here gates
+  // the COMPOSITION (stage wiring, which relation feeds which), not
+  // just the stages.
+  private def trainingSetSql = {
+    val em = graft.functions.Text.EmailPattern
+    val ph = graft.functions.Text.PhonePattern
+    s"""WITH RECURSIVE
+       |train AS (SELECT doc_id, lang, source, text FROM documents
+       |  WHERE doc_id % 53 <> 0),
+       |ttk AS (SELECT doc_id, lang, source, text, string_split(text, ' ') t
+       |  FROM train),
+       |pre AS (SELECT * FROM ttk WHERE
+       |  ($langCaseSql) = lang
+       |  AND len(t) >= 5 AND len(list_distinct(t))::DOUBLE / len(t) >= 0.2
+       |  AND len(regexp_extract_all(text, '$em')) +
+       |      len(regexp_extract_all(
+       |        regexp_replace(text, '$em', '<email>', 'g'), '$ph')) = 0),
+       |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS gram
+       |  FROM pre WHERE len(t) >= 2),
+       |gc AS (SELECT doc_id, gram, COUNT(*) c FROM g2 GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top2 FROM gc
+       |  GROUP BY 1),
+       |kept AS (SELECT p.doc_id, p.source, p.text FROM pre p
+       |  LEFT JOIN rep USING (doc_id) WHERE COALESCE(rep.top2, 0.0) <= 0.1),
+       |normed AS (SELECT doc_id, source, text,
+       |    trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+       |  FROM kept),
+       |exact AS (SELECT doc_id, source, text, norm FROM (
+       |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keeper
+       |    FROM normed) WHERE doc_id = keeper),
+       |ntk AS (SELECT doc_id, string_split(norm, ' ') t FROM exact),
+       |sh AS (SELECT doc_id AS doc,
+       |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       |  FROM ntk WHERE len(t) >= 3),
+       |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+       |rare AS (SELECT * FROM (SELECT doc, shingle,
+       |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= 1000),
+       |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM com
+       |  JOIN sizes sa ON doc_a = sa.doc
+       |  JOIN sizes sb ON doc_b = sb.doc
+       |  WHERE CAST(n_common AS DOUBLE) /
+       |    (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (SELECT s, d FROM sym
+       |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+       |labels AS (SELECT s AS doc, least(s, MIN(d)) AS cluster
+       |  FROM reach GROUP BY s),
+       |curated AS (SELECT e.doc_id, e.source, e.text FROM exact e
+       |  LEFT JOIN labels l ON e.doc_id = l.doc
+       |  WHERE COALESCE(l.cluster, e.doc_id) = e.doc_id),
+       |btk AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+       |  WHERE doc_id % 53 = 0),
+       |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+       |    AS gram
+       |  FROM btk WHERE len(t) >= 4),
+       |ctk AS (SELECT doc_id, string_split(text, ' ') t FROM curated),
+       |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+       |    AS gram
+       |  FROM ctk WHERE len(t) >= 4),
+       |dirty AS (SELECT DISTINCT doc_id FROM cg
+       |  WHERE gram IN (SELECT gram FROM bg)),
+       |clean AS (SELECT * FROM curated
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |w AS (SELECT source, COUNT(*) AS n_src,
+       |    CAST(round(sqrt(COUNT(*)::DOUBLE), 9) AS DECIMAL(18,9)) AS w
+       |  FROM clean GROUP BY source),
+       |tw AS (SELECT SUM(w) AS tot FROM w),
+       |sampled AS (SELECT doc_id, source, text, keep_rate FROM (
+       |    SELECT c.doc_id, c.source, c.text,
+       |      round(least(1.0,
+       |        200.0 * w.w::DOUBLE / tw.tot::DOUBLE / w.n_src), 9)
+       |        AS keep_rate,
+       |      CAST(('0x' || substring(md5(c.doc_id::VARCHAR), 1, 8))
+       |        AS UBIGINT) AS bucket
+       |    FROM clean c JOIN w USING (source) CROSS JOIN tw) x
+       |  WHERE bucket::DOUBLE < keep_rate * 4294967296.0),
+       |sized AS (SELECT doc_id, source, keep_rate,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM sampled),
+       |cum AS (SELECT *, SUM(n) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sized)
+       |SELECT doc_id, n AS n_tokens,
+       |  CAST((cum - n) // 512 AS BIGINT) AS first_chunk,
+       |  CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
+       |  CAST((cum - 1) // 512 - (cum - n) // 512 + 1 AS BIGINT) AS n_chunks,
+       |  source, keep_rate
+       |FROM cum""".stripMargin
+  }
+
   // generated from the SAME projRow constants the Spark plan inlines
   private def randomProjectionSql = {
     val lanes = (0 until ProjK).map { j =>
@@ -1022,6 +1288,7 @@ object DataOps {
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
+    "x01_training_set" -> trainingSetSql,
 
     "o01_corpus_profile" ->
       """SELECT COUNT(*) AS n_docs,
@@ -1034,6 +1301,20 @@ object DataOps {
         |  1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
         |    AS exact_dup_rate
         |FROM documents""".stripMargin,
+
+    "t22_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src,
+        |    CAST(round(sqrt(COUNT(*)::DOUBLE), 9) AS DECIMAL(18,9)) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT SUM(w) AS tot FROM c)
+        |SELECT doc_id, source, keep_rate FROM (
+        |  SELECT d.doc_id, d.source,
+        |    round(least(1.0,
+        |      200.0 * c.w::DOUBLE / t.tot::DOUBLE / c.n_src), 9) AS keep_rate,
+        |    CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |      AS bucket
+        |  FROM documents d JOIN c USING (source) CROSS JOIN t) x
+        |WHERE bucket::DOUBLE < keep_rate * 4294967296.0""".stripMargin,
 
     "t16_mixture_sample" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents
@@ -1252,6 +1533,35 @@ object DataOps {
         |  CAST(24 * chunk_no AS BIGINT) AS tok_start,
         |  CAST(least(n - 24 * chunk_no, 32) AS BIGINT) AS tok_len
         |FROM x""".stripMargin,
+
+    // next-fit replayed exactly: the recursive term advances every
+    // bucket one row per iteration (recursion depth = max rows per
+    // bucket, never corpus size)
+    "p03_bin_pack" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM t),
+        |r AS (SELECT doc_id, n,
+        |    CAST((doc_id - lo) * 64 // (hi - lo + 1) AS BIGINT) AS b,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY (doc_id - lo) * 64 // (hi - lo + 1)
+        |      ORDER BY doc_id) AS rn
+        |  FROM t CROSS JOIN bounds),
+        |rec AS (
+        |  SELECT b, rn, doc_id, n, least(n, 512) AS fill,
+        |    CAST(0 AS BIGINT) AS bin
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.b, r.rn, r.doc_id, r.n,
+        |    CASE WHEN rec.fill + least(r.n, 512) <= 512
+        |         THEN rec.fill + least(r.n, 512) ELSE least(r.n, 512) END,
+        |    CASE WHEN rec.fill + least(r.n, 512) <= 512
+        |         THEN rec.bin ELSE rec.bin + 1 END
+        |  FROM rec JOIN r ON r.b = rec.b AND r.rn = rec.rn + 1)
+        |SELECT doc_id, n AS n_tokens, b AS bucket,
+        |  b * 1099511627776 + bin AS bin_id
+        |FROM rec""".stripMargin,
 
     "p01_pack_chunks" ->
       """WITH t AS (SELECT doc_id,

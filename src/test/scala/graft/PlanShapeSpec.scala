@@ -119,6 +119,20 @@ class PlanShapeSpec extends SparkSpec {
       "a sort-merge vocab join would sort corpus×tokens rows")
   }
 
+  test("t21: both bigram-count joins are shuffle-hash, never sort-merge") {
+    val p = plan("t21_bigram_logprob")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "bigram/unigram count joins must not sort the gram stream")
+  }
+
+  test("c02: the contaminated-id relation broadcasts into the anti join") {
+    val p = plan("c02_decontaminate")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      ("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined),
+      s"ids must broadcast; the corpus must stream map-only:\n${p.take(3000)}")
+  }
+
   /** The judge-requested source gate: a `Window.orderBy` with no
     * partitionBy is a single-task global sort of its input — only ever
     * acceptable over an already-aggregated, provably tiny relation. Every

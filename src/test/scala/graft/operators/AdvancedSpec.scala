@@ -144,6 +144,53 @@ class AdvancedSpec extends SparkSpec {
       .exceptAll(plain.select($"event_id", $"user_tag")).count() === 0)
   }
 
+  test("AQE splits a planted skewed join partition at runtime (skew=true in the final plan)") {
+    // The OTHER half of the skew story: saltedJoin is the explicit fix
+    // when the hot keys are known up front; AQE's skew-join split is the
+    // runtime fix when they are not. This proves the engine's config
+    // surface actually triggers it: one key carries ~99% of the probe
+    // side, thresholds are scaled down to test size, and the executed
+    // (adaptive, final) plan must show the join marked skew=true —
+    // i.e. the hot partition was split instead of stalling one task.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      // no broadcast escape hatch: force a genuine shuffled join
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val probe = spark.range(0, 300000)
+        .select(when($"id" % 100 === 0, $"id" % 1000)
+          .otherwise(lit(0L)).as("k"), $"id".as("v"))
+      val build = spark.range(0, 1000)
+        .select($"id".as("k"), ($"id" * 7).as("w"))
+      val joined = probe.join(build, "k")
+      // drive THIS DataFrame's own QueryExecution (a .count() would plan
+      // a separate aggregate execution and leave this one un-finalized)
+      assert(joined.queryExecution.toRdd.count() === 300000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a runtime skew-split join:\n${finalPlan.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("reference SQL-text queries run via spark.sql and match DSL versions") {
     val q2 = ReferenceQueries.q2(spark)
     assert(q2.columns.toSeq === Seq("trackingCode", "total_events"))

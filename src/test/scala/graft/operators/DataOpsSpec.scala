@@ -302,6 +302,87 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("t22 temperature mix: keep rate scales with 1/sqrt(n_src) — low-resource up-weighted") {
+    val out = DataOps.queries("t22_temperature_mix")(spark, sf("sf0.001"))
+      .select($"source", $"keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    val counts = graft.Tables.documents(spark, sf("sf0.001"))
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    // rates are monotonically non-increasing in source size (uncapped:
+    // rate ∝ 1/sqrt(n)/Σ), so any smaller source must keep a rate ≥ a
+    // larger source's
+    val present = out.keySet.toSeq
+    for (a <- present; b <- present
+         if counts(a) < counts(b) && out(a) < 1.0 && out(b) < 1.0) {
+      assert(out(a) >= out(b),
+        s"$a (n=${counts(a)}) must up-weight vs $b (n=${counts(b)})")
+    }
+    // and the expected total stays near the budget
+    val expected = out.map { case (s, r) => r * counts(s) }.sum
+    assert(expected > 100 && expected <= 220, s"expected yield $expected")
+  }
+
+  test("x01 training set: survivors are curated, decontaminated, and tile their chunks") {
+    val dir = sf("sf0.001")
+    val all = graft.Tables.documents(spark, dir)
+    val train = all.filter($"doc_id" % 53 =!= 0)
+    val bench = all.filter($"doc_id" % 53 === 0)
+    val out = DataOps.queries("x01_training_set")(spark, dir)
+      .orderBy($"first_chunk", $"doc_id").collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    // subset of the curated corpus
+    val curated = Dedup.curateCorpus(train, "doc_id", "text", "lang")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(curated), "every survivor passed curation")
+    // zero contamination: no survivor shares a word-4-gram with the bench
+    val dirty = DataOps.contaminatedIds(train, bench)
+      .as[Long].collect().toSet
+    assert(ids.intersect(dirty).isEmpty, "survivors never overlap the benchmark")
+    // same ids as c01's per-doc report flags (the two detection forms agree)
+    val c01ids = DataOps.queries("c01_contamination")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(dirty === c01ids, "contaminatedIds must agree with c01")
+    // chunk intervals tile the sampled token stream exactly (p01 contract)
+    var cum = 0L
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("first_chunk") === cum / 512)
+      assert(r.getAs[Long]("last_chunk") === (cum + n - 1) / 512)
+      cum += n
+    }
+  }
+
+  test("p03 bin pack: capacity respected, next-fit replay agrees, partitioning-invariant") {
+    val dir = sf("sf0.001")
+    val out = DataOps.queries("p03_bin_pack")(spark, dir)
+      .orderBy($"bucket", $"doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length, "every doc packs once")
+    // capacity is never exceeded (oversized docs are capped and sit alone)
+    out.groupBy(_._4).values.foreach { docs =>
+      assert(docs.map(d => math.min(d._2, 512L)).sum <= 512L)
+    }
+    // exact next-fit replay per bucket: a doc opens a new bin iff it
+    // does not fit the current one
+    out.groupBy(_._3).foreach { case (b, docs) =>
+      var fill = 0L
+      var bin = -1L
+      docs.sortBy(_._1).foreach { case (id, n, _, binId) =>
+        val eff = math.min(n, 512L)
+        if (bin < 0L || fill + eff > 512L) { bin += 1; fill = eff }
+        else fill += eff
+        assert(binId === b * (1L << 40) + bin, s"doc $id in bucket $b")
+      }
+    }
+    // bucket membership and in-bucket order are doc_id functions: the
+    // result cannot depend on how the input was partitioned
+    val re = DataOps.binPack(graft.Tables.documents(spark, dir).repartition(7))
+      .orderBy($"bucket", $"doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("c02 decontaminate = train split minus exactly the c01-flagged docs") {
     val dir = sf("sf0.001")
     val flagged = DataOps.queries("c01_contamination")(spark, dir)
