@@ -108,6 +108,28 @@ object Analytics {
           ($"event_type" === "error").as("is_masked"), $"v_filled")
     },
 
+    // Winsorization: clip each event's value to its type's exact
+    // [p05, p95] — the outlier treatment before any mean-based feature
+    // or loss. Exact per-group percentiles (group count is bounded, so
+    // the sort-based aggregate is too), broadcast back: two passes and
+    // the corpus streams map-only through the clipping join — never a
+    // per-row percentile window. Comparisons against the interpolated
+    // bounds are engine-stable: an observed value can only EQUAL a
+    // bound when the bound is that observed value (no interpolation).
+    "q58_winsorize" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val bounds = ev.groupBy($"event_type").agg(
+        expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY value)")
+          .as("__lo"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)")
+          .as("__hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select($"event_type", $"event_id",
+          round(least(greatest($"value", $"__lo"), $"__hi"), 6).as("clipped"),
+          ($"value" < $"__lo" || $"value" > $"__hi").as("was_clipped"))
+    },
+
     // Array higher-order surface: split/distinct/sort/slice/reverse over
     // token arrays, surfaced as csv strings (driver row-checker cannot
     // sort array columns — m03 precedent). All codegen'd collection
@@ -128,6 +150,16 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q58_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, e.event_id,
+        |  round(least(greatest(e.value, b.lo), b.hi), 6) AS clipped,
+        |  (e.value < b.lo OR e.value > b.hi) AS was_clipped
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
+
     "q53_regression" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,

@@ -137,6 +137,36 @@ object DataOps {
       .toDF("doc_id", "n_tokens", "bucket", "bin_id")
   }
 
+  /** t21's add-one-smoothed bigram LM scoring as a reusable stage (the
+    * KenLM join/agg shape): corpus bigram/unigram counts via shuffle-hash
+    * joins (the vocab scales with the corpus — never broadcast, never
+    * sort the token stream), V and the per-token ln on the t13
+    * conventions (broadcast 1-row aggregate; ln rounded to 6dp before
+    * the decimal-cast sum). Docs with < 2 tokens have no bigrams and no
+    * score. */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    import graft.functions.Text
+    val bigrams = docs.select($"doc_id",
+      explode(Text.ngrams($"text", 2)).as("bg"))
+    val unigrams = docs.select(explode(Text.tokens($"text")).as("tok"))
+    val c2 = bigrams.groupBy($"bg").agg(count(lit(1)).as("__c2"))
+    val c1 = unigrams.groupBy($"tok").agg(count(lit(1)).as("__c1"))
+    val v = unigrams.agg(countDistinct($"tok").cast("double").as("__v"))
+    bigrams
+      .join(c2.hint("shuffle_hash"), "bg")
+      .withColumn("__w1", substring_index($"bg", " ", 1))
+      .join(c1.hint("shuffle_hash"), $"__w1" === c1("tok"))
+      .crossJoin(broadcast(v))
+      .select($"doc_id",
+        round(log(($"__c2" + 1.0) / ($"__c1" + $"__v")), 6).as("__logp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum($"__logp".cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_logprob2"))
+  }
+
   /** c01's detection generalized to an explicit benchmark relation: ids
     * of corpus docs sharing any word n-gram with the benchmark. The
     * benchmark gram set broadcasts; the corpus gram stream semi-joins
@@ -786,6 +816,27 @@ object DataOps {
         .select($"doc_id", $"source", $"keep_rate")
     },
 
+    // Exactly-k per-stratum sampling: "take 20 docs per source",
+    // deterministically, via the bounded-heap aggregate over the
+    // md5-uniform key — partial aggregation ships AT MOST k (score,id)
+    // pairs per source per map task, where the window form
+    // (row_number() <= k) would shuffle the whole corpus before
+    // discarding it (the s01-rerank argument applied to sampling).
+    // t16/t22 sample to a RATE; this samples to a COUNT.
+    "t24_stratified_k" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TopKPairs.top_k_pairs
+      Tables.documents(s, d)
+        .select($"source", md5Bucket($"doc_id").as("__bkt"), $"doc_id")
+        .groupBy($"source")
+        // heap keeps LARGEST scores: negate the bucket so the k
+        // smallest buckets (ties → smaller doc_id) are kept
+        .agg(top_k_pairs(-$"__bkt", $"doc_id", 20).as("__picks"))
+        .select($"source", explode($"__picks").as("p"))
+        .select($"source", col("p.id").as("doc_id"),
+          (-col("p.score")).cast("long").as("bucket"))
+    },
+
     // Hashed linear quality classifier (fastText-style scoring): each
     // token hashes to one of QcBuckets weight slots; a document's score
     // is the mean weight, squashed to a probability. This is the shape
@@ -926,26 +977,25 @@ object DataOps {
     // the per-token ln ride the t13 conventions (broadcast 1-row
     // aggregate; round 6dp before the decimal-cast sum).
     "t21_bigram_logprob" -> { (s, d) =>
+      bigramLogprob(Tables.documents(s, d))
+    },
+
+    // Perplexity-gated filtering (the CCNet shape): score every document
+    // under the corpus's OWN bigram LM (t21), then drop the worst decile
+    // — the threshold is the exact 10th-percentile score, computed as a
+    // 1-row broadcast aggregate (q19 convention), so the corpus streams
+    // through the flagging join map-only. A boundary score can never
+    // flip across engines: the interpolated threshold lies strictly
+    // between two observed scores unless it IS an observed score.
+    "t23_perplexity_filter" -> { (s, d) =>
       import s.implicits._
-      import graft.functions.Text
-      val docs = Tables.documents(s, d)
-      val bigrams = docs.select($"doc_id",
-        explode(Text.ngrams($"text", 2)).as("bg"))
-      val unigrams = docs.select(explode(Text.tokens($"text")).as("tok"))
-      val c2 = bigrams.groupBy($"bg").agg(count(lit(1)).as("__c2"))
-      val c1 = unigrams.groupBy($"tok").agg(count(lit(1)).as("__c1"))
-      val v = unigrams.agg(countDistinct($"tok").cast("double").as("__v"))
-      bigrams
-        .join(c2.hint("shuffle_hash"), "bg")
-        .withColumn("__w1", substring_index($"bg", " ", 1))
-        .join(c1.hint("shuffle_hash"), $"__w1" === c1("tok"))
-        .crossJoin(broadcast(v))
-        .select($"doc_id",
-          round(log(($"__c2" + 1.0) / ($"__c1" + $"__v")), 6).as("__logp"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          (sum($"__logp".cast("decimal(18,6)")).cast("double") /
-            count(lit(1))).as("avg_logprob2"))
+      val scored = bigramLogprob(Tables.documents(s, d))
+      val thr = scored.agg(expr(
+        "percentile_cont(0.10) WITHIN GROUP (ORDER BY avg_logprob2)")
+        .as("__thr"))
+      scored.crossJoin(broadcast(thr))
+        .select($"doc_id", $"n_bigrams", $"avg_logprob2",
+          ($"avg_logprob2" >= $"__thr").as("keep"))
     },
 
     // Exact substring dedup: pairs sharing a verbatim 50-char span —
@@ -1315,6 +1365,37 @@ object DataOps {
         |      AS bucket
         |  FROM documents d JOIN c USING (source) CROSS JOIN t) x
         |WHERE bucket::DOUBLE < keep_rate * 4294967296.0""".stripMargin,
+
+    "t23_perplexity_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+        |v AS (SELECT COUNT(DISTINCT tok)::DOUBLE AS v FROM uni),
+        |scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CAST(round(ln((c2 + 1.0) / (c1 + v)), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_logprob2
+        |  FROM bg
+        |  JOIN c2 USING (w1, w2)
+        |  JOIN c1 ON bg.w1 = c1.tok
+        |  CROSS JOIN v
+        |  GROUP BY doc_id),
+        |thr AS (SELECT quantile_cont(avg_logprob2, 0.10) AS thr FROM scored)
+        |SELECT doc_id, n_bigrams, avg_logprob2, avg_logprob2 >= thr AS keep
+        |FROM scored CROSS JOIN thr""".stripMargin,
+
+    "t24_stratified_k" ->
+      """WITH b AS (SELECT source, doc_id,
+        |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+        |      AS UBIGINT) AS BIGINT) AS bucket
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY bucket, doc_id) AS rn FROM b)
+        |SELECT source, doc_id, bucket FROM r WHERE rn <= 20""".stripMargin,
 
     "t16_mixture_sample" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents

@@ -126,6 +126,21 @@ class PlanShapeSpec extends SparkSpec {
       "bigram/unigram count joins must not sort the gram stream")
   }
 
+  test("t24: per-stratum sampling partial-aggregates the heap — no corpus-wide rank window") {
+    val p = plan("t24_stratified_k")
+    assert(p.contains("partial_topkpairs"),
+      s"expected map-side heap partials (k pairs per task):\n${p.take(3000)}")
+    assert(!p.contains("row_number"),
+      "a row_number window would shuffle every row before discarding them")
+  }
+
+  test("q58: percentile bounds broadcast back; the event stream is never windowed") {
+    val p = plan("q58_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"),
+      "clipping must be a broadcast join against 5 bound rows, not a per-row window")
+  }
+
   test("c02: the contaminated-id relation broadcasts into the anti join") {
     val p = plan("c02_decontaminate")
     assert(p.contains("BroadcastHashJoin LeftAnti") ||

@@ -95,6 +95,35 @@ class AnalyticsSpec extends SparkSpec {
       (6L, None), (7L, Some(5.0))))
   }
 
+  test("q58 winsorize: interior values pass through, tails clip to the exact bounds") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val out = Analytics.queries("q58_winsorize")(spark, dir)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+      expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val rows = out.join(ev, Seq("event_id", "event_type")).collect()
+    assert(rows.nonEmpty)
+    var clippedN = 0
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("event_type"))
+      val v = r.getAs[Double]("value")
+      val c = r.getAs[Double]("clipped")
+      val was = r.getAs[Boolean]("was_clipped")
+      if (was) clippedN += 1
+      val expected = math.min(math.max(v, lo), hi)
+      assert(math.abs(c - expected) <= 5e-7, s"clip($v) -> $c vs $expected")
+      assert(was === (v < lo || v > hi))
+    }
+    // p05/p95 clipping trims ~10% of each type
+    val frac = clippedN.toDouble / rows.length
+    assert(frac >= 0.05 && frac <= 0.12, s"clipped fraction $frac")
+  }
+
   test("q53 regression recovers a planted exact linear relationship") {
     // y = 3x + 7 exactly -> slope 3, intercept 7, r2 1.
     val li = (1 to 50).map(i => ("A", i.toDouble, 3.0 * i + 7.0))

@@ -353,6 +353,36 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("t23 perplexity filter: drops exactly the worst decile, boundary-inclusive keep") {
+    val out = DataOps.queries("t23_perplexity_filter")(spark, sf("sf0.001"))
+      .select($"avg_logprob2", $"keep").as[(Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    val kept = out.filter(_._2).map(_._1)
+    val dropped = out.filterNot(_._2).map(_._1)
+    // the threshold separates: every dropped score < every kept score
+    assert(dropped.isEmpty || kept.isEmpty || dropped.max < kept.min)
+    val frac = kept.length.toDouble / out.length
+    assert(frac >= 0.85 && frac <= 0.95, s"keep fraction $frac (expect ~0.9)")
+  }
+
+  test("t24 stratified-k: exactly the min(k, n_src) smallest-bucket docs per source") {
+    val dir = sf("sf0.001")
+    val out = DataOps.queries("t24_stratified_k")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    val bySrc = out.groupBy(_._1)
+    // independent replay of the md5-uniform order
+    val all = graft.Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("b"))
+      .as[(String, Long, Long)].collect()
+    all.groupBy(_._1).foreach { case (src, docs) =>
+      val expect = docs.sortBy(d => (d._3, d._2)).take(20).map(_._2).toSet
+      assert(bySrc(src).map(_._2).toSet === expect, s"source $src")
+      assert(bySrc(src).length === math.min(20, docs.length))
+    }
+  }
+
   test("p03 bin pack: capacity respected, next-fit replay agrees, partitioning-invariant") {
     val dir = sf("sf0.001")
     val out = DataOps.queries("p03_bin_pack")(spark, dir)
