@@ -108,6 +108,34 @@ object Analytics {
           ($"event_type" === "error").as("is_masked"), $"v_filled")
     },
 
+    // Funnel analysis: the classic staged-conversion query — per user,
+    // the first 'view', the first 'click' STRICTLY AFTER it, the first
+    // 'purchase' strictly after that. Three aggregates + joins all keyed
+    // on high-cardinality user_id: the event stream shuffles on one key
+    // throughout and the per-stage relations shrink monotonically —
+    // no window over the raw stream, no per-user sort.
+    "q59_funnel" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      val t1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val t2 = ev.join(t1.hint("shuffle_hash"), "user_id")
+        .filter($"event_type" === "click" && $"ts" > $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val t3 = ev.join(t2.hint("shuffle_hash"), "user_id")
+        .filter($"event_type" === "purchase" && $"ts" > $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      ev.select($"user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+          when($"t_purchase".isNotNull, 3)
+            .when($"t_click".isNotNull, 2)
+            .when($"t_view".isNotNull, 1)
+            .otherwise(0).as("stage"))
+    },
+
     // Winsorization: clip each event's value to its type's exact
     // [p05, p95] — the outlier treatment before any mean-based feature
     // or loss. Exact per-group percentiles (group count is bounded, so
@@ -150,6 +178,24 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q59_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |t1 AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM ev e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM ev e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id, t_view, t_click, t_purchase,
+        |  CASE WHEN t_purchase IS NOT NULL THEN 3
+        |       WHEN t_click IS NOT NULL THEN 2
+        |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id)""".stripMargin,
+
     "q58_winsorize" ->
       """WITH b AS (SELECT event_type,
         |    quantile_cont(value, 0.05) AS lo,

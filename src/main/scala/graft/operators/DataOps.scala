@@ -137,6 +137,32 @@ object DataOps {
       .toDF("doc_id", "n_tokens", "bucket", "bin_id")
   }
 
+  /** x02: materialize a prepared training set ([[prepareTrainingSet]]
+    * output) as token-balanced shards + a manifest — the write side of
+    * the x01 loop. Shard assignment is CLOSED-FORM off the packing
+    * arithmetic: shard = first_chunk / chunksPerShard, so every shard
+    * covers a fixed chunksPerShard×capacity token range (balanced by
+    * construction, no second balancing pass, deterministic under
+    * retries), and a trainer reading shard N prunes every other
+    * partition directory. A document whose chunk interval straddles a
+    * shard boundary lands in the shard of its FIRST chunk — per-shard
+    * token totals vary by at most one document's tokens.
+    *
+    * Returns the manifest (shard, n_docs, n_tokens, first_chunk,
+    * last_chunk) — the training job's unit-of-work table. */
+  def writeTrainingShards(prepared: DataFrame, dir: String,
+      chunksPerShard: Long = 8L): DataFrame = {
+    val sharded = prepared.withColumn("shard",
+      floor(col("first_chunk") / chunksPerShard).cast("long"))
+    graft.sources.ParquetSink.writePartitioned(sharded, dir, Seq("shard"),
+      sortCols = Seq("first_chunk", "doc_id"))
+    sharded.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      min(col("first_chunk")).as("first_chunk"),
+      max(col("last_chunk")).as("last_chunk"))
+  }
+
   /** t21's add-one-smoothed bigram LM scoring as a reusable stage (the
     * KenLM join/agg shape): corpus bigram/unigram counts via shuffle-hash
     * joins (the vocab scales with the corpus — never broadcast, never

@@ -204,12 +204,20 @@ object Dedup {
     * match. Per-ingest read cost therefore scales with the batch's
     * bucket footprint, not with corpus age (the d11 argument, minus
     * even the corpus re-scan). */
+  /** The band-index row form (doc, sig, band, bucket, bucket_p) shared
+    * by the bulk writer and the streaming appender
+    * ([[graft.streaming.Streaming.dedupIngest]]). */
+  def bandIndexRows(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      indexParts: Int = 64): DataFrame =
+    bandedSignatures(df, idCol, textCol, shingleN, numPerm, bands)
+      .withColumn("bucket_p", pmod($"bucket", lit(indexParts)))
+
   def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
       indexParts: Int = 64): Unit =
     graft.sources.ParquetSink.writePartitioned(
-      bandedSignatures(df, idCol, textCol, shingleN, numPerm, bands)
-        .withColumn("bucket_p", pmod($"bucket", lit(indexParts))),
+      bandIndexRows(df, idCol, textCol, shingleN, numPerm, bands, indexParts),
       dir, Seq("bucket_p"))
 
   /** Probe a persisted band index with a new batch: old×new candidate

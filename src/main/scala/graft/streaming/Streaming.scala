@@ -127,6 +127,58 @@ object Streaming {
     stream.join(broadcast(dim.select((keyCol +: dimCols).map(col): _*)),
       Seq(keyCol), "left")
 
+  /** Streaming corpus ingest with INLINE near-duplicate rejection — the
+    * production form of the d11/band-index story: each micro-batch is
+    * (1) cleaned of its own near-dups (any doc LSH-paired with a
+    * smaller-id batch doc drops, so batch survivors are pairwise
+    * non-dup), (2) probed against the PERSISTED band index — a doc
+    * near-dup with anything already ingested drops; the batch
+    * signatures broadcast, so dynamic partition pruning reads only the
+    * touched `bucket_p` index directories, per-ingest cost scaling with
+    * the batch, never corpus age — and (3) survivors append to the
+    * corpus and their banded signatures append to the index.
+    *
+    * Invariant after any number of batches: NO pair of DISTINCT
+    * ingested docs has estimated Jaccard ≥ `minEstJaccard` (spec-gated).
+    * Restart contract: append sinks are at-least-once — a checkpoint
+    * replay after a torn write can re-append a doc under its own id
+    * (the probe deliberately ignores same-id matches), so readers apply
+    * the d01 exact-dedup-by-id pass, the same contract as every
+    * append-mode lake ingest; the NEAR-dup invariant above still holds
+    * between distinct ids. */
+  def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
+      outDir: String, indexDir: String, checkpointDir: String,
+      shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5, indexParts: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val pairs = graft.operators.Dedup.minHashLshPairs(batch, idCol,
+          textCol, shingleN, numPerm, bands, minEstJaccard)
+        val selfDup = pairs
+          .select(greatest(col("doc_a"), col("doc_b")).as(idCol)).distinct()
+        val batchKept = batch.join(selfDup, Seq(idCol), "left_anti")
+        val survivors = scala.util.Try(spark.read.parquet(indexDir)) match {
+          case scala.util.Success(index) =>
+            val crossDup = graft.operators.Dedup.probeBandIndex(index,
+                batchKept, idCol, textCol, shingleN, numPerm, bands,
+                minEstJaccard, indexParts)
+              .select(col("doc_new").as(idCol)).distinct()
+            batchKept.join(crossDup, Seq(idCol), "left_anti")
+          case scala.util.Failure(_) => batchKept // first batch: no index yet
+        }
+        survivors.cache() // referenced by both writes below
+        try {
+          survivors.write.mode("append").parquet(outDir)
+          graft.operators.Dedup.bandIndexRows(survivors, idCol, textCol,
+              shingleN, numPerm, bands, indexParts)
+            .write.mode("append").partitionBy("bucket_p").parquet(indexDir)
+        } finally { survivors.unpersist(); () }
+      }
+      .start()
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key with right.ts in [left.ts - lower, left.ts + upper].
     * Watermarks on BOTH sides bound the join state — without them a

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
@@ -122,6 +124,29 @@ class AnalyticsSpec extends SparkSpec {
     // p05/p95 clipping trims ~10% of each type
     val frac = clippedN.toDouble / rows.length
     assert(frac >= 0.05 && frac <= 0.12, s"clipped fraction $frac")
+  }
+
+  test("q59 funnel: stage times strictly increase and stages are consistent") {
+    val rows = Analytics.queries("q59_funnel")(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    // dense synthetic activity converts everyone at small SF — require
+    // only that conversions exist and stages are in range
+    val stages = rows.map(_.getAs[Int]("stage")).toSet
+    assert(stages.contains(3) && stages.subsetOf(Set(0, 1, 2, 3)))
+    rows.foreach { r =>
+      val tv = Option(r.getAs[Timestamp]("t_view"))
+      val tc = Option(r.getAs[Timestamp]("t_click"))
+      val tp = Option(r.getAs[Timestamp]("t_purchase"))
+      val stage = r.getAs[Int]("stage")
+      // strictly-after ordering holds wherever defined
+      for (a <- tv; b <- tc) assert(a.before(b))
+      for (a <- tc; b <- tp) assert(a.before(b))
+      // a later stage implies all earlier ones
+      assert(tc.isEmpty || tv.nonEmpty)
+      assert(tp.isEmpty || tc.nonEmpty)
+      assert(stage === (if (tp.nonEmpty) 3 else if (tc.nonEmpty) 2
+        else if (tv.nonEmpty) 1 else 0))
+    }
   }
 
   test("q53 regression recovers a planted exact linear relationship") {

@@ -413,6 +413,37 @@ class DataOpsSpec extends SparkSpec {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("x02 training shards: closed-form balance, manifest ties out, one-shard reads prune") {
+    val dir = sf("sf0.001")
+    val all = graft.Tables.documents(spark, dir)
+    val prepared = DataOps.prepareTrainingSet(
+      all.filter($"doc_id" % 53 =!= 0),
+      all.filter($"doc_id" % 53 === 0)).cache()
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = DataOps.writeTrainingShards(prepared, out).collect()
+    assert(manifest.length > 1, "expect multiple shards")
+    // manifest ties out exactly with the prepared set
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum ===
+      prepared.agg(sum($"n_tokens")).as[Long].head())
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum === prepared.count())
+    // balance is closed-form: a shard covers its fixed 8-chunk token
+    // window plus at most one straddling document
+    val maxDoc = prepared.agg(max($"n_tokens")).as[Long].head()
+    manifest.foreach { m =>
+      assert(m.getAs[Long]("n_tokens") <= 8 * 512 + maxDoc,
+        s"shard ${m.getAs[Long]("shard")} overweight")
+      assert(m.getAs[Long]("first_chunk") / 8 === m.getAs[Long]("shard"))
+    }
+    // a trainer reading one shard prunes every other directory
+    val s0 = manifest.map(_.getAs[Long]("shard")).min
+    val plan = spark.read.parquet(out).filter($"shard" === s0)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*shard".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .mkString("\n"))
+    prepared.unpersist(); ()
+  }
+
   test("c02 decontaminate = train split minus exactly the c01-flagged docs") {
     val dir = sf("sf0.001")
     val flagged = DataOps.queries("c01_contamination")(spark, dir)

@@ -180,6 +180,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(100L, 101L, 102L))
   }
 
+  test("dedup ingest: inline LSH rejection across micro-batches leaves no near-dup pair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("ingest").toString
+    val (outDir, idxDir, ckpt) = (s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt")
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    // AvailableNow drains and stops; each restart shares the checkpoint —
+    // three ingests of one corpus split, exactly the nightly-batch shape
+    def drain(): Unit = {
+      val q = Streaming.dedupIngest(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", outDir, idxDir, ckpt)
+      q.awaitTermination()
+    }
+    (0 to 2).foreach { r =>
+      input.addData(docs.filter(_._1 % 3 == r).toSeq)
+      drain()
+    }
+    val ingested = spark.read.parquet(outDir).cache()
+    val ids = ingested.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids.distinct === ids, "no doc ingested twice")
+    // the invariant the operator exists for: NO ingested pair is an
+    // LSH near-dup (in-batch or cross-batch)
+    assert(graft.operators.Dedup.minHashLshPairs(
+      ingested, "doc_id", "text").isEmpty)
+    // rejections happened (the corpus has exact dups = jaccard-1 pairs)
+    // and every rejected doc has a real near-dup witness in the corpus
+    val all = graft.Tables.documents(spark, sf("sf0.001"))
+    val dropped = docs.map(_._1).toSet -- ids.toSet
+    assert(dropped.nonEmpty, "planted near-dups must be rejected")
+    val witnessed = graft.operators.Dedup
+      .minHashLshPairs(all, "doc_id", "text")
+      .select(explode(array($"doc_a", $"doc_b")).as("d"))
+      .as[Long].collect().toSet
+    assert(dropped.subsetOf(witnessed),
+      s"docs dropped without any near-dup partner: ${(dropped -- witnessed).take(5)}")
+    // an empty re-drain (restart, no new data) changes nothing
+    drain()
+    assert(spark.read.parquet(outDir).count() === ids.length.toLong)
+    ingested.unpersist(); ()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
