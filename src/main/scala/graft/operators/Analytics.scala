@@ -108,6 +108,22 @@ object Analytics {
           ($"event_type" === "error").as("is_masked"), $"v_filled")
     },
 
+    // Per-group z-score standardization: the feature-normalization pass
+    // before any distance/gradient work. Stats are ROUNDED to 6dp
+    // before use (q30 proves rounded-stat parity across engines), so
+    // the per-row z is a deterministic function of identical inputs on
+    // both sides. Broadcast stats, map-only stream — the q58 shape.
+    "q60_zscore" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy($"event_type").agg(
+        round(avg($"value"), 6).as("__mu"),
+        round(stddev_samp($"value"), 6).as("__sd"))
+      ev.join(broadcast(stats), "event_type")
+        .select($"event_type", $"event_id",
+          round(($"value" - $"__mu") / $"__sd", 6).as("z"))
+    },
+
     // Funnel analysis: the classic staged-conversion query — per user,
     // the first 'view', the first 'click' STRICTLY AFTER it, the first
     // 'purchase' strictly after that. Three aggregates + joins all keyed
@@ -178,6 +194,14 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_zscore" ->
+      """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
+        |    round(stddev_samp(value), 6) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, e.event_id,
+        |  round((e.value - s.mu) / s.sd, 6) AS z
+        |FROM events e JOIN s USING (event_type)""".stripMargin,
+
     "q59_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, ts FROM events),
         |t1 AS (SELECT user_id, MIN(ts) AS t_view FROM ev

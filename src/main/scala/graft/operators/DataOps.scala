@@ -163,6 +163,119 @@ object DataOps {
       max(col("last_chunk")).as("last_chunk"))
   }
 
+  /** t25: TRAIN the hashed-bucket quality classifier — the missing
+    * train side of t17's fastText-style scorer (CCNet/GPT-3 pipelines
+    * train exactly this: logistic regression over hashed bag-of-words,
+    * "known-good corpus vs random crawl" labels). Full-batch gradient
+    * descent: per iteration the corpus streams through TWO aggregations
+    * (per-doc score, then per-bucket gradient — both shuffles keyed
+    * high-cardinality or bucket-bounded), the nBuckets gradient rows
+    * collect, and the updated weights re-enter the next iteration's
+    * plan as literals (the BPE/k-means driver-loop convention). At real
+    * scale swap full-batch for a deterministic md5 sample per epoch.
+    *
+    * DETERMINISM: gradients and the loss are rounded per-element and
+    * decimal-summed, so weights are bit-identical under any input
+    * partitioning (spec-gated) — a plain double sum would make the
+    * trained model depend on task scheduling.
+    *
+    * Returns (weights with bias at index 0, per-iteration mean loss). */
+  def trainQualityClassifier(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, nBuckets: Int = 256,
+      iterations: Int = 15, lr: Double = 1.0)
+      : (Array[Double], Array[Double]) = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val sparse = docs.select(col(idCol).as("__id"),
+        col(labelCol).cast("double").as("__y"),
+        graft.functions.Text.tokenCount(col(textCol)).cast("double")
+          .as("__n"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("__t"))
+      .withColumn("__b", (md5Bucket($"__t") % nBuckets).cast("int"))
+      .groupBy($"__id", $"__y", $"__n", $"__b")
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .select($"__id", $"__y", ($"__c" / $"__n").as("__x"), $"__b")
+      .localCheckpoint() // features are re-read every iteration
+    val nDocs = sparse.select($"__id").distinct().count().toDouble
+    // Per-bucket standardization: raw c/n frequencies are ~1/n_tokens,
+    // which conditions GD so badly it crawls (measured: majority-class
+    // accuracy after 60 iterations). Standardized features converge in
+    // 15. The trick at scale: standardization NEVER densifies — a
+    // standardized score is Σ_sparse (w_b/sd_b)·f minus a scalar
+    // constant, and the gradient is the sparse sum minus (mu_b/sd_b)·R
+    // with R the residual total, so zeros never materialize.
+    val stats = sparse.groupBy($"__b").agg(
+        sum(round($"__x", 9).cast("decimal(28,9)")).cast("double").as("s1"),
+        sum(round($"__x" * $"__x", 12).cast("decimal(28,12)"))
+          .cast("double").as("s2"))
+      .as[(Int, Double, Double)].collect()
+    val mu = Array.fill(nBuckets)(0.0)
+    val sd = Array.fill(nBuckets)(1.0)
+    stats.foreach { case (b, s1, s2) =>
+      mu(b) = s1 / nDocs
+      val v = (s2 - s1 * s1 / nDocs) / (nDocs - 1.0)
+      if (v > 1e-24) sd(b) = math.sqrt(v)
+    }
+    var w = Array.fill(nBuckets)(0.0)
+    var b0 = 0.0
+    val losses = Array.newBuilder[Double]
+    for (_ <- 1 to iterations) {
+      // folded literals: score_i = Σ_sparse (w_b/sd_b) f_ib + (b0 - C)
+      val vArr = array(Array.tabulate(nBuckets)(b => lit(w(b) / sd(b)))
+        .toIndexedSeq: _*)
+      val c0 = b0 - (0 until nBuckets).map(b => w(b) * mu(b) / sd(b)).sum
+      val perDoc = sparse
+        .groupBy($"__id", $"__y")
+        .agg(sum(element_at(vArr, $"__b" + 1) * $"__x").as("__s"))
+        .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-(lit(c0) + $"__s"))))
+        .withColumn("__r", $"__y" - $"__p")
+      val sparseGrad = sparse.join(perDoc.select($"__id", $"__r"), "__id")
+        .groupBy($"__b")
+        .agg(sum(round($"__r" * $"__x", 9).cast("decimal(28,9)"))
+          .cast("double").as("__g"))
+        .as[(Int, Double)].collect().toMap
+      val scalars = perDoc.agg(
+        sum(round($"__r", 9).cast("decimal(28,9)")).cast("double").as("g0"),
+        sum(round(
+          when($"__y" === 1.0, -log(greatest($"__p", lit(1e-12))))
+            .otherwise(-log(greatest(lit(1.0) - $"__p", lit(1e-12)))), 9)
+          .cast("decimal(28,9)")).cast("double").as("loss")).head()
+      val rTotal = scalars.getAs[Double]("g0")
+      w = Array.tabulate(nBuckets) { b =>
+        val g = (sparseGrad.getOrElse(b, 0.0) - mu(b) * rTotal) / sd(b)
+        w(b) + lr * g / nDocs
+      }
+      b0 += lr * rTotal / nDocs
+      losses += scalars.getAs[Double]("loss") / nDocs
+    }
+    // fold standardization into the returned model so scoring is the
+    // plain t17 form over raw frequencies: v_b = w_b/sd_b,
+    // bias' = b0 - Σ w_b mu_b / sd_b
+    val folded = Array.tabulate(nBuckets)(b => w(b) / sd(b))
+    val bias = b0 - (0 until nBuckets).map(b => w(b) * mu(b) / sd(b)).sum
+    (bias +: folded, losses.result())
+  }
+
+  /** Score documents with a [[trainQualityClassifier]] model: the
+    * per-doc logit is (Σ_tokens w(bucket(token))) / n_tokens + bias —
+    * one map-side explode + one aggregation, weights ride the plan as
+    * literals. Output: (idCol, p_good). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], nBuckets: Int = 256): DataFrame = {
+    val wArr = array(weights.drop(1).toIndexedSeq.map(lit(_)): _*)
+    docs.select(col(idCol),
+        graft.functions.Text.tokenCount(col(textCol)).cast("double")
+          .as("__n"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("__t"))
+      .withColumn("__b", (md5Bucket(col("__t")) % nBuckets).cast("int"))
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(element_at(wArr, col("__b") + 1)).as("__tw"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(lit(weights(0)) + col("__tw") / col("__n")))))
+          .as("p_good"))
+  }
+
   /** t21's add-one-smoothed bigram LM scoring as a reusable stage (the
     * KenLM join/agg shape): corpus bigram/unigram counts via shuffle-hash
     * joins (the vocab scales with the corpus — never broadcast, never
@@ -861,6 +974,24 @@ object DataOps {
         .select($"source", explode($"__picks").as("p"))
         .select($"source", col("p.id").as("doc_id"),
           (-col("p.score")).cast("long").as("bucket"))
+    },
+
+    // TRAIN the quality classifier on a planted rule (net polarity >
+    // 0.02 — a linear function of token counts, so the hashed-bucket
+    // LR can learn it) and emit the non-zero learned weights. No SQL
+    // oracle (15 iterations of gradient descent is not a DuckDB
+    // query); the learning contract is spec-gated: loss decreases,
+    // the rule is recovered, and training is partitioning-invariant.
+    "t25_train_quality" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).withColumn("__lbl",
+        (graft.functions.Text.sentimentScore($"text") > 0.02).cast("int"))
+      val (weights, _) =
+        trainQualityClassifier(docs, "doc_id", "text", "__lbl")
+      weights.zipWithIndex.toSeq
+        .map { case (wv, i) => (i - 1, math.rint(wv * 1e6) / 1e6) }
+        .toDF("bucket", "weight") // bucket -1 = bias
+        .filter($"weight" =!= 0.0)
     },
 
     // Hashed linear quality classifier (fastText-style scoring): each

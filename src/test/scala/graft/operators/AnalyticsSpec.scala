@@ -126,6 +126,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(frac >= 0.05 && frac <= 0.12, s"clipped fraction $frac")
   }
 
+  test("q60 z-score: per-type standardized mean ~0 and sd ~1") {
+    val out = Analytics.queries("q60_zscore")(spark, sf("sf0.001"))
+    val stats = out.groupBy(col("event_type"))
+      .agg(avg(col("z")).as("m"), stddev_samp(col("z")).as("s")).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-3, r.toString)
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3, r.toString)
+    }
+  }
+
   test("q59 funnel: stage times strictly increase and stages are consistent") {
     val rows = Analytics.queries("q59_funnel")(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)

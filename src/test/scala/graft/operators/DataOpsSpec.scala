@@ -353,6 +353,29 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("t25 classifier training: loss decreases, planted rule learned, partitioning-invariant") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir).withColumn("lbl",
+      (graft.functions.Text.sentimentScore($"text") > 0.02).cast("int"))
+    val (w, losses) =
+      DataOps.trainQualityClassifier(docs, "doc_id", "text", "lbl")
+    assert(losses.length === 15)
+    losses.sliding(2).foreach { s2 =>
+      if (s2.length == 2) assert(s2(1) <= s2(0) + 1e-9,
+        s"loss went up: ${s2.toSeq}")
+    }
+    // the planted rule is linear in token counts: training must recover it
+    val acc = DataOps.qualityScore(docs, "doc_id", "text", w)
+      .join(docs.select($"doc_id", $"lbl"), "doc_id")
+      .select((($"p_good" > 0.5).cast("int") === $"lbl").cast("int").as("ok"))
+      .agg(avg($"ok")).as[Double].head()
+    assert(acc >= 0.8, s"training accuracy $acc")
+    // decimal-summed gradients: the model cannot depend on partitioning
+    val (w2, _) = DataOps.trainQualityClassifier(
+      docs.repartition(13), "doc_id", "text", "lbl")
+    assert(w2.toSeq === w.toSeq, "training must not depend on partitioning")
+  }
+
   test("t23 perplexity filter: drops exactly the worst decile, boundary-inclusive keep") {
     val out = DataOps.queries("t23_perplexity_filter")(spark, sf("sf0.001"))
       .select($"avg_logprob2", $"keep").as[(Double, Boolean)].collect()
