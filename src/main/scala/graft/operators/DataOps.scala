@@ -1284,6 +1284,35 @@ object DataOps {
           round(stddev_pop($"__x"), 6).as("sd_x"),
           min($"__x").as("min_x"),
           max($"__x").as("max_x"))
+    },
+
+    // Whole-vector standardization: every lane z-scored against its
+    // corpus stats (e03's profile applied) — the preprocessing before
+    // any distance-based op when lanes have different scales. The
+    // per-dim (mu, sd) table rides as ONE broadcast map row (64
+    // entries); vectors stream map-only through a codegen'd transform.
+    // Stats are rounded to 6dp before use (q60/q30 convention), lanes
+    // surfaced as columns + a decimal-exact checksum over all 64
+    // (driver cannot sort array columns — m03 precedent).
+    "e04_standardize" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      val stats = e.select(posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"i").agg(round(avg($"x"), 6).as("mu"),
+          round(stddev_pop($"x"), 6).as("sd"))
+      val m = stats.agg(map_from_entries(
+        collect_list(struct($"i", struct($"mu", $"sd")))).as("sm"))
+      e.crossJoin(broadcast(m))
+        .withColumn("z",
+          expr("transform(v, (x, i) -> round((x - sm[i].mu) / sm[i].sd, 6))"))
+        .select($"vec_id",
+          element_at($"z", 1).as("z0"), element_at($"z", 2).as("z1"),
+          element_at($"z", 3).as("z2"), element_at($"z", 4).as("z3"),
+          expr("cast(aggregate(z, cast(0 as decimal(20,6)), " +
+            "(acc, x) -> cast(acc + cast(x as decimal(20,6)) " +
+            "as decimal(20,6))) as double)")
+            .as("z_sum"))
     }
   )
 
@@ -2018,6 +2047,23 @@ object DataOps {
         |  SELECT CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS dim,
         |         CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings) t
-        |GROUP BY dim""".stripMargin
+        |GROUP BY dim""".stripMargin,
+
+    "e04_standardize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT unnest(range(0, len(v))) AS i, unnest(v) AS val FROM e),
+        |d AS (SELECT i, round(avg(val), 6) AS mu,
+        |    round(stddev_pop(val), 6) AS sd FROM x GROUP BY i),
+        |a AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds
+        |  FROM d)
+        |SELECT vec_id,
+        |  round((v[1] - mus[1]) / sds[1], 6) AS z0,
+        |  round((v[2] - mus[2]) / sds[2], 6) AS z1,
+        |  round((v[3] - mus[3]) / sds[3], 6) AS z2,
+        |  round((v[4] - mus[4]) / sds[4], 6) AS z3,
+        |  CAST(list_sum(list_transform(range(1, len(v) + 1), i ->
+        |    CAST(round((v[i] - mus[i]) / sds[i], 6) AS DECIMAL(20,6))))
+        |    AS DOUBLE) AS z_sum
+        |FROM e CROSS JOIN a""".stripMargin
   )
 }

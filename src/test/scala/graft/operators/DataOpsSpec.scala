@@ -353,6 +353,16 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("e04 standardize: lanes come out mean-0 / sd-1") {
+    val out = DataOps.queries("e04_standardize")(spark, sf("sf0.001"))
+    Seq("z0", "z1", "z2", "z3").foreach { lane =>
+      val s = out.agg(avg(col(lane)).as("m"),
+        stddev_pop(col(lane)).as("s")).head()
+      assert(math.abs(s.getAs[Double]("m")) < 1e-3, lane)
+      assert(math.abs(s.getAs[Double]("s") - 1.0) < 1e-3, lane)
+    }
+  }
+
   test("t25 classifier training: loss decreases, planted rule learned, partitioning-invariant") {
     val dir = sf("sf0.001")
     val docs = graft.Tables.documents(spark, dir).withColumn("lbl",
