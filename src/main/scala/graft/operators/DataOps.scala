@@ -156,7 +156,13 @@ object DataOps {
       floor(col("first_chunk") / chunksPerShard).cast("long"))
     graft.sources.ParquetSink.writePartitioned(sharded, dir, Seq("shard"),
       sortCols = Seq("first_chunk", "doc_id"))
-    sharded.groupBy(col("shard")).agg(
+    // manifest off the READ-BACK, not the lineage: the expensive
+    // preparation plan runs once (for the write), and the manifest
+    // describes what actually landed on disk (partition-column
+    // inference reads shard back as int — restore the long contract)
+    prepared.sparkSession.read.parquet(dir)
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy(col("shard")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),
       min(col("first_chunk")).as("first_chunk"),
@@ -226,7 +232,11 @@ object DataOps {
       val c0 = b0 - (0 until nBuckets).map(b => w(b) * mu(b) / sd(b)).sum
       val perDoc = sparse
         .groupBy($"__id", $"__y")
-        .agg(sum(element_at(vArr, $"__b" + 1) * $"__x").as("__s"))
+        // the per-doc logit is ALSO decimal-summed: an unordered double
+        // sum here would leak shuffle-fetch order into __s → __r → the
+        // rounded gradients, voiding the bit-identical contract
+        .agg(sum(round(element_at(vArr, $"__b" + 1) * $"__x", 12)
+          .cast("decimal(28,12)")).cast("double").as("__s"))
         .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-(lit(c0) + $"__s"))))
         .withColumn("__r", $"__y" - $"__p")
       val sparseGrad = sparse.join(perDoc.select($"__id", $"__r"), "__id")
@@ -269,7 +279,9 @@ object DataOps {
         explode(graft.functions.Text.tokens(col(textCol))).as("__t"))
       .withColumn("__b", (md5Bucket(col("__t")) % nBuckets).cast("int"))
       .groupBy(col(idCol), col("__n"))
-      .agg(sum(element_at(wArr, col("__b") + 1)).as("__tw"))
+      // decimal-summed for the same order-independence as training
+      .agg(sum(round(element_at(wArr, col("__b") + 1), 12)
+        .cast("decimal(28,12)")).cast("double").as("__tw"))
       .select(col(idCol),
         (lit(1.0) / (lit(1.0) +
           exp(-(lit(weights(0)) + col("__tw") / col("__n")))))

@@ -203,9 +203,10 @@ object Dedup {
     * bucket set is small — dynamically prune the directories it cannot
     * match. Per-ingest read cost therefore scales with the batch's
     * bucket footprint, not with corpus age (the d11 argument, minus
-    * even the corpus re-scan). */
-  /** The band-index row form (doc, sig, band, bucket, bucket_p) shared
-    * by the bulk writer and the streaming appender
+    * even the corpus re-scan).
+    *
+    * [[bandIndexRows]] is the row form (doc, sig, band, bucket,
+    * bucket_p) shared by this bulk writer and the streaming appender
     * ([[graft.streaming.Streaming.dedupIngest]]). */
   def bandIndexRows(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,

@@ -143,8 +143,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("c02: the contaminated-id relation broadcasts into the anti join") {
     val p = plan("c02_decontaminate")
-    assert(p.contains("BroadcastHashJoin LeftAnti") ||
-      ("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined),
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
       s"ids must broadcast; the corpus must stream map-only:\n${p.take(3000)}")
   }
 
