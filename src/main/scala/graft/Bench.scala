@@ -44,7 +44,17 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout gets tail-truncated by the driver (both BENCH_r02/r03 carry
+    // "parsed": null); persist the full per-query map as a file artifact
+    // so round-over-round diffs read from the file, not the tail.
+    val outName = "bench_" + new java.io.File(sfDir).getName + ".json"
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outName), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () } // best-effort: never fail the bench
     spark.stop()
   }
 }

@@ -162,12 +162,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val m = args(1)
         require(m.foldable && m.dataType.isInstanceOf[ArrayType],
           "bpe_encode: merges must be a foldable array(array(l, r), ...)")
-        val arr = m.eval().asInstanceOf[ArrayData]
+        val evaluated = m.eval()
+        require(evaluated != null,
+          "bpe_encode: merges must not be null (got a foldable NULL array)")
+        val arr = evaluated.asInstanceOf[ArrayData]
         val merges = (0 until arr.numElements()).map { i =>
           val pair = arr.getArray(i)
           require(pair != null && pair.numElements() == 2,
             "bpe_encode: each merge must be a 2-element array(l, r)")
-          (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+          val l = pair.getUTF8String(0)
+          val r = pair.getUTF8String(1)
+          require(l != null && r != null,
+            "bpe_encode: merge pair elements must be non-null strings")
+          (l.toString, r.toString)
         }
         BpeEncode(args.head, merges)
       }))

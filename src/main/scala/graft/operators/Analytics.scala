@@ -119,9 +119,13 @@ object Analytics {
       val stats = ev.groupBy($"event_type").agg(
         round(avg($"value"), 6).as("__mu"),
         round(stddev_samp($"value"), 6).as("__sd"))
+      // Zero-sd guard: a constant group (or one whose stddev rounds to 0
+      // at 6dp) gets z = NULL on both engines — double-by-zero division
+      // semantics (Inf/NaN) are NOT pinned across Spark and DuckDB.
       ev.join(broadcast(stats), "event_type")
         .select($"event_type", $"event_id",
-          round(($"value" - $"__mu") / $"__sd", 6).as("z"))
+          round(($"value" - $"__mu") /
+            when($"__sd" =!= 0d, $"__sd"), 6).as("z"))
     },
 
     // Funnel analysis: the classic staged-conversion query — per user,
@@ -199,7 +203,7 @@ object Analytics {
         |    round(stddev_samp(value), 6) AS sd
         |  FROM events GROUP BY 1)
         |SELECT e.event_type, e.event_id,
-        |  round((e.value - s.mu) / s.sd, 6) AS z
+        |  round((e.value - s.mu) / nullif(s.sd, 0), 6) AS z
         |FROM events e JOIN s USING (event_type)""".stripMargin,
 
     "q59_funnel" ->
@@ -261,9 +265,10 @@ object Analytics {
         |               ORDER BY o_orderdate, o_orderkey)),
         |islanded AS (
         |  SELECT o_custkey, o_date,
-        |    SUM(gap_break) OVER (PARTITION BY o_custkey
+        |    CAST(SUM(gap_break) OVER (PARTITION BY o_custkey
         |      ORDER BY o_orderdate, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
         |  FROM flagged)
         |SELECT o_custkey, island,
         |  MIN(o_date) AS start_date, MAX(o_date) AS end_date,

@@ -148,17 +148,6 @@ object Dedup {
       .select($"doc", array((0 until numPerm).map(i => col(s"mh_$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs from banded signatures + estimated Jaccard
-    * (fraction of matching signature positions). Documents collide iff one
-    * full band matches, so pairs fan out per (band, bucket) — never
-    * all-pairs. bands × rowsPerBand must equal numPerm.
-    *
-    * Same pair-generation shape as [[ngramJaccardPairs]]
-    * ([[bucketPairs]]): full i<j pairs inside normal buckets, STAR pairs
-    * around the min-doc representative for buckets above `maxBucket` —
-    * a near-identical mega-cluster stays connected for downstream
-    * clustering with O(n) pairs instead of O(n²), and no posting list is
-    * ever materialized for it. */
   /** (doc, sig, band, bucket) rows: one bucket hash per signature band.
     * Signatures are per-document (min over the doc's own shingles), so
     * banding a batch separately from a corpus yields identical rows —
@@ -175,6 +164,17 @@ object Dedup {
           .as(Seq("band", "bucket")))
   }
 
+  /** LSH candidate pairs from banded signatures + estimated Jaccard
+    * (fraction of matching signature positions). Documents collide iff one
+    * full band matches, so pairs fan out per (band, bucket) — never
+    * all-pairs. bands × rowsPerBand must equal numPerm.
+    *
+    * Same pair-generation shape as [[ngramJaccardPairs]]
+    * ([[bucketPairs]]): full i<j pairs inside normal buckets, STAR pairs
+    * around the min-doc representative for buckets above `maxBucket` —
+    * a near-identical mega-cluster stays connected for downstream
+    * clustering with O(n) pairs instead of O(n²), and no posting list is
+    * ever materialized for it. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.5, maxBucket: Long = 1000L): DataFrame = {

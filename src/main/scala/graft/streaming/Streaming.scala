@@ -160,15 +160,21 @@ object Streaming {
         val selfDup = pairs
           .select(greatest(col("doc_a"), col("doc_b")).as(idCol)).distinct()
         val batchKept = batch.join(selfDup, Seq(idCol), "left_anti")
-        val survivors = scala.util.Try(spark.read.parquet(indexDir)) match {
-          case scala.util.Success(index) =>
-            val crossDup = graft.operators.Dedup.probeBandIndex(index,
-                batchKept, idCol, textCol, shingleN, numPerm, bands,
-                minEstJaccard, indexParts)
-              .select(col("doc_new").as(idCol)).distinct()
-            batchKept.join(crossDup, Seq(idCol), "left_anti")
-          case scala.util.Failure(_) => batchKept // first batch: no index yet
-        }
+        // Skip the cross-corpus probe ONLY when the index genuinely does
+        // not exist yet (first batch). Any other read failure — transient
+        // IO, corrupt footer, permissions — must fail the batch so the
+        // checkpoint replays it; swallowing it would silently ingest
+        // near-duplicates and break the operator's invariant.
+        val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val survivors = if (fs.exists(indexPath)) {
+          val index = spark.read.parquet(indexDir)
+          val crossDup = graft.operators.Dedup.probeBandIndex(index,
+              batchKept, idCol, textCol, shingleN, numPerm, bands,
+              minEstJaccard, indexParts)
+            .select(col("doc_new").as(idCol)).distinct()
+          batchKept.join(crossDup, Seq(idCol), "left_anti")
+        } else batchKept // first batch: no index yet
         survivors.cache() // referenced by both writes below
         try {
           survivors.write.mode("append").parquet(outDir)

@@ -45,6 +45,23 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
                 n_fail += 1
                 continue
+            # The driver's hash tolerates integer-WIDTH differences
+            # (int32 vs int64: 15 r3-green queries differ that way) but is
+            # red on KIND differences: DuckDB widening an integer SUM to
+            # HUGEINT (-> float64/object in pandas) while Spark writes
+            # int64 shipped value-identical hash-red rows (q55, round 3;
+            # q16/q17/q45/q47, round 1). Compare dtype KINDS before values
+            # so that class fails loudly here first.
+            def kind(dt):
+                k = dt.kind
+                return "int" if k in ("i", "u") else k
+            dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                      for c in exp.columns
+                      if kind(exp[c].dtype) != kind(got[c].dtype)]
+            if dt_bad:
+                print(f"FAIL {name}: dtypes differ (col, oracle, spark): {dt_bad}")
+                n_fail += 1
+                continue
             er = sorted([tuple(norm(v) for v in r) for r in exp.itertuples(index=False)],
                         key=lambda r: tuple(str(x) for x in r))
             gr = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)],
