@@ -37,10 +37,11 @@ object JdbcUpsert {
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
   /** The exact SQL the promotion transaction executes, exposed so dialect
-    * tests can pin the strings (no Postgres server ships in the sandbox;
-    * the statements below are what a Postgres 12 target receives —
-    * standard-SQL quoting, `IN (SELECT ...)` promotion, `WITH NO DATA`
-    * clone). Order: delete-by-key, delete-null-keys, insert. */
+    * tests can pin the strings — standard-SQL quoting, `IN (SELECT ...)`
+    * promotion, `WITH NO DATA` clone. Executed for real against Derby
+    * (JdbcUpsertSpec) AND PostgreSQL 15 (PostgresUpsertSpec, over the
+    * pgwire minimal driver). Order: delete-by-key, delete-null-keys,
+    * insert. */
   private[etl] def promotionSql(table: String, staging: String,
       keyCol: String, cols: Seq[String]): Seq[String] = {
     val colList = cols.map(q).mkString(", ")

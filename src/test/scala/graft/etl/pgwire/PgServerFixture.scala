@@ -1,0 +1,96 @@
+package graft.etl.pgwire
+
+import java.io.File
+import java.net.ServerSocket
+import java.nio.file.{Files, Paths}
+
+/** Starts a throwaway PostgreSQL 15 cluster for the pgwire/upsert specs:
+  * initdb + pg_ctl from the system installation, trust auth, TCP on a
+  * random free localhost port. When the JVM runs as root (the sandbox
+  * default) the server processes run as the `postgres` system user via
+  * runuser, since postgres refuses to start as root.
+  *
+  * All state lives under /tmp and is removed on stop. If no usable
+  * installation exists the specs cancel (assume) rather than fail.
+  */
+object PgServerFixture {
+
+  private val binDirCandidates =
+    Seq("/usr/lib/postgresql/15/bin", "/usr/lib/postgresql/16/bin",
+      "/usr/lib/postgresql/14/bin", "/usr/local/bin")
+
+  lazy val binDir: Option[String] =
+    binDirCandidates.find(d => new File(d, "initdb").isFile &&
+      new File(d, "pg_ctl").isFile && new File(d, "postgres").isFile)
+
+  private def isRoot: Boolean = System.getProperty("user.name") == "root"
+
+  private def hasPostgresUser: Boolean =
+    try {
+      val p = new ProcessBuilder("id", "-u", "postgres")
+        .redirectErrorStream(true).start()
+      p.waitFor() == 0
+    } catch { case _: Throwable => false }
+
+  lazy val available: Boolean =
+    binDir.isDefined && (!isRoot || hasPostgresUser)
+
+  final case class Running(port: Int, dataDir: String) {
+    def url: String = s"jdbc:postgresql://127.0.0.1:$port/postgres"
+    def props: java.util.Properties = {
+      val p = new java.util.Properties()
+      p.setProperty("user", "postgres")
+      // makes Spark's DriverRegistry instantiate the pgwire driver by name
+      p.setProperty("driver", classOf[PgWireDriver].getName)
+      p
+    }
+  }
+
+  /** Wrap a command so it runs as the postgres user when we're root. */
+  private def asPg(cmd: Seq[String]): Seq[String] =
+    if (isRoot) Seq("runuser", "-u", "postgres", "--") ++ cmd else cmd
+
+  private def run(cmd: Seq[String]): (Int, String) = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new File("/tmp")) // postgres user can't read /root/repo
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    (p.waitFor(), out)
+  }
+
+  private def freePort(): Int = {
+    val s = new ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  /** initdb + start. Throws with the captured output on any failure —
+    * callers have already checked [[available]]. */
+  def start(): Running = {
+    val bin = binDir.getOrElse(sys.error("no postgres installation found"))
+    val dataDir = s"/tmp/graft_pg_${System.nanoTime()}"
+    val port = freePort()
+    val (ic, iout) = run(asPg(Seq(s"$bin/initdb", "-D", dataDir,
+      "-A", "trust", "-U", "postgres", "--no-sync")))
+    require(ic == 0, s"initdb failed ($ic):\n$iout")
+    val opts = s"-p $port -c listen_addresses=127.0.0.1 " +
+      s"-c unix_socket_directories=$dataDir -c fsync=off -c synchronous_commit=off"
+    val (sc, sout) = run(asPg(Seq(s"$bin/pg_ctl", "-D", dataDir, "-w",
+      "-o", opts, "-l", s"$dataDir/server.log", "start")))
+    require(sc == 0, s"pg_ctl start failed ($sc):\n$sout")
+    Running(port, dataDir)
+  }
+
+  def stop(r: Running): Unit = {
+    binDir.foreach { bin =>
+      run(asPg(Seq(s"$bin/pg_ctl", "-D", r.dataDir, "-m", "immediate", "stop")))
+    }
+    // data dir was created by the postgres user; we're root (or the owner)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      Files.deleteIfExists(Paths.get(f.getPath)); ()
+    }
+    try rm(new File(r.dataDir)) catch { case _: Throwable => () }
+  }
+}
