@@ -186,9 +186,18 @@ object DataOps {
     * trained model depend on task scheduling.
     *
     * Returns (weights with bias at index 0, per-iteration mean loss). */
+  /** @param literalWeightLimit above this bucket count the per-iteration
+    *   weights ride as a BROADCAST (bucket → weight) table instead of a
+    *   folded literal array: at 2^18–2^20 buckets (a fastText-size
+    *   vocabulary) a literal array makes the plan itself megabytes and
+    *   chokes codegen, while a broadcast table is DATA in an exchange —
+    *   plan size stays O(1) in nBuckets. Both paths round and
+    *   decimal-sum identically, so the trained weights are bit-identical
+    *   (spec-gated). */
   def trainQualityClassifier(docs: DataFrame, idCol: String,
       textCol: String, labelCol: String, nBuckets: Int = 256,
-      iterations: Int = 15, lr: Double = 1.0)
+      iterations: Int = 15, lr: Double = 1.0,
+      literalWeightLimit: Int = 1024)
       : (Array[Double], Array[Double]) = {
     val ss = docs.sparkSession
     import ss.implicits._
@@ -226,17 +235,29 @@ object DataOps {
     var b0 = 0.0
     val losses = Array.newBuilder[Double]
     for (_ <- 1 to iterations) {
-      // folded literals: score_i = Σ_sparse (w_b/sd_b) f_ib + (b0 - C)
-      val vArr = array(Array.tabulate(nBuckets)(b => lit(w(b) / sd(b)))
-        .toIndexedSeq: _*)
       val c0 = b0 - (0 until nBuckets).map(b => w(b) * mu(b) / sd(b)).sum
-      val perDoc = sparse
-        .groupBy($"__id", $"__y")
-        // the per-doc logit is ALSO decimal-summed: an unordered double
-        // sum here would leak shuffle-fetch order into __s → __r → the
-        // rounded gradients, voiding the bit-identical contract
-        .agg(sum(round(element_at(vArr, $"__b" + 1) * $"__x", 12)
-          .cast("decimal(28,12)")).cast("double").as("__s"))
+      // the per-doc logit is decimal-summed on BOTH paths: an unordered
+      // double sum here would leak shuffle-fetch order into __s → __r →
+      // the rounded gradients, voiding the bit-identical contract
+      val scored =
+        if (nBuckets <= literalWeightLimit) {
+          // folded literals: score_i = Σ_sparse (w_b/sd_b) f_ib + (b0-C)
+          val vArr = array(Array.tabulate(nBuckets)(b => lit(w(b) / sd(b)))
+            .toIndexedSeq: _*)
+          sparse.groupBy($"__id", $"__y")
+            .agg(sum(round(element_at(vArr, $"__b" + 1) * $"__x", 12)
+              .cast("decimal(28,12)")).cast("double").as("__s"))
+        } else {
+          // broadcast weight table: identical arithmetic, map-side
+          // hash-join lookup instead of a plan-inflating literal array
+          val wDf = broadcast(
+            w.indices.map(b => (b, w(b) / sd(b))).toDF("__b", "__v"))
+          sparse.join(wDf, "__b")
+            .groupBy($"__id", $"__y")
+            .agg(sum(round($"__v" * $"__x", 12)
+              .cast("decimal(28,12)")).cast("double").as("__s"))
+        }
+      val perDoc = scored
         .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-(lit(c0) + $"__s"))))
         .withColumn("__r", $"__y" - $"__p")
       val sparseGrad = sparse.join(perDoc.select($"__id", $"__r"), "__id")
@@ -271,16 +292,29 @@ object DataOps {
     * one map-side explode + one aggregation, weights ride the plan as
     * literals. Output: (idCol, p_good). */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
-      weights: Array[Double], nBuckets: Int = 256): DataFrame = {
-    val wArr = array(weights.drop(1).toIndexedSeq.map(lit(_)): _*)
-    docs.select(col(idCol),
+      weights: Array[Double], nBuckets: Int = 256,
+      literalWeightLimit: Int = 1024): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val tokens = docs.select(col(idCol),
         graft.functions.Text.tokenCount(col(textCol)).cast("double")
           .as("__n"),
         explode(graft.functions.Text.tokens(col(textCol))).as("__t"))
       .withColumn("__b", (md5Bucket(col("__t")) % nBuckets).cast("int"))
-      .groupBy(col(idCol), col("__n"))
+    // same literal-vs-broadcast threshold as training: beyond it the
+    // weights are a broadcast lookup table, not plan expressions
+    val bucketed =
+      if (nBuckets <= literalWeightLimit) {
+        val wArr = array(weights.drop(1).toIndexedSeq.map(lit(_)): _*)
+        tokens.withColumn("__v", element_at(wArr, col("__b") + 1))
+      } else {
+        val wDf = broadcast(weights.drop(1).toIndexedSeq.zipWithIndex
+          .map { case (v, b) => (b, v) }.toDF("__b", "__v"))
+        tokens.join(wDf, "__b")
+      }
+    bucketed.groupBy(col(idCol), col("__n"))
       // decimal-summed for the same order-independence as training
-      .agg(sum(round(element_at(wArr, col("__b") + 1), 12)
+      .agg(sum(round(col("__v"), 12)
         .cast("decimal(28,12)")).cast("double").as("__tw"))
       .select(col(idCol),
         (lit(1.0) / (lit(1.0) +
@@ -875,6 +909,22 @@ object DataOps {
       prepareTrainingSet(
         docs.filter($"doc_id" % 53 =!= 0),
         docs.filter($"doc_id" % 53 === 0))
+    },
+
+    // x02's WRITE side as a driver-checkable query: the x01 pipeline
+    // materialized as token-balanced shards, returning the manifest the
+    // training job consumes. The manifest is read BACK from what landed
+    // on disk, so a green row here oracle-verifies the physical write
+    // (partition layout + read-back types), not just the plan.
+    "x02_shard_manifest" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val prepared = prepareTrainingSet(
+        docs.filter($"doc_id" % 53 =!= 0),
+        docs.filter($"doc_id" % 53 === 0))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_x02_shards").toString
+      writeTrainingShards(prepared, dir)
     },
 
     // Full IVF-PQ (IVFADC) top-5: coarse cells prune, residual PQ codes
@@ -1537,6 +1587,18 @@ object DataOps {
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
     "x01_training_set" -> trainingSetSql,
+
+    // the closed-form shard aggregation over the SAME end-to-end x01
+    // fragment (chunksPerShard = 8; integer sums cast back to BIGINT —
+    // DuckDB widens to HUGEINT)
+    "x02_shard_manifest" ->
+      s"""SELECT CAST(first_chunk // 8 AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(first_chunk) AS first_chunk,
+         |  MAX(last_chunk) AS last_chunk
+         |FROM ($trainingSetSql)
+         |GROUP BY 1""".stripMargin,
 
     "o01_corpus_profile" ->
       """SELECT COUNT(*) AS n_docs,

@@ -52,6 +52,26 @@ class EtlPipelineSpec extends SparkSpec {
     assert(df.count() < rawLines, "corpus contains in-file duplicate rows")
   }
 
+  test("staged replay: parquet stage-and-read is row-identical to the live pipeline and stages once") {
+    val live = Pipelines.events(spark, paths.toSeq, clock = clock)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_staged_test").toString
+    val staged = graft.operators.EtlQueries.stageAndRead(spark, live, dir)
+    // full row-level equivalence on the 3-file slice (bags, not sets —
+    // the staged copy must not drop or duplicate rows)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+    assert(staged.columns.toSeq === live.columns.toSeq)
+    assert(bag(staged) === bag(live))
+    // second call must READ, not re-stage: the marker keys idempotence
+    val marker = new java.io.File(dir, "_SUCCESS")
+    val stampBefore = marker.lastModified()
+    val again = graft.operators.EtlQueries.stageAndRead(spark,
+      sys.error("staging must not re-run when the marker exists"), dir)
+    assert(again.count() === live.count())
+    assert(marker.lastModified() === stampBefore)
+  }
+
   test("events pipeline: row count equals total array elements plus empties") {
     // Independent expectation: count '$date' occurrences per line (one per
     // event) and empty/whitespace-only arrays straight from the raw text.

