@@ -451,6 +451,98 @@ object DataOps {
     }
   }
 
+  // ---- similarity/dedup query bodies, shared between their own
+  // registrations and the s06 recall report (so the report measures
+  // EXACTLY the shipped parameterization — params can't drift apart) ----
+
+  /** s02: hyperplane-LSH approximate top-5. */
+  private def lshKnnQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshKnn(emb, emb.filter($"vec_id" < 3), k = 5, dim = 64)
+  }
+
+  /** s03: IVF (k-means cells + nProbe) approximate top-5. */
+  private def ivfKnnQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val vectors = emb.select($"vec_id",
+      Similarity.toDouble($"embedding").as("v"))
+    val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+    val indexed = Ivf.index(emb, centroids)
+    Ivf.knn(indexed, centroids, emb.filter($"vec_id" < 3), k = 5, nProbe = 4)
+  }
+
+  /** s04: PQ (8×16 codebooks, ADC shortlist + exact rerank) top-5. */
+  private def pqKnnQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val vectors = emb.select($"vec_id",
+      Similarity.toDouble($"embedding").as("v"))
+    val books = Pq.trainCodebooks(vectors, dim = 64, numSubspaces = 8,
+      numCodes = 16)
+    val encoded = Pq.encode(vectors, books, dim = 64, numSubspaces = 8)
+    val probes = emb.filter($"vec_id" < 3).select($"vec_id".as("probe_id"),
+      Similarity.toDouble($"embedding").as("q"))
+    Pq.searchKnn(encoded, books, vectors, probes, dim = 64,
+      numSubspaces = 8, k = 5, shortlist = 50)
+  }
+
+  /** s05: IVF-PQ (coarse prune + residual codes + broadcast LUTs) top-5.
+    * The small index pieces (assignment, residuals) are eagerly
+    * materialized once: training, encoding, and search all consume them
+    * with different plans (the d10 lesson). */
+  private def ivfPqKnnQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val vectors = emb.select($"vec_id",
+      Similarity.toDouble($"embedding").as("v"))
+    val coarse = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+    val assigned = Ivf.index(emb, coarse).localCheckpoint(true)
+    val resid = assigned.join(broadcast(coarse), "cell")
+      .select($"vec_id", $"cell",
+        zip_with($"v", $"centroid", (x, c) => x - c).as("v"))
+      .localCheckpoint(true)
+    val books = Pq.trainCodebooks(resid.select($"vec_id", $"v"),
+      dim = 64, numSubspaces = 8, numCodes = 16)
+    val encodedCells = Pq.encode(resid.select($"vec_id", $"v"), books,
+        dim = 64, numSubspaces = 8)
+      .join(resid.select($"vec_id", $"cell"), "vec_id")
+    val probes = emb.filter($"vec_id" < 3).select($"vec_id".as("probe_id"),
+      Similarity.toDouble($"embedding").as("q"))
+    Pq.ivfPqKnn(assigned, coarse, books, encodedCells, probes,
+      dim = 64, numSubspaces = 8, nProbe = 4, k = 5, shortlist = 30)
+  }
+
+  /** d06: exact O(N²) embedding-cosine near-dup pairs (oracle anchor).
+    * Norms precomputed ONCE per vector (2N sqrt-dots), not per pair
+    * (3 dots × N²/2 pairs) — same doubles, ~3× less pair work. */
+  private def embeddingDupsQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      .withColumn("nrm", Similarity.norm($"v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6))
+      .filter($"cos_sim" >= 0.45)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        $"cos_sim")
+  }
+
+  /** d10: IVF-bucketed near-dup pairs — d06's scale path. nProbe=3 of 16
+    * cells: 18.75% scan fraction per vector, measured recall vs d06
+    * exact pairs 0.85-0.93 at all three SFs (spec-gated, and visible
+    * round-over-round in the s06 report row). */
+  private def semanticPairsQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vectors = Tables.embeddings(s, d)
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+    val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+    Dedup.semanticDupPairs(vectors, centroids, minCosSim = 0.45, nProbe = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + per-document length stats.
     "t01_token_stats" -> { (s, d) =>
@@ -526,21 +618,7 @@ object DataOps {
 
     // Embedding-cosine near-dup pairs (exact; the LSH path in s02 is the
     // scale variant of the same operator).
-    "d06_embedding_dups" -> { (s, d) =>
-      import s.implicits._
-      // Norms precomputed ONCE per vector (2N sqrt-dots), not per pair
-      // (3 dots × N²/2 pairs) — same doubles, ~3× less pair work.
-      val e = Tables.embeddings(s, d)
-        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
-        .withColumn("nrm", Similarity.norm($"v"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos_sim",
-          round(Similarity.dot(col("a.v"), col("b.v")) /
-            (col("a.nrm") * col("b.nrm")), 6))
-        .filter($"cos_sim" >= 0.45)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          $"cos_sim")
-    },
+    "d06_embedding_dups" -> (embeddingDupsQuery(_, _)),
 
     // Canonicalized text: case/punctuation/whitespace-insensitive digest,
     // the preprocessing step ahead of d01/d02.
@@ -698,23 +776,11 @@ object DataOps {
     },
 
     // Hyperplane-LSH approximate top-5 (no SQL oracle: approximate).
-    "s02_lsh_knn" -> { (s, d) =>
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      Similarity.lshKnn(emb, emb.filter($"vec_id" < 3), k = 5, dim = 64)
-    },
+    "s02_lsh_knn" -> (lshKnnQuery(_, _)),
 
     // IVF approximate top-5: k-means cells + nProbe search (no SQL
     // oracle: approximate; recall vs brute force is spec-gated).
-    "s03_ivf_knn" -> { (s, d) =>
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val vectors = emb.select($"vec_id",
-        Similarity.toDouble($"embedding").as("v"))
-      val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
-      val indexed = Ivf.index(emb, centroids)
-      Ivf.knn(indexed, centroids, emb.filter($"vec_id" < 3), k = 5, nProbe = 4)
-    },
+    "s03_ivf_knn" -> (ivfKnnQuery(_, _)),
 
     // PQ search layer: product-quantized corpus (8 subspaces × 16 codes
     // ≈ 8 bytes/vector, 32× compression) + asymmetric-distance shortlist
@@ -724,19 +790,7 @@ object DataOps {
     // the heap aggregate. No SQL oracle (codebooks are clustering-
     // defined); recall + reconstruction-error contracts are spec-gated
     // vs the exact brute-force path.
-    "s04_pq_knn" -> { (s, d) =>
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val vectors = emb.select($"vec_id",
-        Similarity.toDouble($"embedding").as("v"))
-      val books = Pq.trainCodebooks(vectors, dim = 64, numSubspaces = 8,
-        numCodes = 16)
-      val encoded = Pq.encode(vectors, books, dim = 64, numSubspaces = 8)
-      val probes = emb.filter($"vec_id" < 3).select($"vec_id".as("probe_id"),
-        Similarity.toDouble($"embedding").as("q"))
-      Pq.searchKnn(encoded, books, vectors, probes, dim = 64,
-        numSubspaces = 8, k = 5, shortlist = 50)
-    },
+    "s04_pq_knn" -> (pqKnnQuery(_, _)),
 
     // Gopher-style repetition signals per document: the fraction of
     // 2-gram occurrences claimed by the most frequent 2-gram, the
@@ -933,26 +987,43 @@ object DataOps {
     // The small index pieces (assignment, residuals) are eagerly
     // materialized once: training, encoding, and search all consume
     // them with different plans (the d10 lesson).
-    "s05_ivfpq_knn" -> { (s, d) =>
+    "s05_ivfpq_knn" -> (ivfPqKnnQuery(_, _)),
+
+    // Approximate-ANN observability, the d08 convention extended to the
+    // similarity family (round-over-round recall as NUMBERS in a driver-
+    // checked row, not just spec flips): recall@5 of every approximate
+    // KNN path (s02 LSH, s03 IVF, s04 PQ, s05 IVF-PQ) against s01's
+    // exact brute-force top-5, plus d10's pair recall against d06's
+    // exact O(N²) pair set. Each branch calls the SAME private def its
+    // registered query serves, so the report measures what ships. No SQL
+    // oracle (every input is hash/clustering-defined); floors spec-gated.
+    "s06_ann_recall" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val vectors = emb.select($"vec_id",
-        Similarity.toDouble($"embedding").as("v"))
-      val coarse = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
-      val assigned = Ivf.index(emb, coarse).localCheckpoint(true)
-      val resid = assigned.join(broadcast(coarse), "cell")
-        .select($"vec_id", $"cell",
-          zip_with($"v", $"centroid", (x, c) => x - c).as("v"))
-        .localCheckpoint(true)
-      val books = Pq.trainCodebooks(resid.select($"vec_id", $"v"),
-        dim = 64, numSubspaces = 8, numCodes = 16)
-      val encodedCells = Pq.encode(resid.select($"vec_id", $"v"), books,
-          dim = 64, numSubspaces = 8)
-        .join(resid.select($"vec_id", $"cell"), "vec_id")
-      val probes = emb.filter($"vec_id" < 3).select($"vec_id".as("probe_id"),
-        Similarity.toDouble($"embedding").as("q"))
-      Pq.ivfPqKnn(assigned, coarse, books, encodedCells, probes,
-        dim = 64, numSubspaces = 8, nProbe = 4, k = 5, shortlist = 30)
+      val truth = Similarity.bruteKnn(emb, emb.filter($"vec_id" < 3), k = 5)
+        .select($"probe_id", $"vec_id")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      def hits(ann: DataFrame, as: String) =
+        truth.join(ann.select($"probe_id", $"vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as(as))
+      val pairTruth = embeddingDupsQuery(s, d).select($"vec_a", $"vec_b")
+      val nPT = pairTruth.agg(count(lit(1)).as("n_pair_truth"))
+      val nPH = pairTruth.join(
+          semanticPairsQuery(s, d).select($"vec_a", $"vec_b"),
+          Seq("vec_a", "vec_b"), "left_semi")
+        .agg(count(lit(1)).as("n_d10_hit"))
+      nT.crossJoin(hits(lshKnnQuery(s, d), "n_lsh_hit"))
+        .crossJoin(hits(ivfKnnQuery(s, d), "n_ivf_hit"))
+        .crossJoin(hits(pqKnnQuery(s, d), "n_pq_hit"))
+        .crossJoin(hits(ivfPqKnnQuery(s, d), "n_ivfpq_hit"))
+        .crossJoin(nPT).crossJoin(nPH)
+        .withColumn("lsh_recall", round($"n_lsh_hit" / $"n_truth", 6))
+        .withColumn("ivf_recall", round($"n_ivf_hit" / $"n_truth", 6))
+        .withColumn("pq_recall", round($"n_pq_hit" / $"n_truth", 6))
+        .withColumn("ivfpq_recall", round($"n_ivfpq_hit" / $"n_truth", 6))
+        .withColumn("d10_pair_recall",
+          round($"n_d10_hit" / $"n_pair_truth", 6))
     },
 
     // Corpus profile: the one-row observability report a pipeline logs
@@ -1296,15 +1367,7 @@ object DataOps {
     // multi-probe cell assignment + per-cell pair generation + exact
     // cosine verify. No SQL oracle (candidate set is clustering-
     // defined); recall vs d06's exact pairs is spec-gated.
-    "d10_semantic_pairs" -> { (s, d) =>
-      import s.implicits._
-      val vectors = Tables.embeddings(s, d)
-        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
-      val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
-      // nProbe=3 of 16 cells: 18.75% scan fraction per vector, measured
-      // recall vs d06 exact pairs 0.85-0.93 at all three SFs (spec-gated)
-      Dedup.semanticDupPairs(vectors, centroids, minCosSim = 0.45, nProbe = 3)
-    },
+    "d10_semantic_pairs" -> (semanticPairsQuery(_, _)),
 
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each
     // document draws a deterministic uniform u from its md5 bucket

@@ -415,6 +415,27 @@ class DataOpsSpec extends SparkSpec {
     assert(acc >= 0.8, s"2^16-bucket training accuracy $acc")
   }
 
+  test("s06 ann-recall report: one row, sane counts, recall floors hold") {
+    Seq("sf0.001", "sf0.01").foreach { s =>
+      val rows = DataOps.queries("s06_ann_recall")(spark, sf(s)).collect()
+      assert(rows.length === 1, s)
+      val r = rows.head
+      assert(r.getAs[Long]("n_truth") === 15L, s) // 3 probes × top-5
+      // Floors just under round-4 measured values at the SHIPPED
+      // parameterizations (sf0.001 / sf0.01): lsh 0.47/0.27 (random
+      // embeddings are the adversarial case for hyperplane LSH — true
+      // neighbors barely beat noise; the report exists to keep this
+      // number visible), ivf 0.87/0.93, pq 0.67/0.80, ivfpq 0.80/0.87,
+      // d10 0.86/0.93.
+      val floors = Map("lsh_recall" -> 0.2, "ivf_recall" -> 0.6,
+        "pq_recall" -> 0.6, "ivfpq_recall" -> 0.6, "d10_pair_recall" -> 0.8)
+      floors.foreach { case (c, floor) =>
+        val v = r.getAs[Double](c)
+        assert(v >= floor && v <= 1.0, s"$s $c = $v (floor $floor)")
+      }
+    }
+  }
+
   test("t23 perplexity filter: drops exactly the worst decile, boundary-inclusive keep") {
     val out = DataOps.queries("t23_perplexity_filter")(spark, sf("sf0.001"))
       .select($"avg_logprob2", $"keep").as[(Double, Boolean)].collect()
