@@ -74,8 +74,11 @@ object PgServerFixture {
     val (ic, iout) = run(asPg(Seq(s"$bin/initdb", "-D", dataDir,
       "-A", "trust", "-U", "postgres", "--no-sync")))
     require(ic == 0, s"initdb failed ($ic):\n$iout")
+    // timezone pinned: DATE_TRUNC over timestamptz follows the server
+    // TimeZone, and the parity specs compare against Spark's UTC session
     val opts = s"-p $port -c listen_addresses=127.0.0.1 " +
-      s"-c unix_socket_directories=$dataDir -c fsync=off -c synchronous_commit=off"
+      s"-c unix_socket_directories=$dataDir -c fsync=off " +
+      "-c synchronous_commit=off -c timezone=UTC"
     val (sc, sout) = run(asPg(Seq(s"$bin/pg_ctl", "-D", dataDir, "-w",
       "-o", opts, "-l", s"$dataDir/server.log", "start")))
     require(sc == 0, s"pg_ctl start failed ($sc):\n$sout")
