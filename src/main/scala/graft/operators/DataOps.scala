@@ -451,6 +451,27 @@ object DataOps {
     }
   }
 
+  /** Session-scoped memo of the x01 capstone result: x01 and x02 both
+    * consume the full curate→decontaminate→sample→pack fixpoint (the
+    * single most expensive lineage in the surface), so it materializes
+    * ONCE per (session, sfDir) via localCheckpoint — the EtlQueries
+    * replay-memo convention, including the dead-session eviction. */
+  private val preparedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def preparedTrainingSet(s: SparkSession, d: String): DataFrame = {
+    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
+    preparedMemo.keys().asIterator().forEachRemaining { k =>
+      if (k._1 != uuid) { preparedMemo.remove(k); () }
+    }
+    preparedMemo.computeIfAbsent((uuid, d), _ => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      prepareTrainingSet(
+        docs.filter($"doc_id" % 53 =!= 0),
+        docs.filter($"doc_id" % 53 === 0)).localCheckpoint()
+    })
+  }
+
   // ---- similarity/dedup query bodies, shared between their own
   // registrations and the s06 recall report (so the report measures
   // EXACTLY the shipped parameterization — params can't drift apart) ----
@@ -957,13 +978,7 @@ object DataOps {
     // holdout, the c01/c02 benchmark stand-in) → temperature-sample →
     // pack. Value-oracled END-TO-END (trainingSetSql composes the
     // stages' own oracle fragments), plus the subset/tiling spec.
-    "x01_training_set" -> { (s, d) =>
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      prepareTrainingSet(
-        docs.filter($"doc_id" % 53 =!= 0),
-        docs.filter($"doc_id" % 53 === 0))
-    },
+    "x01_training_set" -> ((s, d) => preparedTrainingSet(s, d)),
 
     // x02's WRITE side as a driver-checkable query: the x01 pipeline
     // materialized as token-balanced shards, returning the manifest the
@@ -971,14 +986,9 @@ object DataOps {
     // on disk, so a green row here oracle-verifies the physical write
     // (partition layout + read-back types), not just the plan.
     "x02_shard_manifest" -> { (s, d) =>
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val prepared = prepareTrainingSet(
-        docs.filter($"doc_id" % 53 =!= 0),
-        docs.filter($"doc_id" % 53 === 0))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_x02_shards").toString
-      writeTrainingShards(prepared, dir)
+      writeTrainingShards(preparedTrainingSet(s, d), dir)
     },
 
     // Full IVF-PQ (IVFADC) top-5: coarse cells prune, residual PQ codes
