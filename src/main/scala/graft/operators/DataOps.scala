@@ -207,6 +207,13 @@ object DataOps {
           .as("__n"),
         explode(graft.functions.Text.tokens(col(textCol))).as("__t"))
       .withColumn("__b", (md5Bucket($"__t") % nBuckets).cast("int"))
+      // hash-partition by __id BEFORE the feature groupBy: the groupBy's
+      // ClusteredDistribution(__id,__y,__n,__b) is satisfied by
+      // HashPartitioning(__id) (subset rule), so this is the plan's ONLY
+      // exchange — and localCheckpoint preserves the partitioning, making
+      // every per-iteration groupBy(__id,__y) and the residual join
+      // exchange-free for all `iterations` passes.
+      .repartition($"__id")
       .groupBy($"__id", $"__y", $"__n", $"__b")
       .agg(count(lit(1)).cast("double").as("__c"))
       .select($"__id", $"__y", ($"__c" / $"__n").as("__x"), $"__b")
@@ -257,9 +264,13 @@ object DataOps {
             .agg(sum(round($"__v" * $"__x", 12)
               .cast("decimal(28,12)")).cast("double").as("__s"))
         }
+      // cached per iteration: the gradient join and the loss scalars both
+      // consume it, and without the cache the scoring aggregation runs
+      // twice per iteration
       val perDoc = scored
         .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-(lit(c0) + $"__s"))))
         .withColumn("__r", $"__y" - $"__p")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sparseGrad = sparse.join(perDoc.select($"__id", $"__r"), "__id")
         .groupBy($"__b")
         .agg(sum(round($"__r" * $"__x", 9).cast("decimal(28,9)"))
@@ -271,6 +282,7 @@ object DataOps {
           when($"__y" === 1.0, -log(greatest($"__p", lit(1e-12))))
             .otherwise(-log(greatest(lit(1.0) - $"__p", lit(1e-12)))), 9)
           .cast("decimal(28,9)")).cast("double").as("loss")).head()
+      perDoc.unpersist()
       val rTotal = scalars.getAs[Double]("g0")
       w = Array.tabulate(nBuckets) { b =>
         val g = (sparseGrad.getOrElse(b, 0.0) - mu(b) * rTotal) / sd(b)
