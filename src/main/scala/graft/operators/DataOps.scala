@@ -426,6 +426,53 @@ object DataOps {
         Seq("doc_id"))
   }
 
+  /** t26: fixed-window segment dedup — the line-level dedup mechanism
+    * (CCNet / RefinedWeb drop lines that repeat across many documents:
+    * navigation chrome, cookie banners, boilerplate) applied to aligned
+    * `segTokens`-token windows, since this corpus has no line structure.
+    * A segment's document frequency is counted EXACTLY (countDistinct
+    * doc ids — a two-level partial-aggregated exchange of O(segments)
+    * rows, never O(bytes)); segments shared by more than `maxDocFreq`
+    * documents are dropped from every document, and the survivors
+    * reassemble in order. The boilerplate relation is unbounded in
+    * principle (a viral banner can be everywhere), so the removal join
+    * is shuffle-hash, never broadcast-by-assumption. Documents that lose
+    * every segment stay in the output with empty text (left join back to
+    * the corpus), mirroring d12's span — not document — granularity:
+    * d12 FINDS shared spans pairwise; t26 REMOVES corpus-wide repeated
+    * spans in one pass.
+    *
+    * Output: (doc_id, n_segs, n_kept, text_clean). */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, maxDocFreq: Long = 2L): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val toks = graft.functions.Text.tokens(col(textCol))
+    val nSegs = ((size(toks) + segTokens - 1) / segTokens).cast("long")
+    val segsArr = when(nSegs > 0,
+        transform(sequence(lit(0L), nSegs - 1), g =>
+          concat_ws(" ",
+            slice(toks, (g * segTokens + 1).cast("int"), lit(segTokens)))))
+      .otherwise(array().cast("array<string>"))
+    val segs = docs.select(col(idCol).as("__id"),
+      posexplode(segsArr).as(Seq("__pos", "__seg")))
+    val bad = segs.groupBy($"__seg")
+      .agg(countDistinct($"__id").as("__df"))
+      .filter($"__df" > maxDocFreq)
+      .select($"__seg")
+    val kept = segs.join(bad.hint("shuffle_hash"), Seq("__seg"), "left_anti")
+    val agg = kept.groupBy($"__id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct($"__pos", $"__seg"))),
+        x => x.getField("__seg"))).as("text_clean"))
+    docs.select(col(idCol).as("doc_id"), nSegs.as("n_segs"))
+      .join(agg.withColumnRenamed("__id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_segs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"text_clean", lit("")).as("text_clean"))
+  }
+
   /** t14's BPE-ish pre-tokenizer split: letter runs, single digits
     * (GPT-2 style — numbers merge from digit pieces), punctuation runs.
     * Explicit classes only — identical under Java regex and RE2. */
@@ -862,6 +909,15 @@ object DataOps {
           coalesce($"__gdup".cast("double") / $"__gtot", lit(0.0))
             .as("dup_2gram_frac"),
           ($"__tmx".cast("double") / $"__ttot").as("top_token_frac"))
+    },
+
+    // Corpus-wide repeated-segment REMOVAL (the CCNet/RefinedWeb
+    // line-dedup mechanism over aligned 10-token windows — this corpus
+    // has no line structure): exact df per segment, segments in >2 docs
+    // dropped everywhere, survivors reassembled in order. Complements
+    // d12, which FINDS shared spans pairwise but removes nothing.
+    "t26_segment_dedup" -> { (s, d) =>
+      segmentDedup(Tables.documents(s, d), "doc_id", "text")
     },
 
     // Per-document n-gram coverage: what fraction of a document's
@@ -1884,6 +1940,29 @@ object DataOps {
         |FROM documents d
         |  LEFT JOIN gd ON d.doc_id = gd.doc_id
         |  JOIN td ON d.doc_id = td.doc_id""".stripMargin,
+
+    "t26_segment_dedup" ->
+      """WITH seg AS (
+        |  SELECT doc_id, g AS pos,
+        |    array_to_string(
+        |      list_slice(string_split(text, ' '), g*10 + 1, g*10 + 10),
+        |      ' ') AS seg
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(
+        |      range((len(string_split(text, ' ')) + 9) // 10)) AS g)),
+        |bad AS (SELECT seg FROM seg
+        |  GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 2),
+        |kept AS (SELECT s.doc_id, s.pos, s.seg
+        |  FROM seg s ANTI JOIN bad USING (seg)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST((len(string_split(d.text, ' ')) + 9) // 10 AS BIGINT)
+        |    AS n_segs,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     "d09_ngram_coverage" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),

@@ -363,6 +363,31 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("t26 segment dedup: corpus-wide boilerplate segments removed, unique text kept in order") {
+    // 4-token segments; a "banner" segment planted in 4 docs (> maxDocFreq
+    // = 2) must vanish everywhere; unique segments survive in order; a doc
+    // that IS the banner comes back empty but stays in the output.
+    val banner = "cookie notice accept all"
+    val corpus = Seq(
+      (0L, s"$banner alpha beta gamma delta"),
+      (1L, s"$banner epsilon zeta eta theta"),
+      (2L, s"$banner iota kappa lambda mu"),
+      (3L, banner),
+      (4L, "nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val out = DataOps.segmentDedup(corpus, "doc_id", "text",
+        segTokens = 4, maxDocFreq = 2L)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    // every doc had its banner segment dropped; doc 3 lost everything
+    assert(out(0) === ((0L, 2L, 1L, "alpha beta gamma delta")))
+    assert(out(3) === ((3L, 1L, 0L, "")))
+    // doc 4 is untouched, both segments in original order
+    assert(out(4) === ((4L, 2L, 2L, "nu xi omicron pi rho sigma tau upsilon")))
+    assert(out.forall { case (_, _, _, t) => !t.contains(banner) })
+  }
+
   test("t25 classifier training: loss decreases, planted rule learned, partitioning-invariant") {
     val dir = sf("sf0.001")
     val docs = graft.Tables.documents(spark, dir).withColumn("lbl",
