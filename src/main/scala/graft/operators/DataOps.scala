@@ -911,6 +911,35 @@ object DataOps {
           ($"__tmx".cast("double") / $"__ttot").as("top_token_frac"))
     },
 
+    // Exact heavy hitters by two-pass propose-and-verify: pass 1 is a
+    // Misra–Gries(2048) summary over the 2-gram stream (k-bounded state
+    // per map task, ≤ k−1 pairs cross the wire — NEVER a vocab-sized
+    // exchange); pass 2 exact-counts only the proposed candidates behind
+    // a broadcast semi-join (≤ k−1 rows, broadcastable by construction).
+    // Correctness does not depend on the corpus: the MG bound guarantees
+    // every item above n/k survives pass 1, and k=2048 > 1000 means the
+    // n/1000 threshold sits strictly above the guarantee line — the
+    // output is the EXACT heavy-hitter set at any vocabulary size, which
+    // is why it oracles against plain exact SQL. (This corpus's 2-gram
+    // vocab happens to fit in one summary; the eviction/merge-truncation
+    // path is spec-exercised with a 10k-vocab planted-hot-item stream.)
+    "t27_heavy_hitters" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val grams = docs.select(explode(Text.ngrams($"text", 2)).as("gram"))
+      val cand = grams
+        .agg(graft.functions.MisraGries.misra_gries($"gram", 2048).as("mg"))
+        .select(explode($"mg").as("c"))
+        .select($"c.item".as("gram"))
+      val thr = grams.agg(
+        floor((count(lit(1)) + 999L) / 1000L).cast("long").as("__thr"))
+      grams.join(broadcast(cand), Seq("gram"), "left_semi")
+        .groupBy($"gram").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(thr))
+        .filter($"cnt" >= $"__thr")
+        .select($"gram", $"cnt")
+    },
+
     // Corpus-wide repeated-segment REMOVAL (the CCNet/RefinedWeb
     // line-dedup mechanism over aligned 10-token windows — this corpus
     // has no line structure): exact df per segment, segments in >2 docs
@@ -1940,6 +1969,17 @@ object DataOps {
         |FROM documents d
         |  LEFT JOIN gd ON d.doc_id = gd.doc_id
         |  JOIN td ON d.doc_id = td.doc_id""".stripMargin,
+
+    "t27_heavy_hitters" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS gram
+        |    FROM (SELECT string_split(text, ' ') t FROM documents)
+        |    WHERE len(t) >= 2),
+        |thr AS (SELECT (COUNT(*) + 999) // 1000 AS thr FROM g)
+        |SELECT gram, COUNT(*) AS cnt
+        |FROM g, thr
+        |GROUP BY gram, thr.thr
+        |HAVING COUNT(*) >= thr.thr""".stripMargin,
 
     "t26_segment_dedup" ->
       """WITH seg AS (

@@ -388,6 +388,32 @@ class DataOpsSpec extends SparkSpec {
     assert(out.forall { case (_, _, _, t) => !t.contains(banner) })
   }
 
+  test("t27 Misra-Gries under eviction pressure: planted hot items survive, verify is exact, partitioning-invariant") {
+    import graft.functions.MisraGries.misra_gries
+    // 10k one-off junk items force constant eviction in a k=64 summary;
+    // the planted hot items sit far above n/k = 10_800/64 ≈ 169 so the
+    // MG bound guarantees they survive ANY partitioning / merge order.
+    val stream = ((1 to 10000).map(i => s"junk_$i") ++
+      Seq.fill(500)("hot_a") ++ Seq.fill(300)("hot_b")).toDF("item")
+    def finalRows(parts: Int): Set[(String, Long)] = {
+      val s = stream.repartition(parts)
+      val cand = s.agg(misra_gries($"item", 64).as("mg"))
+        .select(explode($"mg").as("c")).select($"c.item".as("item"))
+      val nCand = cand.count()
+      assert(nCand <= 63, s"summary must stay k-bounded, got $nCand")
+      assert(cand.as[String].collect().toSet.intersect(Set("hot_a", "hot_b"))
+        === Set("hot_a", "hot_b"), "items above n/k must survive")
+      s.join(broadcast(cand), Seq("item"), "left_semi")
+        .groupBy($"item").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 200)
+        .as[(String, Long)].collect().toSet
+    }
+    // exact output at threshold 200 regardless of partitioning, even
+    // though the candidate sets and estimates differ run to run
+    assert(finalRows(1) === Set(("hot_a", 500L), ("hot_b", 300L)))
+    assert(finalRows(7) === Set(("hot_a", 500L), ("hot_b", 300L)))
+  }
+
   test("t25 classifier training: loss decreases, planted rule learned, partitioning-invariant") {
     val dir = sf("sf0.001")
     val docs = graft.Tables.documents(spark, dir).withColumn("lbl",
