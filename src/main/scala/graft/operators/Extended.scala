@@ -17,6 +17,28 @@ object Extended {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** q42's gap-based batch sessionization, shared with q61 so the
+    * session definition and the containment-join consumer cannot drift:
+    * boundary = >30 min since the previous event (event_id order — ts is
+    * monotone in event_id per user in this corpus, so the [start_sec,
+    * end_sec] windows are DISJOINT per user and containment is
+    * single-valued). Output: (user_id, session_seq, n_events, start_sec,
+    * end_sec). */
+  private def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("__sec", $"ts".cast("long"))
+      .withColumn("__gap", $"__sec" - lag($"__sec", 1).over(wOrd))
+      .withColumn("__new",
+        when($"__gap".isNull || $"__gap" > 1800, 1).otherwise(0))
+      .withColumn("session_seq", sum($"__new").over(wRun))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"__sec").as("start_sec"), max($"__sec").as("end_sec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUBE: all 2^2 grouping combinations in one pass.
     "q24_cube" -> { (s, d) =>
@@ -248,19 +270,30 @@ object Extended {
     // Batch gap-based sessionization (the batch twin of the streaming
     // flatMapGroupsWithState sessionizer): session boundary = >30 min
     // since the previous event; session id = running count of boundaries.
-    "q42_sessionize_batch" -> { (s, d) =>
+    "q42_sessionize_batch" -> ((s, d) => sessionizeBatch(s, d)),
+
+    // Interval-containment join where BOTH sides are big: every event
+    // assigned to its containing session window via epoch bucketing
+    // (EpochRangeJoin — point gets one 1-hour epoch, each session
+    // explodes over the epochs it covers, equi-join on (user_id, epoch),
+    // exact containment filter). The broadcast range join (q36) needs
+    // the interval side on every executor; sessions scale with the
+    // corpus, so here NOTHING broadcasts — the join is an ordinary
+    // shuffled hash join AQE can skew-split. Sessions come from the
+    // shared q42 body (intervals disjoint per user by construction), so
+    // containment assigns each event exactly once and the per-session
+    // event counts tie out against q42's own n_events.
+    "q61_session_assign" -> { (s, d) =>
       import s.implicits._
-      val wOrd = Window.partitionBy($"user_id").orderBy($"event_id")
-      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("__sec", $"ts".cast("long"))
-        .withColumn("__gap", $"__sec" - lag($"__sec", 1).over(wOrd))
-        .withColumn("__new",
-          when($"__gap".isNull || $"__gap" > 1800, 1).otherwise(0))
-        .withColumn("session_seq", sum($"__new").over(wRun))
+      val ev = Tables.events(s, d).select($"user_id", $"event_id",
+        $"ts".cast("long").as("__sec"), $"value")
+      val sessions = sessionizeBatch(s, d)
+        .select($"user_id", $"session_seq", $"start_sec", $"end_sec")
+      EpochRangeJoin.epochRangeJoin(ev, "__sec", sessions,
+          "start_sec", "end_sec", Seq("user_id"), epoch = 3600L)
         .groupBy($"user_id", $"session_seq")
-        .agg(count(lit(1)).as("n_events"),
-          min($"__sec").as("start_sec"), max($"__sec").as("end_sec"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
     },
 
     // Equi-width histogram via integer bucketing.
@@ -555,6 +588,29 @@ object Extended {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(sec) AS start_sec, MAX(sec) AS end_sec
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    "q61_session_assign" ->
+      """WITH t AS (SELECT user_id, event_id, value,
+        |    floor(epoch(ts))::BIGINT AS sec FROM events),
+        |g AS (SELECT user_id, event_id, value, sec,
+        |    sec - LAG(sec, 1) OVER w AS gap
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |m AS (SELECT user_id, event_id, value, sec,
+        |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS newf
+        |  FROM g),
+        |s AS (SELECT user_id, event_id, value, sec,
+        |    CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM m),
+        |sess AS (SELECT user_id, session_seq,
+        |    MIN(sec) AS start_sec, MAX(sec) AS end_sec
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT e.user_id, sess.session_seq, COUNT(*) AS n_assigned,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM t e JOIN sess ON e.user_id = sess.user_id
+        |  AND e.sec BETWEEN sess.start_sec AND sess.end_sec
+        |GROUP BY e.user_id, sess.session_seq""".stripMargin,
 
     "q40_value_windows" ->
       """SELECT user_id, event_id,
