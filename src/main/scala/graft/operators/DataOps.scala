@@ -169,6 +169,40 @@ object DataOps {
       max(col("last_chunk")).as("last_chunk"))
   }
 
+  /** x03: the x02 shard layout serialized as JSONL — newline-delimited
+    * JSON, the interchange format LLM training stacks actually consume
+    * (every major tokenize/pack toolchain reads it). Same closed-form
+    * shard = first_chunk / chunksPerShard arithmetic as
+    * [[writeTrainingShards]] (token-balanced by construction,
+    * deterministic under retries), written as text PARTITIONED BY shard
+    * so a trainer pulling one shard lists one directory. The manifest
+    * aggregates the READ-BACK under an EXPLICIT schema — json schema
+    * inference at 100 TB is a whole extra pass over the corpus, and
+    * schema-on-read is the contract a consumer actually runs — so a
+    * green manifest verifies the serialize→parse round trip (types and
+    * values), not just that a write happened. */
+  def writeJsonlShards(prepared: DataFrame, dir: String,
+      chunksPerShard: Long = 8L): DataFrame = {
+    val ss = prepared.sparkSession
+    val dataCols = prepared.columns
+    prepared
+      .withColumn("shard",
+        floor(col("first_chunk") / chunksPerShard).cast("long"))
+      .select(col("shard"),
+        to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("value"))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").text(dir)
+    val readSchema = org.apache.spark.sql.types.StructType(
+      prepared.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType))
+    ss.read.schema(readSchema).json(dir)
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_chunk")).as("first_chunk"),
+        max(col("last_chunk")).as("last_chunk"))
+  }
+
   /** t25: TRAIN the hashed-bucket quality classifier — the missing
     * train side of t17's fastText-style scorer (CCNet/GPT-3 pipelines
     * train exactly this: logistic regression over hashed bag-of-words,
@@ -1088,6 +1122,16 @@ object DataOps {
       writeTrainingShards(preparedTrainingSet(s, d), dir)
     },
 
+    // x03: the x02 shards as JSONL (the LLM-training interchange
+    // format), manifest computed from the schema-on-read read-back — a
+    // green row oracle-verifies the serialize→parse round trip against
+    // the same closed-form shard aggregation as x02.
+    "x03_jsonl_manifest" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_x03_jsonl").toString
+      writeJsonlShards(preparedTrainingSet(s, d), dir)
+    },
+
     // Full IVF-PQ (IVFADC) top-5: coarse cells prune, residual PQ codes
     // score, exact rerank orders — the composition of s03's pruning and
     // s04's compression that real billion-vector indexes serve from.
@@ -1762,6 +1806,17 @@ object DataOps {
     // fragment (chunksPerShard = 8; integer sums cast back to BIGINT —
     // DuckDB widens to HUGEINT)
     "x02_shard_manifest" ->
+      s"""SELECT CAST(first_chunk // 8 AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(first_chunk) AS first_chunk,
+         |  MAX(last_chunk) AS last_chunk
+         |FROM ($trainingSetSql)
+         |GROUP BY 1""".stripMargin,
+
+    // identical closed-form shard aggregation as x02: the format (JSONL
+    // vs parquet) must not change what lands in a shard
+    "x03_jsonl_manifest" ->
       s"""SELECT CAST(first_chunk // 8 AS BIGINT) AS shard,
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,

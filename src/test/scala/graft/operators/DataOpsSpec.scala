@@ -578,6 +578,32 @@ class DataOpsSpec extends SparkSpec {
     prepared.unpersist(); ()
   }
 
+  test("x03 JSONL shards: read-back rows identical to the prepared set, manifest matches x02") {
+    val dir = sf("sf0.001")
+    val all = graft.Tables.documents(spark, dir)
+    val prepared = DataOps.prepareTrainingSet(
+      all.filter($"doc_id" % 53 =!= 0),
+      all.filter($"doc_id" % 53 === 0)).cache()
+    val outJ = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val outP = java.nio.file.Files.createTempDirectory("pq").toString
+    val mJ = DataOps.writeJsonlShards(prepared, outJ)
+      .orderBy($"shard").collect().toSeq
+    val mP = DataOps.writeTrainingShards(prepared, outP)
+      .orderBy($"shard").collect().toSeq
+    assert(mJ === mP, "format must not change shard contents")
+    // full-row round trip through serialize→parse, types included
+    val readSchema = org.apache.spark.sql.types.StructType(
+      prepared.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType))
+    val back = spark.read.schema(readSchema).json(outJ)
+      .select(prepared.columns.map(col).toIndexedSeq: _*)
+    assert(back.schema === prepared.schema)
+    val a = back.orderBy($"doc_id").collect().toSeq
+    val b = prepared.orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+    prepared.unpersist(); ()
+  }
+
   test("c02 decontaminate = train split minus exactly the c01-flagged docs") {
     val dir = sf("sf0.001")
     val flagged = DataOps.queries("c01_contamination")(spark, dir)
