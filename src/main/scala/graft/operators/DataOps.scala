@@ -1195,6 +1195,37 @@ object DataOps {
           count(lit(1))).as("exact_dup_rate"))
     },
 
+    // Per-source KL divergence of the token distribution against the
+    // whole corpus — the distribution-drift monitor a pipeline runs per
+    // source/batch: a source whose KL jumps between ingests changed
+    // character (new crawler, new spam pattern) before any downstream
+    // filter notices. KL(source ‖ corpus) = Σ_tok p_s·ln(p_s/p_c), one
+    // token pass + bounded per-source/per-token aggregations; the vocab
+    // join is shuffle-hash (t13: vocab scales with the corpus, never
+    // broadcast). Determinism: ln rounded to 6dp before the product
+    // (t13 convention), terms rounded to 12dp and decimal-summed; count
+    // products go through double BEFORE multiplying so nothing can
+    // overflow int64 at corpus scale.
+    "o02_source_kl" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"source", explode(Text.tokens($"text")).as("tok"))
+      val st = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("__c_st"))
+      val sTot = st.groupBy($"source").agg(sum($"__c_st").as("__n_s"))
+      val ct = toks.groupBy($"tok").agg(count(lit(1)).as("__c_t"))
+      val tot = toks.agg(count(lit(1)).cast("double").as("__n"))
+      st.join(broadcast(sTot), "source") // sources are bounded
+        .join(ct.hint("shuffle_hash"), "tok")
+        .crossJoin(broadcast(tot))
+        .select($"source", $"__n_s",
+          round(($"__c_st" / $"__n_s") *
+            round(log(($"__c_st" * $"__n") /
+              ($"__n_s".cast("double") * $"__c_t")), 6), 12).as("__term"))
+        .groupBy($"source", $"__n_s")
+        .agg(sum($"__term".cast("decimal(28,12)")).cast("double").as("kl"))
+        .select($"source", $"__n_s".as("n_tokens"), $"kl")
+    },
+
     // Mixture sampling (data mixing): down-sample each source toward an
     // equal-share target budget — the step that turns a skewed crawl
     // into the training mixture. Per-source keep-rates derive from
@@ -1836,6 +1867,24 @@ object DataOps {
         |  1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
         |    AS exact_dup_rate
         |FROM documents""".stripMargin,
+
+    "o02_source_kl" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |st AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT tok, COUNT(*) AS c_t FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::DOUBLE AS n FROM tok)
+        |SELECT st.source, CAST(stot.n_s AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(round(
+        |      (st.c_st / stot.n_s) *
+        |      round(ln((st.c_st * tot.n) / (stot.n_s::DOUBLE * ct.c_t)), 6),
+        |    12) AS DECIMAL(28,12))) AS DOUBLE) AS kl
+        |FROM st
+        |  JOIN stot ON st.source = stot.source
+        |  JOIN ct ON st.tok = ct.tok
+        |  CROSS JOIN tot
+        |GROUP BY st.source, stot.n_s""".stripMargin,
 
     "t22_temperature_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_src,

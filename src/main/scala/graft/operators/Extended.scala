@@ -296,6 +296,35 @@ object Extended {
           sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
     },
 
+    // percent_rank / cume_dist: the fractional rank forms. Partitioned
+    // by user (bounded per-user history at any corpus size — the q28
+    // two-phase rewrite exists for when a GLOBAL fraction is needed).
+    // Both functions are tie-STABLE (equal order keys get equal
+    // fractions), so double ties cannot make the result partitioning-
+    // dependent, and the fractions are exact small-integer ratios —
+    // identical doubles on both engines.
+    "q62_rank_fractions" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"value")
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"value",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    },
+
+    // Boolean and bitwise aggregates (bool_and/bool_or, bit_and/or/xor)
+    // — single-pass partial-aggregable reductions.
+    "q63_bool_bit_aggs" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(bool_and($"value" > 0).as("all_pos"),
+          bool_or($"value" > 100).as("any_big"),
+          bit_and($"user_id").as("uid_and"),
+          bit_or($"user_id").as("uid_or"),
+          bit_xor($"user_id").as("uid_xor"))
+    },
+
     // Equi-width histogram via integer bucketing.
     "q43_histogram" -> { (s, d) =>
       import s.implicits._
@@ -611,6 +640,22 @@ object Extended {
         |FROM t e JOIN sess ON e.user_id = sess.user_id
         |  AND e.sec BETWEEN sess.start_sec AND sess.end_sec
         |GROUP BY e.user_id, sess.session_seq""".stripMargin,
+
+    "q62_rank_fractions" ->
+      """SELECT event_id, user_id, value,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value)""".stripMargin,
+
+    "q63_bool_bit_aggs" ->
+      """SELECT event_type,
+        |  bool_and(value > 0) AS all_pos,
+        |  bool_or(value > 100) AS any_big,
+        |  bit_and(user_id) AS uid_and,
+        |  bit_or(user_id) AS uid_or,
+        |  bit_xor(user_id) AS uid_xor
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q40_value_windows" ->
       """SELECT user_id, event_id,
