@@ -1593,6 +1593,36 @@ object DataOps {
           max($"__x").as("max_x"))
     },
 
+    // Embedding-space drift: squared distance of each label's centroid
+    // from the corpus centroid — o02's distribution monitor in embedding
+    // space (a cohort whose centroid walks away from the corpus between
+    // ingests changed character even if its token stats held still).
+    // One posexplode pass → per-(label, dim) decimal sums (bounded:
+    // labels × 64 rows); the global centroid REUSES those sums (one
+    // more 64-row aggregate, never a second corpus pass). Lanes rounded
+    // to 6dp before the decimal sum, squared diffs to 12dp before the
+    // decimal total — exact under any partitioning.
+    "e05_label_drift" -> { (s, d) =>
+      import s.implicits._
+      val x = Tables.embeddings(s, d)
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding").as(Seq("__d0", "__x0")))
+        .select($"label", $"__d0",
+          round($"__x0".cast("double"), 6).as("__x"))
+      val byLab = x.groupBy($"label", $"__d0")
+        .agg(sum($"__x".cast("decimal(18,6)")).as("__s"),
+          count(lit(1)).as("__n"))
+      val glob = byLab.groupBy($"__d0")
+        .agg(sum($"__s").as("__gs"), sum($"__n").as("__gn"))
+      val diff = ($"__s".cast("double") / $"__n") -
+        ($"__gs".cast("double") / $"__gn")
+      byLab.join(glob, "__d0")
+        .select($"label", $"__n", round(diff * diff, 12).as("__t"))
+        .groupBy($"label")
+        .agg(max($"__n").as("n_vecs"),
+          sum($"__t".cast("decimal(28,12)")).cast("double").as("dist2"))
+    },
+
     // Whole-vector standardization: every lane z-scored against its
     // corpus stats (e03's profile applied) — the preprocessing before
     // any distance-based op when lanes have different scales. The
@@ -2430,6 +2460,24 @@ object DataOps {
         |         CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings) t
         |GROUP BY dim""".stripMargin,
+
+    "e05_label_drift" ->
+      """WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(0, len(embedding))) AS d0,
+        |    round(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+        |  FROM embeddings),
+        |bl AS (SELECT label, d0, SUM(CAST(x AS DECIMAL(18,6))) AS s,
+        |    COUNT(*) AS n
+        |  FROM x GROUP BY 1, 2),
+        |g AS (SELECT d0, SUM(s) AS gs, SUM(n) AS gn FROM bl GROUP BY 1),
+        |t AS (SELECT bl.label, bl.n,
+        |    round((CAST(bl.s AS DOUBLE)/bl.n - CAST(g.gs AS DOUBLE)/g.gn) *
+        |          (CAST(bl.s AS DOUBLE)/bl.n - CAST(g.gs AS DOUBLE)/g.gn),
+        |      12) AS term
+        |  FROM bl JOIN g ON bl.d0 = g.d0)
+        |SELECT label, MAX(n) AS n_vecs,
+        |  CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS dist2
+        |FROM t GROUP BY label""".stripMargin,
 
     "e04_standardize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -157,6 +157,33 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter($"s.sum_value" =!= $"b.sum_value").count() === 0)
   }
 
+  test("misra_gries maintains heavy-hitter candidates incrementally across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.MisraGries.misra_gries
+    // hot items arrive SPREAD across three micro-batches while junk
+    // churns the k=32 summary; the MG bound (f > n/k survives) must hold
+    // over the ACCUMULATED stream state, not just within one batch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("item")
+      .agg(misra_gries($"item", 32).as("mg"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mg_out").start()
+    try {
+      // n = 3*(700+200) = 2700, n/k ≈ 84; hot = 900 ≫ 84, junk ≤ 3 each
+      (1 to 3).foreach { b =>
+        input.addData((1 to 700).map(i => s"junk_${b}_$i") ++
+          Seq.fill(300)("hot"): _*)
+        q.processAllAvailable()
+      }
+      val cand = spark.sql("SELECT explode(mg.item) FROM mg_out")
+        .as[String].collect().toSet
+      assert(cand.size <= 31, s"summary must stay k-bounded, got ${cand.size}")
+      assert(cand.contains("hot"),
+        "an item above n/k must survive the accumulated stream state")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-window duplicates, keeps distinct ids") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
