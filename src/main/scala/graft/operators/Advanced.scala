@@ -58,6 +58,26 @@ object Advanced {
           sum($"value".cast("decimal(18,2)")).cast("double").as("value_first72h"))
     },
 
+    // Salted join under UNKNOWN skew: a Misra–Gries pass proposes the
+    // probe side's hot keys (guaranteed superset above n/k at k-bounded
+    // memory), which route through the replicated-build salted join
+    // while cold keys join plain — the explicit-plan complement to AQE's
+    // runtime skew split. Routing is a plan decision, never a result
+    // one: the union is row-identical to the plain join (spec-gated),
+    // which is why this oracles against ordinary SQL.
+    "q64_skew_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val userDim = ev.groupBy($"user_id")
+        .agg(sum($"value".cast("decimal(18,2)")).cast("double")
+          .as("user_total"))
+      Skew.adaptiveSaltedJoin(ev.select($"user_id", $"event_id", $"value"),
+          userDim, "user_id")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max($"user_total").as("user_total"))
+    },
+
     // HLL sketch ROLLUP: per-(type, day) sketches unioned up to per-type
     // distinct-user counts — the re-aggregatable form. At warehouse scale
     // you store the small per-cell sketches and answer any coarser
@@ -132,6 +152,15 @@ object Advanced {
         |FROM events JOIN w
         |  ON user_id = r_user AND ts >= lo AND ts <= hi
         |GROUP BY user_id""".stripMargin,
+
+    "q64_skew_join" ->
+      """WITH dim AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, COUNT(*) AS n_events,
+        |  MAX(dim.user_total) AS user_total
+        |FROM events e JOIN dim ON e.user_id = dim.user_id
+        |GROUP BY e.user_id""".stripMargin,
 
     "q51_not_in" ->
       """SELECT c_custkey, c_mktsegment FROM customer

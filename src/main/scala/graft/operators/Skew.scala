@@ -58,4 +58,39 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     p.join(b, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Hot-key PROPOSAL for [[adaptiveSaltedJoin]]: a Misra–Gries pass
+    * over the probe keys. The MG bound guarantees every key above n/k
+    * of the probe rows is proposed, at k-bounded memory per map task —
+    * an exact per-key count would itself shuffle the full key set, and a
+    * driver-side sample can miss a key that is hot only in aggregate.
+    * The proposal is a SUPERSET heuristic: extra keys cost only needless
+    * salting, never correctness. Keys round-trip through string (MG's
+    * item type) — ids and names are fine; don't key joins on floats. */
+  def proposedHotKeys(probe: DataFrame, key: String, k: Int = 256): DataFrame = {
+    val t = probe.schema(key).dataType
+    probe.agg(graft.functions.MisraGries.misra_gries(col(key), k).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.item").cast(t).as(key))
+  }
+
+  /** Salted join for UNKNOWN key distributions: [[proposedHotKeys]]
+    * routes rows with proposed-hot keys through [[saltedJoin]], the rest
+    * join plain, and the union is returned. Row-for-row identical to
+    * `probe.join(build, key)` for ANY proposal (routing moves rows
+    * between plans, never in or out of the result — spec-gated), so the
+    * order-dependence of MG estimates cannot leak into the answer. Use
+    * when AQE's runtime skew split is unavailable (non-sort-merge plans,
+    * aggregation-feeding joins) or when the build side is replicable but
+    * not broadcastable. */
+  def adaptiveSaltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salts: Int = 16, k: Int = 256): DataFrame = {
+    val hot = broadcast(proposedHotKeys(probe, key, k))
+    val hotJoined = saltedJoin(
+      probe.join(hot, Seq(key), "left_semi"),
+      build.join(hot, Seq(key), "left_semi"), key, salts)
+    val coldJoined = probe.join(hot, Seq(key), "left_anti")
+      .join(build, Seq(key))
+    hotJoined.unionByName(coldJoined)
+  }
 }

@@ -185,6 +185,78 @@ object Streaming {
       }
       .start()
 
+  /** Streaming EMBEDDING ingest — [[dedupIngest]]'s contract in vector
+    * space: per micro-batch of (vec_id, embedding), (1) in-batch
+    * semantic near-dups are rejected via the IVF-cell pair generator
+    * (survivors pairwise below `minCosSim`), (2) survivors probe the
+    * PERSISTED cell-partitioned inverted file — the probe joins only the
+    * batch's own nProbe cells, so the broadcast cell filter prunes every
+    * other cell DIRECTORY at the storage layer (the IvfStorageSpec
+    * pattern) and per-ingest read cost scales with the batch's cell
+    * footprint, never the corpus age — and (3) survivors append to both
+    * the corpus and the index. Centroids are trained OFFLINE and ride in
+    * as a static broadcast relation (production IVF retrains out of
+    * band; re-clustering per batch would move cell boundaries under the
+    * index). Invariant: no two ingested vectors have cosine ≥
+    * `minCosSim` (up to IVF recall — same approximation contract as
+    * d10, spec-gated with planted duplicates). At-least-once appends
+    * under restart, same as dedupIngest: the reader applies d01. */
+  def embeddingIngest(vectors: DataFrame, centroids: DataFrame,
+      outDir: String, indexDir: String, checkpointDir: String,
+      minCosSim: Double = 0.95, nProbe: Int = 2): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.functions.TopKPairs.top_k_pairs
+        val spark = batch.sparkSession
+        import graft.operators.{Dedup, Ivf, Similarity}
+        val vecs = batch.select(col("vec_id"),
+          Similarity.toDouble(col("embedding")).as("v"))
+        val selfDup = Dedup
+          .semanticDupPairs(vecs, centroids, minCosSim, nProbe)
+          .select(greatest(col("vec_a"), col("vec_b")).as("vec_id"))
+          .distinct()
+        val batchKept = batch.join(selfDup, Seq("vec_id"), "left_anti")
+        val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val survivors = if (fs.exists(indexPath)) {
+          // multi-probe assignment of the KEPT batch (nProbe nearest
+          // cells via the partial-aggregating heap, never a window)
+          val assigned = batchKept
+            .select(col("vec_id"),
+              Similarity.toDouble(col("embedding")).as("v"))
+            .crossJoin(broadcast(centroids))
+            .withColumn("__d", graft.functions.VectorExprs
+              .sq_dist_double(col("v"), col("centroid")))
+            .groupBy(col("vec_id"))
+            .agg(top_k_pairs(-col("__d"), col("cell"), nProbe).as("__cells"),
+              first(col("v")).as("v"))
+            .withColumn("__nrm", Similarity.norm(col("v")))
+            .select(col("vec_id").as("new_id"), col("v").as("new_v"),
+              col("__nrm").as("new_nrm"),
+              explode(col("__cells.id").cast("array<int>")).as("cell"))
+            .localCheckpoint(true) // consumed by the cell filter AND the probe
+          val touched = assigned.select(col("cell")).distinct()
+          val crossDup = Ivf.readIndex(spark, indexDir)
+            .join(broadcast(touched), Seq("cell")) // → PartitionFilters
+            .join(assigned, Seq("cell"))
+            .withColumn("__cos", round(
+              Similarity.dot(col("v"), col("new_v")) /
+                (Similarity.norm(col("v")) * col("new_nrm")), 6))
+            .filter(col("__cos") >= minCosSim)
+            .select(col("new_id").as("vec_id")).distinct()
+          batchKept.join(crossDup, Seq("vec_id"), "left_anti")
+        } else batchKept // first batch: no index yet
+        survivors.cache() // referenced by both writes below
+        try {
+          survivors.write.mode("append").parquet(outDir)
+          Ivf.index(survivors, centroids)
+            .write.mode("append").partitionBy("cell").parquet(indexDir)
+        } finally { survivors.unpersist(); () }
+      }
+      .start()
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key with right.ts in [left.ts - lower, left.ts + upper].
     * Watermarks on BOTH sides bound the join state — without them a

@@ -144,6 +144,26 @@ class AdvancedSpec extends SparkSpec {
       .exceptAll(plain.select($"event_id", $"user_tag")).count() === 0)
   }
 
+  test("adaptiveSaltedJoin: planted hot key proposed, result equals plain join either way") {
+    // 95%-one-key probe side under junk churn: the MG proposal must
+    // catch the hot key, and the hot/cold routed union must be
+    // row-identical to the plain join regardless of what else it proposes
+    val probe = ((1 to 5000).map(i => (999L, i.toLong)) ++
+      (1 to 300).map(i => (i.toLong, -i.toLong))).toDF("k", "pid")
+      .repartition(7)
+    val build = (1 to 1000).map(i => (i.toLong, s"b$i"))
+      .toDF("k", "tag").union(Seq((999L, "hot")).toDF("k", "tag"))
+    val proposed = Skew.proposedHotKeys(probe, "k", k = 64)
+      .as[Long].collect().toSet
+    assert(proposed.contains(999L), "key above n/k must be proposed")
+    val fast = Skew.adaptiveSaltedJoin(probe, build, "k")
+      .select($"pid", $"tag").as[(Long, String)].collect().toSeq.sorted
+    val plain = probe.join(build, Seq("k"))
+      .select($"pid", $"tag").as[(Long, String)].collect().toSeq.sorted
+    assert(fast === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("AQE splits a planted skewed join partition at runtime (skew=true in the final plan)") {
     // The OTHER half of the skew story: saltedJoin is the explicit fix
     // when the hot keys are known up front; AQE's skew-join split is the

@@ -251,6 +251,66 @@ class StreamingSpec extends SparkSpec {
     ingested.unpersist(); ()
   }
 
+  test("embedding ingest: IVF-probed rejection across micro-batches leaves no near-dup vector pair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("vingest").toString
+    val (outDir, idxDir, ckpt) = (s"$tmp/vecs", s"$tmp/ivf", s"$tmp/ckpt")
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // planted duplicates ACROSS batch boundaries: vec i and its clone
+    // (id + 10000, identical direction ⇒ cosine 1) land in different
+    // ingests via the % 3 split
+    val all = emb ++ emb.filter(_._1 % 7 == 0)
+      .map { case (id, v) => (id + 10000L, v.map(x => x * 2.0f)) }
+    // offline-trained centroids (production shape: clustering is out of
+    // band, the stream only assigns)
+    val centroids = graft.operators.Ivf.kmeans(
+      graft.Tables.embeddings(spark, sf("sf0.001")).select($"vec_id",
+        graft.operators.Similarity.toDouble($"embedding").as("v")),
+      nCells = 8, iterations = 2).cache()
+    val input = MemoryStream[(Long, Array[Float])]
+    def drain(): Unit = {
+      val q = Streaming.embeddingIngest(
+        input.toDF().toDF("vec_id", "embedding"), centroids,
+        outDir, idxDir, ckpt, minCosSim = 0.98, nProbe = 3)
+      q.awaitTermination()
+    }
+    (0 to 2).foreach { r =>
+      input.addData(all.filter(_._1 % 3 == r).toSeq)
+      drain()
+    }
+    val ingested = spark.read.parquet(outDir).cache()
+    val ids = ingested.select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(ids.distinct === ids, "no vector ingested twice")
+    // exact O(n²) audit of the invariant: no ingested pair ≥ minCosSim
+    val v = ingested.select($"vec_id",
+      graft.operators.Similarity.toDouble($"embedding").as("v"))
+      .withColumn("__nrm", graft.operators.Similarity.norm($"v"))
+    val offending = v.as("a").join(v.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("__cos", graft.operators.Similarity.dot(
+        col("a.v"), col("b.v")) / (col("a.__nrm") * col("b.__nrm")))
+      .filter($"__cos" >= 0.98).count()
+    assert(offending === 0L, "ingested corpus contains a near-dup pair")
+    // of every planted (original, clone) pair — cosine 1 by construction
+    // — exactly one side survives: whichever batch arrived FIRST won, the
+    // other was rejected in-batch or against the persisted index
+    val clonePairs = all.map(_._1).filter(_ >= 10000L)
+      .map(c => (c, c - 10000L))
+    assert(clonePairs.nonEmpty)
+    clonePairs.foreach { case (c, o) =>
+      assert(ids.contains(c) ^ ids.contains(o),
+        s"clone pair ($o, $c): exactly one side must be ingested")
+    }
+    // the persisted index stays cell-partitioned and replayable
+    assert(spark.read.parquet(idxDir).select($"cell").distinct().count() > 1)
+    // an empty re-drain (restart, no new data) changes nothing
+    drain()
+    assert(spark.read.parquet(outDir).count() === ids.length.toLong)
+    ingested.unpersist(); centroids.unpersist(); ()
+  }
+
   test("streaming dedup runs identically on the RocksDB state store backend") {
     // SCALE.md prescribes RocksDB for production state (sessionization /
     // dedup state scales with live keys, and the default HDFS-backed
