@@ -1195,6 +1195,31 @@ object DataOps {
           count(lit(1))).as("exact_dup_rate"))
     },
 
+    // Zipf exponent per source: slope of ln(freq) over ln(rank) via the
+    // SQL:2003 regression aggregates (q53's co-moment pass, rounded to
+    // 6dp by the same convention). Natural text sits near alpha ≈ 1 with
+    // high r²; generated/spammy sources drift — a one-row-per-source
+    // quality signal. The rank window runs over the AGGREGATED
+    // (source, token) relation — vocab-sized, never the token stream —
+    // with a unique (freq desc, tok asc) ordering so ranks are
+    // deterministic.
+    "t28_zipf_alpha" -> { (s, d) =>
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select($"source", explode(Text.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("__f"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"__f".desc, $"tok".asc)
+      tf.withColumn("__r", row_number().over(w))
+        .select($"source",
+          round(log($"__r".cast("double")), 9).as("__x"),
+          round(log($"__f".cast("double")), 9).as("__y"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("vocab"),
+          round(-expr("regr_slope(__y, __x)"), 6).as("alpha"),
+          round(expr("regr_r2(__y, __x)"), 6).as("fit_r2"))
+    },
+
     // Per-source KL divergence of the token distribution against the
     // whole corpus — the distribution-drift monitor a pipeline runs per
     // source/batch: a source whose KL jumps between ingests changed
@@ -1897,6 +1922,21 @@ object DataOps {
         |  1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
         |    AS exact_dup_rate
         |FROM documents""".stripMargin,
+
+    "t28_zipf_alpha" ->
+      """WITH tf AS (SELECT source, tok, COUNT(*) AS f
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT source,
+        |    round(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY f DESC, tok ASC) AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(f AS DOUBLE)), 9) AS y
+        |  FROM tf)
+        |SELECT source, COUNT(*) AS vocab,
+        |  round(-regr_slope(y, x), 6) AS alpha,
+        |  round(regr_r2(y, x), 6) AS fit_r2
+        |FROM r GROUP BY source""".stripMargin,
 
     "o02_source_kl" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok

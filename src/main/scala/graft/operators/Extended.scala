@@ -296,6 +296,31 @@ object Extended {
           sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
     },
 
+    // Time-weighted average: each event's value holds until the user's
+    // next event (step interpolation), so the mean weights by HOLD
+    // DURATION, not event count — the standard form for sensor/price
+    // streams where sampling is irregular (an event-count mean
+    // over-weights bursts). One lead() per user stream (bounded
+    // partitions), value·duration decimal-summed; a user's final event
+    // has no successor and contributes no interval; zero active time
+    // yields NULL, never a cross-engine x/0.
+    "q65_time_weighted" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      Tables.events(s, d)
+        .withColumn("__sec", $"ts".cast("long"))
+        .withColumn("__nxt", lead($"__sec", 1).over(w))
+        .filter($"__nxt".isNotNull)
+        .withColumn("__dur", $"__nxt" - $"__sec")
+        .groupBy($"user_id")
+        .agg(sum($"__dur").as("active_sec"),
+          sum(round($"value" * $"__dur", 6).cast("decimal(28,6)"))
+            .cast("double").as("__num"))
+        .select($"user_id", $"active_sec",
+          ($"__num" / when($"active_sec" === 0, lit(null))
+            .otherwise($"active_sec")).as("twa_value"))
+    },
+
     // percent_rank / cume_dist: the fractional rank forms. Partitioned
     // by user (bounded per-user history at any corpus size — the q28
     // two-phase rewrite exists for when a GLOBAL fraction is needed).
@@ -640,6 +665,18 @@ object Extended {
         |FROM t e JOIN sess ON e.user_id = sess.user_id
         |  AND e.sec BETWEEN sess.start_sec AND sess.end_sec
         |GROUP BY e.user_id, sess.session_seq""".stripMargin,
+
+    "q65_time_weighted" ->
+      """WITH t AS (SELECT user_id, event_id, value,
+        |    floor(epoch(ts))::BIGINT AS sec FROM events),
+        |n AS (SELECT user_id, value, sec,
+        |    LEAD(sec) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |  FROM t)
+        |SELECT user_id, CAST(SUM(nxt - sec) AS BIGINT) AS active_sec,
+        |  CAST(SUM(CAST(round(value * (nxt - sec), 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE) / nullif(SUM(nxt - sec), 0) AS twa_value
+        |FROM n WHERE nxt IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
 
     "q62_rank_fractions" ->
       """SELECT event_id, user_id, value,
