@@ -273,14 +273,27 @@ object Dedup {
     * buckets, same scale rationale as [[minHashLshPairs]] (the all-zero
     * simhash of near-empty docs is the classic hot value). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+      maxDist: Int = 3, maxBucket: Long = 1000L): DataFrame =
+    signaturePairs(simHash(df, idCol, textCol), maxDist, maxBucket)
+
+  /** Pigeonhole-banded near-pairs over ANY (doc, simhash) 64-bit
+    * signature relation: maxDist+1 chunks (a pair within maxDist must
+    * agree on at least one chunk), capped bucket join, exact popcount
+    * verify. The d04 machinery factored out so other signature sources —
+    * m05's media perceptual hashes — get the identical candidate
+    * generation and caps without reimplementing the band join. */
+  def signaturePairs(fp: DataFrame, maxDist: Int = 3,
+      maxBucket: Long = 1000L): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val fp = simHash(df, idCol, textCol)
+    // JVM shifts are mod 64: at maxDist=0 (one full-width chunk) the
+    // (1L << 64) - 1 mask would be ZERO, collapsing every signature into
+    // one bucket — the mask must be all-ones there
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val banded = fp.select($"doc", $"simhash",
       posexplode(array((0 until chunks).map(i =>
         shiftrightunsigned($"simhash", i * width)
-          .bitwiseAND((1L << width) - 1)): _*)).as(Seq("chunk", "val")))
+          .bitwiseAND(mask)): _*)).as(Seq("chunk", "val")))
     bucketPairs(banded, Seq("chunk", "val"),
         struct($"doc", $"simhash"), cap = maxBucket, starHot = true)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),

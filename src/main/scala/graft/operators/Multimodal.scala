@@ -94,6 +94,65 @@ object Multimodal {
       }(enc)
   }
 
+  /** m05: perceptual-hash near-duplicate pairs over media blobs — the
+    * image-dedup path production pipelines run (pHash/dHash): decode →
+    * feature lanes → 64-bit sign signature → pigeonhole-banded candidate
+    * join → exact hamming verify. The signature bit i is "lane i above
+    * midpoint", standing exactly where real dHash's pixel comparisons go
+    * (the stub decode supplies the lanes; identical bytes ⇒ identical
+    * signature, so exact-duplicate media always pair at distance 0).
+    * Bytes never shuffle: the 8-byte signature derives map-side and only
+    * (id, signature) enters [[Dedup.signaturePairs]]' band join — at
+    * 100 TB of media the shuffle is ids and longs, not blobs. */
+  def phashPairs(media: DataFrame, maxDist: Int = 3,
+      maxBucket: Long = 1000L): DataFrame = {
+    val sig = (0 until 64).map(i =>
+      when(element_at(col("features"), i + 1) > 0.5f,
+        shiftleft(lit(1L), i)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    val sigs = stubFeatures(media, 64)
+      .select(col("media_id").as("doc"), sig.as("simhash"))
+    Dedup.signaturePairs(sigs, maxDist, maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
+  /** m05's registered form: duplicate-FRAME detection across media — the
+    * video-dedup unit production pipelines use (a re-encoded or trimmed
+    * clip shares frames with its source long after whole-file hashes
+    * diverge). Frames are fixed `frameBytes` aligned slices; each FULL
+    * frame gets the perceptual signature; [[Dedup.signaturePairs]] at
+    * distance 0 PROPOSES candidate frame pairs (8-byte signatures
+    * shuffle, frames don't), and a byte-equality join over only the
+    * candidates VERIFIES them (sign-lane collisions are ~2⁻⁶⁴ but the
+    * verify makes the result exact — the d12 propose/verify shape, spans
+    * not blobs on the wire). Output: (media_a, media_b,
+    * n_shared_frames) over distinct media, a < b.
+    *
+    * Composite frame id = media_id · 2²⁰ + frame_no (documented packing:
+    * media_id < 2⁴³, frames per blob < 2²⁰). */
+  def frameDupPairs(media: DataFrame, frameBytes: Int = 64,
+      maxBucket: Long = 1000L): DataFrame = {
+    val frames = sampleFrames(media, frameBytes)
+      .filter(octet_length(col("frame_bytes")) === frameBytes)
+      .select((col("media_id") * 1048576L + col("frame_no")).as("__fid"),
+        col("media_id"), col("frame_bytes"))
+    val sig = (0 until 64).map(i =>
+      when(element_at(col("features"), i + 1) > 0.5f,
+        shiftleft(lit(1L), i)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    val sigs = stubFeatures(frames, dim = 64, blobCol = "frame_bytes")
+      .select(col("__fid").as("doc"), sig.as("simhash"))
+    val cand = Dedup.signaturePairs(sigs, maxDist = 0, maxBucket = maxBucket)
+    cand
+      .join(frames.select(col("__fid").as("doc_a"),
+        col("media_id").as("media_a"), col("frame_bytes").as("__ba")), "doc_a")
+      .join(frames.select(col("__fid").as("doc_b"),
+        col("media_id").as("media_b"), col("frame_bytes").as("__bb")), "doc_b")
+      .filter(col("media_a") =!= col("media_b") &&
+        col("__ba") === col("__bb"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     // Binary metadata path: encode → octet_length → sha256 (hex).
     "m01_media_meta" -> { (s, d) =>
@@ -120,6 +179,15 @@ object Multimodal {
             f => round(f.cast("double") * 1000000).cast("long")))
             .as("features_csv"))
     },
+    // Duplicate-frame detection: signature-proposed, byte-VERIFIED —
+    // exact, so it oracles against a plain frame self-join in SQL even
+    // though the proposal path is hash-defined. (Whole-media phashPairs
+    // stays a library call — this corpus has byte-identical MEDIA only
+    // at sf0.1, but shared aligned frames at every SF.)
+    "m05_frame_dups" -> { (s, d) =>
+      frameDupPairs(fromText(graft.Tables.documents(s, d), "doc_id", "text"))
+    },
+
     // The mapPartitions decode path surfaced end-to-end: one typed batch
     // per partition (where a real codec would init once), deterministic
     // fake features, csv-surfaced lanes (m03 convention). Rows-only
@@ -145,6 +213,20 @@ object Multimodal {
         |  greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1)
         |    AS n_frames,
         |  octet_length(encode(text)) AS total_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the corpus is pure ASCII (spec-checked octet_length == length), so
+    // character substrings equal the engine's byte frames
+    "m05_frame_dups" ->
+      """WITH f AS (
+        |  SELECT doc_id, g AS frame_no,
+        |    substring(text, g*64 + 1, 64) AS frame
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range((length(text) + 63) // 64)) AS g)
+        |  WHERE length(substring(text, g*64 + 1, 64)) = 64)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  COUNT(*) AS n_shared_frames
+        |FROM f a JOIN f b ON a.frame = b.frame AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -201,6 +201,37 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("m05 phash pairs: identical blobs pair at distance 0, distinct blobs don't pair") {
+    // identical bytes ⇒ identical stub lanes ⇒ identical signature;
+    // distinct random texts sit near hamming 32 ≫ maxDist
+    val media = Multimodal.fromText(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // byte-dup of 1
+      (3L, "completely different media payload number three"),
+      (4L, "and a fourth unrelated payload with other bytes"),
+      (5L, "the quick brown fox jumps over the lazy dog")  // byte-dup of 1
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val pairs = Multimodal.phashPairs(media)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 5L, 0), (2L, 5L, 0)),
+      s"expected exactly the byte-duplicate pairs at distance 0, got $pairs")
+    // frame-level: two "clips" share one aligned 64-byte frame (m05's
+    // registered form); the count is the verified frame-pair count
+    val a64 = "A" * 64; val b64 = "B" * 64; val c64 = "C" * 64
+    val clips = Multimodal.fromText(Seq(
+      (1L, a64 + b64), (2L, c64 + b64), (3L, "short")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val fd = Multimodal.frameDupPairs(clips)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fd === Set((1L, 2L, 1L)),
+      s"clips 1 and 2 share exactly the B-frame, got $fd")
+    // the oracle's character frames equal the engine's byte frames only
+    // on an ASCII corpus — pin that precondition
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    assert(docs.filter(octet_length($"text") =!= length($"text"))
+      .count() === 0L, "m05 oracle requires a pure-ASCII corpus")
+  }
+
   test("multimodal decodePartitions: stable schema, deterministic features") {
     val media = Multimodal.fromText(
       graft.Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
