@@ -33,4 +33,34 @@ object ParquetSink {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact ONE partition directory of an append-mode partitioned
+    * layout — the small-files maintenance every streaming ingest needs:
+    * each micro-batch appends a file per touched partition, so after N
+    * batches a hot partition holds N tiny files and scan cost is
+    * dominated by open/footer overhead rather than bytes (the classic
+    * lakehouse OPTIMIZE problem). Rewrites exactly `partition`'s
+    * directory into `targetFiles` files via write-to-temp + swap;
+    * the working set is ONE partition, never the table, so maintenance
+    * parallelizes across partitions and never blocks more than the one
+    * being swapped. The swap (delete + rename) is not atomic against
+    * concurrent readers of THAT partition — run per-partition compaction
+    * in the maintenance window between ingests, the same contract as
+    * every filesystem-table OPTIMIZE. Returns rows compacted. */
+  def compactPartition(spark: SparkSession, root: String,
+      partition: String, targetFiles: Int = 1): Long = {
+    require(partition.matches("[A-Za-z0-9_.=-]+"),
+      s"partition must be a single dir segment like col=value: $partition")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$partition")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"no such partition directory: $dir")
+    val df = spark.read.parquet(dir.toString)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/.compact_$partition")
+    val rows = df.count()
+    df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    if (!fs.rename(tmp, dir))
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+    rows
+  }
 }

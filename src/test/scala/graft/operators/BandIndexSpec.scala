@@ -12,6 +12,38 @@ import graft.SparkSpec
 class BandIndexSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compactPartition: one bucket dir rewritten to one file, probe results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("band_compact").toString
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    // three appends simulate three streaming ingests → multi-file buckets
+    (0 to 2).foreach { r =>
+      Dedup.bandIndexRows(docs.filter($"doc_id" % 3 === r),
+          "doc_id", "text")
+        .write.mode("append").partitionBy("bucket_p").parquet(dir)
+    }
+    val buckets = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket_p="))
+    def files(b: String) = new java.io.File(s"$dir/$b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).length
+    val fat = buckets.filter(files(_) > 1)
+    assert(fat.nonEmpty, "appends must leave multi-file buckets to compact")
+    val target = fat.head
+    val batch = docs.filter($"doc_id" % 7 === 0)
+    def probe() = Dedup.probeBandIndex(
+        graft.sources.ParquetSink.read(spark, dir), batch, "doc_id", "text")
+      .select($"doc_new", $"doc_old").as[(Long, Long)].collect().toSet
+    val before = probe()
+    val beforeRows = spark.read.parquet(dir).count()
+    val compacted = graft.sources.ParquetSink
+      .compactPartition(spark, dir, target)
+    assert(compacted > 0L)
+    assert(files(target) === 1, "compacted bucket must hold one file")
+    assert(spark.read.parquet(dir).count() === beforeRows,
+      "compaction must not change index contents")
+    assert(probe() === before,
+      "probe results must be identical after compaction")
+  }
+
   test("band index: bucket_p layout, dynamic pruning, probe ≡ in-memory cross pairs") {
     val dir = java.nio.file.Files.createTempDirectory("band_index").toString
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
