@@ -57,10 +57,18 @@ object DataOps {
     * (idCol, n_tokens, first_chunk, last_chunk, n_chunks). */
   def packChunks(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", capacity: Long = 512L,
-      nBuckets: Long = 1024L): DataFrame = {
+      nBuckets: Long = 1024L): DataFrame =
+    packChunksBySize(docs.select(col(idCol),
+        Text.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, capacity, nBuckets)
+
+  /** [[packChunks]] over a PRE-SIZED relation (idCol, n_tokens) — the
+    * form x04 feeds with true BPE token counts instead of whitespace
+    * counts (what a trainer actually packs by). Same bucketed exact
+    * cumsum, no global sort. */
+  def packChunksBySize(sized: DataFrame, idCol: String = "doc_id",
+      capacity: Long = 512L, nBuckets: Long = 1024L): DataFrame = {
     val id = col(idCol)
-    val sized = docs
-      .select(id, Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val bounds = sized.agg(min(id).as("__lo"), max(id).as("__hi"))
     val bucketed = sized.crossJoin(broadcast(bounds))
       .withColumn("__b", floor((id - col("__lo")) * lit(nBuckets) /
@@ -1130,6 +1138,36 @@ object DataOps {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_x03_jsonl").toString
       writeJsonlShards(preparedTrainingSet(s, d), dir)
+    },
+
+    // x04: context-window packing by TRUE tokenizer counts — train the
+    // BPE on the corpus (t18), encode every document through the
+    // codegen'd expression (t20, map-only), pack the encoded token
+    // stream into 512-token context windows (p01's bucketed exact
+    // cumsum over packChunksBySize), and manifest 8-chunk shards. This
+    // is the corpus → tokenizer → packed-shards path a trainer actually
+    // consumes; x01 packs by whitespace counts, x04 by what the model
+    // sees. Rows-only (the BPE fixpoint is not SQL-expressible);
+    // spec-gated: token totals tie out to the encoded corpus, shard
+    // chunk ranges tile, repartition-invariant.
+    "x04_bpe_shards" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.BpeEncode.bpe_encode
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
+        .orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val pieces = regexp_extract_all($"text", lit(BpePattern), lit(0))
+      val sized = docs.select($"doc_id",
+        size(flatten(transform(pieces, p => bpe_encode(p, merges))))
+          .cast("long").as("n_tokens"))
+      packChunksBySize(sized)
+        .withColumn("shard", floor($"first_chunk" / 8).cast("long"))
+        .groupBy($"shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_bpe_tokens"),
+          min($"first_chunk").as("first_chunk"),
+          max($"last_chunk").as("last_chunk"))
     },
 
     // Full IVF-PQ (IVFADC) top-5: coarse cells prune, residual PQ codes

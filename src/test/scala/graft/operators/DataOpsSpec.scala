@@ -609,6 +609,39 @@ class DataOpsSpec extends SparkSpec {
     prepared.unpersist(); ()
   }
 
+  test("x04 BPE shards: totals tie out to the encoded corpus, shards tile, repartition-invariant") {
+    val dir = sf("sf0.001")
+    val m = DataOps.queries("x04_bpe_shards")(spark, dir).orderBy($"shard")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m.nonEmpty)
+    // token total ties out to an independent encode of the corpus
+    import graft.functions.BpeEncode.bpe_encode
+    val docs = graft.Tables.documents(spark, dir)
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
+      .orderBy($"rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val sized = docs.select($"doc_id",
+      size(flatten(transform(
+        regexp_extract_all($"text", lit(DataOps.BpePattern), lit(0)),
+        p => bpe_encode(p, merges)))).cast("long").as("n_tokens"))
+    val total = sized.agg(sum($"n_tokens")).as[Long].head()
+    assert(m.map(_._3).sum === total, "manifest tokens == encoded corpus")
+    assert(m.map(_._2).sum === docs.count(), "every doc lands in a shard")
+    // shards tile the chunk range: shard s starts at chunk 8s, and the
+    // whole range 0..maxChunk is covered without gaps
+    m.foreach { case (s0, _, _, fc, _) => assert(fc === s0 * 8) }
+    val maxChunk = m.map(_._5).max
+    assert(maxChunk === (total - 1) / 512,
+      "last chunk index must be the token-stream capacity bound")
+    // packing is a pure function of (doc_id, n_tokens) — identical under
+    // any input partitioning
+    val a = DataOps.packChunksBySize(sized).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val b = DataOps.packChunksBySize(sized.repartition(7)).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
   test("x03 JSONL shards: read-back rows identical to the prepared set, manifest matches x02") {
     val dir = sf("sf0.001")
     val all = graft.Tables.documents(spark, dir)
