@@ -92,11 +92,19 @@ case class MisraGries(child: Expression, k: Int,
       new GenericInternalRow(Array[Any](UTF8String.fromString(s), c))
     })
 
+  // length-prefixed raw UTF-8, NOT writeUTF: items are arbitrary stream
+  // values (t27 feeds raw tokens, q64 feeds stringified join keys) and
+  // writeUTF throws UTFDataFormatException past 65535 encoded bytes —
+  // one unbroken base64 blob in a crawled document would crash the
+  // aggregation at partial-buffer serialization
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -106,7 +114,14 @@ case class MisraGries(child: Expression, k: Int,
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

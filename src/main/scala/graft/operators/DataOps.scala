@@ -65,12 +65,16 @@ object DataOps {
   /** [[packChunks]] over a PRE-SIZED relation (idCol, n_tokens) — the
     * form x04 feeds with true BPE token counts instead of whitespace
     * counts (what a trainer actually packs by). Same bucketed exact
-    * cumsum, no global sort. */
+    * cumsum, no global sort. Zero-token documents (possible under BPE
+    * sizing: empty or pattern-free text; impossible under whitespace
+    * sizing) occupy no chunk and are EXCLUDED — keeping them would emit
+    * inverted chunk ranges (last = first − 1) at capacity boundaries. */
   def packChunksBySize(sized: DataFrame, idCol: String = "doc_id",
       capacity: Long = 512L, nBuckets: Long = 1024L): DataFrame = {
     val id = col(idCol)
-    val bounds = sized.agg(min(id).as("__lo"), max(id).as("__hi"))
-    val bucketed = sized.crossJoin(broadcast(bounds))
+    val nonEmpty = sized.filter(col("n_tokens") > 0)
+    val bounds = nonEmpty.agg(min(id).as("__lo"), max(id).as("__hi"))
+    val bucketed = nonEmpty.crossJoin(broadcast(bounds))
       .withColumn("__b", floor((id - col("__lo")) * lit(nBuckets) /
         (col("__hi") - col("__lo") + 1)))
       .drop("__lo", "__hi")
@@ -969,15 +973,19 @@ object DataOps {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val grams = docs.select(explode(Text.ngrams($"text", 2)).as("gram"))
+      // pass 1: summary AND stream length in the SAME aggregation — a
+      // separate count would be a whole third corpus scan
       val cand = grams
-        .agg(graft.functions.MisraGries.misra_gries($"gram", 2048).as("mg"))
-        .select(explode($"mg").as("c"))
-        .select($"c.item".as("gram"))
-      val thr = grams.agg(
-        floor((count(lit(1)) + 999L) / 1000L).cast("long").as("__thr"))
-      grams.join(broadcast(cand), Seq("gram"), "left_semi")
-        .groupBy($"gram").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(thr))
+        .agg(graft.functions.MisraGries.misra_gries($"gram", 2048).as("mg"),
+          count(lit(1)).as("__n"))
+        .select(explode($"mg").as("c"),
+          floor(($"__n" + 999L) / 1000L).cast("long").as("__thr"))
+        .select($"c.item".as("gram"), $"__thr")
+      // pass 2: exact counts of the ≤ k−1 candidates only (cand's grams
+      // are unique map keys, so the inner join is fan-out-1 and carries
+      // the threshold along)
+      grams.join(broadcast(cand), Seq("gram"))
+        .groupBy($"gram", $"__thr").agg(count(lit(1)).as("cnt"))
         .filter($"cnt" >= $"__thr")
         .select($"gram", $"cnt")
     },

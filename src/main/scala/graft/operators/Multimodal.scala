@@ -126,26 +126,50 @@ object Multimodal {
     * candidates VERIFIES them (sign-lane collisions are ~2⁻⁶⁴ but the
     * verify makes the result exact — the d12 propose/verify shape, spans
     * not blobs on the wire). Output: (media_a, media_b,
-    * n_shared_frames) over distinct media, a < b.
+    * n_shared_frames) = how many DISTINCT frame values the two media
+    * share, a < b, stop-frames (> maxFrameFreq media) excluded.
     *
     * Composite frame id = media_id · 2²⁰ + frame_no (documented packing:
     * media_id < 2⁴³, frames per blob < 2²⁰). */
   def frameDupPairs(media: DataFrame, frameBytes: Int = 64,
-      maxBucket: Long = 1000L): DataFrame = {
+      maxFrameFreq: Long = 1000L): DataFrame = {
+    // one row per DISTINCT (media, frame value): repeats within a blob
+    // count once, so the result is "how many distinct frames do these
+    // two media share" and the df cap below is a true media-frequency
+    // cap. Crucially this makes the cap an EXACTNESS guarantee, not a
+    // degradation: frames (signatures) appearing in more than
+    // `maxFrameFreq` media are STOP-frames (corpus-wide padding or
+    // banner runs — boilerplate, not shared content; excluded on BOTH
+    // engines), so no signature bucket can exceed the pair-generator
+    // cap and the band join never star-degrades — the d02 maxDocFreq
+    // argument applied to frames. (The cap counts by 8-byte signature;
+    // distinct frame values colliding at 2⁻⁶⁴ could in principle skew
+    // the cap accounting — the verify join stays byte-exact regardless.)
     val frames = sampleFrames(media, frameBytes)
       .filter(octet_length(col("frame_bytes")) === frameBytes)
+      .groupBy(col("media_id"), col("frame_bytes"))
+      .agg(min(col("frame_no")).as("frame_no"))
       .select((col("media_id") * 1048576L + col("frame_no")).as("__fid"),
         col("media_id"), col("frame_bytes"))
     val sig = (0 until 64).map(i =>
       when(element_at(col("features"), i + 1) > 0.5f,
         shiftleft(lit(1L), i)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    val sigs = stubFeatures(frames, dim = 64, blobCol = "frame_bytes")
-      .select(col("__fid").as("doc"), sig.as("simhash"))
-    val cand = Dedup.signaturePairs(sigs, maxDist = 0, maxBucket = maxBucket)
+    val withSig = stubFeatures(frames, dim = 64, blobCol = "frame_bytes")
+      .select(col("__fid"), col("media_id"), col("frame_bytes"),
+        sig.as("__sig"))
+    val hot = withSig.groupBy(col("__sig"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxFrameFreq)
+      .select(col("__sig"))
+    val kept = withSig.join(hot.hint("shuffle_hash"), Seq("__sig"),
+      "left_anti")
+    val cand = Dedup.signaturePairs(
+      kept.select(col("__fid").as("doc"), col("__sig").as("simhash")),
+      maxDist = 0, maxBucket = maxFrameFreq)
     cand
-      .join(frames.select(col("__fid").as("doc_a"),
+      .join(kept.select(col("__fid").as("doc_a"),
         col("media_id").as("media_a"), col("frame_bytes").as("__ba")), "doc_a")
-      .join(frames.select(col("__fid").as("doc_b"),
+      .join(kept.select(col("__fid").as("doc_b"),
         col("media_id").as("media_b"), col("frame_bytes").as("__bb")), "doc_b")
       .filter(col("media_a") =!= col("media_b") &&
         col("__ba") === col("__bb"))
@@ -218,15 +242,17 @@ object Multimodal {
     // the corpus is pure ASCII (spec-checked octet_length == length), so
     // character substrings equal the engine's byte frames
     "m05_frame_dups" ->
-      """WITH f AS (
-        |  SELECT doc_id, g AS frame_no,
-        |    substring(text, g*64 + 1, 64) AS frame
+      """WITH f0 AS (
+        |  SELECT doc_id, substring(text, g*64 + 1, 64) AS frame
         |  FROM documents,
         |    LATERAL (SELECT unnest(range((length(text) + 63) // 64)) AS g)
-        |  WHERE length(substring(text, g*64 + 1, 64)) = 64)
+        |  WHERE length(substring(text, g*64 + 1, 64)) = 64),
+        |f AS (SELECT DISTINCT doc_id, frame FROM f0),
+        |ok AS (SELECT frame FROM f GROUP BY frame HAVING COUNT(*) <= 1000),
+        |fk AS (SELECT f.doc_id, f.frame FROM f SEMI JOIN ok USING (frame))
         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
         |  COUNT(*) AS n_shared_frames
-        |FROM f a JOIN f b ON a.frame = b.frame AND a.doc_id < b.doc_id
+        |FROM fk a JOIN fk b ON a.frame = b.frame AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -56,11 +56,22 @@ object ParquetSink {
     require(fs.exists(dir), s"no such partition directory: $dir")
     val df = spark.read.parquet(dir.toString)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/.compact_$partition")
+    val old = new org.apache.hadoop.fs.Path(s"$root/.old_$partition")
     val rows = df.count()
     df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dir, true)
-    if (!fs.rename(tmp, dir))
+    // swap order matters for crash safety: move the LIVE dir aside
+    // first, then the rewrite in, then drop the old copy — a crash
+    // between any two steps leaves the data recoverable under a
+    // dot-dir (delete-then-rename would drop the partition for good if
+    // the JVM died in between)
+    fs.delete(old, true) // clear any debris from a previous crash
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compaction: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back; the rewrite stays under tmp
       throw new java.io.IOException(s"compaction swap failed for $dir")
+    }
+    fs.delete(old, true)
     rows
   }
 }

@@ -217,7 +217,11 @@ object Streaming {
           .semanticDupPairs(vecs, centroids, minCosSim, nProbe)
           .select(greatest(col("vec_a"), col("vec_b")).as("vec_id"))
           .distinct()
+        // cached: the multi-probe assignment below AND the survivor
+        // writes both consume it — uncached, the in-batch pair
+        // machinery would run twice per micro-batch
         val batchKept = batch.join(selfDup, Seq("vec_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val indexPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val survivors = if (fs.exists(indexPath)) {
@@ -253,7 +257,7 @@ object Streaming {
           survivors.write.mode("append").parquet(outDir)
           Ivf.index(survivors, centroids)
             .write.mode("append").partitionBy("cell").parquet(indexDir)
-        } finally { survivors.unpersist(); () }
+        } finally { survivors.unpersist(); batchKept.unpersist(); () }
       }
       .start()
 

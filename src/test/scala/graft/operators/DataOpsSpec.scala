@@ -218,13 +218,22 @@ class DataOpsSpec extends SparkSpec {
     // frame-level: two "clips" share one aligned 64-byte frame (m05's
     // registered form); the count is the verified frame-pair count
     val a64 = "A" * 64; val b64 = "B" * 64; val c64 = "C" * 64
+    val p64 = "P" * 64 // corpus-wide padding: a stop-frame under the cap
     val clips = Multimodal.fromText(Seq(
-      (1L, a64 + b64), (2L, c64 + b64), (3L, "short")
+      (1L, a64 + b64 + p64), (2L, c64 + b64 + p64), (3L, p64),
+      (4L, "short")
     ).toDF("doc_id", "text"), "doc_id", "text")
-    val fd = Multimodal.frameDupPairs(clips)
+    val fd = Multimodal.frameDupPairs(clips, maxFrameFreq = 2L)
       .as[(Long, Long, Long)].collect().toSet
+    // the P-frame sits in 3 > maxFrameFreq media → excluded EXACTLY (not
+    // star-degraded); only the genuine shared B-frame counts
     assert(fd === Set((1L, 2L, 1L)),
-      s"clips 1 and 2 share exactly the B-frame, got $fd")
+      s"expected only the B-frame pair after the stop-frame cap, got $fd")
+    // without the cap binding, the padding pairs appear too
+    val fdAll = Multimodal.frameDupPairs(clips, maxFrameFreq = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fdAll === Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      s"uncapped: B and P frames both count, got $fdAll")
     // the oracle's character frames equal the engine's byte frames only
     // on an ASCII corpus — pin that precondition
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
