@@ -1071,6 +1071,20 @@ object DataOps {
         .select($"doc_id", $"source", $"lang", $"n_chars")
     },
 
+    // Substring-level decontamination (the strict verbatim form next to
+    // c01's word-4-gram overlap): training docs sharing any 20-char span
+    // verbatim with the benchmark split. Window calibrated to this
+    // corpus' ~5-char words (≈4 words ≈ the 13-gram scrub of the GPT-3
+    // recipe at real-text word lengths).
+    "c03_substring_contamination" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.substringContamination(
+        docs.filter($"doc_id" % 53 =!= 0),
+        docs.filter($"doc_id" % 53 === 0),
+        "doc_id", "text", window = 20)
+    },
+
     // Sliding-window chunking with overlap: cut each document's token
     // stream into size-32 windows advancing by stride 24 (8-token
     // overlap; sized to the synthetic corpus' 10-100-token documents so
@@ -2121,6 +2135,39 @@ object DataOps {
     // (t04's ascii/list_reduce pattern), so cap semantics agree even at
     // a hash collision; arg_min mirrors the per-(doc, hash)
     // min-pos representative and the wt equality mirrors the verify join
+    // mirrors the engine's rolling hash + per-(doc, hash) min-pos
+    // representative exactly (the d12 oracle convention), so both
+    // engines see the identical candidate inventory
+    "c03_substring_contamination" ->
+      """WITH tr AS (SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 53 <> 0),
+        |be AS (SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0),
+        |tw AS (SELECT doc_id, h, arg_min(wt, pos) AS wt FROM (
+        |  SELECT doc_id, pos,
+        |    list_reduce(list_transform(range(1, 21),
+        |      j -> ascii(substring(text, pos + j, 1))::BIGINT),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+        |    substring(text, pos + 1, 20) AS wt
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, greatest(length(text) - 19, 0))) AS pos
+        |        FROM tr))
+        |  GROUP BY doc_id, h),
+        |bw AS (SELECT doc_id AS bdoc, h, arg_min(wt, pos) AS wt FROM (
+        |  SELECT doc_id, pos,
+        |    list_reduce(list_transform(range(1, 21),
+        |      j -> ascii(substring(text, pos + j, 1))::BIGINT),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+        |    substring(text, pos + 1, 20) AS wt
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, greatest(length(text) - 19, 0))) AS pos
+        |        FROM be))
+        |  GROUP BY doc_id, h),
+        |v AS (SELECT tw.doc_id, bw.bdoc, tw.wt
+        |  FROM tw JOIN bw ON tw.h = bw.h AND tw.wt = bw.wt)
+        |SELECT doc_id, COUNT(DISTINCT bdoc) AS n_bench_docs,
+        |  COUNT(DISTINCT wt) AS n_shared_spans
+        |FROM v GROUP BY doc_id""".stripMargin,
+
     "d12_substring_pairs" ->
       """WITH w AS (
         |  SELECT doc_id, pos,

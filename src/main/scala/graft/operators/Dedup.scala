@@ -381,6 +381,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** c03: substring-level decontamination — the STRICT contamination
+    * form (GPT-3 trained with a 13-gram verbatim-overlap scrub; c01's
+    * word-4-gram set overlap catches reworded leakage, this catches
+    * exact quotes that n-gram boundaries can miss): a training document
+    * is flagged when it shares ANY `window`-character span VERBATIM with
+    * the benchmark split. d12's machinery pointed one-sided: rolling
+    * window hashes on both relations (one representative per (doc,
+    * hash) — d12's doc-frequency discipline), candidates activate only
+    * on hashes present in BOTH sides (the join), and the verify ships
+    * `window`-char spans, never documents. Candidate fan-out is
+    * Σ_h df_train(h)·df_bench(h) — bounded by the benchmark's span
+    * inventory, which is fixed and small relative to any training
+    * corpus; there is deliberately NO train-side cap: if ten thousand
+    * training documents quote the same benchmark answer, every one of
+    * them is contaminated and must flag.
+    *
+    * Output: (doc_id, n_bench_docs, n_shared_spans) per contaminated
+    * training document. */
+  def substringContamination(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, window: Int = 20): DataFrame = {
+    import graft.functions.RollingWindowHashes.window_hashes
+    val ti = train.select(col(idCol).as("doc"),
+        window_hashes(col(textCol), window).as(Seq("pos", "h")))
+      .groupBy($"doc", $"h").agg(min($"pos").as("pos"))
+    val bi = benchmark.select(col(idCol).as("bdoc"),
+        window_hashes(col(textCol), window).as(Seq("bpos", "h")))
+      .groupBy($"bdoc", $"h").agg(min($"bpos").as("bpos"))
+    val cand = ti.join(bi.hint("shuffle_hash"), Seq("h"))
+    val ttexts = train.select(col(idCol).as("doc"), col(textCol).as("__t"))
+    val btexts = benchmark.select(col(idCol).as("bdoc"),
+      col(textCol).as("__tb"))
+    cand
+      .join(ttexts, "doc")
+      .select($"doc", $"bdoc", $"bpos",
+        $"__t".substr($"pos" + 1, lit(window)).as("__wa"))
+      .join(btexts, "bdoc")
+      .filter($"__wa" === $"__tb".substr($"bpos" + 1, lit(window)))
+      .groupBy($"doc")
+      .agg(countDistinct($"bdoc").as("n_bench_docs"),
+        countDistinct($"__wa").as("n_shared_spans"))
+      .select($"doc".as("doc_id"), $"n_bench_docs", $"n_shared_spans")
+  }
+
   /** Incremental near-dup pairs: a NEW batch (crawl increment) against
     * the already-kept corpus plus itself — the join a production dedup
     * pipeline actually runs per ingest, where re-pairing the full corpus

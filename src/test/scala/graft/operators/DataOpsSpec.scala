@@ -677,6 +677,26 @@ class DataOpsSpec extends SparkSpec {
     prepared.unpersist(); ()
   }
 
+  test("c03 substring contamination: verbatim benchmark quote flags, paraphrase does not") {
+    val bench = Seq(
+      (100L, "the secret benchmark answer is exactly forty two units")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // quotes a >20-char span verbatim → contaminated
+      (1L, "totally unrelated lead-in secret benchmark answer is exactly trailing words"),
+      // same words reworded: no 20-char verbatim span → clean here
+      // (c01's n-gram overlap is the gate that would catch rewording)
+      (2L, "answer benchmark secret the is exactly units forty two"),
+      (3L, "nothing in common with anything at all whatsoever")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.substringContamination(train, bench,
+        "doc_id", "text", window = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(flagged.map(_._1).toSet === Set(1L),
+      s"only the verbatim quote must flag, got ${flagged.toSeq}")
+    assert(flagged.head._2 === 1L && flagged.head._3 >= 1L)
+  }
+
   test("c02 decontaminate = train split minus exactly the c01-flagged docs") {
     val dir = sf("sf0.001")
     val flagged = DataOps.queries("c01_contamination")(spark, dir)
