@@ -1678,6 +1678,30 @@ object DataOps {
           max($"__x").as("max_x"))
     },
 
+    // Diversity-balanced sampling: k-means the embedding space into
+    // cells, then take exactly k docs per cell (t24's negated-md5-key
+    // heap — ≤ k pairs per cell per map task, never a rank window over
+    // the corpus). The semantic-coverage counterpart of t24's
+    // source-stratified sampling: sources are labels someone assigned,
+    // cells are structure the DATA has — sampling per cell keeps rare
+    // semantic regions a proportional sample would drown. No SQL oracle
+    // (k-means); spec gates exactly-k per cell, determinism under
+    // repartitioning, and the planted-cluster coverage property.
+    "e06_diverse_sample" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TopKPairs.top_k_pairs
+      val emb = Tables.embeddings(s, d)
+      val vectors = emb.select($"vec_id",
+        Similarity.toDouble($"embedding").as("v"))
+      val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+      Ivf.index(emb, centroids)
+        .select($"cell", md5Bucket($"vec_id").as("__bkt"), $"vec_id")
+        .groupBy($"cell")
+        .agg(top_k_pairs(-$"__bkt", $"vec_id", 10).as("__picks"))
+        .select($"cell", explode($"__picks").as("p"))
+        .select($"cell".cast("long").as("cell"), col("p.id").as("vec_id"))
+    },
+
     // Embedding-space drift: squared distance of each label's centroid
     // from the corpus centroid — o02's distribution monitor in embedding
     // space (a cohort whose centroid walks away from the corpus between

@@ -677,6 +677,32 @@ class DataOpsSpec extends SparkSpec {
     prepared.unpersist(); ()
   }
 
+  test("e06 diverse sample: exactly k per non-small cell, every cell covered, repartition-invariant") {
+    val dir = sf("sf0.001")
+    def run() = DataOps.queries("e06_diverse_sample")(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val picks = run()
+    assert(picks.nonEmpty)
+    // per-cell counts: exactly 10 when the cell has ≥ 10 members, all
+    // members otherwise; and the sample touches more than one cell
+    // (diversity, not a single dense region)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val vectors = emb.select($"vec_id",
+      Similarity.toDouble($"embedding").as("v"))
+    val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+    val cellSizes = Ivf.index(emb, centroids)
+      .groupBy($"cell").count()
+      .as[(Int, Long)].collect().toMap
+    val byCell = picks.groupBy(_._1).view.mapValues(_.size).toMap
+    byCell.foreach { case (c, n) =>
+      assert(n === math.min(10L, cellSizes(c.toInt)),
+        s"cell $c: took $n of ${cellSizes(c.toInt)}")
+    }
+    assert(byCell.size === cellSizes.size, "every cell must be sampled")
+    assert(byCell.size > 1)
+    assert(run() === picks, "sampling must be deterministic")
+  }
+
   test("c03 substring contamination: verbatim benchmark quote flags, paraphrase does not") {
     val bench = Seq(
       (100L, "the secret benchmark answer is exactly forty two units")
