@@ -26,7 +26,7 @@ object DataOps {
     * it with the `'0x' || substring(md5(...)) → UBIGINT` cast, so a tweak
     * here must change both oracles too (a silent drift would re-split
     * the corpus). */
-  private def md5Bucket(c: Column): Column =
+  private[operators] def md5Bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** The t12 quality-gate definitions, single-sourced so the clean
@@ -523,6 +523,24 @@ object DataOps {
     * (GPT-2 style — numbers merge from digit pieces), punctuation runs.
     * Explicit classes only — identical under Java regex and RE2. */
   private[operators] val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+  /** t18's trained merge table collected for plan embedding — the one
+    * place the (rank → left, right) column contract lives; t20 and x04
+    * both consume it so the train→encode coupling cannot drift. */
+  private def trainedMerges(docs: DataFrame): Seq[(String, String)] =
+    Bpe.trainBpe(docs, "text", numMerges = 20)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The (pieces, encoded-token) columns over `text` for a trained merge
+    * table — the t20/x04 shared encode pipeline (regex pre-tokenize →
+    * codegen'd BpeEncode per piece → flatten). */
+  private def bpeEncodedColumns(
+      merges: Seq[(String, String)]): (Column, Column) = {
+    import graft.functions.BpeEncode.bpe_encode
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    (pieces, flatten(transform(pieces, p => bpe_encode(p, merges))))
+  }
 
   /** e02's Rademacher projection matrix: sign(i, j) from the parity of
     * md5("i_j")'s first byte — deterministic, engine-independent, and
@@ -1174,15 +1192,10 @@ object DataOps {
     // chunk ranges tile, repartition-invariant.
     "x04_bpe_shards" -> { (s, d) =>
       import s.implicits._
-      import graft.functions.BpeEncode.bpe_encode
       val docs = Tables.documents(s, d)
-      val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
-        .orderBy($"rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val pieces = regexp_extract_all($"text", lit(BpePattern), lit(0))
+      val (_, toks) = bpeEncodedColumns(trainedMerges(docs))
       val sized = docs.select($"doc_id",
-        size(flatten(transform(pieces, p => bpe_encode(p, merges))))
-          .cast("long").as("n_tokens"))
+        size(toks).cast("long").as("n_tokens"))
       packChunksBySize(sized)
         .withColumn("shard", floor($"first_chunk" / 8).cast("long"))
         .groupBy($"shard").agg(
@@ -1445,13 +1458,8 @@ object DataOps {
     // round-trip property are spec-gated.
     "t20_bpe_encode" -> { (s, d) =>
       import s.implicits._
-      import graft.functions.BpeEncode.bpe_encode
       val docs = Tables.documents(s, d)
-      val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
-        .orderBy($"rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val pieces = regexp_extract_all($"text", lit(BpePattern), lit(0))
-      val toks = flatten(transform(pieces, p => bpe_encode(p, merges)))
+      val (pieces, toks) = bpeEncodedColumns(trainedMerges(docs))
       docs.select($"doc_id",
         size(pieces).as("n_pieces"),
         size(toks).as("n_bpe_tokens"),
@@ -2159,38 +2167,26 @@ object DataOps {
     // (t04's ascii/list_reduce pattern), so cap semantics agree even at
     // a hash collision; arg_min mirrors the per-(doc, hash)
     // min-pos representative and the wt equality mirrors the verify join
-    // mirrors the engine's rolling hash + per-(doc, hash) min-pos
-    // representative exactly (the d12 oracle convention), so both
-    // engines see the identical candidate inventory
+    // pure span-join semantics: the engine's hash lane only PRUNES (the
+    // span-equality join is the truth), so the oracle needs no hash
+    // mirroring — verbatim shared 20-char spans, nothing else
     "c03_substring_contamination" ->
       """WITH tr AS (SELECT doc_id, text FROM documents
         |    WHERE doc_id % 53 <> 0),
         |be AS (SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0),
-        |tw AS (SELECT doc_id, h, arg_min(wt, pos) AS wt FROM (
-        |  SELECT doc_id, pos,
-        |    list_reduce(list_transform(range(1, 21),
-        |      j -> ascii(substring(text, pos + j, 1))::BIGINT),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
-        |    substring(text, pos + 1, 20) AS wt
+        |tw AS (SELECT DISTINCT doc_id, substring(text, pos + 1, 20) AS wt
         |  FROM (SELECT doc_id, text,
         |          unnest(range(0, greatest(length(text) - 19, 0))) AS pos
-        |        FROM tr))
-        |  GROUP BY doc_id, h),
-        |bw AS (SELECT doc_id AS bdoc, h, arg_min(wt, pos) AS wt FROM (
-        |  SELECT doc_id, pos,
-        |    list_reduce(list_transform(range(1, 21),
-        |      j -> ascii(substring(text, pos + j, 1))::BIGINT),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+        |        FROM tr)),
+        |bw AS (SELECT DISTINCT doc_id AS bdoc,
         |    substring(text, pos + 1, 20) AS wt
         |  FROM (SELECT doc_id, text,
         |          unnest(range(0, greatest(length(text) - 19, 0))) AS pos
         |        FROM be))
-        |  GROUP BY doc_id, h),
-        |v AS (SELECT tw.doc_id, bw.bdoc, tw.wt
-        |  FROM tw JOIN bw ON tw.h = bw.h AND tw.wt = bw.wt)
         |SELECT doc_id, COUNT(DISTINCT bdoc) AS n_bench_docs,
         |  COUNT(DISTINCT wt) AS n_shared_spans
-        |FROM v GROUP BY doc_id""".stripMargin,
+        |FROM tw JOIN bw USING (wt)
+        |GROUP BY doc_id""".stripMargin,
 
     "d12_substring_pairs" ->
       """WITH w AS (

@@ -386,41 +386,55 @@ object Dedup {
     * word-4-gram set overlap catches reworded leakage, this catches
     * exact quotes that n-gram boundaries can miss): a training document
     * is flagged when it shares ANY `window`-character span VERBATIM with
-    * the benchmark split. d12's machinery pointed one-sided: rolling
-    * window hashes on both relations (one representative per (doc,
-    * hash) — d12's doc-frequency discipline), candidates activate only
-    * on hashes present in BOTH sides (the join), and the verify ships
-    * `window`-char spans, never documents. Candidate fan-out is
-    * Σ_h df_train(h)·df_bench(h) — bounded by the benchmark's span
-    * inventory, which is fixed and small relative to any training
-    * corpus; there is deliberately NO train-side cap: if ten thousand
-    * training documents quote the same benchmark answer, every one of
-    * them is contaminated and must flag.
+    * the benchmark split. Shape: the train-side rolling-hash stream is
+    * pruned against the benchmark's hash inventory first (almost every
+    * window drops), survivors dedupe to DISTINCT (doc, span) — spans,
+    * never documents, cross the wire — and the final join matches on
+    * the span text itself, so the result is exact by construction (no
+    * verify pass, no hash-collision sensitivity). Join fan-out is the
+    * true contamination incidence |{(train doc, bench doc) sharing a
+    * span}| — the size of the report itself; there is deliberately NO
+    * train-side cap: if ten thousand training documents quote the same
+    * benchmark answer, every one is contaminated and must flag. If only
+    * a per-doc flag is needed (not bench-doc counts), aggregate `bi` to
+    * distinct spans first and the fan-out drops to one row per (doc,
+    * shared span).
     *
     * Output: (doc_id, n_bench_docs, n_shared_spans) per contaminated
     * training document. */
   def substringContamination(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, window: Int = 20): DataFrame = {
     import graft.functions.RollingWindowHashes.window_hashes
-    val ti = train.select(col(idCol).as("doc"),
-        window_hashes(col(textCol), window).as(Seq("pos", "h")))
-      .groupBy($"doc", $"h").agg(min($"pos").as("pos"))
-    val bi = benchmark.select(col(idCol).as("bdoc"),
+    // Benchmark side: DISTINCT (bdoc, h, span) — spans are window chars,
+    // the whole relation is bounded by the benchmark's span inventory.
+    val bi = benchmark.select(col(idCol).as("bdoc"), col(textCol).as("__tb"),
         window_hashes(col(textCol), window).as(Seq("bpos", "h")))
-      .groupBy($"bdoc", $"h").agg(min($"bpos").as("bpos"))
-    val cand = ti.join(bi.hint("shuffle_hash"), Seq("h"))
-    val ttexts = train.select(col(idCol).as("doc"), col(textCol).as("__t"))
-    val btexts = benchmark.select(col(idCol).as("bdoc"),
-      col(textCol).as("__tb"))
-    cand
-      .join(ttexts, "doc")
-      .select($"doc", $"bdoc", $"bpos",
-        $"__t".substr($"pos" + 1, lit(window)).as("__wa"))
-      .join(btexts, "bdoc")
-      .filter($"__wa" === $"__tb".substr($"bpos" + 1, lit(window)))
+      .select($"bdoc", $"h",
+        $"__tb".substr($"bpos" + 1, lit(window)).as("wt"))
+      .distinct()
+    val benchHashes = bi.select($"h").distinct()
+    // Train side: hash stream semi-joined against the benchmark's hash
+    // inventory FIRST (almost everything drops here), then the
+    // surviving positions slice their span and dedupe to DISTINCT
+    // (doc, h, span). Deliberately NO per-(doc, hash) min-pos
+    // representative: a modulus collision between an unrelated span and
+    // a true benchmark quote inside one document would let the
+    // representative SHADOW the quote and silently pass a contaminated
+    // doc — for a dedup-recall pair generator (d12) that is a rounding
+    // error, for a contamination GATE it is a correctness failure.
+    // Keeping every matching span is safe because the surviving stream
+    // is bounded by the benchmark inventory, and the final join is on
+    // (h, span) — span equality IS the truth, no verify step, no
+    // collision sensitivity at all.
+    val ti = train.select(col(idCol).as("doc"), col(textCol).as("__t"),
+        window_hashes(col(textCol), window).as(Seq("pos", "h")))
+      .join(benchHashes.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .select($"doc", $"h", $"__t".substr($"pos" + 1, lit(window)).as("wt"))
+      .distinct()
+    ti.join(bi.hint("shuffle_hash"), Seq("h", "wt"))
       .groupBy($"doc")
       .agg(countDistinct($"bdoc").as("n_bench_docs"),
-        countDistinct($"__wa").as("n_shared_spans"))
+        countDistinct($"wt").as("n_shared_spans"))
       .select($"doc".as("doc_id"), $"n_bench_docs", $"n_shared_spans")
   }
 

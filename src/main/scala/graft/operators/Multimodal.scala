@@ -161,8 +161,13 @@ object Multimodal {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxFrameFreq)
       .select(col("__sig"))
+    // EAGER materialization (the d10 lesson): the pair generator's
+    // three internal passes and both verify joins all consume this
+    // relation with different plans — uncached, each would redo the
+    // frame explode + distinct shuffle + 64-lane signature hashing
     val kept = withSig.join(hot.hint("shuffle_hash"), Seq("__sig"),
-      "left_anti")
+        "left_anti")
+      .localCheckpoint(true)
     val cand = Dedup.signaturePairs(
       kept.select(col("__fid").as("doc"), col("__sig").as("simhash")),
       maxDist = 0, maxBucket = maxFrameFreq)

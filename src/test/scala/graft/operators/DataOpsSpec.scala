@@ -700,7 +700,22 @@ class DataOpsSpec extends SparkSpec {
     }
     assert(byCell.size === cellSizes.size, "every cell must be sampled")
     assert(byCell.size > 1)
-    assert(run() === picks, "sampling must be deterministic")
+    // genuine repartition-invariance: the same pipeline over a
+    // repartitioned input must produce the identical sample (decimal
+    // k-means + heap picks are partitioning-independent)
+    import graft.functions.TopKPairs.top_k_pairs
+    val emb7 = emb.repartition(7)
+    val vec7 = emb7.select($"vec_id",
+      Similarity.toDouble($"embedding").as("v"))
+    val cent7 = Ivf.kmeans(vec7, nCells = 16, iterations = 3)
+    val picks7 = Ivf.index(emb7, cent7)
+      .select($"cell", DataOps.md5Bucket($"vec_id").as("__bkt"), $"vec_id")
+      .groupBy($"cell")
+      .agg(top_k_pairs(-$"__bkt", $"vec_id", 10).as("__picks"))
+      .select($"cell", explode($"__picks").as("p"))
+      .select($"cell".cast("long").as("cell"), col("p.id").as("vec_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(picks7 === picks, "sampling must be partitioning-invariant")
   }
 
   test("c03 substring contamination: verbatim benchmark quote flags, paraphrase does not") {
