@@ -107,6 +107,23 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Gap-based sessions via Spark's DECLARATIVE `session_window` — the
+    * built-in alternative to the flatMapGroupsWithState sessionizer
+    * ([[sessionize]]): Catalyst owns the merge logic and state layout,
+    * which is the right default whenever per-session output is plain
+    * aggregates (reach for the typed state API only when session state
+    * needs custom structure). Works identically over a batch or
+    * streaming frame; on a stream add a watermark upstream and sessions
+    * emit when it passes their close. Gap semantics match q42's batch
+    * twin: a new session starts when the gap EXCEEDS `gap`. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("start_sec"),
+        col("n_events"))
+
   /** Streaming deduplication bounded by the watermark: duplicate ids
     * arriving within the lateness window are dropped; state for ids older
     * than the watermark is evicted, so state size is bounded by the

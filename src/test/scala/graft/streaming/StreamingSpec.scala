@@ -157,6 +157,23 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter($"s.sum_value" =!= $"b.sum_value").count() === 0)
   }
 
+  test("declarative session_window equals the custom batch sessionizer") {
+    // Spark's session_window merges events whose gap is STRICTLY LESS
+    // than the duration; q42's batch twin starts a new session when the
+    // gap EXCEEDS 1800s. gap=1801s aligns the boundary conventions
+    // (an exactly-1800s gap stays in-session under both).
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val declarative = Streaming.sessionWindows(ev, gap = "1801 seconds")
+      .as[(Long, Long, Long)].collect().toSet
+    val custom = graft.operators.Extended.queries("q42_sessionize_batch")(
+        spark, sf("sf0.001"))
+      .select($"user_id", $"start_sec", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(declarative === custom,
+      "built-in session_window must reproduce the oracled sessionizer")
+    assert(declarative.nonEmpty)
+  }
+
   test("misra_gries maintains heavy-hitter candidates incrementally across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.functions.MisraGries.misra_gries
