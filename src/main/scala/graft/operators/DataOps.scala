@@ -1293,6 +1293,27 @@ object DataOps {
           round(expr("regr_r2(__y, __x)"), 6).as("fit_r2"))
     },
 
+    // Ingest-completeness report: the full calendar between the
+    // stream's first and last day, zero-filled, each day flagged if the
+    // load missed it — the "did yesterday's load run" monitor every CDC
+    // pipeline needs (q13 shows observed minutes; silence is exactly
+    // what it cannot show). The day spine generates from one 2-value
+    // aggregate (sequence over a broadcast 1-row bound — never a driver
+    // loop) and left-joins the per-day counts; the report scales with
+    // CALENDAR days, not event volume.
+    "o03_ingest_completeness" -> { (s, d) =>
+      import s.implicits._
+      val perDay = Tables.events(s, d)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("__n"))
+      val bounds = perDay.agg(min($"day").as("__lo"), max($"day").as("__hi"))
+      bounds.select(explode(sequence($"__lo", $"__hi")).as("day"))
+        .join(perDay, Seq("day"), "left")
+        .select($"day".cast("string").as("day"),
+          coalesce($"__n", lit(0L)).as("n_events"),
+          ($"__n".isNull).as("is_gap"))
+    },
+
     // Per-source KL divergence of the token distribution against the
     // whole corpus — the distribution-drift monitor a pipeline runs per
     // source/batch: a source whose KL jumps between ingests changed
@@ -2029,6 +2050,17 @@ object DataOps {
         |  round(-regr_slope(y, x), 6) AS alpha,
         |  round(regr_r2(y, x), 6) AS fit_r2
         |FROM r GROUP BY source""".stripMargin,
+
+    "o03_ingest_completeness" ->
+      """WITH pd AS (SELECT ts::DATE AS day, COUNT(*) AS n
+        |    FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM pd),
+        |cal AS (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY))::DATE AS day FROM b)
+        |SELECT CAST(cal.day AS VARCHAR) AS day,
+        |  COALESCE(pd.n, 0) AS n_events,
+        |  pd.n IS NULL AS is_gap
+        |FROM cal LEFT JOIN pd ON cal.day = pd.day""".stripMargin,
 
     "o02_source_kl" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -100,6 +100,31 @@ class EtlPipelineSpec extends SparkSpec {
     assert(zeroLed > 0, "leading-zero statuses must survive as strings")
   }
 
+  test("malformed CSV rows land as typed nulls (PERMISSIVE), never abort the load") {
+    // the reference corpus is messy (mixed encodings, ragged rows); pin
+    // the parse contract: a row whose epoch column isn't numeric parses
+    // with that FIELD null (not a dropped row, not a job failure), and
+    // a short row null-pads — silence-with-nulls is detectable
+    // downstream (o03/o01), a crashed nightly load is not
+    val dir = java.nio.file.Files.createTempDirectory("badcsv")
+    val f = dir.resolve("events_bad.csv")
+    java.nio.file.Files.writeString(f,
+      "Op,oid__id,createdAt,updatedAt,lastSyncTracker,array_trackingEvents\n" +
+        "I,good1,1693000000,1693000001,1693000002,[]\n" +
+        "I,bad_epoch,NOT_A_NUMBER,1693000001,1693000002,[]\n" +
+        "I,short_row,1693000000\n")
+    val raw = spark.read.schema(graft.etl.Schemas.source)
+      .option("header", "true").csv(f.toString)
+    val rows = raw.collect().map(r =>
+      (r.getAs[String]("oid__id"), Option(r.get(2)), Option(r.get(5))))
+    assert(rows.length === 3, "every physical row must survive the parse")
+    val byId = rows.map(t => t._1 -> t).toMap
+    assert(byId("good1")._2.contains(1693000000L))
+    assert(byId("bad_epoch")._2.isEmpty,
+      "unparseable epoch must become null, not kill the row")
+    assert(byId("short_row")._3.isEmpty, "short rows null-pad")
+  }
+
   test("watermark makes the load incremental and strictly monotone") {
     val all = Pipelines.events(spark, paths.toSeq, clock = clock)
     val wm = files(0) // watermark = first file already loaded

@@ -718,6 +718,28 @@ class DataOpsSpec extends SparkSpec {
     assert(picks7 === picks, "sampling must be partitioning-invariant")
   }
 
+  test("o03 completeness: a planted silent day zero-fills and flags as gap") {
+    // the registered query's exact pipeline over a stream with a hole:
+    // events on Jan 1 and Jan 3, silence on Jan 2
+    val ev = Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00",
+        "2024-01-03 09:00:00")
+      .map(java.sql.Timestamp.valueOf).toDF("ts")
+    val perDay = ev.groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("__n"))
+    val bounds = perDay.agg(min($"day").as("__lo"), max($"day").as("__hi"))
+    val report = bounds
+      .select(explode(sequence($"__lo", $"__hi")).as("day"))
+      .join(perDay, Seq("day"), "left")
+      .select($"day".cast("string").as("day"),
+        coalesce($"__n", lit(0L)).as("n_events"),
+        ($"__n".isNull).as("is_gap"))
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(report === Set(
+      ("2024-01-01", 2L, false),
+      ("2024-01-02", 0L, true),
+      ("2024-01-03", 1L, false)))
+  }
+
   test("c03 substring contamination: verbatim benchmark quote flags, paraphrase does not") {
     val bench = Seq(
       (100L, "the secret benchmark answer is exactly forty two units")
