@@ -113,16 +113,18 @@ class EtlPipelineSpec extends SparkSpec {
         "I,good1,1693000000,1693000001,1693000002,[]\n" +
         "I,bad_epoch,NOT_A_NUMBER,1693000001,1693000002,[]\n" +
         "I,short_row,1693000000\n")
-    val raw = spark.read.schema(graft.etl.Schemas.source)
-      .option("header", "true").csv(f.toString)
-    val rows = raw.collect().map(r =>
-      (r.getAs[String]("oid__id"), Option(r.get(2)), Option(r.get(5))))
-    assert(rows.length === 3, "every physical row must survive the parse")
-    val byId = rows.map(t => t._1 -> t).toMap
-    assert(byId("good1")._2.contains(1693000000L))
-    assert(byId("bad_epoch")._2.isEmpty,
+    // route through the PRODUCTION reader (Pipelines), not a private
+    // copy — this is the spec that forbids a future FAILFAST/
+    // DROPMALFORMED option from aborting or silently shrinking the load
+    val out = graft.etl.Pipelines.tracking(spark, Seq(f.toString),
+      clock = Some(java.sql.Timestamp.valueOf("2023-09-05 00:00:00")))
+    val rows = out.select($"oid__id", $"createdAt").collect()
+      .map(r => r.getAs[String]("oid__id") -> Option(r.get(1))).toMap
+    assert(rows.size === 3, "every physical row must survive the parse")
+    assert(rows("good1").nonEmpty)
+    assert(rows("bad_epoch").isEmpty,
       "unparseable epoch must become null, not kill the row")
-    assert(byId("short_row")._3.isEmpty, "short rows null-pad")
+    assert(rows.contains("short_row"), "short rows null-pad and survive")
   }
 
   test("watermark makes the load incremental and strictly monotone") {

@@ -719,20 +719,14 @@ class DataOpsSpec extends SparkSpec {
   }
 
   test("o03 completeness: a planted silent day zero-fills and flags as gap") {
-    // the registered query's exact pipeline over a stream with a hole:
-    // events on Jan 1 and Jan 3, silence on Jan 2
-    val ev = Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00",
-        "2024-01-03 09:00:00")
+    // the REGISTERED query over a planted table dir with a hole:
+    // events on Jan 1 and Jan 3, silence on Jan 2 (the sf corpora are
+    // dense, so the gap path only executes against this fixture)
+    val dir = java.nio.file.Files.createTempDirectory("o03gap").toString
+    Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00", "2024-01-03 09:00:00")
       .map(java.sql.Timestamp.valueOf).toDF("ts")
-    val perDay = ev.groupBy(to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("__n"))
-    val bounds = perDay.agg(min($"day").as("__lo"), max($"day").as("__hi"))
-    val report = bounds
-      .select(explode(sequence($"__lo", $"__hi")).as("day"))
-      .join(perDay, Seq("day"), "left")
-      .select($"day".cast("string").as("day"),
-        coalesce($"__n", lit(0L)).as("n_events"),
-        ($"__n".isNull).as("is_gap"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val report = DataOps.queries("o03_ingest_completeness")(spark, dir)
       .as[(String, Long, Boolean)].collect().toSet
     assert(report === Set(
       ("2024-01-01", 2L, false),
