@@ -40,6 +40,25 @@ object Advanced {
         .select($"user_id", $"event_id", $"asof_signup_event_id".as("signup_event_id"))
     },
 
+    // FORWARD as-of: each signup matched to the user's first purchase
+    // AT-OR-AFTER it — the label-lookahead twin of q22 (same one-shuffle
+    // union-window machinery over negated time). (user, ts) is unique in
+    // this corpus, so both engines resolve identically with no tie
+    // discipline in play.
+    "q66_asof_forward" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_event_id"), $"ts")
+      AsofJoin.forward(signups, purchases, "ts",
+          keyCols = Seq("user_id"), rightCols = Seq("purchase_event_id"),
+          rightTieBreak = "purchase_event_id")
+        .select($"user_id", $"event_id",
+          $"asof_purchase_event_id".as("purchase_event_id"))
+    },
+
     // Custom physical operator (BroadcastRangeJoinExec via RangeJoinPlan):
     // events joined to each user's first-72h window by key + time range,
     // probed against a broadcast sorted interval index — no shuffle, no
@@ -179,6 +198,15 @@ object Advanced {
         |      WHERE event_type = 'signup')
         |SELECT p.user_id, p.event_id, s.signup_event_id
         |FROM p ASOF LEFT JOIN s
-        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    "q66_asof_forward" ->
+      """WITH s AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS purchase_event_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.event_id, p.purchase_event_id
+        |FROM s ASOF LEFT JOIN p
+        |  ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin
   )
 }

@@ -59,6 +59,26 @@ object AsofJoin {
       .drop("__side", "__tie", "__r")
   }
 
+  /** FORWARD as-of: for every left row, the EARLIEST right row whose
+    * time is ≥ the left row's time, per key — the label-lookahead form a
+    * training pipeline uses ("first purchase AFTER signup", "next error
+    * after deploy"). Implemented as [[backward]] over the negated
+    * epoch-second time (latest ≤ −t ⟺ earliest ≥ t; the union-window
+    * trick, its one shuffle, and the inclusive-at-equal-times tie rule
+    * all carry over unchanged). Among right rows at the exact matched
+    * time the LARGEST `rightTieBreak` wins (backward's last-in-frame
+    * discipline under the negated ordering) — pin unique (key, time)
+    * pairs if that matters. */
+  def forward(left: DataFrame, right: DataFrame, timeCol: String,
+      keyCols: Seq[String], rightCols: Seq[String],
+      rightTieBreak: String): DataFrame =
+    backward(
+      left.withColumn("__negt", -col(timeCol).cast("long")),
+      right.withColumn("__negt", -col(timeCol).cast("long"))
+        .drop(timeCol),
+      "__negt", keyCols, rightCols, rightTieBreak)
+      .drop("__negt")
+
   /** Variant with a tolerance: matches older than `toleranceSeconds` are
     * nulled out (carries the matched right time to enforce it). */
   def backwardWithTolerance(left: DataFrame, right: DataFrame, timeCol: String,

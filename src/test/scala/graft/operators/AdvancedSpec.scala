@@ -62,6 +62,34 @@ class AdvancedSpec extends SparkSpec {
     assert(out(31L) === None)
   }
 
+  test("asof forward join picks the earliest right row at-or-after") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L),
+      (1L, ts("2024-01-01 10:00:05"), 102L),
+      (1L, ts("2024-01-01 10:00:10"), 103L),
+      (2L, ts("2024-01-01 10:00:07"), 201L)
+    ).toDF("user_id", "ts", "quote_id")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 11L), // equal ts → inclusive match 102
+      (1L, ts("2024-01-01 10:00:06"), 12L), // between → next is 103
+      (1L, ts("2024-01-01 10:00:30"), 13L), // after all → null
+      (2L, ts("2024-01-01 10:00:00"), 21L), // before any → 201
+      (3L, ts("2024-01-01 10:00:00"), 31L)  // key with no right rows → null
+    ).toDF("user_id", "ts", "trade_id")
+    val out = AsofJoin.forward(trades, quotes, "ts",
+        keyCols = Seq("user_id"), rightCols = Seq("quote_id"),
+        rightTieBreak = "quote_id")
+      .select($"trade_id", $"asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(11L) === Some(102L))
+    assert(out(12L) === Some(103L))
+    assert(out(13L) === None)
+    assert(out(21L) === Some(201L))
+    assert(out(31L) === None)
+  }
+
   test("asof: a null carried value on the true latest match stays null") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
