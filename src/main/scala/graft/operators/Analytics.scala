@@ -133,7 +133,14 @@ object Analytics {
     // 'purchase' strictly after that. Three aggregates + joins all keyed
     // on high-cardinality user_id: the event stream shuffles on one key
     // throughout and the per-stage relations shrink monotonically —
-    // no window over the raw stream, no per-user sort.
+    // no window over the raw stream, no per-user sort. EVERY join is
+    // hinted shuffle_hash with the per-user aggregate as build side
+    // (the aggregates are ≤1 row per user and already partitioned by
+    // user_id, so per-partition hash builds stay bounded at any SF and
+    // no join pays a sort); AQE may still upgrade a small build side to
+    // broadcast. PlanShapeSpec gates the resulting zero-SMJ shape —
+    // round 4 shipped the hints only on the two inner joins and the
+    // final left joins silently sort-merged.
     "q59_funnel" -> { (s, d) =>
       import s.implicits._
       val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
@@ -146,9 +153,9 @@ object Analytics {
         .filter($"event_type" === "purchase" && $"ts" > $"t_click")
         .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
       ev.select($"user_id").distinct()
-        .join(t1, Seq("user_id"), "left")
-        .join(t2, Seq("user_id"), "left")
-        .join(t3, Seq("user_id"), "left")
+        .join(t1.hint("shuffle_hash"), Seq("user_id"), "left")
+        .join(t2.hint("shuffle_hash"), Seq("user_id"), "left")
+        .join(t3.hint("shuffle_hash"), Seq("user_id"), "left")
         .select($"user_id", $"t_view", $"t_click", $"t_purchase",
           when($"t_purchase".isNotNull, 3)
             .when($"t_click".isNotNull, 2)

@@ -595,6 +595,26 @@ object DataOps {
     })
   }
 
+  /** Stable staging directory for the shard-writing queries (x02/x03):
+    * keyed by tag + source-dir hash, wiped before reuse — repeated
+    * Verify/Bench invocations overwrite ONE copy of the shard corpus
+    * instead of accumulating a fresh temp directory per run. */
+  private def stagingDir(tag: String, sfDir: String): String = {
+    val key = Integer.toHexString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).take(4)
+        .foldLeft(0)((a, b) => (a << 8) | (b & 0xff)))
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stage_${tag}_$key")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   // ---- similarity/dedup query bodies, shared between their own
   // registrations and the s06 recall report (so the report measures
   // EXACTLY the shipped parameterization — params can't drift apart) ----
@@ -1165,9 +1185,7 @@ object DataOps {
     // on disk, so a green row here oracle-verifies the physical write
     // (partition layout + read-back types), not just the plan.
     "x02_shard_manifest" -> { (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_x02_shards").toString
-      writeTrainingShards(preparedTrainingSet(s, d), dir)
+      writeTrainingShards(preparedTrainingSet(s, d), stagingDir("x02", d))
     },
 
     // x03: the x02 shards as JSONL (the LLM-training interchange
@@ -1175,9 +1193,7 @@ object DataOps {
     // green row oracle-verifies the serialize→parse round trip against
     // the same closed-form shard aggregation as x02.
     "x03_jsonl_manifest" -> { (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_x03_jsonl").toString
-      writeJsonlShards(preparedTrainingSet(s, d), dir)
+      writeJsonlShards(preparedTrainingSet(s, d), stagingDir("x03", d))
     },
 
     // x04: context-window packing by TRUE tokenizer counts — train the

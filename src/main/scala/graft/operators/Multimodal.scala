@@ -149,7 +149,17 @@ object Multimodal {
       .filter(octet_length(col("frame_bytes")) === frameBytes)
       .groupBy(col("media_id"), col("frame_bytes"))
       .agg(min(col("frame_no")).as("frame_no"))
-      .select((col("media_id") * 1048576L + col("frame_no")).as("__fid"),
+      // enforce the documented packing bounds instead of silently
+      // aliasing: a blob with ≥2²⁰ frames or an id ≥2⁴³ would fold two
+      // distinct frames onto one __fid and corrupt pair attribution;
+      // the guard lives INSIDE the packed expression so column pruning
+      // can't drop it
+      .select(
+        when(col("frame_no") < 1048576L && col("media_id") < (1L << 43),
+          col("media_id") * 1048576L + col("frame_no"))
+          .otherwise(raise_error(lit(
+            "frameDupPairs packing overflow: need frame_no < 2^20 and media_id < 2^43")))
+          .as("__fid"),
         col("media_id"), col("frame_bytes"))
     val sig = (0 until 64).map(i =>
       when(element_at(col("features"), i + 1) > 0.5f,

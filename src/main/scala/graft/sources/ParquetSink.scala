@@ -49,7 +49,8 @@ object ParquetSink {
     * every filesystem-table OPTIMIZE. Returns rows compacted. */
   def compactPartition(spark: SparkSession, root: String,
       partition: String, targetFiles: Int = 1): Long = {
-    require(partition.matches("[A-Za-z0-9_.=-]+"),
+    require(partition.matches("[A-Za-z0-9_.=-]+") &&
+        partition.exists(c => c != '.'),
       s"partition must be a single dir segment like col=value: $partition")
     val dir = new org.apache.hadoop.fs.Path(s"$root/$partition")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

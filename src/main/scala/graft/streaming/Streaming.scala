@@ -114,8 +114,11 @@ object Streaming {
     * aggregates (reach for the typed state API only when session state
     * needs custom structure). Works identically over a batch or
     * streaming frame; on a stream add a watermark upstream and sessions
-    * emit when it passes their close. Gap semantics match q42's batch
-    * twin: a new session starts when the gap EXCEEDS `gap`. */
+    * emit when it passes their close. Gap semantics: `session_window`
+    * merges two events only when the gap is STRICTLY LESS than `gap` —
+    * a gap exactly equal to `gap` starts a new session. To reproduce a
+    * batch sessionizer whose rule is "new session when gap > G" (q42's
+    * >1800 s), pass `gap = G + 1s`, as StreamingSpec does with 1801s. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap))

@@ -126,6 +126,19 @@ class PlanShapeSpec extends SparkSpec {
       "bigram/unigram count joins must not sort the gram stream")
   }
 
+  test("q59: every funnel join hashes on user_id — no sort-merge anywhere") {
+    val p = plan("q59_funnel")
+    // round-4 drift: the two inner stage joins were hinted shuffle_hash
+    // but the final left joins silently sort-merged — the census showed
+    // 2 SMJ against a comment claiming hash joins throughout. All five
+    // joins now carry the hint (build side = per-user aggregate); AQE
+    // may upgrade small builds to broadcast, which is also hash.
+    assert(!p.contains("SortMergeJoin"),
+      s"funnel joins must hash, not sort the event stream:\n${p.take(3000)}")
+    assert("ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      p.take(3000))
+  }
+
   test("t24: per-stratum sampling partial-aggregates the heap — no corpus-wide rank window") {
     val p = plan("t24_stratified_k")
     assert(p.contains("partial_topkpairs"),
