@@ -215,31 +215,89 @@ object DataOps {
         max(col("last_chunk")).as("last_chunk"))
   }
 
+  /** Exact, order-independent distributed sum for [[trainQualityClassifier]]:
+    * values are rounded to a fixed decimal scale up front (Spark `round`
+    * semantics: shortest-repr BigDecimal, HALF_UP) and accumulated as
+    * scaled integers — a Long fast path that spills into a BigInt before
+    * it can overflow (each added term is < 2^46, the spill triggers at
+    * 2^62), so the total is EXACT at any corpus size and any
+    * partitioning / merge order. This reproduces bit-for-bit what a
+    * `sum(round(x, s).cast("decimal(28,s)")).cast("double")` column
+    * computes, without paying Catalyst per iteration. */
+  private[operators] final class ExactAcc extends Serializable {
+    private var big: BigInt = null
+    private var acc: Long = 0L
+    def add(unscaled: Long): Unit = {
+      acc += unscaled
+      if (acc > ExactAcc.SpillAt || acc < -ExactAcc.SpillAt) {
+        big = if (big == null) BigInt(acc) else big + acc
+        acc = 0L
+      }
+    }
+    def merge(o: ExactAcc): ExactAcc = {
+      add(o.acc)
+      if (o.big != null) big = if (big == null) o.big else big + o.big
+      this
+    }
+    def toDouble(scale: Int): Double = {
+      val total = if (big == null) BigInt(acc) else big + acc
+      new java.math.BigDecimal(total.bigInteger, scale).doubleValue()
+    }
+  }
+  private[operators] object ExactAcc {
+    /** Spill threshold: terms are < 2^46 (≤ |v·x|·1e12), so a Long past
+      * 2^62 still cannot overflow before the next check. */
+    val SpillAt: Long = 1L << 62
+    def array(n: Int): Array[ExactAcc] = Array.fill(n)(new ExactAcc)
+    def mergeArrays(a: Array[ExactAcc], b: Array[ExactAcc])
+        : Array[ExactAcc] = {
+      var i = 0
+      while (i < a.length) { a(i).merge(b(i)); i += 1 }
+      a
+    }
+    /** `round(v, scale)` then take the unscaled integer — equal to
+      * Spark's round-to-double + cast-to-decimal chain for the |v| ≲ 1e6
+      * magnitudes seen here (doubles are denser than 10^-scale there, so
+      * the intermediate double round-trip is lossless). */
+    def scaled(v: Double, scale: Int): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+  }
+
   /** t25: TRAIN the hashed-bucket quality classifier — the missing
     * train side of t17's fastText-style scorer (CCNet/GPT-3 pipelines
     * train exactly this: logistic regression over hashed bag-of-words,
     * "known-good corpus vs random crawl" labels). Full-batch gradient
-    * descent: per iteration the corpus streams through TWO aggregations
-    * (per-doc score, then per-bucket gradient — both shuffles keyed
-    * high-cardinality or bucket-bounded), the nBuckets gradient rows
-    * collect, and the updated weights re-enter the next iteration's
-    * plan as literals (the BPE/k-means driver-loop convention). At real
-    * scale swap full-batch for a deterministic md5 sample per epoch.
+    * descent in the MLlib shape (the GradientDescent/treeAggregate
+    * pattern): features collapse ONCE — via the plan's single exchange —
+    * into a cached RDD of (label, buckets[], freqs[]) with ≤ nBuckets
+    * entries per doc, and each iteration is then a single
+    * `treeAggregate` whose closure does plain JVM math: per-doc score →
+    * sigmoid → residual → per-bucket gradient + loss, merged up a
+    * depth-2 combine tree. No Catalyst per iteration at all — round 4's
+    * DataFrame loop (re-analyzed/re-codegen'd plans with fresh weight
+    * literals, a per-doc aggregation, a residual join, a persist cycle
+    * and two actions per iteration) spent 2.6× the wall-clock on
+    * per-iteration PLANNING overhead, which is what this rewrite
+    * removes. Weights ride to executors as a broadcast var (O(1) task
+    * size at fastText-scale nBuckets). At real scale swap full-batch
+    * for a deterministic md5 sample per epoch.
     *
-    * DETERMINISM: gradients and the loss are rounded per-element and
-    * decimal-summed, so weights are bit-identical under any input
-    * partitioning (spec-gated) — a plain double sum would make the
-    * trained model depend on task scheduling.
+    * DETERMINISM: every distributed sum (feature stats, per-doc score,
+    * gradients, residual total, loss) is rounded per-element to a fixed
+    * decimal scale and accumulated as exact scaled integers
+    * ([[ExactAcc]] — spill-to-BigInt, overflow-proof), reproducing the
+    * r4 decimal-column arithmetic bit-for-bit: integer addition is
+    * exact, hence order-independent, so the trained model cannot depend
+    * on partitioning, scheduling, or feature-array order (spec-gated).
     *
     * Returns (weights with bias at index 0, per-iteration mean loss). */
-  /** @param literalWeightLimit above this bucket count the per-iteration
-    *   weights ride as a BROADCAST (bucket → weight) table instead of a
-    *   folded literal array: at 2^18–2^20 buckets (a fastText-size
-    *   vocabulary) a literal array makes the plan itself megabytes and
-    *   chokes codegen, while a broadcast table is DATA in an exchange —
-    *   plan size stays O(1) in nBuckets. Both paths round and
-    *   decimal-sum identically, so the trained weights are bit-identical
-    *   (spec-gated). */
+  /** @param literalWeightLimit retained for source compatibility (the r4
+    *   implementation switched between literal-array and broadcast-table
+    *   weight plans at this bucket count); since round 5 weights always
+    *   ride as a broadcast var, so the parameter is ignored — every
+    *   bucket count gets the same O(1)-plan, bit-identical training. */
   def trainQualityClassifier(docs: DataFrame, idCol: String,
       textCol: String, labelCol: String, nBuckets: Int = 256,
       iterations: Int = 15, lr: Double = 1.0,
@@ -247,24 +305,35 @@ object DataOps {
       : (Array[Double], Array[Double]) = {
     val ss = docs.sparkSession
     import ss.implicits._
-    val sparse = docs.select(col(idCol).as("__id"),
+    val _ = literalWeightLimit // see @param: ignored since round 5
+    // ONE exchange total: hash-partition by __id before the feature
+    // groupBy (its ClusteredDistribution(__id,__y,__n,__b) is satisfied
+    // by HashPartitioning(__id) — subset rule), so the per-doc collapse
+    // that follows is exchange-free.
+    val perDocDf = docs.select(col(idCol).as("__id"),
         col(labelCol).cast("double").as("__y"),
         graft.functions.Text.tokenCount(col(textCol)).cast("double")
           .as("__n"),
         explode(graft.functions.Text.tokens(col(textCol))).as("__t"))
       .withColumn("__b", (md5Bucket($"__t") % nBuckets).cast("int"))
-      // hash-partition by __id BEFORE the feature groupBy: the groupBy's
-      // ClusteredDistribution(__id,__y,__n,__b) is satisfied by
-      // HashPartitioning(__id) (subset rule), so this is the plan's ONLY
-      // exchange — and localCheckpoint preserves the partitioning, making
-      // every per-iteration groupBy(__id,__y) and the residual join
-      // exchange-free for all `iterations` passes.
       .repartition($"__id")
       .groupBy($"__id", $"__y", $"__n", $"__b")
       .agg(count(lit(1)).cast("double").as("__c"))
       .select($"__id", $"__y", ($"__c" / $"__n").as("__x"), $"__b")
-      .localCheckpoint() // features are re-read every iteration
-    val nDocs = sparse.select($"__id").distinct().count().toDouble
+      .groupBy($"__id", $"__y")
+      .agg(collect_list(struct($"__b", $"__x")).as("__f"))
+    // cache the per-doc features as a typed RDD (label, buckets[],
+    // freqs[]): iterations run pure JVM math over this, so per-iteration
+    // cost is one treeAggregate job — no plan analysis, no codegen
+    val perDoc = perDocDf.select($"__y", $"__f").rdd.map { row =>
+      val fs = row.getSeq[org.apache.spark.sql.Row](1)
+      val bs = new Array[Int](fs.length)
+      val xs = new Array[Double](fs.length)
+      var i = 0
+      fs.foreach { f => bs(i) = f.getInt(0); xs(i) = f.getDouble(1); i += 1 }
+      (row.getDouble(0), bs, xs)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = perDoc.count().toDouble
     // Per-bucket standardization: raw c/n frequencies are ~1/n_tokens,
     // which conditions GD so badly it crawls (measured: majority-class
     // accuracy after 60 iterations). Standardized features converge in
@@ -272,14 +341,25 @@ object DataOps {
     // standardized score is Σ_sparse (w_b/sd_b)·f minus a scalar
     // constant, and the gradient is the sparse sum minus (mu_b/sd_b)·R
     // with R the residual total, so zeros never materialize.
-    val stats = sparse.groupBy($"__b").agg(
-        sum(round($"__x", 9).cast("decimal(28,9)")).cast("double").as("s1"),
-        sum(round($"__x" * $"__x", 12).cast("decimal(28,12)"))
-          .cast("double").as("s2"))
-      .as[(Int, Double, Double)].collect()
+    val (s1A, s2A) = perDoc.treeAggregate(
+        (ExactAcc.array(nBuckets), ExactAcc.array(nBuckets)))(
+      seqOp = { case (acc @ (s1, s2), (_, bs, xs)) =>
+        var i = 0
+        while (i < bs.length) {
+          s1(bs(i)).add(ExactAcc.scaled(xs(i), 9))
+          s2(bs(i)).add(ExactAcc.scaled(xs(i) * xs(i), 12))
+          i += 1
+        }
+        acc
+      },
+      combOp = { case ((a1, a2), (b1, b2)) =>
+        (ExactAcc.mergeArrays(a1, b1), ExactAcc.mergeArrays(a2, b2))
+      })
     val mu = Array.fill(nBuckets)(0.0)
     val sd = Array.fill(nBuckets)(1.0)
-    stats.foreach { case (b, s1, s2) =>
+    for (b <- 0 until nBuckets) {
+      val s1 = s1A(b).toDouble(9)
+      val s2 = s2A(b).toDouble(12)
       mu(b) = s1 / nDocs
       val v = (s2 - s1 * s1 / nDocs) / (nDocs - 1.0)
       if (v > 1e-24) sd(b) = math.sqrt(v)
@@ -289,54 +369,52 @@ object DataOps {
     val losses = Array.newBuilder[Double]
     for (_ <- 1 to iterations) {
       val c0 = b0 - (0 until nBuckets).map(b => w(b) * mu(b) / sd(b)).sum
-      // the per-doc logit is decimal-summed on BOTH paths: an unordered
-      // double sum here would leak shuffle-fetch order into __s → __r →
-      // the rounded gradients, voiding the bit-identical contract
-      val scored =
-        if (nBuckets <= literalWeightLimit) {
-          // folded literals: score_i = Σ_sparse (w_b/sd_b) f_ib + (b0-C)
-          val vArr = array(Array.tabulate(nBuckets)(b => lit(w(b) / sd(b)))
-            .toIndexedSeq: _*)
-          sparse.groupBy($"__id", $"__y")
-            .agg(sum(round(element_at(vArr, $"__b" + 1) * $"__x", 12)
-              .cast("decimal(28,12)")).cast("double").as("__s"))
-        } else {
-          // broadcast weight table: identical arithmetic, map-side
-          // hash-join lookup instead of a plan-inflating literal array
-          val wDf = broadcast(
-            w.indices.map(b => (b, w(b) / sd(b))).toDF("__b", "__v"))
-          sparse.join(wDf, "__b")
-            .groupBy($"__id", $"__y")
-            .agg(sum(round($"__v" * $"__x", 12)
-              .cast("decimal(28,12)")).cast("double").as("__s"))
-        }
-      // cached per iteration: the gradient join and the loss scalars both
-      // consume it, and without the cache the scoring aggregation runs
-      // twice per iteration
-      val perDoc = scored
-        .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-(lit(c0) + $"__s"))))
-        .withColumn("__r", $"__y" - $"__p")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sparseGrad = sparse.join(perDoc.select($"__id", $"__r"), "__id")
-        .groupBy($"__b")
-        .agg(sum(round($"__r" * $"__x", 9).cast("decimal(28,9)"))
-          .cast("double").as("__g"))
-        .as[(Int, Double)].collect().toMap
-      val scalars = perDoc.agg(
-        sum(round($"__r", 9).cast("decimal(28,9)")).cast("double").as("g0"),
-        sum(round(
-          when($"__y" === 1.0, -log(greatest($"__p", lit(1e-12))))
-            .otherwise(-log(greatest(lit(1.0) - $"__p", lit(1e-12)))), 9)
-          .cast("decimal(28,9)")).cast("double").as("loss")).head()
-      perDoc.unpersist()
-      val rTotal = scalars.getAs[Double]("g0")
+      // standardization-folded weights ride as ONE broadcast var —
+      // task size stays O(1) at fastText-scale bucket counts
+      val bcV = ss.sparkContext.broadcast(
+        Array.tabulate(nBuckets)(b => w(b) / sd(b)))
+      val (grads, rAcc, lAcc) = perDoc.treeAggregate(
+          (ExactAcc.array(nBuckets), new ExactAcc, new ExactAcc))(
+        seqOp = { case (acc @ (g, ra, la), (y, bs, xs)) =>
+          val v = bcV.value
+          // per-doc logit: exact scaled-integer sum of the rounded
+          // per-feature terms — |term| ≤ |v·x|·1e12 over ≤ nBuckets
+          // terms, addExact turns any (absurd-magnitude) overflow into
+          // a loud failure rather than a silent wrong model
+          var sL = 0L
+          var i = 0
+          while (i < bs.length) {
+            sL = Math.addExact(sL, ExactAcc.scaled(v(bs(i)) * xs(i), 12))
+            i += 1
+          }
+          val s = java.math.BigDecimal.valueOf(sL, 12).doubleValue()
+          val p = 1.0 / (1.0 + math.exp(-(c0 + s)))
+          val r = y - p
+          val l =
+            if (y == 1.0) -math.log(math.max(p, 1e-12))
+            else -math.log(math.max(1.0 - p, 1e-12))
+          i = 0
+          while (i < bs.length) {
+            g(bs(i)).add(ExactAcc.scaled(r * xs(i), 9))
+            i += 1
+          }
+          ra.add(ExactAcc.scaled(r, 9))
+          la.add(ExactAcc.scaled(l, 9))
+          acc
+        },
+        combOp = { case ((g1, r1, l1), (g2, r2, l2)) =>
+          (ExactAcc.mergeArrays(g1, g2), r1.merge(r2), l1.merge(l2))
+        })
+      bcV.destroy()
+      val rTotal = rAcc.toDouble(9)
       w = Array.tabulate(nBuckets) { b =>
-        val g = (sparseGrad.getOrElse(b, 0.0) - mu(b) * rTotal) / sd(b)
+        val g = (grads(b).toDouble(9) - mu(b) * rTotal) / sd(b)
         w(b) + lr * g / nDocs
       }
       b0 += lr * rTotal / nDocs
-      losses += scalars.getAs[Double]("loss") / nDocs
+      losses += lAcc.toDouble(9) / nDocs
     }
+    perDoc.unpersist(blocking = false)
     // fold standardization into the returned model so scoring is the
     // plain t17 form over raw frequencies: v_b = w_b/sd_b,
     // bias' = b0 - Σ w_b mu_b / sd_b
