@@ -23,6 +23,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 private[pgwire] object PgJdbc {
 
+  /** Batches shipped via COPY FROM STDIN (process-wide) — observability
+    * for specs/benchmarks asserting the bulk path actually engaged. */
+  private[pgwire] val CopyBatches = new java.util.concurrent.atomic.AtomicLong()
+
   /** OID → (java.sql.Types code, postgres type name). Public catalog
     * constants (pg_type.dat). Covers every type the engine's tables use;
     * unknown OIDs fall back to VARCHAR/"text" which Spark reads as
@@ -263,37 +267,67 @@ private[pgwire] object PgJdbc {
     private lazy val segments =
       if (sqlTemplate == null) Vector.empty else splitPlaceholders(sqlTemplate)
     private val nParams = if (sqlTemplate == null) 0 else segments.length - 1
-    private val params = new Array[String](nParams)
-    private val batch = new ArrayBuffer[String]()
+    // raw JDBC values (null is a legal value → separate bound flags);
+    // literal encoding happens at execute/addBatch time
+    private val params = new Array[Any](nParams)
+    private val bound = new Array[Boolean](nParams)
+    private val batch = new ArrayBuffer[Array[Any]]()
+    // Spark-writer-shaped INSERT batches bulk-load via COPY FROM STDIN
+    // instead of ';'-joined INSERTs — same rows, no per-row SQL parsing.
+    private lazy val copySql: Option[String] =
+      if (sqlTemplate == null || !conn.copyEnabled) None
+      else PgCopyText.copyStatementFor(sqlTemplate)
     var stClosed = false
     private var lastResults: IndexedSeq[PgResult] = Vector.empty
     private var resultIdx = 0
 
-    def setParam(i: Int, v: Any): Unit = params(i - 1) = encodeLiteral(v)
-    def clearParams(): Unit = java.util.Arrays.fill(params.asInstanceOf[Array[AnyRef]], null)
+    def setParam(i: Int, v: Any): Unit = { params(i - 1) = v; bound(i - 1) = true }
+    def clearParams(): Unit = {
+      java.util.Arrays.fill(params.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(bound, false)
+    }
 
     private def interpolated: String = {
-      require(params.forall(_ != null),
+      require(bound.forall(identity),
         "pgwire: not all placeholders were bound before execute")
       val sb = new StringBuilder(segments.head)
       var i = 0
-      while (i < nParams) { sb ++= params(i) ++= segments(i + 1); i += 1 }
+      while (i < nParams) { sb ++= encodeLiteral(params(i)) ++= segments(i + 1); i += 1 }
       sb.toString()
     }
 
-    def addBatch(): Unit = batch += interpolated
+    def addBatch(): Unit = {
+      require(bound.forall(identity),
+        "pgwire: not all placeholders were bound before addBatch")
+      batch += params.clone()
+    }
     def clearBatch(): Unit = batch.clear()
 
     def executeBatch(): Array[Int] = {
       if (batch.isEmpty) Array.empty
-      else {
-        val sql = batch.mkString(";\n")
-        val n = batch.length
-        batch.clear()
-        val results = conn.run(sql)
-        require(results.length == n,
-          s"pgwire: batch of $n statements returned ${results.length} results")
-        results.map(_.updateCount).toArray
+      else copySql match {
+        case Some(copy) =>
+          val n = batch.length
+          val rows = batch.iterator.map(PgCopyText.encodeRow)
+          val copied = conn.copyIn(copy, rows)
+          batch.clear()
+          require(copied == n, s"pgwire: COPY of $n rows reported $copied")
+          CopyBatches.incrementAndGet()
+          // each logical statement affected exactly its one row
+          Array.fill(n)(1)
+        case None =>
+          val sql = batch.iterator.map { row =>
+            val sb = new StringBuilder(segments.head)
+            var i = 0
+            while (i < nParams) { sb ++= encodeLiteral(row(i)) ++= segments(i + 1); i += 1 }
+            sb.toString()
+          }.mkString(";\n")
+          val n = batch.length
+          batch.clear()
+          val results = conn.run(sql)
+          require(results.length == n,
+            s"pgwire: batch of $n statements returned ${results.length} results")
+          results.map(_.updateCount).toArray
       }
     }
 
@@ -359,7 +393,7 @@ private[pgwire] object PgJdbc {
     * lazily before the first statement; commit/rollback end the block.
     * (The simple protocol auto-commits each bare statement, which is
     * exactly JDBC's autoCommit=true.) */
-  private final class ConnCore(val proto: PgProtocol) {
+  private final class ConnCore(val proto: PgProtocol, val copyEnabled: Boolean) {
     private var autoCommit = true
     private var inTxn = false
     private var isolation = Connection.TRANSACTION_READ_COMMITTED
@@ -367,6 +401,12 @@ private[pgwire] object PgJdbc {
     def run(sql: String): IndexedSeq[PgResult] = synchronized {
       if (!autoCommit && !inTxn) { proto.query("BEGIN"); inTxn = true }
       proto.query(sql)
+    }
+    /** COPY participates in the same lazy-BEGIN transaction discipline as
+      * plain statements, so a partition's staged COPYs commit atomically. */
+    def copyIn(sql: String, rows: Iterator[Array[Byte]]): Long = synchronized {
+      if (!autoCommit && !inTxn) { proto.query("BEGIN"); inTxn = true }
+      proto.copyIn(sql, rows)
     }
     def getAutoCommit: Boolean = synchronized(autoCommit)
     def setAutoCommit(b: Boolean): Unit = synchronized {
@@ -396,8 +436,9 @@ private[pgwire] object PgJdbc {
     def isClosed: Boolean = proto.isClosed
   }
 
-  def connection(proto: PgProtocol, url: String, user: String): Connection = {
-    val core = new ConnCore(proto)
+  def connection(proto: PgProtocol, url: String, user: String,
+      copyEnabled: Boolean = true): Connection = {
+    val core = new ConnCore(proto, copyEnabled)
     lazy val conn: Connection = proxy(classOf[Connection], "PgConnection") { (name, a) =>
       name match {
         case "createStatement" => Some(statement(core, conn, null))

@@ -26,20 +26,22 @@ private[pgwire] final case class PgResult(cols: IndexedSeq[PgCol],
 }
 
 /** Minimal PostgreSQL v3 frontend/backend protocol client — SIMPLE query
-  * mode only, text result format, trust ("no password") authentication.
+  * mode, text result format, COPY FROM STDIN for bulk load, and trust /
+  * cleartext / MD5 / SCRAM-SHA-256 authentication.
   *
   * Built from the public protocol specification (PostgreSQL docs,
-  * "Frontend/Backend Protocol"). This is NOT a general-purpose driver:
-  * it exists so the [[graft.etl.JdbcUpsert]] sink can be executed against
-  * a real Postgres server in environments where no vendor JDBC driver is
-  * available. Unsupported: MD5/SCRAM auth, extended query protocol,
-  * binary format, COPY, notifications.
+  * "Frontend/Backend Protocol" + "SASL Authentication") and RFC 5802/7677
+  * for SCRAM. This is NOT a general-purpose driver: it exists so the
+  * [[graft.etl.JdbcUpsert]] sink can be executed against a real Postgres
+  * server in environments where no vendor JDBC driver is available.
+  * Unsupported: extended query protocol, binary format, COPY TO,
+  * notifications, TLS (so no channel binding — SCRAM runs with gs2 `n,,`).
   *
   * Thread safety: one protocol instance per connection; callers
   * (the JDBC wrapper) synchronize on the instance.
   */
 private[pgwire] final class PgProtocol(host: String, port: Int,
-    user: String, database: String) {
+    user: String, database: String, password: Option[String] = None) {
 
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), 10000)
@@ -53,7 +55,9 @@ private[pgwire] final class PgProtocol(host: String, port: Int,
   def isClosed: Boolean = closed
 
   /** Send the StartupMessage and consume handshake messages through the
-    * first ReadyForQuery. Only AuthenticationOk (trust) is accepted. */
+    * first ReadyForQuery, answering authentication requests: 0 = Ok,
+    * 3 = CleartextPassword, 5 = MD5Password, 10/11/12 = SASL
+    * (SCRAM-SHA-256 only). */
   private def startup(): Unit = {
     val params = Seq("user" -> user, "database" -> database,
       "client_encoding" -> "UTF8", "application_name" -> "graft-pgwire")
@@ -72,16 +76,62 @@ private[pgwire] final class PgProtocol(host: String, port: Int,
     out.write(body.toArray)
     out.flush()
 
+    def pw: String = password.getOrElse(throw new SQLException(
+      "pgwire: server requires a password but none was supplied", "28000"))
+
+    /** PasswordMessage / SASLInitialResponse / SASLResponse all ride the
+      * same frontend message type 'p'. */
+    def sendAuth(payload: Array[Byte]): Unit = {
+      out.writeByte('p')
+      out.writeInt(4 + payload.length)
+      out.write(payload)
+      out.flush()
+    }
+
+    var scram: Scram = null
     var ready = false
     while (!ready) {
       val (tpe, payload) = readMessage()
       tpe match {
         case 'R' =>
           val code = readInt32(payload, 0)
-          if (code != 0)
-            throw new SQLException(
-              s"pgwire supports only trust authentication (server requested code $code)",
-              "28000")
+          code match {
+            case 0 => () // AuthenticationOk
+            case 3 => // CleartextPassword
+              sendAuth(pw.getBytes(UTF_8) :+ 0.toByte)
+            case 5 => // MD5Password: 4-byte salt follows
+              val salt = payload.slice(4, 8)
+              sendAuth(Scram.md5Password(user, pw, salt).getBytes(UTF_8) :+ 0.toByte)
+            case 10 => // AuthenticationSASL: NUL-separated mechanism list
+              val mechs = new String(payload, 4, payload.length - 4, UTF_8)
+                .split('\u0000').filter(_.nonEmpty)
+              if (!mechs.contains(Scram.Mechanism))
+                throw new SQLException(
+                  s"pgwire: server offers [${mechs.mkString(", ")}], " +
+                    s"client supports only ${Scram.Mechanism}", "28000")
+              scram = new Scram(pw)
+              val initial = scram.clientFirstMessage.getBytes(UTF_8)
+              val msg = new ArrayBuffer[Byte]()
+              msg ++= Scram.Mechanism.getBytes(UTF_8); msg += 0
+              msg += ((initial.length >>> 24) & 0xff).toByte
+              msg += ((initial.length >>> 16) & 0xff).toByte
+              msg += ((initial.length >>> 8) & 0xff).toByte
+              msg += (initial.length & 0xff).toByte
+              msg ++= initial
+              sendAuth(msg.toArray)
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              if (scram == null)
+                throw new SQLException("pgwire: SASLContinue outside an exchange", "28000")
+              val serverFirst = new String(payload, 4, payload.length - 4, UTF_8)
+              sendAuth(scram.clientFinal(serverFirst).getBytes(UTF_8))
+            case 12 => // AuthenticationSASLFinal: server signature
+              if (scram == null)
+                throw new SQLException("pgwire: SASLFinal outside an exchange", "28000")
+              scram.verifyServerFinal(new String(payload, 4, payload.length - 4, UTF_8))
+            case other =>
+              throw new SQLException(
+                s"pgwire: unsupported authentication request code $other", "28000")
+          }
         case 'S' | 'K' | 'N' => () // ParameterStatus / BackendKeyData / Notice
         case 'Z' => ready = true
         case 'E' => throw parseError(payload)
@@ -134,6 +184,92 @@ private[pgwire] final class PgProtocol(host: String, port: Int,
     }
     if (err != null) throw err
     results.toIndexedSeq
+  }
+
+  /** Execute a `COPY table (cols) FROM STDIN` statement, streaming
+    * `rows` as text-format COPY data (caller encodes each row INCLUDING
+    * the trailing newline — see [[PgCopyText]]), and return the copied
+    * row count from the CommandComplete tag.
+    *
+    * Frames: Query → CopyInResponse('G') → CopyData('d')* → CopyDone('c')
+    * → CommandComplete → ReadyForQuery. Rows are packed into ~64 KiB
+    * CopyData frames. If encoding fails mid-stream, CopyFail('f') aborts
+    * the COPY server-side before the exception propagates. */
+  def copyIn(sql: String, rows: Iterator[Array[Byte]]): Long = synchronized {
+    require(!closed, "pgwire connection is closed")
+    val sqlBytes = sql.getBytes(UTF_8)
+    out.writeByte('Q')
+    out.writeInt(4 + sqlBytes.length + 1)
+    out.write(sqlBytes)
+    out.writeByte(0)
+    out.flush()
+
+    // Wait for CopyInResponse; an error here (bad table/cols) drains to Z.
+    var err: SQLException = null
+    var inCopy = false
+    var done = false
+    var copied = 0L
+    while (!inCopy && !done) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'G' => inCopy = true // CopyInResponse (format byte + per-col formats ignored: text)
+        case 'E' => if (err == null) err = parseError(payload)
+        case 'N' | 'S' | 'K' => ()
+        case 'Z' => done = true
+        case other =>
+          throw new SQLException(s"pgwire: unexpected message '$other' awaiting CopyInResponse")
+      }
+    }
+    if (err != null) throw err
+
+    val frame = new java.io.ByteArrayOutputStream(1 << 16)
+    def flushFrame(): Unit = if (frame.size() > 0) {
+      out.writeByte('d')
+      out.writeInt(4 + frame.size())
+      frame.writeTo(out)
+      frame.reset()
+    }
+    try {
+      while (rows.hasNext) {
+        frame.write(rows.next())
+        if (frame.size() >= (1 << 16)) flushFrame()
+      }
+      flushFrame()
+      out.writeByte('c'); out.writeInt(4) // CopyDone
+      out.flush()
+    } catch {
+      case e: Throwable =>
+        // abort server-side, then drain the error response to ReadyForQuery
+        try {
+          val reason = "pgwire client abort".getBytes(UTF_8)
+          out.writeByte('f'); out.writeInt(4 + reason.length + 1)
+          out.write(reason); out.writeByte(0); out.flush()
+          var d = false
+          while (!d) {
+            val (tpe, _) = readMessage()
+            if (tpe == 'Z') d = true
+          }
+        } catch { case _: Throwable => () }
+        throw e
+    }
+
+    done = false
+    while (!done) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'C' =>
+          val tag = cstring(payload, 0)._1 // "COPY <n>"
+          val parts = tag.split(' ')
+          if (parts.length == 2 && parts(1).forall(_.isDigit)) copied = parts(1).toLong
+        case 'E' => if (err == null) err = parseError(payload)
+        case 'N' | 'S' => ()
+        case 'Z' => done = true
+        case other =>
+          throw new SQLException(s"pgwire: unexpected message '$other' after CopyDone")
+      }
+    }
+    if (err != null) throw err
+    copied
   }
 
   def close(): Unit = synchronized {

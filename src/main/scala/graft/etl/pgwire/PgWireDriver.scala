@@ -28,8 +28,14 @@ final class PgWireDriver extends Driver {
     val (host, port, db) = PgWireDriver.parseUrl(url)
     val user = Option(info).flatMap(p => Option(p.getProperty("user")))
       .getOrElse("postgres")
-    val proto = new PgProtocol(host, port, user, db)
-    PgJdbc.connection(proto, url, user)
+    val password = Option(info).flatMap(p => Option(p.getProperty("password")))
+    // pgwire.copy=false disables the COPY bulk path (A/B, or servers
+    // where COPY is revoked); default on.
+    val copyEnabled = Option(info)
+      .flatMap(p => Option(p.getProperty("pgwire.copy")))
+      .forall(_.toBoolean)
+    val proto = new PgProtocol(host, port, user, db, password)
+    PgJdbc.connection(proto, url, user, copyEnabled)
   }
 
   override def getPropertyInfo(url: String, info: Properties): Array[DriverPropertyInfo] =

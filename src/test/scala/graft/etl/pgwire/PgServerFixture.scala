@@ -35,11 +35,18 @@ object PgServerFixture {
   lazy val available: Boolean =
     binDir.isDefined && (!isRoot || hasPostgresUser)
 
+  /** Password every fixture server requires (since round 5 the default
+    * cluster is initdb'd with -A scram-sha-256, matching both modern PG
+    * defaults and the reference's password-bearing connection config,
+    * credentials.json.example:1-11). */
+  val Password = "graft-test-pw"
+
   final case class Running(port: Int, dataDir: String) {
     def url: String = s"jdbc:postgresql://127.0.0.1:$port/postgres"
     def props: java.util.Properties = {
       val p = new java.util.Properties()
       p.setProperty("user", "postgres")
+      p.setProperty("password", Password)
       // makes Spark's DriverRegistry instantiate the pgwire driver by name
       p.setProperty("driver", classOf[PgWireDriver].getName)
       p
@@ -66,13 +73,29 @@ object PgServerFixture {
   }
 
   /** initdb + start. Throws with the captured output on any failure —
-    * callers have already checked [[available]]. */
-  def start(): Running = {
+    * callers have already checked [[available]].
+    *
+    * @param auth pg_hba auth method written by initdb -A for ALL
+    *   connections: "scram-sha-256" (default — the pgwire client must
+    *   complete a real RFC 7677 exchange) or "trust". For MD5 use
+    *   [[switchToMd5]] after a trust start (PG 15's initdb hashes the
+    *   bootstrap password with the default scram encryption, and a
+    *   scram-stored verifier makes the server negotiate SASL even under
+    *   an md5 hba line).
+    */
+  def start(auth: String = "scram-sha-256"): Running = {
     val bin = binDir.getOrElse(sys.error("no postgres installation found"))
     val dataDir = s"/tmp/graft_pg_${System.nanoTime()}"
     val port = freePort()
-    val (ic, iout) = run(asPg(Seq(s"$bin/initdb", "-D", dataDir,
-      "-A", "trust", "-U", "postgres", "--no-sync")))
+    // --pwfile sets the bootstrap superuser password (scram-hashed)
+    val pwFile = Paths.get(s"$dataDir.pw")
+    Files.write(pwFile, (Password + "\n").getBytes)
+    pwFile.toFile.setReadable(true, false)
+    val initArgs = Seq(s"$bin/initdb", "-D", dataDir, "-A", auth,
+      "-U", "postgres", "--no-sync") ++
+      (if (auth == "trust") Seq.empty else Seq(s"--pwfile=$pwFile"))
+    val (ic, iout) = run(asPg(initArgs))
+    Files.deleteIfExists(pwFile)
     require(ic == 0, s"initdb failed ($ic):\n$iout")
     // timezone pinned: DATE_TRUNC over timestamptz follows the server
     // TimeZone, and the parity specs compare against Spark's UTC session
@@ -83,6 +106,38 @@ object PgServerFixture {
       "-o", opts, "-l", s"$dataDir/server.log", "start")))
     require(sc == 0, s"pg_ctl start failed ($sc):\n$sout")
     Running(port, dataDir)
+  }
+
+  /** Flip a running (trust-started) cluster to MD5 challenge-response
+    * auth: store an md5-hashed verifier for the superuser, rewrite
+    * pg_hba.conf to `md5`, reload. New connections then get the
+    * AuthenticationMD5Password (code 5) challenge. */
+  def switchToMd5(r: Running): Unit = {
+    PgWireDriver.ensureRegistered()
+    val conn = java.sql.DriverManager.getConnection(r.url, {
+      val p = new java.util.Properties()
+      p.setProperty("user", "postgres")
+      p.setProperty("driver", classOf[PgWireDriver].getName)
+      p
+    })
+    try {
+      val st = conn.createStatement()
+      try {
+        st.execute("SET password_encryption = 'md5'")
+        st.execute(s"ALTER ROLE postgres PASSWORD '$Password'")
+      } finally st.close()
+    } finally conn.close()
+    val hba = Paths.get(r.dataDir, "pg_hba.conf")
+    val lines = new String(Files.readAllBytes(hba),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rewritten = lines.linesIterator.map { l =>
+      if (l.trim.startsWith("#") || l.trim.isEmpty) l
+      else l.replaceAll("trust\\s*$", "md5")
+    }.mkString("\n") + "\n"
+    Files.write(hba, rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bin = binDir.get
+    val (rc, rout) = run(asPg(Seq(s"$bin/pg_ctl", "-D", r.dataDir, "reload")))
+    require(rc == 0, s"pg_ctl reload failed ($rc):\n$rout")
   }
 
   def stop(r: Running): Unit = {
