@@ -97,23 +97,54 @@ object Similarity {
   /** Approximate top-k: candidates = corpus rows whose signature is within
     * `maxHamming` sign-bit flips of the probe's (joined per matching band
     * chunk, pigeonhole-style), exact cosine rerank inside the candidate
-    * set. Recall < 1 by construction; the tradeoff knob is numPlanes /
-    * maxHamming. */
+    * set. Recall < 1 by construction; the tradeoff knobs are numPlanes /
+    * maxHamming / probeFlips.
+    *
+    * Multi-probe: the PROBE side additionally probes every bucket within
+    * `probeFlips` bit flips of its own chunk bucket (the standard
+    * multi-probe LSH trick — perturb the query's hash, never re-bucket
+    * the corpus). Pigeonhole guarantee widens from "some chunk matches
+    * exactly when total distance ≤ chunks−1" to: a corpus vector within
+    * `chunks·(probeFlips+1) − 1` total sign-bit flips of the probe shares
+    * a probed bucket in at least one chunk. Fan-out cost is per-PROBE
+    * only — `chunks · Σ_{i≤probeFlips} C(width, i)` bucket lookups
+    * (e.g. 4·5 = 20 at the 16-plane default) — while the corpus keeps
+    * exactly one row per chunk, so the index size and the 100 TB scan
+    * shape are unchanged. */
   def lshKnn(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
-      numPlanes: Int = 16, maxHamming: Int = 3,
+      numPlanes: Int = 16, maxHamming: Int = 3, probeFlips: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val chunks = maxHamming + 1
     val width = math.max(1, numPlanes / chunks)
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), toDouble(col(vec)).as(s"${id}_v"),
+    // All XOR masks of ≤ probeFlips bits inside one chunk (subset
+    // enumeration at plan-build time; width ≤ 64 so this is tiny).
+    val masks: Seq[Long] = {
+      def combos(bits: List[Int], f: Int): Seq[Long] =
+        if (f == 0) Seq(0L)
+        else bits match {
+          case Nil => Seq(0L)
+          case b :: rest =>
+            combos(rest, f) ++ combos(rest, f - 1).map(_ | (1L << b))
+        }
+      combos((0 until width).toList, math.min(probeFlips, width)).distinct
+    }
+    def banded(df: DataFrame, id: String, vec: String, flipMasks: Seq[Long]) = {
+      val base = df.select(col(id), toDouble(col(vec)).as(s"${id}_v"),
           lshSignature(toDouble(col(vec)), planes).as(s"${id}_sig"))
-        .select(col(id), col(s"${id}_v"), col(s"${id}_sig"),
+        .select(col(id), col(s"${id}_v"),
           posexplode(array((0 until chunks).map(i =>
             shiftrightunsigned(col(s"${id}_sig"), i * width)
               .bitwiseAND((1L << width) - 1)): _*)).as(Seq("chunk", "bucket")))
-    val c = banded(corpus.select(col(idCol).as("vec_id"), col(vecCol)), "vec_id", vecCol)
-    val p = banded(probes.select(col(idCol).as("probe_id"), col(vecCol)), "probe_id", vecCol)
+      if (flipMasks.sizeIs <= 1) base
+      else base.select(col(id), col(s"${id}_v"), col("chunk"),
+        explode(array(flipMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    }
+    val c = banded(corpus.select(col(idCol).as("vec_id"), col(vecCol)),
+      "vec_id", vecCol, Seq(0L))
+    val p = banded(probes.select(col(idCol).as("probe_id"), col(vecCol)),
+      "probe_id", vecCol, masks)
     val cands = c.join(p, Seq("chunk", "bucket"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),

@@ -512,16 +512,18 @@ class DataOpsSpec extends SparkSpec {
       assert(rows.length === 1, s)
       val r = rows.head
       assert(r.getAs[Long]("n_truth") === 15L, s) // 3 probes × top-5
-      // Floors just under round-4 measured values at the SHIPPED
-      // parameterizations (sf0.001 / sf0.01): lsh 0.47/0.27 (random
-      // embeddings are the adversarial case for hyperplane LSH — true
-      // neighbors barely beat noise; the report exists to keep this
-      // number visible), ivf 0.87/0.93, pq 0.67/0.80, ivfpq 0.80/0.87,
-      // d10 0.86/0.93.
-      val floors = Map("lsh_recall" -> 0.2, "ivf_recall" -> 0.6,
+      // Floors just under measured values at the SHIPPED
+      // parameterizations (sf0.001 / sf0.01): ivf 0.87/0.93, pq
+      // 0.67/0.80, ivfpq 0.80/0.87, d10 0.86/0.93. lsh was 0.47/0.27 in
+      // round 4 (random embeddings are the adversarial case for
+      // hyperplane LSH — true neighbors barely beat noise); round-5
+      // multi-probe (probeFlips=1) lifted it past the 0.6 bar the
+      // round-4 verdict set.
+      val floors = Map("lsh_recall" -> 0.6, "ivf_recall" -> 0.6,
         "pq_recall" -> 0.6, "ivfpq_recall" -> 0.6, "d10_pair_recall" -> 0.8)
       floors.foreach { case (c, floor) =>
         val v = r.getAs[Double](c)
+        info(f"$s $c = $v%.4f (floor $floor)")
         assert(v >= floor && v <= 1.0, s"$s $c = $v (floor $floor)")
       }
     }
