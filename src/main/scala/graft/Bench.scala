@@ -16,6 +16,17 @@ import org.apache.spark.sql.SparkSession
   *     a cold-vs-warm split stays inspectable (rep 1 of the replay
   *     queries pays the one-time parse+cache, by design).
   *
+  * Memoized lineages (etl_*_replay's session-cached views, x01/x02's
+  * shared curate→pack fixpoint): their rep 2+ times measure re-consuming
+  * a session-scoped localCheckpoint/cache — the intended production
+  * shape (parse once, query many), NOT stale results: the memo key is
+  * (session UUID, sfDir), every round's Verify runs in a fresh JVM, and
+  * the memoized queries pass the DuckDB value oracle there. But a median
+  * over warm reps would hide a regression in the MATERIALIZATION itself,
+  * so the file artifact carries a "cold" map (rep-1 time per query) and
+  * "cold_total" — round-over-round diffs of pipeline-shaped queries must
+  * read "cold", everything else reads the median.
+  *
   * Output: ONE JSON line on stdout (driver contract) and the same line
   * plus the raw rep arrays in bench_<sf>.json — diffs must read the FILE,
   * the stdout tail gets truncated by the driver.
@@ -92,7 +103,12 @@ object Bench {
     val rawJson = raw.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val fileLine = line.dropRight(1) + s""","raw":$rawJson}"""
+    val coldJson = raw.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.headOption.getOrElse(-1.0)
+    }.mkString("{", ",", "}")
+    val coldTotal = raw.flatMap(_._2.headOption).filter(_ >= 0).sum
+    val fileLine = line.dropRight(1) +
+      s""","cold_total":$coldTotal,"cold":$coldJson,"raw":$rawJson}"""
     val outName = "bench_" + new java.io.File(sfDir).getName + ".json"
     try {
       val w = new java.io.PrintWriter(new java.io.File(outName), "UTF-8")

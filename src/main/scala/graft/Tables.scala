@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -18,15 +18,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // The events table is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    // unless spark.sql.legacy.parquet.nanosAsLong=true (set by our session
-    // builders) reads it as nanos-since-epoch LongType; normalize back to a
-    // microsecond TimestampType so queries see a real timestamp column.
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
-    }
+    // Normalize the events `ts` column across driver testdata generations:
+    //  - TIMESTAMP(NANOS) parquet arrives as nanos-since-epoch LongType when
+    //    spark.sql.legacy.parquet.nanosAsLong=true (set by our builders);
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ,
+    //    which Spark 4 refuses to cast to numeric (breaks epoch arithmetic).
+    // Both become session-tz TimestampType; with the UTC session timezone our
+    // builders pin, the NTZ->LTZ cast is value-identical to the wall time
+    // DuckDB's oracle sees when it reads the same naive-timestamp parquet.
+    normalizeTs(df)
   }
+
+  /** Normalize a `ts` column to session-tz TimestampType whatever the
+    * parquet encoding delivered (see [[load]]); shared with the streaming
+    * readers, whose source schema is the raw parquet schema. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -75,4 +75,33 @@ object ParquetSink {
     fs.delete(old, true)
     rows
   }
+
+  /** Maintenance sweep: compact every partition directory under `root`
+    * holding more than `maxFiles` data files down to `targetFiles`.
+    * This is the OPTIMIZE pass streaming ingests schedule between
+    * micro-batches — append sinks write one file per touched partition
+    * per batch, so an uncompacted hot partition's scan cost grows with
+    * batch COUNT (open/footer overhead) instead of data size. The sweep
+    * is driver-side directory listing only (partition cardinality is
+    * bounded by design: LSH bands, IVF cells, dates), and each rewrite's
+    * working set is one partition, so at 100 TB the sweeps parallelize
+    * per-partition and never touch cold directories. Returns the
+    * partitions compacted. */
+  def compactHotPartitions(spark: SparkSession, root: String,
+      maxFiles: Int = 8, targetFiles: Int = 1): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    def isData(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName; !n.startsWith("_") && !n.startsWith(".")
+    }
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && isData(s.getPath))
+      .map(_.getPath)
+      .filter(p => fs.listStatus(p).count(f => f.isFile && isData(f.getPath))
+        > maxFiles)
+      .map { p =>
+        compactPartition(spark, root, p.getName, targetFiles); p.getName
+      }
+  }
 }

@@ -165,15 +165,24 @@ object Streaming {
     * (the probe deliberately ignores same-id matches), so readers apply
     * the d01 exact-dedup-by-id pass, the same contract as every
     * append-mode lake ingest; the NEAR-dup invariant above still holds
-    * between distinct ids. */
+    * between distinct ids.
+    *
+    * Maintenance: every `compactEvery` batches the ingest sweeps the
+    * band index and compacts any `bucket_p` partition holding more than
+    * `compactMaxFiles` files ([[graft.sources.ParquetSink.compactHotPartitions]]) —
+    * without it the per-batch appends grow the probe's file count (and
+    * open/footer cost) with batch COUNT forever. Safe inside
+    * foreachBatch: micro-batches serialize, so the swap never races a
+    * probe of the same stream. `compactEvery = 0` disables. */
   def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
       outDir: String, indexDir: String, checkpointDir: String,
       shingleN: Int = 3, numPerm: Int = 16, bands: Int = 4,
-      minEstJaccard: Double = 0.5, indexParts: Int = 64): StreamingQuery =
+      minEstJaccard: Double = 0.5, indexParts: Int = 64,
+      compactEvery: Int = 8, compactMaxFiles: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val pairs = graft.operators.Dedup.minHashLshPairs(batch, idCol,
           textCol, shingleN, numPerm, bands, minEstJaccard)
@@ -202,6 +211,11 @@ object Streaming {
               shingleN, numPerm, bands, indexParts)
             .write.mode("append").partitionBy("bucket_p").parquet(indexDir)
         } finally { survivors.unpersist(); () }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          graft.sources.ParquetSink.compactHotPartitions(spark, indexDir,
+            compactMaxFiles)
+          ()
+        }
       }
       .start()
 
@@ -220,14 +234,17 @@ object Streaming {
     * index). Invariant: no two ingested vectors have cosine ≥
     * `minCosSim` (up to IVF recall — same approximation contract as
     * d10, spec-gated with planted duplicates). At-least-once appends
-    * under restart, same as dedupIngest: the reader applies d01. */
+    * under restart, same as dedupIngest: the reader applies d01.
+    * Maintenance: same every-`compactEvery`-batches hot-`cell`-partition
+    * compaction sweep as [[dedupIngest]] (0 disables). */
   def embeddingIngest(vectors: DataFrame, centroids: DataFrame,
       outDir: String, indexDir: String, checkpointDir: String,
-      minCosSim: Double = 0.95, nProbe: Int = 2): StreamingQuery =
+      minCosSim: Double = 0.95, nProbe: Int = 2,
+      compactEvery: Int = 8, compactMaxFiles: Int = 8): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.functions.TopKPairs.top_k_pairs
         val spark = batch.sparkSession
         import graft.operators.{Dedup, Ivf, Similarity}
@@ -278,6 +295,11 @@ object Streaming {
           Ivf.index(survivors, centroids)
             .write.mode("append").partitionBy("cell").parquet(indexDir)
         } finally { survivors.unpersist(); batchKept.unpersist(); () }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          graft.sources.ParquetSink.compactHotPartitions(spark, indexDir,
+            compactMaxFiles)
+          ()
+        }
       }
       .start()
 

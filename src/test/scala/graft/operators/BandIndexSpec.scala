@@ -44,6 +44,37 @@ class BandIndexSpec extends SparkSpec {
       "probe results must be identical after compaction")
   }
 
+  test("compactHotPartitions: sweep compacts every fat bucket, content and probe preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("band_sweep").toString
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    (0 to 3).foreach { r =>
+      Dedup.bandIndexRows(docs.filter($"doc_id" % 4 === r),
+          "doc_id", "text")
+        .write.mode("append").partitionBy("bucket_p").parquet(dir)
+    }
+    def buckets = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket_p="))
+    def files(b: String) = new java.io.File(s"$dir/$b").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(buckets.exists(files(_) > 2),
+      "appends must leave >2-file buckets for the sweep to find")
+    val batch = docs.filter($"doc_id" % 7 === 0)
+    def probe() = Dedup.probeBandIndex(
+        graft.sources.ParquetSink.read(spark, dir), batch, "doc_id", "text")
+      .select($"doc_new", $"doc_old").as[(Long, Long)].collect().toSet
+    val (beforeProbe, beforeRows) = (probe(), spark.read.parquet(dir).count())
+    val swept = graft.sources.ParquetSink
+      .compactHotPartitions(spark, dir, maxFiles = 2)
+    assert(swept.nonEmpty, "sweep must compact the fat buckets")
+    assert(buckets.forall(files(_) <= 2),
+      "after the sweep no bucket may exceed maxFiles")
+    assert(spark.read.parquet(dir).count() === beforeRows)
+    assert(probe() === beforeProbe)
+    // idempotent: a second sweep finds nothing above the threshold
+    assert(graft.sources.ParquetSink
+      .compactHotPartitions(spark, dir, maxFiles = 2).isEmpty)
+  }
+
   test("band index: bucket_p layout, dynamic pruning, probe ≡ in-memory cross pairs") {
     val dir = java.nio.file.Files.createTempDirectory("band_index").toString
     val docs = graft.Tables.documents(spark, sf("sf0.001"))

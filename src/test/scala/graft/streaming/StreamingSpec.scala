@@ -130,14 +130,14 @@ class StreamingSpec extends SparkSpec {
 
   test("windowed aggregation over a stream equals the batch computation") {
     val eventsPath = sf("sf0.001")
-    // stream schema = the RAW parquet schema (ts is nanos-as-long); apply
-    // the same normalization the batch loader does
+    // stream schema = the RAW parquet schema (ts encoding varies by
+    // testdata generation); apply the same normalization the batch
+    // loader does
     val rawSchema = spark.read.parquet(s"$eventsPath/events.parquet").schema
-    val stream = spark.readStream
+    val stream = graft.Tables.normalizeTs(spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(eventsPath))
     val agg = Streaming.windowedEventCounts(stream)
     // complete mode: on finite data, append-mode watermarking would hold
     // back the final windows forever; complete emits every window
@@ -266,6 +266,56 @@ class StreamingSpec extends SparkSpec {
     drain()
     assert(spark.read.parquet(outDir).count() === ids.length.toLong)
     ingested.unpersist(); ()
+  }
+
+  test("dedup ingest: auto-compaction bounds index file count across many batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("ingest_compact").toString
+    val (outDir, idxDir, ckpt) = (s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt")
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = Streaming.dedupIngest(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", outDir, idxDir, ckpt,
+        compactEvery = 3, compactMaxFiles = 2)
+      q.awaitTermination()
+    }
+    // 9 ingests (3x the base scenario) — sweeps fire after batches 2/5/8
+    val nBatches = 9
+    (0 until nBatches).foreach { r =>
+      input.addData(docs.filter(_._1 % nBatches == r).toSeq)
+      drain()
+    }
+    // bounded: the final sweep ran after the last append, so no bucket
+    // may exceed the compactMaxFiles threshold — without the hook, hot
+    // buckets would hold up to one file per batch (and the planted-dup
+    // corpus touches most buckets every batch)
+    val buckets = new java.io.File(idxDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket_p="))
+    assert(buckets.nonEmpty)
+    def files(b: String) = new java.io.File(s"$idxDir/$b").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val worst = buckets.map(files).max
+    assert(worst <= 2,
+      s"compaction must bound per-bucket file count, worst=$worst")
+    // probe-equivalence: the swept index holds exactly the band rows of
+    // the ingested corpus — compaction lost/duplicated nothing
+    val ingested = spark.read.parquet(outDir)
+    val expected = graft.operators.Dedup
+      .bandIndexRows(ingested, "doc_id", "text")
+      .select($"doc", $"band", $"bucket").as[(Long, Int, Long)]
+      .collect().toSet
+    val actual = spark.read.parquet(idxDir)
+      .select($"doc", $"band", $"bucket").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(actual === expected,
+      "swept index content must equal the band rows of the ingested corpus")
+    // and the operator's own invariant survives the sweeps
+    assert(graft.operators.Dedup.minHashLshPairs(
+      ingested, "doc_id", "text").isEmpty)
   }
 
   test("embedding ingest: IVF-probed rejection across micro-batches leaves no near-dup vector pair") {
