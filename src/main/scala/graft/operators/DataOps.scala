@@ -756,22 +756,26 @@ object DataOps {
       dim = 64, numSubspaces = 8, nProbe = 4, k = 5, shortlist = 30)
   }
 
-  /** d06: exact O(N²) embedding-cosine near-dup pairs (oracle anchor).
+  /** Exact all-pairs cosine near-dups over `vecs` (vec_id, embedding).
     * Norms precomputed ONCE per vector (2N sqrt-dots), not per pair
     * (3 dots × N²/2 pairs) — same doubles, ~3× less pair work. */
-  private def embeddingDupsQuery(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, d)
-      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
-      .withColumn("nrm", Similarity.norm($"v"))
+  private def exactCosinePairs(vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",
         round(Similarity.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm")), 6))
-      .filter($"cos_sim" >= 0.45)
+      .filter(col("cos_sim") >= 0.45)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        $"cos_sim")
+        col("cos_sim"))
   }
+
+  /** d06: exact O(N²) embedding-cosine near-dup pairs (oracle anchor —
+    * the documented quadratic baseline; d10 is the scale default). */
+  private def embeddingDupsQuery(s: SparkSession, d: String): DataFrame =
+    exactCosinePairs(Tables.embeddings(s, d))
 
   /** d10: IVF-bucketed near-dup pairs — d06's scale path. nProbe=3 of 16
     * cells: 18.75% scan fraction per vector, measured recall vs d06
@@ -781,7 +785,15 @@ object DataOps {
     import s.implicits._
     val vectors = Tables.embeddings(s, d)
       .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
-    val centroids = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
+    // nCells ∝ √N (floor 16), the standard IVF sizing: per-cell pair
+    // generation stays ~N^1.5 total instead of N²/nCells with a fixed
+    // cell count (the sf1 run measured 11.8× at 10× data on fixed 16),
+    // while kmeans stays N^1.5 too. Recall is cell-count-robust here:
+    // near-dup pairs are far tighter than cell diameter, and the floor
+    // spec pins it with planted dups.
+    val nCells = math.max(16, math.ceil(
+      math.sqrt(vectors.count().toDouble)).toInt)
+    val centroids = Ivf.kmeans(vectors, nCells = nCells, iterations = 3)
     Dedup.semanticDupPairs(vectors, centroids, minCosSim = 0.45, nProbe = 3)
   }
 
@@ -1325,7 +1337,14 @@ object DataOps {
         truth.join(ann.select($"probe_id", $"vec_id"),
           Seq("probe_id", "vec_id"), "left_semi")
           .agg(count(lit(1)).as(as))
-      val pairTruth = embeddingDupsQuery(s, d).select($"vec_a", $"vec_b")
+      // Pair-truth on a DETERMINISTIC sub-corpus capped at ~512 vectors:
+      // d10's recall over subsample-internal pairs estimates its corpus
+      // recall (uniform id subsample), while the exact O(m²) truth cost
+      // stays CONSTANT in SF — the sf1 scaling run flagged the previous
+      // full-corpus d06 truth as the report's one quadratic term.
+      val mod = math.max(1L, emb.count() / 512L)
+      val pairTruth = exactCosinePairs(emb.filter($"vec_id" % mod === 0))
+        .select($"vec_a", $"vec_b")
       val nPT = pairTruth.agg(count(lit(1)).as("n_pair_truth"))
       val nPH = pairTruth.join(
           semanticPairsQuery(s, d).select($"vec_a", $"vec_b"),
