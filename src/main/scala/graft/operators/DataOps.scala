@@ -777,6 +777,33 @@ object DataOps {
   private def embeddingDupsQuery(s: SparkSession, d: String): DataFrame =
     exactCosinePairs(Tables.embeddings(s, d))
 
+  /** d13: quality-aware canonical selection — d05 keeps min-id per
+    * near-dup cluster; a real curation pipeline keeps the BEST
+    * duplicate. One row per cluster with the member chosen by
+    * (distinct-token-ratio desc, doc_id asc), the t02 quality signal.
+    * Shape: d05's cluster labels (O(log d) pointer-jumping rounds) join
+    * the map-side quality projection, then ONE partial-aggregating
+    * groupBy on cluster with a lexicographic struct max — no
+    * per-cluster sort, no window over the corpus; ties are impossible
+    * because doc_id makes the ordering key unique. Raw-double quality
+    * (no round(): t02 proves the expression is bit-identical to the
+    * DuckDB twin, and round() itself is NOT — HALF_UP vs HALF_EVEN,
+    * the e01 lesson). */
+  def canonicalDedup(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      minJaccard = 0.05, maxDocFreq = 1000L)
+    val clusters = ConnectedComponents.dedupClusters(docs, "doc_id", pairs)
+    val quality = docs.select(col("doc_id"),
+      Text.distinctTokenRatio(col("text")).as("__q"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("__q"), (-col("doc_id")).as("__nid"))).as("__m"))
+      .select(col("cluster"), col("cluster_size"),
+        (-col("__m.__nid")).as("canonical_id"),
+        col("__m.__q").as("canonical_q"))
+  }
+
   /** d10: IVF-bucketed near-dup pairs — d06's scale path. nProbe=3 of 16
     * cells: 18.75% scan fraction per vector, measured recall vs d06
     * exact pairs 0.85-0.93 at all three SFs (spec-gated, and visible
@@ -972,6 +999,17 @@ object DataOps {
         minJaccard = 0.05, maxDocFreq = 1000L)
       ConnectedComponents.dedupClusters(docs, "doc_id", pairs)
     },
+
+    // Quality-aware canonical selection: d05 keeps min-id per cluster; a
+    // real curation pipeline keeps the BEST duplicate. One row per
+    // cluster with the member chosen by (distinct-token-ratio desc,
+    // doc_id asc) — the t02 quality signal, exact-oracled. Shape: the
+    // d05 cluster labels (O(log d) pointer-jumping rounds) join the
+    // map-side quality projection, then ONE partial-aggregating groupBy
+    // on cluster with a lexicographic struct max — no per-cluster sort,
+    // no window over the corpus; ties are impossible because doc_id
+    // makes the ordering key unique.
+    "d13_canonical_dedup" -> ((s, d) => canonicalDedup(Tables.documents(s, d))),
 
     // Approximate-dedup observability: recall of the MinHash-LSH and
     // SimHash candidate generators against the exact trigram-Jaccard
@@ -2689,6 +2727,44 @@ object DataOps {
         |SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster,
         |  coalesce(l.cluster, doc_id) = doc_id AS keeper
         |FROM documents LEFT JOIN labels l ON doc_id = l.doc""".stripMargin,
+
+    "d13_canonical_dedup" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM sym
+        |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+        |labels AS (SELECT s AS doc, least(s, min(d)) AS cluster
+        |  FROM reach GROUP BY s),
+        |assign AS (SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster
+        |  FROM documents LEFT JOIN labels l ON doc_id = l.doc),
+        |q AS (SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS q FROM documents),
+        |sel AS (SELECT a.cluster, a.doc_id, q.q,
+        |    row_number() OVER (PARTITION BY a.cluster
+        |      ORDER BY q.q DESC, a.doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY a.cluster) AS n
+        |  FROM assign a JOIN q ON a.doc_id = q.doc_id)
+        |SELECT cluster, n AS cluster_size, doc_id AS canonical_id,
+        |  q AS canonical_q
+        |FROM sel WHERE rn = 1""".stripMargin,
 
     "d07_dedup_report" ->
       """WITH RECURSIVE

@@ -23,6 +23,38 @@ class DataOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("canonicalDedup picks the highest-quality member per cluster, min-id on ties") {
+    // doc 0/1/5 cluster (near/exact dups of the base text): doc 1 has
+    // strictly higher distinct-token-ratio (the " extra tail" adds
+    // distinct tokens), so it — not min-id 0 — must be canonical.
+    // Docs 0 and 5 are identical (tied quality): within a tie the
+    // lower doc_id orders first, which the 0/5 pairing only exercises
+    // through the cluster's winner being 1; singletons (3, 4) are
+    // their own canonicals with cluster_size 1.
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the spark engine shuffles partitions across the cluster at scale"
+    val corpus = Seq(
+      (0L, base),
+      (1L, base + " extra distinct tail tokens"), // near-dup, higher quality
+      (3L, "completely different words about databases and storage engines"),
+      (4L, "another unrelated document mentioning vectors and embeddings"),
+      (5L, base)                                  // exact dup of 0 (tied q)
+    ).toDF("doc_id", "text")
+    val withSize = DataOps.canonicalDedup(corpus)
+      .select($"cluster", $"cluster_size", $"canonical_id")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(withSize(0L) === ((3L, 1L)),
+      "cluster 0 must keep doc 1 (highest distinct-token ratio), not min-id 0")
+    assert(withSize(3L) === ((1L, 3L)) && withSize(4L) === ((1L, 4L)),
+      "singletons are their own canonicals")
+    // tie-break visible directly: restrict to the tied pair 0/5 only
+    val tied = DataOps.canonicalDedup(
+      Seq((0L, base), (5L, base)).toDF("doc_id", "text"))
+      .select($"canonical_id").as[Long].collect().toSeq
+    assert(tied === Seq(0L), "tied quality must break to the lower doc_id")
+  }
+
   test("dedupCorpus keeps one canonical doc per exact/near-dup cluster") {
     val base = "the quick brown fox jumps over the lazy dog again and again " +
       "while the spark engine shuffles partitions across the cluster at scale"
