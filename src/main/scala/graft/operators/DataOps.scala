@@ -1381,34 +1381,33 @@ object DataOps {
       // stays CONSTANT in SF — the sf1 scaling run flagged the previous
       // full-corpus d06 truth as the report's one quadratic term.
       val mod = math.max(1L, emb.count() / 512L)
-      // cos_sim kept: recall is reported overall AND restricted to
-      // STRONG pairs (cos ≥ 0.8) — with √N IVF cells the misses must
-      // concentrate at the 0.45 decision boundary, and strong-pair
-      // recall staying ~1 is the evidence; a drop there is a real
-      // index regression, not threshold noise.
+      // cos_sim kept: beside overall recall, the report carries the
+      // MAXIMUM cosine among MISSED truth pairs — with √N IVF cells the
+      // misses must concentrate at the 0.45 decision boundary, and
+      // "worst miss barely above threshold" is the evidence on ANY
+      // corpus (this one has no pair above 0.61, so a fixed "strong
+      // pair" recall would be vacuous). A real index regression —
+      // missing a 0.9 duplicate — jumps this number immediately.
       val pairTruth = exactCosinePairs(emb.filter($"vec_id" % mod === 0))
       val d10Pairs = semanticPairsQuery(s, d).select($"vec_a", $"vec_b")
-      val hit = pairTruth.join(d10Pairs, Seq("vec_a", "vec_b"), "left_semi")
       val nPT = pairTruth.agg(count(lit(1)).as("n_pair_truth"))
-      val nST = pairTruth.filter($"cos_sim" >= 0.8)
-        .agg(count(lit(1)).as("n_strong_truth"))
-      val nPH = hit.agg(count(lit(1)).as("n_d10_hit"))
-      val nSH = hit.filter($"cos_sim" >= 0.8)
-        .agg(count(lit(1)).as("n_strong_hit"))
+      val nPH = pairTruth.join(d10Pairs, Seq("vec_a", "vec_b"), "left_semi")
+        .agg(count(lit(1)).as("n_d10_hit"))
+      val missed = pairTruth
+        .join(d10Pairs, Seq("vec_a", "vec_b"), "left_anti")
+        .agg(coalesce(max($"cos_sim"), lit(0.45)) // no misses → threshold
+          .as("d10_missed_max_cos"))
       nT.crossJoin(hits(lshKnnQuery(s, d), "n_lsh_hit"))
         .crossJoin(hits(ivfKnnQuery(s, d), "n_ivf_hit"))
         .crossJoin(hits(pqKnnQuery(s, d), "n_pq_hit"))
         .crossJoin(hits(ivfPqKnnQuery(s, d), "n_ivfpq_hit"))
-        .crossJoin(nPT).crossJoin(nPH).crossJoin(nST).crossJoin(nSH)
+        .crossJoin(nPT).crossJoin(nPH).crossJoin(missed)
         .withColumn("lsh_recall", round($"n_lsh_hit" / $"n_truth", 6))
         .withColumn("ivf_recall", round($"n_ivf_hit" / $"n_truth", 6))
         .withColumn("pq_recall", round($"n_pq_hit" / $"n_truth", 6))
         .withColumn("ivfpq_recall", round($"n_ivfpq_hit" / $"n_truth", 6))
         .withColumn("d10_pair_recall",
           round($"n_d10_hit" / $"n_pair_truth", 6))
-        .withColumn("d10_strong_recall", // vacuously 1 with no strong pairs
-          when($"n_strong_truth" === 0, lit(1.0))
-            .otherwise(round($"n_strong_hit" / $"n_strong_truth", 6)))
     },
 
     // Corpus profile: the one-row observability report a pipeline logs

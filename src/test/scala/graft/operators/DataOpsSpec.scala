@@ -552,15 +552,17 @@ class DataOpsSpec extends SparkSpec {
       // multi-probe (probeFlips=1) lifted it past the 0.6 bar the
       // round-4 verdict set.
       val floors = Map("lsh_recall" -> 0.6, "ivf_recall" -> 0.6,
-        "pq_recall" -> 0.6, "ivfpq_recall" -> 0.6, "d10_pair_recall" -> 0.8,
-        "d10_strong_recall" -> 0.8) // strong pairs (cos ≥ 0.8) must stay
-        // found as cells shrink — misses may only concentrate at the
-        // 0.45 decision boundary
+        "pq_recall" -> 0.6, "ivfpq_recall" -> 0.6, "d10_pair_recall" -> 0.8)
       floors.foreach { case (c, floor) =>
         val v = r.getAs[Double](c)
         info(f"$s $c = $v%.4f (floor $floor)")
         assert(v >= floor && v <= 1.0, s"$s $c = $v (floor $floor)")
       }
+      // misses may only sit near the 0.45 decision boundary — a missed
+      // true duplicate (high cosine) is an index regression, not noise
+      val worstMiss = r.getAs[Double]("d10_missed_max_cos")
+      info(f"$s d10_missed_max_cos = $worstMiss%.4f (ceiling 0.55)")
+      assert(worstMiss <= 0.55, s"$s d10 missed a pair at cos $worstMiss")
     }
   }
 
