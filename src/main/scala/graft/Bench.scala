@@ -114,7 +114,13 @@ object Bench {
     val coldTotal = raw.flatMap(_._2.headOption).filter(_ >= 0).sum
     val fileLine = line.dropRight(1) +
       s""","cold_total":$coldTotal,"cold":$coldJson,"raw":$rawJson}"""
-    val outName = "bench_" + new java.io.File(sfDir).getName + ".json"
+    // A filtered run (SPARK_GRAFT_BENCH_ONLY) writes to a suffixed file:
+    // a 2-query experiment must never overwrite the full-surface artifact
+    // that round-over-round and scaling diffs read (the round-6 trap —
+    // the sf1 artifact was clobbered by a subset run and had to be
+    // restored from git).
+    val outName = "bench_" + new java.io.File(sfDir).getName +
+      (if (only.isDefined) ".subset" else "") + ".json"
     try {
       val w = new java.io.PrintWriter(new java.io.File(outName), "UTF-8")
       try w.println(fileLine) finally w.close()

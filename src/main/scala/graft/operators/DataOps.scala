@@ -759,7 +759,7 @@ object DataOps {
   /** Exact all-pairs cosine near-dups over `vecs` (vec_id, embedding).
     * Norms precomputed ONCE per vector (2N sqrt-dots), not per pair
     * (3 dots × N²/2 pairs) — same doubles, ~3× less pair work. */
-  private def exactCosinePairs(vecs: DataFrame): DataFrame = {
+  private[graft] def exactCosinePairs(vecs: DataFrame): DataFrame = {
     val e = vecs
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
@@ -772,10 +772,16 @@ object DataOps {
         col("cos_sim"))
   }
 
-  /** d06: exact O(N²) embedding-cosine near-dup pairs (oracle anchor —
-    * the documented quadratic baseline; d10 is the scale default). */
+  /** d06: exact embedding-cosine near-dup pairs (oracle anchor — the
+    * documented all-pairs baseline; d10 is the sub-quadratic default).
+    * Served by the blocked kernel ([[Similarity.allPairsCosine]]): the
+    * sf1 scaling run measured the row-join form at 80× for 10× data
+    * (199 s) — all of it per-joined-row overhead, none of it
+    * irreducible; the blocked form runs the same O(N²·dim) arithmetic
+    * at flat-array speed and is spec-pinned row-identical to the
+    * row-join twin ([[exactCosinePairs]], kept as s06's capped truth). */
   private def embeddingDupsQuery(s: SparkSession, d: String): DataFrame =
-    exactCosinePairs(Tables.embeddings(s, d))
+    Similarity.allPairsCosine(Tables.embeddings(s, d), minCos = 0.45)
 
   /** d13: quality-aware canonical selection — d05 keeps min-id per
     * near-dup cluster; a real curation pipeline keeps the BEST

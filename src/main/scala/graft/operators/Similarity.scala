@@ -4,6 +4,25 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TopKPairs.top_k_pairs
 
+/** One packed block of vectors for the blocked all-pairs kernel
+  * ([[Similarity.allPairsCosine]]): ids sorted ascending within the
+  * block, vectors flattened into one primitive array (`offs` is the
+  * prefix index — per-row lengths may differ and a mismatched pair is
+  * skipped, matching the fold expressions' NULL contract), norms
+  * precomputed by the SAME codegen'd fold the row form uses. */
+private[graft] case class VecBlock(
+    b: Int, ids: Array[Long], offs: Array[Int],
+    flat: Array[Double], nrms: Array[Double])
+
+/** A joined (block, block) work unit: every vector pair across the two
+  * blocks (or the i<j triangle when bx == by) is scored by one task. */
+private[graft] case class VecBlockPair(
+    bx: Int, by: Int,
+    idsX: Array[Long], offsX: Array[Int],
+    flatX: Array[Double], nrmsX: Array[Double],
+    idsY: Array[Long], offsY: Array[Int],
+    flatY: Array[Double], nrmsY: Array[Double])
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
@@ -154,5 +173,125 @@ object Similarity {
       .dropDuplicates("probe_id", "vec_id")
     rerankTopK(
       cands.withColumn("cos_sim", round(cosine(col("q"), col("v")), 9)), k)
+  }
+
+  /** EXACT all-pairs cosine ≥ `minCos`, blocked-kernel form.
+    *
+    * Exact pair search over this corpus is irreducibly all-pairs: the
+    * embeddings are near-uniform on the sphere (measured mean pairwise
+    * cosine ≈ 0, σ ≈ 1/√dim), so metric pruning (triangle-inequality
+    * cell bounds, projection bands) admits ~100% of candidate blocks at
+    * any useful threshold — there is nothing to prune, only a kernel to
+    * run fast. The row-join form (self-join on `vec_id <`, one codegen'd
+    * fold per joined row) pays per-PAIR row overhead: 2·10⁸ joined rows
+    * at 20k vectors measured ~200 s. This form packs vectors into
+    * ~`blockRows`-sized primitive blocks, joins the O((N/B)²) block-pair
+    * relation, and scores each block pair in a tight flat-array loop —
+    * the same arithmetic at GEMM shape, with only qualifying pairs ever
+    * becoming rows.
+    *
+    * Exactness and oracle parity:
+    *   - the per-pair doubles are BIT-IDENTICAL to the row form: norms
+    *     come from the same codegen'd `sqrt(dot(v,v))` column, the
+    *     kernel accumulates `acc + x*y` strictly left-to-right (Java
+    *     forbids FMA fusion), and products/divisions are commutative
+    *     bit-exact, so pair orientation doesn't matter;
+    *   - the kernel pre-filters at `minCos − 1e-6` (raw double), then
+    *     the FINAL filter applies Spark's own `round(cos, 6) >= minCos`
+    *     — any pair that HALF_UP-rounds over the threshold has raw
+    *     cos ≥ minCos − 5·10⁻⁷ and survives the pre-filter;
+    *   - zero-norm and NULL vectors are dropped up front (the row form
+    *     excludes them via NaN/NULL comparisons); length-mismatched
+    *     pairs are skipped (the fold expressions' NULL contract).
+    *
+    * Scale: blocks are hash-assigned (balanced for any id space), the
+    * block-pair relation is a tiny int relation joined twice by equi-key
+    * — nothing data-scale broadcasts and tasks are independent. Each
+    * block is replicated to its N/B partner pairs, so shuffle volume is
+    * O(N²·dim/B) — 1/B of the pair count, tunable against task memory
+    * (B·dim·8 bytes per block side). The O(N²·dim) compute itself is
+    * irreducible: this is the honest exact anchor; d10 is the
+    * sub-quadratic production default. */
+  def allPairsCosine(vecs: DataFrame, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockRows: Int = 1024): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val n = vecs.count()
+    val nBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    val e = vecs
+      .select(col(idCol).cast("long").as("vec_id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("v").isNotNull && col("nrm") > 0)
+      .withColumn("b", pmod(hash(col("vec_id")), lit(nBlocks)))
+    val packed = e.select($"b", $"vec_id", $"v", $"nrm")
+      .as[(Int, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val offs = new Array[Int](rows.length + 1)
+        var i = 0
+        while (i < rows.length) {
+          offs(i + 1) = offs(i) + rows(i)._3.length; i += 1
+        }
+        val flat = new Array[Double](offs(rows.length))
+        i = 0
+        while (i < rows.length) {
+          System.arraycopy(rows(i)._3, 0, flat, offs(i), rows(i)._3.length)
+          i += 1
+        }
+        VecBlock(b, rows.map(_._2), offs, flat, rows.map(_._4))
+      }
+    val blocksDf = packed.toDF()
+    val blockIds = spark.range(nBlocks).select($"id".cast("int").as("__bid"))
+    // bounded relation: nBlocks² ints (nBlocks = N/blockRows)
+    val pairRel = blockIds.select($"__bid".as("bx"))
+      .crossJoin(blockIds.select($"__bid".as("by")))
+      .filter($"bx" <= $"by")
+    val joined = pairRel
+      .join(blocksDf.select($"b".as("bx"), $"ids".as("idsX"),
+        $"offs".as("offsX"), $"flat".as("flatX"), $"nrms".as("nrmsX")),
+        Seq("bx"))
+      .join(blocksDf.select($"b".as("by"), $"ids".as("idsY"),
+        $"offs".as("offsY"), $"flat".as("flatY"), $"nrms".as("nrmsY")),
+        Seq("by"))
+      .select($"bx", $"by", $"idsX", $"offsX", $"flatX", $"nrmsX",
+        $"idsY", $"offsY", $"flatY", $"nrmsY")
+      .as[VecBlockPair]
+    val pre = minCos - 1e-6
+    val raw = joined.flatMap { p =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val same = p.bx == p.by
+      var i = 0
+      while (i < p.idsX.length) {
+        val a0 = p.offsX(i)
+        val aLen = p.offsX(i + 1) - a0
+        val na = p.nrmsX(i)
+        val ida = p.idsX(i)
+        var j = if (same) i + 1 else 0
+        while (j < p.idsY.length) {
+          val b0 = p.offsY(j)
+          if (p.offsY(j + 1) - b0 == aLen) {
+            var acc = 0.0
+            var k = 0
+            while (k < aLen) {
+              acc = acc + p.flatX(a0 + k) * p.flatY(b0 + k); k += 1
+            }
+            val cos = acc / (na * p.nrmsY(j))
+            if (cos >= pre) {
+              val idb = p.idsY(j)
+              out += (if (ida < idb) (ida, idb, cos) else (idb, ida, cos))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("vec_a", "vec_b", "__cos")
+    raw.withColumn("cos_sim", round($"__cos", 6))
+      .filter($"cos_sim" >= minCos)
+      .select($"vec_a", $"vec_b", $"cos_sim")
   }
 }
