@@ -201,10 +201,44 @@ object Analytics {
             .as("first5_asc"),
           concat_ws(",", slice(reverse(sort_array($"toks")), 1, 3))
             .as("top3_desc"))
+    },
+
+    // Modal value per group (most frequent event_type per user, ties to
+    // the smallest type) WITHOUT a window: counts partial-aggregate,
+    // then ONE more partial-aggregating groupBy picks the mode as a
+    // lexicographic struct-min over (-n, event_type) — ≤ |type| pairs
+    // per user per map task. The rank-window formulation would shuffle
+    // and sort every (user, type) row; this never materializes a rank.
+    // user_id is high-cardinality, so both aggregations hash-partition
+    // cleanly at any corpus size.
+    "q67_mode_per_key" -> { (s, d) =>
+      import s.implicits._
+      modePerKey(Tables.events(s, d), "user_id", "event_type")
+        .toDF("user_id", "mode_event_type", "n_events")
     }
   )
 
+  /** Mode of `valCol` per `keyCol` with smallest-value tie-break, as two
+    * partial-aggregating hash aggregations (see q67 scaladoc in
+    * [[queries]]). Output columns: (key, mode value, its count). */
+  def modePerKey(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(keyCol))
+      .agg(min(struct((-col("__n")).as("nn"), col(valCol).as("v"))).as("__m"))
+      .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
+
   val oracleSql: Map[String, String] = Map(
+    "q67_mode_per_key" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_event_type, n AS n_events
+        |FROM r WHERE rn = 1""".stripMargin,
+
     "q60_zscore" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
         |    round(stddev_samp(value), 6) AS sd

@@ -1416,6 +1416,92 @@ object DataOps {
           round($"n_d10_hit" / $"n_pair_truth", 6))
     },
 
+    // BM25 ranked retrieval (Robertson k1=1.2 b=0.75, Lucene's
+    // +1-inside-the-ln IDF): top-20 documents for a fixed keyword query
+    // — the lexical-relevance complement to the embedding KNN family
+    // (production retrieval is hybrid: BM25 + ANN). Shape: the corpus
+    // streams ONCE map-only into the term filter (query terms are a
+    // plan literal); tf is one groupBy over MATCHED tokens only; df and
+    // (n_docs, avgdl) are tiny broadcast relations (≤ |query| rows / 1
+    // row); top-k plans as TakeOrderedAndProject — k rows per map task,
+    // never a global sort. Cross-engine determinism: ln rounded 6dp
+    // (t13), per-term scores rounded then decimal-summed, all casts and
+    // parenthesization mirrored in the oracle, constants written as the
+    // SAME literals both sides (1.2+1 is NOT the double 2.2 — the
+    // literal is).
+    "s07_bm25_topk" -> { (s, d) =>
+      import s.implicits._
+      val queryTerms = Seq("dup", "spark", "merge")
+      val withDl = Tables.documents(s, d)
+        .select($"doc_id", Text.tokens($"text").as("__toks"),
+          Text.tokenCount($"text").as("dl"))
+      val stats = withDl.agg(count(lit(1)).as("n_docs"),
+        (sum($"dl").cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+      val matched = withDl
+        .select($"doc_id", $"dl", explode($"__toks").as("tok"))
+        .filter($"tok".isin(queryTerms: _*))
+      val tf = matched.groupBy($"doc_id", $"tok", $"dl")
+        .agg(count(lit(1)).as("tf"))
+      val dfRel = matched.select($"tok", $"doc_id").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      val idf = round(
+        log((($"n_docs" - $"df").cast("double") + lit(0.5)) /
+          ($"df".cast("double") + lit(0.5)) + lit(1.0)), 6)
+      val dlNorm = $"dl".cast("double") / $"avgdl"
+      val term = round(
+        idf * ($"tf".cast("double") * lit(2.2)) /
+          ($"tf".cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * dlNorm)), 6)
+      tf.join(broadcast(dfRel), "tok")
+        .crossJoin(broadcast(stats))
+        .select($"doc_id", term.as("__term"))
+        .groupBy($"doc_id")
+        .agg(sum($"__term".cast("decimal(18,6)")).cast("double").as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    },
+
+    // Budget-capped corpus selection: keep documents in deterministic
+    // md5-priority order until a token budget (here 1/5 of the corpus)
+    // is reached — "give me a fair 200B-token subset" is the first
+    // operation run on any oversized crawl. The global running sum
+    // NEVER sorts the corpus: md5-prefix buckets (fixed cardinality
+    // 256) get per-bucket window cumsums in parallel, bucket offsets
+    // come from a 256-row aggregate windowed on the driver-scale
+    // relation and broadcast back — the q28/p01 two-phase exact-rank
+    // pattern pointed at priority order. Budget is a 1-row broadcast
+    // aggregate; integer token arithmetic end-to-end, so the oracle
+    // hash-matches exactly.
+    "t29_token_budget" -> { (s, d) =>
+      import s.implicits._
+      val t = Tables.documents(s, d).select($"doc_id",
+        Text.tokenCount($"text").as("n_tokens"),
+        md5($"doc_id".cast("string")).as("__pr"))
+      val budget = t.agg(
+        floor(sum($"n_tokens").cast("double") / lit(5.0)).cast("long")
+          .as("__budget"))
+      val bucketed = t.withColumn("__b",
+        conv(substring($"__pr", 1, 2), 16, 10).cast("int"))
+      val inBucket = bucketed.withColumn("__cum_in",
+        sum($"n_tokens").over(Window.partitionBy($"__b")
+          .orderBy($"__pr", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val offsets = bucketed.groupBy($"__b")
+        .agg(sum($"n_tokens").as("__bt"))
+        .withColumn("__off",
+          coalesce(sum($"__bt").over(Window.orderBy($"__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"__b", $"__off")
+      inBucket.join(broadcast(offsets), "__b")
+        .crossJoin(broadcast(budget))
+        .select($"doc_id", $"n_tokens",
+          ($"__off" + $"__cum_in" - $"n_tokens").as("cum_before"),
+          $"__budget")
+        .filter($"cum_before" < $"__budget")
+        .select($"doc_id", $"n_tokens", $"cum_before")
+    },
+
     // Corpus profile: the one-row observability report a pipeline logs
     // per ingest batch — sizes, token volume, source/language mix, exact-
     // dup rate. Single pass over the corpus (one aggregate; the token
@@ -2681,6 +2767,47 @@ object DataOps {
         |WHERE round(list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
         |  >= 0.45""".stripMargin,
+
+    // every cast, rounding, and parenthesization mirrors the Spark
+    // expression; constants are the same literals (2.2, 1.2, 0.25,
+    // 0.75), never derived arithmetic
+    "s07_bm25_topk" ->
+      """WITH dls AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dls),
+        |m AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dls),
+        |mt AS (SELECT * FROM m WHERE tok IN ('dup', 'spark', 'merge')),
+        |tf AS (SELECT doc_id, tok, dl, COUNT(*) AS tf FROM mt
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM mt GROUP BY 1),
+        |terms AS (SELECT doc_id,
+        |    round(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
+        |        (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) +
+        |         1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6)
+        |      AS term
+        |  FROM tf JOIN df USING (tok) CROSS JOIN stats)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |FROM terms GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    "t29_token_budget" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    md5(doc_id::VARCHAR) AS pr FROM documents),
+        |b AS (SELECT CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) / 5.0)
+        |    AS BIGINT) AS budget FROM t),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pr, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_before
+        |FROM c CROSS JOIN b WHERE cum_before < budget""".stripMargin,
 
     "t08_normalize" ->
       """SELECT doc_id,

@@ -54,6 +54,25 @@ class PlanShapeSpec extends SparkSpec {
       "k rows per map task — a range-partitioned global sort defeats it")
   }
 
+  test("s07: BM25 top-k heaps, stats broadcast, no corpus sort") {
+    val p = plan("s07_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-20 must never range-sort the scored corpus")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"df and (n_docs, avgdl) relations must broadcast:\n${p.take(3000)}")
+  }
+
+  test("t29: budget selection windows per bucket, never one partition") {
+    val p = plan("t29_token_budget")
+    // the corpus-scale window must be partitioned by the md5 bucket;
+    // the only unpartitioned window runs over the 256-row offsets
+    // relation (aggregated — census-allowlisted shape)
+    assert(p.contains("Window [sum(n_tokens"), p.take(3000))
+    assert(p.contains("windowspecdefinition(__b#"),
+      s"corpus cumsum must partition by the md5 bucket:\n${p.take(3000)}")
+  }
+
   test("q36: range join plans the custom physical operator, no exchange") {
     val p = plan("q36_range_join")
     assert(p.contains("BroadcastRangeJoin"), p.take(2000))
@@ -185,8 +204,9 @@ class PlanShapeSpec extends SparkSpec {
       // (groupBy(l_quantity) — ≤ 50 rows): both over aggregated relations
       "src/main/scala/graft/operators/Extended.scala" -> 2,
       // p01 offs: cumulative bucket offsets over the ≤1024-row per-bucket
-      // token-sum aggregate (the q28 two-phase pattern)
-      "src/main/scala/graft/operators/DataOps.scala" -> 1)
+      // token-sum aggregate (the q28 two-phase pattern); t29 offs: same
+      // pattern over the ≤256-row md5-prefix bucket aggregate
+      "src/main/scala/graft/operators/DataOps.scala" -> 2)
     assert(offenders == allowed,
       s"unpartitioned Window.orderBy census changed.\nfound:   $offenders\n" +
         s"allowed: $allowed\nreview each new site for scale safety, then " +

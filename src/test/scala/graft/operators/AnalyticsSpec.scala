@@ -171,4 +171,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getAs[Double]("intercept") === 7.0)
     assert(row.getAs[Double]("r2") === 1.0)
   }
+
+  test("q67 mode: majority wins, count ties break to the smallest value") {
+    val df = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),          // clear majority: b
+      (2L, "z"), (2L, "a"),                     // 1-1 tie -> a (smallest)
+      (3L, "only")                              // singleton
+    ).toDF("k", "v")
+    val got = Analytics.modePerKey(df, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "b", 2L), (2L, "a", 1L), (3L, "only", 1L)))
+    // partitioning-invariant: same result from a skewed repartition
+    val again = Analytics.modePerKey(df.repartition(7), "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again === got)
+  }
 }

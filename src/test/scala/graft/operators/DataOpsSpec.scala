@@ -1063,4 +1063,43 @@ class DataOpsSpec extends SparkSpec {
     assert(knn.length === 1)
     assert(knn.head.getAs[Double]("cos_sim") < 1.0)
   }
+
+  test("s07 BM25: rare term dominates, scores ranked, hits contain a term") {
+    val rows = DataOps.queries("s07_bm25_topk")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-k must come back score-descending")
+    // 'dup' appears in ~1% of docs vs ~60%+ for the common terms: its
+    // IDF dwarfs theirs, so every top-20 doc must contain 'dup'
+    val texts = graft.Tables.documents(spark, sf("sf0.01"))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id")).split(" ")
+      assert(t.contains("dup"),
+        s"doc ${r.getAs[Long]("doc_id")} in top-20 without the rare term")
+    }
+  }
+
+  test("t29 token budget: selection is the exact md5-order prefix") {
+    // independent replay: sort (md5, doc_id) locally, take docs while
+    // the running total is below 1/5 of the corpus tokens, compare sets
+    val local = graft.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id",
+        graft.functions.Text.tokenCount($"text").cast("long").as("n"),
+        md5($"doc_id".cast("string")).as("pr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val budget = local.map(_._2).sum / 5
+    var cum = 0L
+    val expected = local.sortBy(r => (r._3, r._1)).takeWhile { r =>
+      val keep = cum < budget; cum += r._2; keep
+    }.map(_._1).toSet
+    val got = DataOps.queries("t29_token_budget")(spark, sf("sf0.001"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < local.length,
+      "budget must select a strict non-empty prefix")
+  }
 }
