@@ -1983,6 +1983,16 @@ object DataOps {
         .select($"cell".cast("long").as("cell"), col("p.id").as("vec_id"))
     },
 
+    // PCA spectrum by subspace iteration (see [[Pca]]): one aggregation
+    // pass per iteration computes ALL k candidate directions, the
+    // driver re-orthonormalizes k×dim doubles (bounded model scalar).
+    // Vectors never shuffle. No SQL oracle (iterative fixpoint, and
+    // directions are sign-ambiguous) — planted-anisotropy, orthonormal,
+    // spectrum-ordering, and repartition-invariance gates in PcaSpec.
+    "e07_pca" -> { (s, d) =>
+      Pca.pcaQuery(Tables.embeddings(s, d), k = 3)
+    },
+
     // Embedding-space drift: squared distance of each label's centroid
     // from the corpus centroid — o02's distribution monitor in embedding
     // space (a cohort whose centroid walks away from the corpus between
