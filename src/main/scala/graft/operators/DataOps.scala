@@ -997,6 +997,15 @@ object DataOps {
           minJaccard = 0.05, maxDocFreq = 1000L))
     },
 
+    // Asymmetric containment pairs — the subsumption detector (a short
+    // doc pasted inside a long one: containment ≈ 1, Jaccard ≈ 0). Same
+    // single-pass posting-list candidates and cap semantics as d02.
+    "d14_containment_pairs" -> { (s, d) =>
+      Tables.documents(s, d).transform(df =>
+        Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+          minContainment = 0.3, maxDocFreq = 1000L))
+    },
+
     // Full dedup clustering: trigram-Jaccard pairs → connected components
     // → cluster id + canonical-keeper flag per document.
     "d05_dedup_clusters" -> { (s, d) =>
@@ -2851,6 +2860,27 @@ object DataOps {
         |  JOIN sizes sa ON doc_a = sa.doc
         |  JOIN sizes sb ON doc_b = sb.doc
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin,
+
+    "d14_containment_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b,
+        |  CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+        |FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+        |  >= 0.3""".stripMargin,
 
     "d05_dedup_clusters" ->
       """WITH RECURSIVE

@@ -99,31 +99,54 @@ object Dedup {
     * shingles present in more than that many documents before pairing —
     * the standard guard against quadratic blow-up on boilerplate shingles.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+  /** Shared candidate-pair statistics for the set-similarity family:
+    * (doc_a, doc_b, n_common, size_a, size_b) for every pair sharing at
+    * least one sub-cap shingle. Single-pass inverted-index pair
+    * generation via [[bucketPairs]]: pairs are emitted in-place from
+    * each shingle's posting list; the maxDocFreq cap drops
+    * stop-shingles BEFORE their posting lists are built (a shingle
+    * shared by thousands of docs carries no signal and would otherwise
+    * contribute maxDocFreq²/2 pair rows). */
+  private def shinglePairStats(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDocFreq: Long): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, n)
     val sizes = idx.groupBy($"doc").agg(count(lit(1)).as("n_shingles"))
-    // Single-pass inverted-index pair generation via [[bucketPairs]]:
-    // pairs are emitted in-place from each shingle's posting list; the
-    // maxDocFreq cap drops stop-shingles BEFORE their posting lists are
-    // built (a shingle shared by thousands of docs carries no signal and
-    // would otherwise contribute maxDocFreq²/2 pair rows).
     val pairs = bucketPairs(idx, Seq("shingle"), $"doc",
         cap = maxDocFreq, starHot = false)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    val common = pairs
+    pairs
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_common"))
-    common
       .join(sizes.withColumnRenamed("doc", "doc_a")
         .withColumnRenamed("n_shingles", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b")
         .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame =
+    shinglePairStats(df, idCol, textCol, n, maxDocFreq)
       .withColumn("jaccard", $"n_common".cast("double") /
         ($"size_a" + $"size_b" - $"n_common").cast("double"))
       .filter($"jaccard" >= minJaccard)
       .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b", $"jaccard")
-  }
+
+  /** Asymmetric near-dup: containment = |A∩B| / min(|A|, |B|) — the
+    * subsumption detector. A short doc pasted inside a much longer one
+    * scores containment ≈ 1 while its Jaccard ≈ |A|/|B| vanishes with
+    * the size ratio, so symmetric thresholds structurally miss exactly
+    * the quote/boilerplate/wrapper duplicates a curation pipeline most
+    * wants (d12 finds such SPANS pairwise; this scores the whole-set
+    * overlap on the same candidate generation, same cap semantics, same
+    * scale shape as [[ngramJaccardPairs]]). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainment: Double, maxDocFreq: Long = 1000L): DataFrame =
+    shinglePairStats(df, idCol, textCol, n, maxDocFreq)
+      .withColumn("containment", $"n_common".cast("double") /
+        least($"size_a", $"size_b").cast("double"))
+      .filter($"containment" >= minContainment)
+      .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b",
+        $"containment")
 
   /** Fixed-seed affine permutation parameters for MinHash: h_i(x) =
     * (a_i·x + b_i) mod p, p prime. Deterministic LCG, no RNG state. */

@@ -108,6 +108,26 @@ class DataOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs catches subsumption that Jaccard misses") {
+    // doc 20's text is fully pasted inside the much longer doc 21:
+    // containment = 1.0 while Jaccard ≈ |A|/|B| is far below 0.5
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 80).map(i => s"w$i").mkString(" ")
+    val planted = Seq((20L, short), (21L, long), (22L, "totally other words"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(planted, "doc_id", "text", n = 3,
+      minContainment = 0.8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getAs[Double]("containment"))).toSet
+    assert(cont === Set((20L, 21L, 1.0)),
+      s"subsumed doc must score containment 1.0, got $cont")
+    val jac = Dedup.ngramJaccardPairs(planted, "doc_id", "text", n = 3,
+      minJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((20L, 21L)),
+      "the symmetric threshold must miss the size-skewed pair")
+  }
+
   test("minHashLshPairs finds the planted near-dups, skips unrelated docs") {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5)
