@@ -903,6 +903,28 @@ object DataOps {
         .select($"doc_id", $"bucket", $"split")
     },
 
+    // Leakage-safe split: t07 buckets DOCUMENTS, so two near-duplicates
+    // can land in train and test — the evaluation then scores
+    // memorization (measured here: 9 d05 clusters straddle t07's splits
+    // at sf0.01). This splits by CLUSTER: every doc inherits its d05
+    // connected-component label and the md5 bucket is taken over the
+    // cluster id, so a near-dup family moves between splits atomically.
+    // Scale shape = d05 (the clustering is the cost; the split itself
+    // is one map-side expression).
+    "t30_leakage_safe_split" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.05, maxDocFreq = 1000L)
+      ConnectedComponents.dedupClusters(docs, "doc_id", pairs)
+        .withColumn("bucket", md5Bucket($"cluster") % 100)
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "valid")
+            .otherwise("test"))
+        .select($"doc_id", $"cluster", $"bucket", $"split")
+    },
+
     // Embedding-cosine near-dup pairs (exact; the LSH path in s02 is the
     // scale variant of the same operator).
     "d06_embedding_dups" -> (embeddingDupsQuery(_, _)),
@@ -2909,6 +2931,42 @@ object DataOps {
         |SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster,
         |  coalesce(l.cluster, doc_id) = doc_id AS keeper
         |FROM documents LEFT JOIN labels l ON doc_id = l.doc""".stripMargin,
+
+    // d05's recursive-CTE clustering + t07's md5 bucket taken over the
+    // CLUSTER id (same UBIGINT cast mirror of md5Bucket)
+    "t30_leakage_safe_split" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM sym
+        |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+        |labels AS (SELECT s AS doc, least(s, min(d)) AS cluster
+        |  FROM reach GROUP BY s),
+        |cl AS (SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster
+        |  FROM documents LEFT JOIN labels l ON doc_id = l.doc)
+        |SELECT doc_id, cluster,
+        |  CAST(CAST(('0x' || substring(md5(cluster::VARCHAR), 1, 8)) AS UBIGINT)
+        |    % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN CAST(('0x' || substring(md5(cluster::VARCHAR), 1, 8)) AS UBIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substring(md5(cluster::VARCHAR), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM cl""".stripMargin,
 
     "d13_canonical_dedup" ->
       """WITH RECURSIVE

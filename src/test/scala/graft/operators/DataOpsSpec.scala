@@ -128,6 +128,31 @@ class DataOpsSpec extends SparkSpec {
       "the symmetric threshold must miss the size-skewed pair")
   }
 
+  test("t30 split is leakage-safe where t07's doc split is not") {
+    val t30 = DataOps.queries("t30_leakage_safe_split")(spark, sf("sf0.01"))
+    // no near-dup cluster straddles splits
+    val straddling = t30.groupBy($"cluster")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1).count()
+    assert(straddling === 0L, "a cluster crossed split boundaries")
+    // the doc-level split DOES straddle clusters on the same corpus —
+    // the hole t30 exists to close must be demonstrably real here
+    val t07 = DataOps.queries("t07_hash_split")(spark, sf("sf0.01"))
+      .select($"doc_id", $"split".as("doc_split"))
+    val t07Straddling = t30.select($"doc_id", $"cluster")
+      .join(t07, "doc_id")
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_split").as("ns"))
+      .filter($"n" > 1 && $"ns" > 1).count()
+    assert(t07Straddling > 0L,
+      "corpus has no straddling clusters — the gate is vacuous")
+    // split fractions stay near 80/10/10 (clusters are small)
+    val frac = t30.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = frac.values.sum.toDouble
+    assert(frac("train") / total > 0.7 && frac("train") / total < 0.9)
+  }
+
   test("minHashLshPairs finds the planted near-dups, skips unrelated docs") {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5)
