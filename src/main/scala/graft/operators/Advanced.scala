@@ -151,7 +151,15 @@ object Advanced {
         .groupBy($"event_type")
         .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
           approx_count_distinct($"value", 0.02).as("approx_values"))
-    }
+    },
+
+    // Fuzzy entity matching (record linkage): distinct part-name pairs
+    // within Levenshtein 2, found exactly via q-gram posting-list joins
+    // (never an all-pairs comparison) — see EntityMatch scaladoc for the
+    // soundness bound. The oracle IS the naive quadratic form, so a green
+    // row proves the blocked plan loses no pair.
+    "er01_fuzzy_name_pairs" -> ((s, d) =>
+      EntityMatch.fuzzyNamePairs(Tables.part(s, d), "p_name", maxDist = 2))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -207,6 +215,15 @@ object Advanced {
         |      WHERE event_type = 'purchase')
         |SELECT s.user_id, s.event_id, p.purchase_event_id
         |FROM s ASOF LEFT JOIN p
-        |  ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin
+        |  ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin,
+
+    "er01_fuzzy_name_pairs" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, COUNT(*) AS n FROM part
+        |  WHERE p_name IS NOT NULL GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  levenshtein(a.name, b.name) AS dist, a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin
   )
 }

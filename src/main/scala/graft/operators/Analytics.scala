@@ -215,6 +215,31 @@ object Analytics {
       import s.implicits._
       modePerKey(Tables.events(s, d), "user_id", "event_type")
         .toDF("user_id", "mode_event_type", "n_events")
+    },
+
+    // Exact trailing-7-day distinct active users per day. COUNT(DISTINCT)
+    // has no subtractable sliding-window form, and the naive shape — a
+    // range join of the raw event stream against the day spine — scans
+    // the corpus once per window day. This dedupes FIRST to (day, user)
+    // (one corpus-scale shuffle, the relation is then bounded by
+    // days × users), replicates each deduped row to the ≤ 7 target days
+    // it contributes to (map-side explode — replicate-then-aggregate,
+    // the standard exact form), and partial-aggregates the distinct
+    // count per day. The day spine rides as a broadcast semi-join so
+    // trailing days beyond the stream's last day never materialize.
+    "q69_rolling_distinct" -> { (s, d) =>
+      import s.implicits._
+      val du = Tables.events(s, d)
+        .select(to_date($"ts").as("day"), $"user_id").distinct()
+      val days = du.select($"day").distinct()
+      du.select($"user_id",
+          explode(sequence(lit(0), lit(6))).as("__off"), $"day")
+        .withColumn("day7", date_add($"day", $"__off"))
+        .join(broadcast(days.withColumnRenamed("day", "day7")),
+          Seq("day7"), "left_semi")
+        .groupBy($"day7")
+        .agg(countDistinct($"user_id").as("users_7d"))
+        .select($"day7".as("day"), $"users_7d")
     }
   )
 
@@ -229,6 +254,15 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    "q69_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, COUNT(DISTINCT u.user_id) AS users_7d
+        |FROM days d JOIN du u
+        |  ON u.day <= d.day AND u.day > d.day - 7
+        |GROUP BY d.day""".stripMargin,
+
     "q67_mode_per_key" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),

@@ -156,6 +156,25 @@ object Extended {
           expr("percentile(user_id, 0.99)").as("p99"))
     },
 
+    // The mergeable-sketch percentile path next to q29's exact form: at
+    // 100 TB an exact per-group percentile sorts the full group per key,
+    // while approx_percentile is a partial-aggregating sketch
+    // (Greenwald-Khanna) whose bounded state merges across partitions —
+    // the plan is the same two-phase hash aggregate as a SUM, rank error
+    // ≤ 1/accuracy. No SQL oracle (sketch internals are implementation-
+    // defined); ExtendedSpec bounds the rank error against q29's exact
+    // percentiles, the s01/s02 exact-vs-scale-path pattern.
+    "q68_approx_percentiles" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          expr("approx_percentile(user_id, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(user_id, 0.9, 1000)").as("ap90"),
+          expr("approx_percentile(user_id, 0.99, 1000)").as("ap99"),
+          count(lit(1)).as("n"))
+    },
+
     // Moment statistics (rounded: parallel float accumulation differs in
     // ulps across engines; 6 dp is far beyond the drift).
     "q30_moments" -> { (s, d) =>

@@ -204,9 +204,9 @@ class PlanShapeSpec extends SparkSpec {
       // (groupBy(l_quantity) — ≤ 50 rows): both over aggregated relations
       "src/main/scala/graft/operators/Extended.scala" -> 2,
       // p01 offs: cumulative bucket offsets over the ≤1024-row per-bucket
-      // token-sum aggregate (the q28 two-phase pattern); t29 offs: same
-      // pattern over the ≤256-row md5-prefix bucket aggregate
-      "src/main/scala/graft/operators/DataOps.scala" -> 2)
+      // token-sum aggregate (the q28 two-phase pattern); t29 and p04
+      // offs: same pattern over ≤256-row md5-prefix bucket aggregates
+      "src/main/scala/graft/operators/DataOps.scala" -> 3)
     assert(offenders == allowed,
       s"unpartitioned Window.orderBy census changed.\nfound:   $offenders\n" +
         s"allowed: $allowed\nreview each new site for scale safety, then " +

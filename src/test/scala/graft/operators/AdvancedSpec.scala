@@ -148,6 +148,31 @@ class AdvancedSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("q68: approx_percentile within the GK rank-error bound of exact") {
+    // accuracy=1000 guarantees rank error <= n/1000 per group; assert
+    // each sketch value lies between the exact percentiles at
+    // p +/- 2/1000 (2x slack so the bound is not knife-edge on ties)
+    val ev = graft.Tables.events(spark, sf("sf0.01"))
+    val rows = ev.groupBy($"event_type").agg(
+        expr("approx_percentile(user_id, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(user_id, 0.9, 1000)").as("ap90"),
+        expr("percentile(user_id, 0.498)").as("lo50"),
+        expr("percentile(user_id, 0.502)").as("hi50"),
+        expr("percentile(user_id, 0.898)").as("lo90"),
+        expr("percentile(user_id, 0.902)").as("hi90"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) >= r.getDouble(3).floor.toLong &&
+        r.getLong(1) <= r.getDouble(4).ceil.toLong,
+        s"$t p50: ${r.getLong(1)} outside [${r.getDouble(3)}, ${r.getDouble(4)}]")
+      assert(r.getLong(2) >= r.getDouble(5).floor.toLong &&
+        r.getLong(2) <= r.getDouble(6).ceil.toLong,
+        s"$t p90: ${r.getLong(2)} outside [${r.getDouble(5)}, ${r.getDouble(6)}]")
+    }
+  }
+
   test("saltedCountSum equals plain aggregation") {
     val ev = graft.Tables.events(spark, sf("sf0.001"))
     val salted = Skew.saltedCountSum(ev, "event_type", "value")
