@@ -23,7 +23,8 @@ object SparkEntry {
       operators.EtlQueries.queries ++ operators.Multimodal.queries ++
       operators.Advanced.queries ++ operators.ReferenceQueries.queries ++
       operators.Extended.queries ++ operators.SqlSurface.queries ++
-      operators.Cdc.queries ++ operators.Analytics.queries
+      operators.Cdc.queries ++ operators.Analytics.queries ++
+      operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.EtlQueries.oracleSql ++ operators.Multimodal.oracleSql ++
       operators.Advanced.oracleSql ++ operators.ReferenceQueries.oracleSql ++
       operators.Extended.oracleSql ++ operators.SqlSurface.oracleSql ++
-      operators.Cdc.oracleSql ++ operators.Analytics.oracleSql
+      operators.Cdc.oracleSql ++ operators.Analytics.oracleSql ++
+      operators.Graph.oracleSql
 }

@@ -159,7 +159,20 @@ object Advanced {
     // soundness bound. The oracle IS the naive quadratic form, so a green
     // row proves the blocked plan loses no pair.
     "er01_fuzzy_name_pairs" -> ((s, d) =>
-      EntityMatch.fuzzyNamePairs(Tables.part(s, d), "p_name", maxDist = 2))
+      EntityMatch.fuzzyNamePairs(Tables.part(s, d), "p_name", maxDist = 2)),
+
+    // Entity RESOLUTION end-to-end: er01's fuzzy pairs closed into
+    // clusters (ConnectedComponents — transitive: a~b, b~c groups abc
+    // even when ed(a,c) > 2), each name mapped to its canonical form
+    // (min name in the cluster) with row support rolled up per entity.
+    // This is the record-linkage output a catalog merge consumes. The
+    // oracle is the naive quadratic pair join + recursive-CTE closure,
+    // so a green row proves both the blocked pair generation AND the
+    // distributed clustering lose nothing. Scale shape: pairs are er01
+    // (posting-list joins, never n²); clustering is d05's pointer-
+    // jumping CC over a pair set that is catalog-scale, not corpus-scale.
+    "er02_entity_clusters" -> ((s, d) =>
+      EntityMatch.resolveEntities(Tables.part(s, d), "p_name", maxDist = 2))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -224,6 +237,30 @@ object Advanced {
         |SELECT a.name AS name_a, b.name AS name_b,
         |  levenshtein(a.name, b.name) AS dist, a.n AS n_a, b.n AS n_b
         |FROM names a JOIN names b ON a.name < b.name
-        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+
+    "er02_entity_clusters" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, COUNT(*) AS n FROM part
+        |  WHERE p_name IS NOT NULL GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.name AS na, b.name AS nb
+        |  FROM names a JOIN names b ON a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |sym AS (SELECT na AS s, nb AS d FROM pairs
+        |  UNION SELECT nb, na FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM sym
+        |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+        |labels AS (SELECT s AS name, least(s, MIN(d)) AS canonical
+        |  FROM reach GROUP BY s),
+        |resolved AS (
+        |  SELECT n.name, coalesce(l.canonical, n.name) AS canonical, n.n
+        |  FROM names n LEFT JOIN labels l ON n.name = l.name),
+        |rollup AS (
+        |  SELECT canonical, COUNT(*) AS cluster_size,
+        |    CAST(SUM(n) AS BIGINT) AS cluster_rows
+        |  FROM resolved GROUP BY canonical)
+        |SELECT name, r.canonical, n AS n_rows, cluster_size, cluster_rows
+        |FROM resolved r JOIN rollup USING (canonical)""".stripMargin
   )
 }

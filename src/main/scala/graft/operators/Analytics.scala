@@ -240,6 +240,35 @@ object Analytics {
         .groupBy($"day7")
         .agg(countDistinct($"user_id").as("users_7d"))
         .select($"day7".as("day"), $"users_7d")
+    },
+
+    // Incremental aggregate maintenance: per-user stats computed as
+    // BASE (events before the cutoff — in production, a stored
+    // aggregate snapshot) merged with DELTA (the new batch), by
+    // re-aggregating the mergeable state (count, decimal sum), with the
+    // non-mergeable avg derived AFTER the merge. The oracle is the full
+    // single-scan recompute, so a green row proves base+delta merge ≡
+    // recompute exactly. At 100 TB this is THE corpus-stats shape:
+    // the daily job aggregates only the delta (O(batch)) and merges
+    // with |keys| stored rows — the corpus is never rescanned; shuffle
+    // volume is O(delta + keys) forever.
+    "q70_incremental_agg" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"ts", $"value")
+      val cutoff = lit("2024-01-21").cast("timestamp")
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy($"user_id")
+          .agg(count(lit(1)).as("__n"),
+            sum($"value".cast("decimal(18,2)")).as("__sv"))
+      val base = partial(ev.filter($"ts" < cutoff))
+      val delta = partial(ev.filter($"ts" >= cutoff))
+      base.unionByName(delta)
+        .groupBy($"user_id")
+        .agg(sum($"__n").as("n_events"), sum($"__sv").as("__svm"))
+        .select($"user_id", $"n_events",
+          $"__svm".cast("double").as("sum_value"),
+          round($"__svm".cast("double") / $"n_events", 6).as("avg_value"))
     }
   )
 
@@ -254,6 +283,14 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    // full recompute — proving the engine's base+delta merge exact
+    "q70_incremental_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q69_rolling_distinct" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |  FROM events),

@@ -1070,6 +1070,24 @@ object DataOps {
     "d13_canonical_dedup" -> ((s, d) =>
       canonicalFromClusters(Tables.documents(s, d), dedupClustersMemo(s, d))),
 
+    // Soft dedup: instead of dropping near-duplicates, every document
+    // gets sampling weight 1/|cluster| so each near-dup FAMILY
+    // contributes one document's worth of mass in expectation — the
+    // dedup mode used when hard dropping is too aggressive (boilerplate
+    // families that still carry unique spans). Consumes the shared d05
+    // fixpoint; the weight pass itself is one partial-aggregating
+    // groupBy on cluster + a broadcast-size join back, so the cost
+    // beyond the memoized clustering is O(docs) with one exchange.
+    "d15_soft_dedup_weights" -> { (s, d) =>
+      val clusters = dedupClustersMemo(s, d).select(col("doc_id"),
+        col("cluster"))
+      val sizes = clusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      clusters.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+    },
+
     // Approximate-dedup observability: recall of the MinHash-LSH and
     // SimHash candidate generators against the exact trigram-Jaccard
     // ground truth at the threshold LSH targets (0.5). One row per run —
@@ -2988,6 +3006,39 @@ object DataOps {
         |SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster,
         |  coalesce(l.cluster, doc_id) = doc_id AS keeper
         |FROM documents LEFT JOIN labels l ON doc_id = l.doc""".stripMargin,
+
+    // d05's recursive-CTE clustering + per-cluster size → 1/size weight
+    "d15_soft_dedup_weights" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM sym
+        |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+        |labels AS (SELECT s AS doc, least(s, min(d)) AS cluster
+        |  FROM reach GROUP BY s),
+        |clus AS (SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster
+        |  FROM documents LEFT JOIN labels l ON doc_id = l.doc),
+        |cz AS (SELECT cluster, COUNT(*) AS cluster_size
+        |  FROM clus GROUP BY cluster)
+        |SELECT doc_id, c.cluster, cluster_size,
+        |  round(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
+        |FROM clus c JOIN cz USING (cluster)""".stripMargin,
 
     // d05's recursive-CTE clustering + t07's md5 bucket taken over the
     // CLUSTER id (same UBIGINT cast mirror of md5Bucket)

@@ -113,4 +113,33 @@ object EntityMatch {
       .select(col("name_a"), col("name_b"), col("dist"),
         col("n_a"), col("n_b"))
   }
+
+  /** Entity resolution end-to-end: [[fuzzyNamePairs]] closed into
+    * clusters ([[ConnectedComponents]] — TRANSITIVE: a~b, b~c groups
+    * {a,b,c} even when ed(a,c) > maxDist, which is what a catalog merge
+    * wants), each distinct name mapped to its canonical form (min name
+    * in the cluster) with row support rolled up per resolved entity.
+    *
+    * @return (name, canonical, n_rows, cluster_size, cluster_rows) —
+    *   one row per distinct name; cluster_size counts distinct names in
+    *   the entity, cluster_rows sums their source-row support
+    */
+  def resolveEntities(df: DataFrame, nameCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val names = df.filter(col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val pairs = fuzzyNamePairs(df, nameCol, maxDist)
+    val labels = ConnectedComponents.run(pairs, "name_a", "name_b")
+    val resolved = names
+      .join(labels.withColumnRenamed("id", "name"), Seq("name"), "left")
+      .select(col("name"),
+        coalesce(col("label"), col("name")).as("canonical"), col("n_rows"))
+    val rollup = resolved.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("n_rows")).as("cluster_rows"))
+    resolved.join(rollup, "canonical")
+      .select(col("name"), col("canonical"), col("n_rows"),
+        col("cluster_size"), col("cluster_rows"))
+  }
 }

@@ -24,7 +24,10 @@ object Extended {
     * end_sec] windows are DISJOINT per user and containment is
     * single-valued). Output: (user_id, session_seq, n_events, start_sec,
     * end_sec). */
-  private def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+  /** Per-event session tagging (30-min gap sessionization): every event
+    * row plus its `session_seq` within the user. The grouped summary
+    * (q42) and the trace assembly (t31) both consume this. */
+  private def sessionTagged(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"event_id")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -34,6 +37,11 @@ object Extended {
       .withColumn("__new",
         when($"__gap".isNull || $"__gap" > 1800, 1).otherwise(0))
       .withColumn("session_seq", sum($"__new").over(wRun))
+  }
+
+  private def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sessionTagged(s, d)
       .groupBy($"user_id", $"session_seq")
       .agg(count(lit(1)).as("n_events"),
         min($"__sec").as("start_sec"), max($"__sec").as("end_sec"))
@@ -290,6 +298,28 @@ object Extended {
     // flatMapGroupsWithState sessionizer): session boundary = >30 min
     // since the previous event; session id = running count of boundaries.
     "q42_sessionize_batch" -> ((s, d) => sessionizeBatch(s, d)),
+
+    // Trace assembly: each user session's ordered event stream collapsed
+    // into ONE training document — the conversation/interaction-trace
+    // construction step of a behavioral-data pipeline. Reuses q42's
+    // session tagging, then one partial-aggregating groupBy per session:
+    // collect_list of (event_id, event_type) structs, array_sort (struct
+    // order = event_id first, which is unique, so the trace string is
+    // deterministic under any partitioning), field-project, join. No
+    // second window pass; the collected list is bounded by session
+    // length, which the 30-minute gap bounds operationally. Exactly
+    // oracled against DuckDB's ORDER BY string_agg.
+    "t31_session_trace" -> { (s, d) =>
+      import s.implicits._
+      sessionTagged(s, d)
+        .groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"event_id", $"event_type"))),
+              x => x.getField("event_type")),
+            " ").as("trace"))
+    },
 
     // Interval-containment join where BOTH sides are big: every event
     // assigned to its containing session window via epoch bucketing
@@ -660,6 +690,24 @@ object Extended {
         |  FROM m)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(sec) AS start_sec, MAX(sec) AS end_sec
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    "t31_session_trace" ->
+      """WITH t AS (SELECT user_id, event_id, event_type,
+        |    floor(epoch(ts))::BIGINT AS sec FROM events),
+        |g AS (SELECT user_id, event_id, event_type, sec,
+        |    sec - LAG(sec, 1) OVER w AS gap
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |m AS (SELECT user_id, event_id, event_type, sec,
+        |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS newf
+        |  FROM g),
+        |s AS (SELECT user_id, event_id, event_type,
+        |    CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  string_agg(event_type, ' ' ORDER BY event_id) AS trace
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
     "q61_session_assign" ->

@@ -38,6 +38,58 @@ class AnalyticsSpec extends SparkSpec {
       Row(2L, "2024-07-19", "2024-07-19", 1L)))
   }
 
+  test("t31 trace assembly: event order inside the trace is by event_id " +
+    "and 30-minute gaps split sessions") {
+    // user 1: a@00:00, b@00:10 (same session), c@01:30 (gap > 1800s ->
+    // new session). event_ids planted OUT of ts order within a session
+    // would be wrong data (ids are assigned in arrival order), so the
+    // pin is: trace = event_type sequence in event_id order.
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:10:00", "click"),
+      (3L, 1L, "2024-01-01 01:30:00", "purchase"),
+      (4L, 2L, "2024-01-01 00:00:00", "error")
+    ).toDF("event_id", "user_id", "t", "event_type")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    val dir = java.nio.file.Files.createTempDirectory("trace").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Extended.queries("t31_session_trace")(spark, dir)
+      .orderBy($"user_id", $"session_seq")
+      .select($"user_id", $"session_seq", $"n_events", $"trace")
+      .collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 1L, 2L, "view click"),
+      Row(1L, 2L, 1L, "purchase"),
+      Row(2L, 1L, 1L, "error")))
+  }
+
+  test("q70 incremental merge: base+delta re-aggregation equals the " +
+    "full recompute and the shipped cutoff is non-vacuous") {
+    // user 1 spans the 2024-01-21 cutoff; user 2 exists only in the
+    // delta — the merge must handle both present-on-both-sides and
+    // delta-only keys
+    val ev = Seq(
+      (1L, 1L, "2024-01-10 12:00:00", 1.5),
+      (2L, 1L, "2024-01-25 12:00:00", 2.25),
+      (3L, 2L, "2024-01-22 09:00:00", 4.0)
+    ).toDF("event_id", "user_id", "t", "value")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    val dir = java.nio.file.Files.createTempDirectory("incr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.queries("q70_incremental_agg")(spark, dir)
+      .orderBy($"user_id")
+      .select($"user_id", $"n_events", $"sum_value", $"avg_value")
+      .collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 2L, 3.75, 1.875), Row(2L, 1L, 4.0, 4.0)))
+    // the shipped cutoff must split the real corpus, or the merge path
+    // degenerates to a rename of the full recompute
+    val real = graft.Tables.events(spark, sf("sf0.001"))
+    val cutoff = to_timestamp(lit("2024-01-21"))
+    assert(real.filter($"ts" < cutoff).limit(1).count() === 1L)
+    assert(real.filter($"ts" >= cutoff).limit(1).count() === 1L)
+  }
+
   test("sql05: month spine is dense and zero-fills empty months") {
     // Orders in Jan and Apr only -> spine Jan..Apr with Feb/Mar at 0.
     val orders = Seq(

@@ -59,6 +59,31 @@ class EntityMatchSpec extends SparkSpec {
   private def Tables_part =
     graft.Tables.part(spark, sf("sf0.001"))
 
+  test("resolveEntities closes transitively: a~b~c is ONE entity even " +
+    "when ed(a,c) exceeds maxDist") {
+    import spark.implicits._
+    // chain: widget v1 ~ widget v2x ~ widget v2xyz (ed(v1, v2xyz) = 4 >
+    // 2); plus an isolated name and repeated rows for support rollup
+    val rows = Seq("widget v1", "widget v2x", "widget v2xyz",
+      "widget v1", "unrelated thing")
+    val got = EntityMatch.resolveEntities(rows.toDF("name"), "name",
+      maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      ("widget v1", "widget v1", 2L, 3L, 4L),
+      ("widget v2x", "widget v1", 1L, 3L, 4L),
+      ("widget v2xyz", "widget v1", 1L, 3L, 4L),
+      ("unrelated thing", "unrelated thing", 1L, 1L, 1L)), s"got $got")
+    // non-vacuity: the chain endpoints really are beyond maxDist, and
+    // each adjacent link really is within it
+    val ed = (a: String, b: String) => spark.sql(
+      s"SELECT levenshtein('$a', '$b')").head.getInt(0)
+    assert(ed("widget v1", "widget v2xyz") > 2)
+    assert(ed("widget v1", "widget v2x") <= 2)
+    assert(ed("widget v2x", "widget v2xyz") <= 2)
+  }
+
   test("short-pool cap fails loudly instead of going quadratic") {
     import spark.implicits._
     val many = (0 until 50).map(i => f"n$i%03d").toDF("name")

@@ -49,6 +49,33 @@ class GraphSpec extends SparkSpec {
     assert(ranks("u1") === ranks("u2")) // symmetric spokes tie exactly
   }
 
+  test("bfsDepth assigns exact hop distances and stops at maxDepth") {
+    // chain 0-1-2-3-4-5 plus a shortcut 0-3: depth(3) must be 1 (via the
+    // shortcut, not 3 via the chain), and 5 (chain distance 3) is cut off
+    // by maxDepth=2
+    val chain = (0L until 5L).map(i => (i, i + 1)) :+ (0L, 3L)
+    val edges = chain.toDF("src", "dst")
+    val sym = edges.union(edges.select($"dst", $"src"))
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.bfsDepth(sym, seeds, maxDepth = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2),
+      s"shortest-hop map wrong: $got")
+  }
+
+  test("bfsDepth early-exits on a drained frontier and is " +
+    "partitioning-invariant") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    // component {3,4} unreachable; maxDepth generous — loop must drain
+    val r1 = Graph.bfsDepth(edges, seeds, maxDepth = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(r1 === Map(1L -> 0, 2L -> 1), s"unreachable leaked in: $r1")
+    val r2 = Graph.bfsDepth(edges.repartition(7), seeds, maxDepth = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(r1 === r2)
+  }
+
   test("pageRank is deterministic across runs and partitionings") {
     val ev = graft.Tables.events(spark, sf("sf0.001"))
     // user-interaction graph: consecutive events of the same type link users
