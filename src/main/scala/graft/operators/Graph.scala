@@ -35,35 +35,43 @@ object Graph {
       .localCheckpoint(true)
 
     // dangling (sink) vertices: their rank mass must be redistributed
-    // uniformly each round or it leaks and ranks no longer sum to 1
-    val sinks = vertices
-      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+    // uniformly each round or it leaks and ranks no longer sum to 1.
+    // Flagged ONCE as a column so the per-round mass is an aggregate
+    // over the rank vector itself — no per-round semi-join.
+    val flagged = vertices
+      .join(e.select(col("src").as("id")).distinct()
+        .withColumn("__has_out", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__has_out"), lit(false))
+        .as("has_out"))
       .localCheckpoint(true)
 
-    var ranks = vertices.withColumn("rank", lit(1.0 / nV))
+    var ranks = flagged.withColumn("rank", lit(1.0 / nV))
     for (_ <- 1 to iterations) {
-      // one scalar per round (decimal-exact, so order-independent)
-      val danglingMass = ranks.join(sinks, Seq("id"), "left_semi")
-        .agg(coalesce(sum(col("rank").cast("decimal(38,28)")), lit(0))
-          .cast("double"))
-        .head().getDouble(0)
+      // dangling mass rides along as a BROADCAST 1-row aggregate instead
+      // of a driver-side action: one job per round (the checkpoint), not
+      // two. Decimal-exact, so order-independent (engine convention).
+      val danglingMass = ranks
+        .agg(coalesce(sum(when(!col("has_out"),
+            col("rank").cast("decimal(38,28)"))), lit(0))
+          .cast("double").as("__dm"))
       val contrib = norm
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("id"))
         // decimal-exact contribution sum: a double sum's value depends on
         // partition/reduction order, which would make ranks wobble in the
         // last ulps across executor counts (engine convention, README)
         .agg(sum((col("rank") * col("w")).cast("decimal(38,28)"))
           .cast("double").as("in_rank"))
-      ranks = vertices
+      ranks = flagged
         .join(contrib, Seq("id"), "left")
-        .select(col("id"),
+        .crossJoin(broadcast(danglingMass))
+        .select(col("id"), col("has_out"),
           (lit((1.0 - damping) / nV) +
             lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
-              lit(danglingMass / nV))).as("rank"))
+              col("__dm") / lit(nV))).as("rank"))
         .localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 
   /** Minimum hop distance from a seed set — frontier (delta-iteration)

@@ -179,6 +179,32 @@ class PlanShapeSpec extends SparkSpec {
       s"ids must broadcast; the corpus must stream map-only:\n${p.take(3000)}")
   }
 
+  test("g01: BFS rounds are equi-joins — no cartesian, no nested loop") {
+    val p = plan("g01_bfs_depth")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q70: the merge re-aggregates partial state — partial_sum on both " +
+    "the base and delta aggregates, no second scan pattern beyond the two") {
+    val p = plan("q70_incremental_agg")
+    // base and delta each partial-aggregate before their exchange, and
+    // the merge itself partial-aggregates the union
+    assert("partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("t31: trace assembly needs no window beyond the session tagging " +
+    "and no extra exchange after it") {
+    val p = plan("t31_session_trace")
+    // exactly one shuffle: the user_id hash partitioning that feeds the
+    // session window; the (user_id, session_seq) groupBy rides the same
+    // partitioning (group keys ⊇ partition keys)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected 1 exchange (user_id), got $exchanges:\n${p.take(3000)}")
+  }
+
   /** The judge-requested source gate: a `Window.orderBy` with no
     * partitionBy is a single-task global sort of its input — only ever
     * acceptable over an already-aggregated, provably tiny relation. Every
