@@ -119,6 +119,113 @@ object Graph {
     visited
   }
 
+  /** Semi-supervised label propagation with deterministic votes: each
+    * round, every vertex with labeled neighbors adopts the label with
+    * the largest incoming weight sum (ties break to the SMALLEST label —
+    * the q67 mode convention), vertices with no labeled neighbor keep
+    * their current label, and (optionally) seed labels are clamped.
+    * Fixed iteration count; no convergence probe — the result is a pure
+    * function of (graph, seeds, iterations), so it is exactly checkable
+    * (k rounds = k nested aggregate CTEs in SQL) and bit-stable under
+    * any partitioning PROVIDED the weights sum exactly (integral or
+    * decimal; for double weights pre-round or cast — fp sums are
+    * order-dependent, the engine-wide convention).
+    *
+    * Each round is one equi-join of the edge list against the labeled
+    * frontier + two partial-aggregating hash aggregations (votes, then
+    * arg-max via struct-min) — all shuffles key on the vertex id, so
+    * co-partitioning is reused round to round, the [[pageRank]] shape.
+    *
+    * @param nodes (id, label) — label null for unlabeled vertices
+    * @param edges directed (src, dst, w): src's label votes on dst with
+    *              weight w; symmetrize for undirected spread
+    * @return (id, seed, label) — the original and propagated labels
+    */
+  def labelSpread(nodes: DataFrame, edges: DataFrame, iterations: Int,
+      clampSeeds: Boolean = false): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
+    var state = nodes
+      .select(col("id"), col("label").as("seed"), col("label").as("cur"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val votes = e
+        .join(state.filter(col("cur").isNotNull)
+          .select(col("id").as("src"), col("cur")), "src")
+        .groupBy(col("dst"), col("cur"))
+        .agg(sum(col("w")).as("v"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("v")).as("nv"), col("cur").as("lab")))
+          .as("m"))
+        .select(col("dst").as("id"), col("m.lab").as("winner"))
+      val next = if (clampSeeds)
+        coalesce(col("seed"), col("winner"), col("cur"))
+      else coalesce(col("winner"), col("cur"))
+      state = state.join(votes, Seq("id"), "left")
+        .select(col("id"), col("seed"), next.as("cur"))
+        .localCheckpoint(true)
+    }
+    state.select(col("id"), col("seed"), col("cur").as("label"))
+  }
+
+  /** Per-vertex triangle counts by degree-ordered edge orientation —
+    * the distributed triangle algorithm of Schank's thesis / Suri &
+    * Vassilvitskii's MapReduce formulation: orient every undirected
+    * edge from its lower-(degree, id) endpoint to the higher one, build
+    * wedges only from each vertex's OUT-neighbors, and close them with
+    * one more equi-join. The orientation is what makes this scale: a
+    * hub of degree d contributes d² wedges in the naive join, but its
+    * out-degree under degree ordering is O(√|E|), so total wedge volume
+    * is O(|E|^1.5) worst-case instead of Σd² — the skewed-vertex
+    * problem solved by plan shape, not by salting. Every step is an
+    * equi-join or hash aggregation on vertex keys; counts are integers,
+    * so the result is exact and partitioning-invariant.
+    *
+    * @param edges undirected edge set, one row per edge, ANY orientation
+    *              (symmetric duplicates collapse via canonicalization)
+    * @return (id, n_triangles) for every vertex in at least one triangle
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    // canonical undirected form (a < b), deduped
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient low-rank -> high-rank, rank = (degree, id); carry the
+    // destination's rank so wedge endpoints order without another join
+    val ed = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            struct(col("db").as("d"), col("b").as("v")).as("dst_rank")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("da").as("d"), col("a").as("v")).as("dst_rank")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dst_rank").as("dst_rank"))
+      .localCheckpoint(true)
+    // wedges from shared oriented source; endpoints ordered by rank so
+    // the closing edge is oriented x -> y by construction
+    val wedges = ed.as("e1")
+      .join(ed.select(col("src").as("src2"), col("dst").as("dst2"),
+        col("dst_rank").as("dst_rank2")),
+        col("src") === col("src2") && col("dst_rank") < col("dst_rank2"))
+      .select(col("src").as("center"), col("dst").as("x"),
+        col("dst2").as("y"))
+    val triangles = wedges.join(
+      ed.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    triangles
+      .select(explode(array(col("center"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** The customer–supplier trade graph: undirected bipartite edges
     * between customers and the suppliers they have ever ordered from
     * (distinct (o_custkey, l_suppkey) via orders ⋈ lineitem). Vertex ids
@@ -150,6 +257,61 @@ object Graph {
             .otherwise(lit("supplier")).as("kind"),
           expr("id div 2").as("key"),
           col("depth"))
+    },
+
+    // Per-vertex triangle counts over the customer co-purchase graph
+    // (customers sharing >= 2 repeat suppliers), degree-oriented so hub
+    // wedge fan-out is O(sqrt(E)) per vertex — see triangleCounts. The
+    // projection itself is posting-list pair generation (the d02 shape:
+    // pairs per supplier, never all-pairs; a 100 TB deployment caps or
+    // STAR-degrades hot suppliers exactly as Dedup.bucketPairs does).
+    // Integer-exact, so fully oracled at every SF.
+    "g03_triangle_counts" -> { (s, d) =>
+      val cs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("c"), col("sp"))
+      val cop = cs.select(col("c").as("ca"), col("sp"))
+        .join(cs.select(col("c").as("cb"), col("sp")), "sp")
+        .filter(col("ca") < col("cb"))
+        .groupBy(col("ca"), col("cb"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      Graph.triangleCounts(cop, "ca", "cb")
+        .select(col("id").as("c_custkey"), col("n_triangles"))
+    },
+
+    // Label propagation, fully oracled: customers carry their nation as
+    // the seed label, suppliers start unlabeled, and two vote rounds
+    // spread labels over the weighted trade graph (weight = lineitem
+    // count, so vote sums are exact longs). Round 1 assigns every
+    // supplier its dominant customer nation; round 2 re-votes customers
+    // from their suppliers' round-1 labels — the "community drift" step
+    // that reassigns customers whose trade mix crosses nations
+    // (clampSeeds=false). Two rounds = two nested aggregate CTEs in the
+    // oracle, so the whole iterative operator is value-exact-checked.
+    "lp01_label_spread" -> { (s, d) =>
+      val cs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(count(lit(1)).as("w"))
+      val edges = cs.select((col("c") * 2).as("src"),
+          (col("sp") * 2 + 1).as("dst"), col("w"))
+        .union(cs.select((col("sp") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst"), col("w")))
+      val nodes = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("id"),
+          col("c_nationkey").cast("long").as("label"))
+        .union(Tables.supplier(s, d)
+          .select((col("s_suppkey") * 2 + 1).as("id"),
+            lit(null).cast("long").as("label")))
+      Graph.labelSpread(nodes, edges, iterations = 2, clampSeeds = false)
+        .select(
+          when(col("id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("id div 2").as("key"), col("seed"), col("label"))
     },
 
     // Fixed-iteration PageRank over the directed customer→supplier trade
@@ -196,6 +358,61 @@ object Graph {
         |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
         |    AS kind,
         |  id // 2 AS key, depth
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // cop's (ca < cb) canonicalization means the 3-join enumerates each
+    // triangle exactly once with a < b < c
+    "g03_triangle_counts" ->
+      """WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |cop AS (SELECT a.c AS ca, b.c AS cb
+        |  FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (SELECT e1.ca AS a, e1.cb AS b, e2.cb AS c
+        |  FROM cop e1 JOIN cop e2 ON e1.cb = e2.ca
+        |  JOIN cop e3 ON e3.ca = e1.ca AND e3.cb = e2.cb),
+        |n AS (SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT id AS c_custkey, COUNT(*) AS n_triangles
+        |FROM n GROUP BY id""".stripMargin,
+
+    // two vote rounds = two nested aggregate CTEs; integer weights make
+    // every vote sum exact, so the compare is value-level
+    "lp01_label_spread" ->
+      """WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp,
+        |    COUNT(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT c*2 AS src, sp*2+1 AS dst, w FROM cs
+        |  UNION ALL SELECT sp*2+1, c*2, w FROM cs),
+        |n0 AS (SELECT c_custkey*2 AS id, CAST(c_nationkey AS BIGINT)
+        |    AS label FROM customer
+        |  UNION ALL SELECT s_suppkey*2+1, NULL FROM supplier),
+        |v1 AS (SELECT e.dst AS id, s.label, SUM(e.w) AS v
+        |  FROM e JOIN n0 s ON e.src = s.id
+        |  WHERE s.label IS NOT NULL GROUP BY 1, 2),
+        |w1 AS (SELECT id, label FROM (SELECT id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY v DESC, label ASC) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |n1 AS (SELECT n0.id, n0.label AS seed,
+        |    coalesce(w1.label, n0.label) AS label
+        |  FROM n0 LEFT JOIN w1 USING (id)),
+        |v2 AS (SELECT e.dst AS id, s.label, SUM(e.w) AS v
+        |  FROM e JOIN n1 s ON e.src = s.id
+        |  WHERE s.label IS NOT NULL GROUP BY 1, 2),
+        |w2 AS (SELECT id, label FROM (SELECT id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY v DESC, label ASC) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |n2 AS (SELECT n1.id, n1.seed,
+        |    coalesce(w2.label, n1.label) AS label
+        |  FROM n1 LEFT JOIN w2 USING (id))
+        |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS kind,
+        |  id // 2 AS key, seed, label
+        |FROM n2""".stripMargin
   )
 }

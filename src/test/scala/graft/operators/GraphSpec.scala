@@ -76,6 +76,86 @@ class GraphSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("triangleCounts: exact per-vertex counts on a known graph, " +
+    "messy input (duplicates, reversed edges, self-loops) canonicalized") {
+    // K4 on {1,2,3,4} (4 triangles, every vertex in 3) plus a pendant
+    // edge 4-5 (no triangle) and noise: duplicate edges, both
+    // orientations, a self-loop
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((1L, 2L), (4L, 5L), (3L, 3L))
+    val got = Graph.triangleCounts(noisy.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 counts wrong: $got")
+  }
+
+  test("triangleCounts: hub wedge fan-out is bounded by orientation — " +
+    "a star has no triangles and the hub builds no wedge pairs") {
+    // star: hub 0 with 50 spokes. Naive shared-neighbor join would emit
+    // 50*49/2 wedges at the hub; degree orientation points every edge
+    // INTO the hub (spokes have lower degree), so the hub has
+    // out-degree 0 and the wedge join is empty.
+    val star = (1L to 50L).map(i => (i, 0L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(star).isEmpty)
+    // close ONE spoke pair: exactly one triangle (0,1,2), found via the
+    // spokes' out-edges into the hub — exercises the hub-as-dst path
+    val got = Graph.triangleCounts(
+        star.union(Seq((1L, 2L)).toDF("src", "dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $got")
+  }
+
+  test("labelSpread: weighted majority wins, ties break to the smaller " +
+    "label, isolated vertices keep their label") {
+    // node 10 hears label 1 with weight 3 (from node 1) and label 2 with
+    // weight 2 (node 2) -> adopts 1. node 11 hears 1 and 2 at equal
+    // weight -> tie breaks to 1. node 12 has no labeled neighbor (its
+    // only neighbor, 13, is unlabeled) -> stays null. node 99 isolated.
+    val nodes = Seq((1L, Some(1L)), (2L, Some(2L)), (10L, None),
+      (11L, None), (12L, None), (13L, None), (99L, Some(7L)))
+      .toDF("id", "label")
+    val edges = Seq((1L, 10L, 3L), (2L, 10L, 2L),
+      (1L, 11L, 5L), (2L, 11L, 5L), (13L, 12L, 9L))
+      .toDF("src", "dst", "w")
+    val got = Graph.labelSpread(nodes, edges, iterations = 1)
+      .select("id", "label").as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(1L -> Some(1L), 2L -> Some(2L), 10L -> Some(1L),
+      11L -> Some(1L), 12L -> None, 13L -> None, 99L -> Some(7L)),
+      s"got $got")
+  }
+
+  test("labelSpread: clampSeeds pins seed labels against any vote; " +
+    "unclamped seeds can flip") {
+    // seed node 1 (label 1) is outvoted by two label-2 neighbors
+    val nodes = Seq((1L, Some(1L)), (2L, Some(2L)), (3L, Some(2L)))
+      .toDF("id", "label")
+    val edges = Seq((2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val clamped = Graph.labelSpread(nodes, edges, iterations = 1,
+      clampSeeds = true).select("id", "label")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(clamped(1L) === Some(1L), s"clamped seed flipped: $clamped")
+    val free = Graph.labelSpread(nodes, edges, iterations = 1)
+      .select("id", "label").as[(Long, Option[Long])].collect().toMap
+    assert(free(1L) === Some(2L), s"unclamped seed must flip: $free")
+  }
+
+  test("labelSpread is partitioning-invariant over multiple rounds") {
+    // chain 1(lbl 5) - 2 - 3 - 4: two rounds reach node 3, not node 4
+    val nodes = Seq((1L, Some(5L)), (2L, None), (3L, None), (4L, None))
+      .toDF("id", "label")
+    val dir = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val edges = dir.union(dir.select($"dst", $"src", $"w"))
+    val r1 = Graph.labelSpread(nodes, edges, iterations = 2)
+      .select("id", "label").as[(Long, Option[Long])].collect().toMap
+    assert(r1 === Map(1L -> Some(5L), 2L -> Some(5L), 3L -> Some(5L),
+      4L -> None), s"got $r1")
+    val r2 = Graph.labelSpread(nodes.repartition(11),
+      edges.repartition(7), iterations = 2)
+      .select("id", "label").as[(Long, Option[Long])].collect().toMap
+    assert(r1 === r2)
+  }
+
   test("pageRank is deterministic across runs and partitionings") {
     val ev = graft.Tables.events(spark, sf("sf0.001"))
     // user-interaction graph: consecutive events of the same type link users
