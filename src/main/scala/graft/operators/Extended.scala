@@ -17,16 +17,13 @@ object Extended {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
-  /** q42's gap-based batch sessionization, shared with q61 so the
-    * session definition and the containment-join consumer cannot drift:
-    * boundary = >30 min since the previous event (event_id order — ts is
-    * monotone in event_id per user in this corpus, so the [start_sec,
-    * end_sec] windows are DISJOINT per user and containment is
-    * single-valued). Output: (user_id, session_seq, n_events, start_sec,
-    * end_sec). */
-  /** Per-event session tagging (30-min gap sessionization): every event
-    * row plus its `session_seq` within the user. The grouped summary
-    * (q42) and the trace assembly (t31) both consume this. */
+  /** Per-event session tagging — the ONE session definition, shared by
+    * q42 (grouped summary), q61 (containment-join consumer) and t31
+    * (trace assembly) so the three cannot drift: boundary = >30 min
+    * since the previous event, in event_id order (ts is monotone in
+    * event_id per user in this corpus, so per-user session windows are
+    * DISJOINT and containment is single-valued). Returns every event
+    * row plus its `session_seq` within the user. */
   private def sessionTagged(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"event_id")
@@ -39,6 +36,8 @@ object Extended {
       .withColumn("session_seq", sum($"__new").over(wRun))
   }
 
+  /** q42's grouped session summary off [[sessionTagged]].
+    * Output: (user_id, session_seq, n_events, start_sec, end_sec). */
   private def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     sessionTagged(s, d)

@@ -104,11 +104,7 @@ object Graph {
     var drained = false
     while (d < maxDepth && !drained) {
       d += 1
-      val next = frontier
-        .join(e, col("id") === col("e_src"))
-        .select(col("e_dst").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
-        .withColumn("depth", lit(d))
+      val next = expandFrontier(frontier, e, visited, d)
         .localCheckpoint(true) // truncate lineage: plan must not grow per round
       if (next.limit(1).isEmpty) drained = true
       else {
@@ -118,6 +114,20 @@ object Graph {
     }
     visited
   }
+
+  /** One BFS round: the frontier's unvisited out-neighbors at depth d.
+    * Factored out so the plan gate can assert on the REAL per-round
+    * plan — the loop checkpoints each round eagerly, so the returned
+    * `visited` plan is just checkpoint-scan unions and a gate on it
+    * would be vacuous (it could never see a regression to a cartesian
+    * product inside the round). */
+  private[operators] def expandFrontier(frontier: DataFrame, e: DataFrame,
+      visited: DataFrame, d: Int): DataFrame =
+    frontier
+      .join(e, col("id") === col("e_src"))
+      .select(col("e_dst").as("id")).distinct()
+      .join(visited.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("depth", lit(d))
 
   /** Semi-supervised label propagation with deterministic votes: each
     * round, every vertex with labeled neighbors adopts the label with
@@ -226,17 +236,47 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** The customer–supplier trade graph: undirected bipartite edges
-    * between customers and the suppliers they have ever ordered from
-    * (distinct (o_custkey, l_suppkey) via orders ⋈ lineitem). Vertex ids
-    * are disambiguated arithmetically — customer k ↦ 2k, supplier k ↦
-    * 2k+1 — so both partitions live in one integer keyspace and every
-    * join below stays a plain long equi-join. */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val cs = Tables.orders(s, d)
+  /** The ONE trade relation every graph query derives from — (c, sp, w)
+    * with w = lineitem count linking customer c to supplier sp. g01/g02
+    * drop w, lp01 keeps it as the vote weight, g03 thresholds on it;
+    * sharing the construction means the graph family provably runs over
+    * the same graph (the queries' cross-references depend on it). */
+  private def tradeRelation(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-      .distinct()
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Co-purchase projection: canonical (ca < cb) customer pairs sharing
+    * at least `minShared` suppliers in `cs` — posting-list pair
+    * generation per supplier, never all-pairs. Pair volume per supplier
+    * is deg², so a hot supplier above `maxSupplierDeg` fails LOUDLY
+    * (the EntityMatch short-pool / d02 maxDocFreq contract) instead of
+    * going quadratic silently; an exact oracled operator must not
+    * STAR-degrade, because that changes the result. */
+  private[operators] def copurchaseEdges(cs: DataFrame, minShared: Long,
+      maxSupplierDeg: Long): DataFrame = {
+    val hot = cs.groupBy(col("sp")).agg(count(lit(1)).as("d"))
+      .filter(col("d") > maxSupplierDeg).limit(1).collect()
+    require(hot.isEmpty,
+      s"copurchaseEdges: supplier ${hot.headOption.map(_.get(0))} has " +
+        s"degree ${hot.headOption.map(_.get(1))} > cap $maxSupplierDeg — " +
+        "pair fan-out is no longer bounded; raise the cap deliberately " +
+        "or pre-filter the relation")
+    cs.select(col("c").as("ca"), col("sp"))
+      .join(cs.select(col("c").as("cb"), col("sp")), "sp")
+      .filter(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Undirected bipartite trade edges. Vertex ids are disambiguated
+    * arithmetically — customer k ↦ 2k, supplier k ↦ 2k+1 — so both
+    * partitions live in one integer keyspace and every join below stays
+    * a plain long equi-join. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val cs = tradeRelation(s, d).select(col("c"), col("sp"))
     cs.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
       .union(cs.select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
   }
@@ -263,22 +303,15 @@ object Graph {
     // (customers sharing >= 2 repeat suppliers), degree-oriented so hub
     // wedge fan-out is O(sqrt(E)) per vertex — see triangleCounts. The
     // projection itself is posting-list pair generation (the d02 shape:
-    // pairs per supplier, never all-pairs; a 100 TB deployment caps or
-    // STAR-degrades hot suppliers exactly as Dedup.bucketPairs does).
-    // Integer-exact, so fully oracled at every SF.
+    // pairs per supplier, never all-pairs) behind a LOUD per-supplier
+    // degree cap — the EntityMatch short-pool contract: an exact,
+    // oracled operator must fail rather than silently degrade when a
+    // hot bucket breaks the fan-out bound. Integer-exact, fully oracled.
     "g03_triangle_counts" -> { (s, d) =>
-      val cs = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val cs = tradeRelation(s, d).filter(col("w") >= 2)
         .select(col("c"), col("sp"))
-      val cop = cs.select(col("c").as("ca"), col("sp"))
-        .join(cs.select(col("c").as("cb"), col("sp")), "sp")
-        .filter(col("ca") < col("cb"))
-        .groupBy(col("ca"), col("cb"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
+      val cop = copurchaseEdges(cs, minShared = 2,
+        maxSupplierDeg = 50000L)
       Graph.triangleCounts(cop, "ca", "cb")
         .select(col("id").as("c_custkey"), col("n_triangles"))
     },
@@ -293,10 +326,7 @@ object Graph {
     // (clampSeeds=false). Two rounds = two nested aggregate CTEs in the
     // oracle, so the whole iterative operator is value-exact-checked.
     "lp01_label_spread" -> { (s, d) =>
-      val cs = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .agg(count(lit(1)).as("w"))
+      val cs = tradeRelation(s, d)
       val edges = cs.select((col("c") * 2).as("src"),
           (col("sp") * 2 + 1).as("dst"), col("w"))
         .union(cs.select((col("sp") * 2 + 1).as("src"),
@@ -323,12 +353,8 @@ object Graph {
     // invariance) and the driver records rows-only. Ranks are rounded to
     // 10 dp for a stable dump; sum(rank) ≈ 1 is part of the spec gate.
     "g02_pagerank" -> { (s, d) =>
-      val cs = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val directed = cs.select((col("c") * 2).as("src"),
-        (col("sp") * 2 + 1).as("dst"))
+      val directed = tradeRelation(s, d)
+        .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
       Graph.pageRank(directed, iterations = 10)
         .select(
           when(col("id") % 2 === 0, lit("customer"))

@@ -179,12 +179,6 @@ class PlanShapeSpec extends SparkSpec {
       s"ids must broadcast; the corpus must stream map-only:\n${p.take(3000)}")
   }
 
-  test("g01: BFS rounds are equi-joins — no cartesian, no nested loop") {
-    val p = plan("g01_bfs_depth")
-    assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-  }
-
   test("q70: the merge re-aggregates partial state — partial_sum on both " +
     "the base and delta aggregates, no second scan pattern beyond the two") {
     val p = plan("q70_incremental_agg")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -74,6 +75,37 @@ class GraphSpec extends SparkSpec {
     val r2 = Graph.bfsDepth(edges.repartition(7), seeds, maxDepth = 10)
       .as[(Long, Int)].collect().toMap
     assert(r1 === r2)
+  }
+
+  test("bfsDepth rounds are equi-joins — the real per-round plan has no " +
+    "cartesian product or nested loop") {
+    // The loop checkpoints each round eagerly, so a gate on the FINAL
+    // DataFrame would see only checkpoint-scan unions (vacuous). Gate
+    // the factored per-round expansion the loop actually executes.
+    val e = (0L until 500L).map(i => (i, (i * 7 + 1) % 500))
+      .toDF("src", "dst")
+      .select($"src".as("e_src"), $"dst".as("e_dst"))
+    val frontier = (0L until 50L).toDF("id")
+    val visited = frontier.withColumn("depth", lit(0))
+    val p = Graph.expandFrontier(frontier, e, visited, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("LeftAnti"), "visited filter must be an anti join:\n" +
+      p.take(3000))
+  }
+
+  test("copurchaseEdges: hot-supplier cap fails loudly instead of going " +
+    "quadratic") {
+    val hot = (1L to 40L).map(c => (c, 1L)).toDF("c", "sp")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.copurchaseEdges(hot, minShared = 1, maxSupplierDeg = 10L)
+    }
+    assert(ex.getMessage.contains("cap"))
+    // under the cap: pairs generate per supplier, exact
+    val ok = Graph.copurchaseEdges(hot, minShared = 1,
+      maxSupplierDeg = 100L)
+    assert(ok.count() === 40L * 39 / 2)
   }
 
   test("triangleCounts: exact per-vertex counts on a known graph, " +
