@@ -1426,6 +1426,35 @@ object DataOps {
           max($"last_chunk").as("last_chunk"))
     },
 
+    // The curation-funnel report: how many documents survive each stage
+    // of a fixed filter cascade (min length → min tokens → distinct-
+    // token ratio → stopword ratio — the t01/t02 signals in their
+    // published-pipeline order). Shape: ONE map-only pass computes all
+    // four flags, one 5-counter partial-aggregating count collapses the
+    // corpus to a single row, stack() unpivots it into the funnel — no
+    // shuffle beyond the 1-row final aggregate at any corpus size, so
+    // the funnel costs one scan at 100 TB. Exactly oracled (counts).
+    "x05_filter_cascade" -> { (s, d) =>
+      import s.implicits._
+      val f = Tables.documents(s, d).select(
+        ($"n_chars" >= 200).as("f1"),
+        (Text.tokenCount($"text") >= 30).as("f2"),
+        (Text.distinctTokenRatio($"text") >= 0.2).as("f3"),
+        (Text.stopwordRatio($"text") >= 0.05).as("f4"))
+      f.agg(
+          count(lit(1)).as("n0"),
+          count(when($"f1", 1)).as("n1"),
+          count(when($"f1" && $"f2", 1)).as("n2"),
+          count(when($"f1" && $"f2" && $"f3", 1)).as("n3"),
+          count(when($"f1" && $"f2" && $"f3" && $"f4", 1)).as("n4"))
+        .select(expr("stack(4, " +
+          "'1_min_length', n0, n1, " +
+          "'2_min_tokens', n1, n2, " +
+          "'3_distinct_ratio', n2, n3, " +
+          "'4_stopword_ratio', n3, n4) AS (stage, n_in, n_out)"))
+        .withColumn("n_removed", $"n_in" - $"n_out")
+    },
+
     // Full IVF-PQ (IVFADC) top-5: coarse cells prune, residual PQ codes
     // score, exact rerank orders — the composition of s03's pruning and
     // s04's compression that real billion-vector indexes serve from.
@@ -2821,6 +2850,27 @@ object DataOps {
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS mean_token_len
         |FROM documents""".stripMargin,
+
+    "x05_filter_cascade" ->
+      s"""WITH f AS (SELECT
+         |    n_chars >= 200 AS f1,
+         |    len(string_split(text, ' ')) >= 30 AS f2,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) >= 0.2 AS f3,
+         |    CAST($stopSql AS DOUBLE)
+         |      / len(string_split(text, ' ')) >= 0.05 AS f4
+         |  FROM documents),
+         |a AS (SELECT COUNT(*) AS n0,
+         |    COUNT(CASE WHEN f1 THEN 1 END) AS n1,
+         |    COUNT(CASE WHEN f1 AND f2 THEN 1 END) AS n2,
+         |    COUNT(CASE WHEN f1 AND f2 AND f3 THEN 1 END) AS n3,
+         |    COUNT(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 END) AS n4
+         |  FROM f)
+         |SELECT '1_min_length' AS stage, n0 AS n_in, n1 AS n_out,
+         |    n0 - n1 AS n_removed FROM a
+         |UNION ALL SELECT '2_min_tokens', n1, n2, n1 - n2 FROM a
+         |UNION ALL SELECT '3_distinct_ratio', n2, n3, n2 - n3 FROM a
+         |UNION ALL SELECT '4_stopword_ratio', n3, n4, n3 - n4 FROM a""".stripMargin,
 
     "t02_quality" ->
       s"""SELECT doc_id,

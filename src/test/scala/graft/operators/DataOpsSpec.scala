@@ -818,6 +818,32 @@ class DataOpsSpec extends SparkSpec {
       ("2024-01-03", 1L, false)))
   }
 
+  test("x05 cascade: every stage bites on a corpus planted to fail " +
+    "exactly one filter each") {
+    // d1 short; d2 long chars but few tokens; d3 enough tokens, all
+    // identical (distinct ratio ~0.02); d4 distinct but zero language
+    // markers; d5 passes everything (includes 'the'/'and' markers)
+    val d1 = "short text"
+    val d2 = (1 to 10).map(i => "x" * 25 + i).mkString(" ")
+    val d3 = Seq.fill(41)("word").mkString(" ")
+    val d4 = (1 to 40).map(i => f"zqxtoken$i%02d").mkString(" ")
+    val d5 = ((1 to 36).map(i => f"body$i%02d") ++
+      Seq("the", "and", "is", "to")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("x05").toString
+    Seq(d1, d2, d3, d4, d5).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val funnel = DataOps.queries("x05_filter_cascade")(spark, dir)
+      .select("stage", "n_in", "n_out", "n_removed")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(funnel === Seq(
+      ("1_min_length", 5L, 4L, 1L),
+      ("2_min_tokens", 4L, 3L, 1L),
+      ("3_distinct_ratio", 3L, 2L, 1L),
+      ("4_stopword_ratio", 2L, 1L, 1L)), s"got $funnel")
+  }
+
   test("c03 substring contamination: verbatim benchmark quote flags, paraphrase does not") {
     val bench = Seq(
       (100L, "the secret benchmark answer is exactly forty two units")
