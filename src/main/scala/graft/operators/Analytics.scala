@@ -261,7 +261,11 @@ object Analytics {
         df.groupBy($"user_id")
           .agg(count(lit(1)).as("__n"),
             sum($"value".cast("decimal(18,2)")).as("__sv"))
-      val base = partial(ev.filter($"ts" < cutoff))
+      // null-ts rows route to the base deterministically — a bare
+      // `ts < cutoff` / `ts >= cutoff` pair silently DROPS them from
+      // both sides while the full recompute (the oracle, and the
+      // production semantics) counts them
+      val base = partial(ev.filter($"ts" < cutoff || $"ts".isNull))
       val delta = partial(ev.filter($"ts" >= cutoff))
       base.unionByName(delta)
         .groupBy($"user_id")

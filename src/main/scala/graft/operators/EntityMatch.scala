@@ -57,14 +57,25 @@ object EntityMatch {
     *                     construction" and the job fails loudly instead
     *                     of going quadratic
     */
-  def fuzzyNamePairs(df: DataFrame, nameCol: String,
-      maxDist: Int = 2, maxShortPool: Long = 100000L): DataFrame = {
-    require(maxDist >= 1, "maxDist must be >= 1")
-    val q = 2
-    val names = df.filter(col(nameCol).isNotNull)
+  /** Distinct names with row support and length — the shared input
+    * relation of [[fuzzyNamePairs]] and [[resolveEntities]] (built once
+    * per call chain, never twice). */
+  private def supportNames(df: DataFrame, nameCol: String): DataFrame =
+    df.filter(col(nameCol).isNotNull)
       .groupBy(col(nameCol).as("name"))
       .agg(count(lit(1)).as("n"))
       .withColumn("len", length(col("name")))
+
+  def fuzzyNamePairs(df: DataFrame, nameCol: String,
+      maxDist: Int = 2, maxShortPool: Long = 100000L): DataFrame =
+    pairsFromNames(supportNames(df, nameCol), maxDist, maxShortPool)
+
+  /** [[fuzzyNamePairs]] over a pre-built (name, n, len) support
+    * relation. */
+  private def pairsFromNames(names: DataFrame,
+      maxDist: Int, maxShortPool: Long): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val q = 2
 
     // distinct character bigrams per name (sequence() is empty for
     // len < q, so 1-char names have no grams and only ever match via
@@ -126,10 +137,11 @@ object EntityMatch {
     */
   def resolveEntities(df: DataFrame, nameCol: String,
       maxDist: Int = 2): DataFrame = {
-    val names = df.filter(col(nameCol).isNotNull)
-      .groupBy(col(nameCol).as("name"))
-      .agg(count(lit(1)).as("n_rows"))
-    val pairs = fuzzyNamePairs(df, nameCol, maxDist)
+    // one support aggregate feeds BOTH the pair generator and the
+    // output rollup — catalog-sized, materialized once
+    val support = supportNames(df, nameCol).localCheckpoint(true)
+    val names = support.select(col("name"), col("n").as("n_rows"))
+    val pairs = pairsFromNames(support, maxDist, maxShortPool = 100000L)
     val labels = ConnectedComponents.run(pairs, "name_a", "name_b")
     val resolved = names
       .join(labels.withColumnRenamed("id", "name"), Seq("name"), "left")

@@ -246,6 +246,11 @@ object Graph {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
       .agg(count(lit(1)).as("w"))
+      // every consumer reads this 2+ times (union branches, the cap
+      // probe, the pair self-join) — materialize the 6M-row join once
+      // per query instead of re-shuffling it per branch (the pageRank
+      // e/norm convention)
+      .localCheckpoint(true)
 
   /** Co-purchase projection: canonical (ca < cb) customer pairs sharing
     * at least `minShared` suppliers in `cs` — posting-list pair
@@ -256,13 +261,14 @@ object Graph {
     * STAR-degrade, because that changes the result. */
   private[operators] def copurchaseEdges(cs: DataFrame, minShared: Long,
       maxSupplierDeg: Long): DataFrame = {
-    val hot = cs.groupBy(col("sp")).agg(count(lit(1)).as("d"))
+    cs.groupBy(col("sp")).agg(count(lit(1)).as("d"))
       .filter(col("d") > maxSupplierDeg).limit(1).collect()
-    require(hot.isEmpty,
-      s"copurchaseEdges: supplier ${hot.headOption.map(_.get(0))} has " +
-        s"degree ${hot.headOption.map(_.get(1))} > cap $maxSupplierDeg — " +
-        "pair fan-out is no longer bounded; raise the cap deliberately " +
-        "or pre-filter the relation")
+      .headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"copurchaseEdges: supplier ${r.get(0)} has degree ${r.get(1)} " +
+            s"> cap $maxSupplierDeg — pair fan-out is no longer bounded; " +
+            "raise the cap deliberately or pre-filter the relation")
+      }
     cs.select(col("c").as("ca"), col("sp"))
       .join(cs.select(col("c").as("cb"), col("sp")), "sp")
       .filter(col("ca") < col("cb"))

@@ -66,12 +66,14 @@ class AnalyticsSpec extends SparkSpec {
   test("q70 incremental merge: base+delta re-aggregation equals the " +
     "full recompute and the shipped cutoff is non-vacuous") {
     // user 1 spans the 2024-01-21 cutoff; user 2 exists only in the
-    // delta — the merge must handle both present-on-both-sides and
-    // delta-only keys
+    // delta; user 3 has a NULL ts — the full recompute counts it, so
+    // the merge must route it somewhere instead of dropping it from
+    // both sides
     val ev = Seq(
-      (1L, 1L, "2024-01-10 12:00:00", 1.5),
-      (2L, 1L, "2024-01-25 12:00:00", 2.25),
-      (3L, 2L, "2024-01-22 09:00:00", 4.0)
+      (1L, 1L, Some("2024-01-10 12:00:00"), 1.5),
+      (2L, 1L, Some("2024-01-25 12:00:00"), 2.25),
+      (3L, 2L, Some("2024-01-22 09:00:00"), 4.0),
+      (4L, 3L, None, 8.0)
     ).toDF("event_id", "user_id", "t", "value")
       .withColumn("ts", to_timestamp($"t")).drop("t")
     val dir = java.nio.file.Files.createTempDirectory("incr").toString
@@ -81,7 +83,8 @@ class AnalyticsSpec extends SparkSpec {
       .select($"user_id", $"n_events", $"sum_value", $"avg_value")
       .collect()
     assert(out.toSeq === Seq(
-      Row(1L, 2L, 3.75, 1.875), Row(2L, 1L, 4.0, 4.0)))
+      Row(1L, 2L, 3.75, 1.875), Row(2L, 1L, 4.0, 4.0),
+      Row(3L, 1L, 8.0, 8.0)))
     // the shipped cutoff must split the real corpus, or the merge path
     // degenerates to a rename of the full recompute
     val real = graft.Tables.events(spark, sf("sf0.001"))
