@@ -5,15 +5,21 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Iterative graph computation on DataFrames (no GraphX dependency —
-  * plain joins + aggregations, so Catalyst/AQE plan every step).
+  * plain joins + aggregations, so Catalyst/AQE plan every step):
+  * [[pageRank]] (power method), [[bfsDepth]] (frontier delta-iteration),
+  * [[labelSpread]] (weighted-majority label propagation), and
+  * [[triangleCounts]] (degree-oriented wedge join); connected
+  * components live in [[ConnectedComponents]].
   *
-  * pageRank: fixed-iteration power method. Each round is one join of the
-  * rank vector against the out-degree-normalized edge list + one
-  * aggregation — both shuffle on the vertex key, so co-partitioning is
-  * reused across rounds. Lineage is truncated per round (localCheckpoint)
-  * exactly as in [[ConnectedComponents]]. Fixed iteration count keeps the
-  * result deterministic (a convergence-threshold loop would couple the
-  * result to fp accumulation order).
+  * Shared conventions: every round is joins + hash aggregations keyed
+  * on the vertex id (co-partitioning reused round to round), lineage is
+  * truncated per round (localCheckpoint) exactly as in
+  * [[ConnectedComponents]], and iteration counts are FIXED — a
+  * convergence-threshold loop would couple results to fp accumulation
+  * order, while fixed rounds + exact accumulators (decimal for rank
+  * mass, integers for depths/votes/counts) keep every operator
+  * deterministic under any partitioning, and make bfsDepth/labelSpread/
+  * triangleCounts exactly oracle-checkable.
   */
 object Graph {
 
