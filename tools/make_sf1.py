@@ -21,7 +21,7 @@ import duckdb, os, sys
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-R = 10  # replicas
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # replicas (20 = sf2)
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
