@@ -14,10 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * equivalence, which is the meaningful gate.
   *
   * Determinism note: LIMIT-after-ORDER-BY on ties is nondeterministic in
-  * ANY engine (Postgres included). The corpus has far fewer than 1000
-  * minutes/codes at the LIMIT boundary ties — counts at sub-LIMIT sizes
-  * make the result a deterministic set; we keep the reference's literal
-  * shape regardless since only row-counts are driver-checked.
+  * ANY engine (Postgres included), and for Q2 that is NOT hypothetical:
+  * 949 codes sit strictly above the 1000th count and 51 of the 211
+  * count-27 codes fill the limit, so WHICH 51 varies with partitioning
+  * (measured: an 8-core and a 32-core run return different tie
+  * members — the one query on the whole surface that is not
+  * partitioning-invariant). Kept verbatim deliberately: it is the
+  * reference's own published SQL, its ambiguity included; the golden
+  * spec gates the deterministic projection (count distribution, sum,
+  * boundary shape), and a user wanting a stable set adds the
+  * deterministic tiebreak (`ORDER BY total_events DESC, trackingCode`).
+  * Q1 orders by its unique group key and Q3 is RANK-closed (ties
+  * included), so both are exactly deterministic.
   */
 object ReferenceQueries {
 
