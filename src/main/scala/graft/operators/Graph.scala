@@ -28,7 +28,29 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    powerIterate(edges, iterations, damping, srcCol, dstCol, seeds = None)
+
+  /** Personalized PageRank: the teleport distribution concentrates on
+    * `seeds` (uniform over them) instead of all vertices — ranks become
+    * proximity-to-the-seed-set, the graph-side "expand from a trusted
+    * cohort" primitive (seed-set corpus expansion, recommendation).
+    * Vertices unreachable from the seeds get rank exactly 0 (locality,
+    * spec-pinned); dangling mass also re-teleports to the seeds, so
+    * ranks still sum to 1. Same execution shape and determinism
+    * conventions as [[pageRank]].
+    *
+    * @param seeds one column `id`; ids not present in the graph are
+    *              ignored (the teleport mass goes to seeds ∩ vertices)
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    powerIterate(edges, iterations, damping, srcCol, dstCol, Some(seeds))
+
+  private def powerIterate(edges: DataFrame, iterations: Int,
+      damping: Double, srcCol: String, dstCol: String,
+      seeds: Option[DataFrame]): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     val vertices = e.select(col("src").as("id"))
@@ -41,17 +63,34 @@ object Graph {
       .localCheckpoint(true)
 
     // dangling (sink) vertices: their rank mass must be redistributed
-    // uniformly each round or it leaks and ranks no longer sum to 1.
-    // Flagged ONCE as a column so the per-round mass is an aggregate
-    // over the rank vector itself — no per-round semi-join.
-    val flagged = vertices
+    // (to the teleport distribution) each round or it leaks and ranks
+    // no longer sum to 1. Flagged ONCE as a column so the per-round
+    // mass is an aggregate over the rank vector — no per-round
+    // semi-join. The teleport weight is also a per-vertex COLUMN:
+    // uniform 1/V for pageRank, 1/|S| on the seed set (0 elsewhere)
+    // for the personalized form — one formula serves both.
+    val hasOut = vertices
       .join(e.select(col("src").as("id")).distinct()
         .withColumn("__has_out", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("__has_out"), lit(false))
         .as("has_out"))
-      .localCheckpoint(true)
+    val flagged = (seeds match {
+      case None =>
+        hasOut.withColumn("tele", lit(1.0 / nV))
+      case Some(s) =>
+        val inGraph = s.select(col("id")).distinct()
+          .join(vertices, Seq("id"), "left_semi")
+          .withColumn("__is_seed", lit(true))
+          .localCheckpoint(true)
+        val nS = inGraph.count().toDouble
+        require(nS > 0, "personalizedPageRank: no seed appears in the graph")
+        hasOut.join(inGraph, Seq("id"), "left")
+          .select(col("id"), col("has_out"),
+            when(coalesce(col("__is_seed"), lit(false)), lit(1.0 / nS))
+              .otherwise(lit(0.0)).as("tele"))
+    }).localCheckpoint(true)
 
-    var ranks = flagged.withColumn("rank", lit(1.0 / nV))
+    var ranks = flagged.withColumn("rank", col("tele"))
     for (_ <- 1 to iterations) {
       // dangling mass rides along as a BROADCAST 1-row aggregate instead
       // of a driver-side action: one job per round (the checkpoint), not
@@ -71,10 +110,10 @@ object Graph {
       ranks = flagged
         .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(danglingMass))
-        .select(col("id"), col("has_out"),
-          (lit((1.0 - damping) / nV) +
+        .select(col("id"), col("has_out"), col("tele"),
+          (lit(1.0 - damping) * col("tele") +
             lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
-              col("__dm") / lit(nV))).as("rank"))
+              col("__dm") * col("tele"))).as("rank"))
         .localCheckpoint(true)
     }
     ranks.select(col("id"), col("rank"))
@@ -326,6 +365,28 @@ object Graph {
         maxSupplierDeg = 50000L)
       Graph.triangleCounts(cop, "ca", "cb")
         .select(col("id").as("c_custkey"), col("n_triangles"))
+    },
+
+    // Personalized PageRank: rank every trade-graph vertex by proximity
+    // to the nation-0 customer cohort (teleport mass on the seeds,
+    // dangling mass re-teleports there too) — the seed-set expansion
+    // primitive a curation pipeline uses to grow a trusted corpus from
+    // a small vetted set. Undirected (symmetrized) edges so proximity
+    // flows customer→supplier→customer. no_oracle (iterative fp);
+    // GraphSpec pins locality (disconnected components get EXACTLY 0),
+    // uniform-seed equivalence with pageRank, mass conservation, and
+    // partitioning invariance. Ranks rounded to 10 dp for the dump.
+    "g04_seed_proximity" -> { (s, d) =>
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("id"))
+      Graph.personalizedPageRank(tradeEdges(s, d), seeds,
+          iterations = 10)
+        .select(
+          when(col("id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("id div 2").as("key"),
+          round(col("rank"), 10).as("rank"))
     },
 
     // Label propagation, fully oracled: customers carry their nation as

@@ -77,6 +77,49 @@ class GraphSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("personalizedPageRank: locality (unreached component ranks " +
+    "exactly 0), mass conservation, and seed concentration") {
+    // two components: a triangle {a,b,c} and a pair {x,y}; seed = a
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val ranks = Graph.personalizedPageRank(edges, Seq("a").toDF("id"),
+      iterations = 40).as[(String, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9, s"mass leak: $ranks")
+    assert(ranks("x") === 0.0 && ranks("y") === 0.0,
+      s"unreached component must be EXACTLY 0: $ranks")
+    assert(ranks("a") > ranks("b") && ranks("a") > ranks("c"),
+      s"seed must dominate its component: $ranks")
+  }
+
+  test("personalizedPageRank with ALL vertices as seeds equals pageRank") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
+      .toDF("src", "dst")
+    val everyone = Seq("A", "B", "C").toDF("id")
+    val pr = Graph.pageRank(edges, iterations = 15)
+      .as[(String, Double)].collect().toMap
+    val ppr = Graph.personalizedPageRank(edges, everyone, iterations = 15)
+      .as[(String, Double)].collect().toMap
+    pr.foreach { case (k, v) =>
+      assert(math.abs(v - ppr(k)) < 1e-12, s"$k: $v vs ${ppr(k)}")
+    }
+  }
+
+  test("personalizedPageRank: seeds outside the graph are ignored, " +
+    "all-foreign seed set fails loudly") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ranks = Graph.personalizedPageRank(edges,
+        Seq(1L, 99L).toDF("id"), iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    // 99 is not a vertex: all teleport mass goes to 1
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    assert(ranks(1L) > ranks(2L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq(99L).toDF("id"),
+        iterations = 1)
+    }
+    assert(ex.getMessage.contains("no seed"))
+  }
+
   test("bfsDepth rounds are equi-joins — the real per-round plan has no " +
     "cartesian product or nested loop") {
     // The loop checkpoints each round eagerly, so a gate on the FINAL
