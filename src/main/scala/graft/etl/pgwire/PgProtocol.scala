@@ -26,29 +26,40 @@ private[pgwire] final case class PgResult(cols: IndexedSeq[PgCol],
 }
 
 /** Minimal PostgreSQL v3 frontend/backend protocol client — SIMPLE query
-  * mode, text result format, COPY FROM STDIN for bulk load, and trust /
-  * cleartext / MD5 / SCRAM-SHA-256 authentication.
+  * mode, text result format, COPY FROM STDIN for bulk load, TLS
+  * (SSLRequest negotiation, see [[PgTls]]), and trust / cleartext / MD5 /
+  * SCRAM-SHA-256(-PLUS) authentication (channel binding over TLS).
   *
   * Built from the public protocol specification (PostgreSQL docs,
-  * "Frontend/Backend Protocol" + "SASL Authentication") and RFC 5802/7677
-  * for SCRAM. This is NOT a general-purpose driver: it exists so the
-  * [[graft.etl.JdbcUpsert]] sink can be executed against a real Postgres
-  * server in environments where no vendor JDBC driver is available.
-  * Unsupported: extended query protocol, binary format, COPY TO,
-  * notifications, TLS (so no channel binding — SCRAM runs with gs2 `n,,`).
+  * "Frontend/Backend Protocol" + "SASL Authentication"), RFC 5802/7677
+  * for SCRAM and RFC 5929 for tls-server-end-point. This is NOT a
+  * general-purpose driver: it exists so the [[graft.etl.JdbcUpsert]]
+  * sink can be executed against a real Postgres server in environments
+  * where no vendor JDBC driver is available. Unsupported: extended query
+  * protocol, binary result format, COPY TO, notifications, hostname
+  * verification (sslmode=verify-full).
   *
   * Thread safety: one protocol instance per connection; callers
   * (the JDBC wrapper) synchronize on the instance.
   */
 private[pgwire] final class PgProtocol(host: String, port: Int,
-    user: String, database: String, password: Option[String] = None) {
+    user: String, database: String, password: Option[String] = None,
+    ssl: PgTls.Config = PgTls.Default) {
 
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), 10000)
-  socket.setTcpNoDelay(true)
+  private val (socket, peerCert) = {
+    val raw = new Socket()
+    raw.connect(new InetSocketAddress(host, port), 10000)
+    raw.setTcpNoDelay(true)
+    PgTls.negotiate(raw, host, port, ssl)
+  }
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
   @volatile private var closed = false
+  /** Authentication outcome, for observability/specs: "trust",
+    * "cleartext", "md5", "SCRAM-SHA-256", or "SCRAM-SHA-256-PLUS". */
+  @volatile private[pgwire] var authMechanism: String = "trust"
+  /** Whether the session runs inside TLS. */
+  private[pgwire] def tlsActive: Boolean = peerCert.isDefined
 
   startup()
 
@@ -98,21 +109,41 @@ private[pgwire] final class PgProtocol(host: String, port: Int,
           code match {
             case 0 => () // AuthenticationOk
             case 3 => // CleartextPassword
+              authMechanism = "cleartext"
               sendAuth(pw.getBytes(UTF_8) :+ 0.toByte)
             case 5 => // MD5Password: 4-byte salt follows
+              authMechanism = "md5"
               val salt = payload.slice(4, 8)
               sendAuth(Scram.md5Password(user, pw, salt).getBytes(UTF_8) :+ 0.toByte)
             case 10 => // AuthenticationSASL: NUL-separated mechanism list
               val mechs = new String(payload, 4, payload.length - 4, UTF_8)
                 .split('\u0000').filter(_.nonEmpty)
-              if (!mechs.contains(Scram.Mechanism))
-                throw new SQLException(
-                  s"pgwire: server offers [${mechs.mkString(", ")}], " +
-                    s"client supports only ${Scram.Mechanism}", "28000")
-              scram = new Scram(pw)
+              // Over TLS prefer SCRAM-SHA-256-PLUS (channel binding ties
+              // the exchange to THIS session's server certificate); plain
+              // SCRAM over TLS sends gs2 'y' — "I could bind" — which a
+              // -PLUS-advertising server must reject, RFC 5802's
+              // downgrade defense.
+              val mech = peerCert match {
+                case Some(cert) if mechs.contains(Scram.MechanismPlus) =>
+                  scram = new Scram(pw, Scram.freshNonce(), "",
+                    "p=tls-server-end-point,,", PgTls.channelBindingData(cert))
+                  Scram.MechanismPlus
+                case Some(_) if mechs.contains(Scram.Mechanism) =>
+                  scram = new Scram(pw, Scram.freshNonce(), "",
+                    "y,,", Array.emptyByteArray)
+                  Scram.Mechanism
+                case None if mechs.contains(Scram.Mechanism) =>
+                  scram = new Scram(pw)
+                  Scram.Mechanism
+                case _ =>
+                  throw new SQLException(
+                    s"pgwire: server offers [${mechs.mkString(", ")}], " +
+                      s"client supports only ${Scram.Mechanism}(-PLUS)", "28000")
+              }
+              authMechanism = mech
               val initial = scram.clientFirstMessage.getBytes(UTF_8)
               val msg = new ArrayBuffer[Byte]()
-              msg ++= Scram.Mechanism.getBytes(UTF_8); msg += 0
+              msg ++= mech.getBytes(UTF_8); msg += 0
               msg += ((initial.length >>> 24) & 0xff).toByte
               msg += ((initial.length >>> 16) & 0xff).toByte
               msg += ((initial.length >>> 8) & 0xff).toByte

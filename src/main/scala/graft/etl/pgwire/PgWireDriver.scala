@@ -34,7 +34,12 @@ final class PgWireDriver extends Driver {
     val copyEnabled = Option(info)
       .flatMap(p => Option(p.getProperty("pgwire.copy")))
       .forall(_.toBoolean)
-    val proto = new PgProtocol(host, port, user, db, password)
+    // libpq-named TLS options: sslmode (disable|prefer|require|verify-ca,
+    // default prefer) and sslrootcert (PEM path → chain verification).
+    val ssl = PgTls.configFrom(
+      Option(info).flatMap(p => Option(p.getProperty("sslmode"))),
+      Option(info).flatMap(p => Option(p.getProperty("sslrootcert"))))
+    val proto = new PgProtocol(host, port, user, db, password, ssl)
     PgJdbc.connection(proto, url, user, copyEnabled)
   }
 

@@ -8,11 +8,15 @@ import java.util.Base64
 import javax.crypto.Mac
 import javax.crypto.spec.SecretKeySpec
 
-/** Client side of SCRAM-SHA-256 (RFC 5802 framing, RFC 7677 hash suite) —
-  * the authentication PostgreSQL requires by default since v14
-  * (`password_encryption = scram-sha-256`). Written from the public RFCs
-  * and the PostgreSQL "SASL Authentication" protocol docs; channel
-  * binding is not offered (gs2 header `n,,`), matching a non-TLS socket.
+/** Client side of SCRAM-SHA-256 and SCRAM-SHA-256-PLUS (RFC 5802
+  * framing, RFC 7677 hash suite) — the authentication PostgreSQL
+  * requires by default since v14 (`password_encryption =
+  * scram-sha-256`). Written from the public RFCs and the PostgreSQL
+  * "SASL Authentication" protocol docs. Channel binding follows the
+  * socket: plaintext sends gs2 `n,,`; a TLS session where the server
+  * did not advertise -PLUS sends `y,,` (downgrade evidence); a TLS
+  * session with -PLUS sends `p=tls-server-end-point,,` and mixes the
+  * RFC 5929 certificate hash into the c= attribute ([[PgTls]]).
   *
   * One instance per authentication exchange:
   * {{{
@@ -27,14 +31,17 @@ import javax.crypto.spec.SecretKeySpec
   * replayed bit-for-bit in a spec (ScramSpec).
   */
 private[pgwire] final class Scram(password: String, nonce: String,
-    username: String) {
+    username: String, gs2Header: String,
+    channelBinding: Array[Byte]) {
 
-  def this(password: String) = this(password, Scram.freshNonce(), "")
+  def this(password: String) =
+    this(password, Scram.freshNonce(), "", "n,,", Array.emptyByteArray)
 
-  def this(password: String, nonce: String) = this(password, nonce, "")
+  def this(password: String, nonce: String) =
+    this(password, nonce, "", "n,,", Array.emptyByteArray)
 
-  /** gs2 header: no channel binding, no authzid. */
-  private val gs2Header = "n,,"
+  def this(password: String, nonce: String, username: String) =
+    this(password, nonce, username, "n,,", Array.emptyByteArray)
   /** PostgreSQL ignores the SASL username (the startup-message user wins),
     * so production exchanges send it empty per the PG docs; the RFC test
     * vector injects "user" here. */
@@ -62,9 +69,11 @@ private[pgwire] final class Scram(password: String, nonce: String,
     val clientKey = Scram.hmac(saltedPassword, "Client Key")
     val storedKey = MessageDigest.getInstance("SHA-256").digest(clientKey)
 
-    // c= carries the base64 of the gs2 header ("n,," → "biws")
-    val channelBinding = Base64.getEncoder.encodeToString(gs2Header.getBytes(UTF_8))
-    val withoutProof = s"c=$channelBinding,r=$serverNonce"
+    // c= carries the base64 of gs2-header ++ cb-data (RFC 5802 §5.1:
+    // "n,," → "biws"; with p= the certificate hash follows the header)
+    val cBind = Base64.getEncoder.encodeToString(
+      gs2Header.getBytes(UTF_8) ++ channelBinding)
+    val withoutProof = s"c=$cBind,r=$serverNonce"
     authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
 
     val clientSignature = Scram.hmac(storedKey, authMessage)
@@ -88,6 +97,7 @@ private[pgwire] final class Scram(password: String, nonce: String,
 
 private[pgwire] object Scram {
   val Mechanism = "SCRAM-SHA-256"
+  val MechanismPlus = "SCRAM-SHA-256-PLUS"
 
   private val rng = new SecureRandom()
 

@@ -41,7 +41,8 @@ object PgServerFixture {
     * credentials.json.example:1-11). */
   val Password = "graft-test-pw"
 
-  final case class Running(port: Int, dataDir: String) {
+  final case class Running(port: Int, dataDir: String,
+      certFile: Option[String] = None) {
     def url: String = s"jdbc:postgresql://127.0.0.1:$port/postgres"
     def props: java.util.Properties = {
       val p = new java.util.Properties()
@@ -83,7 +84,7 @@ object PgServerFixture {
     *   scram-stored verifier makes the server negotiate SASL even under
     *   an md5 hba line).
     */
-  def start(auth: String = "scram-sha-256"): Running = {
+  def start(auth: String = "scram-sha-256", ssl: Boolean = false): Running = {
     val bin = binDir.getOrElse(sys.error("no postgres installation found"))
     val dataDir = s"/tmp/graft_pg_${System.nanoTime()}"
     val port = freePort()
@@ -97,15 +98,68 @@ object PgServerFixture {
     val (ic, iout) = run(asPg(initArgs))
     Files.deleteIfExists(pwFile)
     require(ic == 0, s"initdb failed ($ic):\n$iout")
+    val cert = if (ssl) Some(makeSslFiles(dataDir)) else None
+    cert.foreach { _ =>
+      // TLS becomes MANDATORY for TCP clients: every `host` hba line
+      // (written by initdb -A) flips to `hostssl`, so a plaintext startup
+      // is rejected by the server, not merely unencrypted.
+      val hba = Paths.get(dataDir, "pg_hba.conf")
+      val lines = new String(Files.readAllBytes(hba),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rewritten = lines.linesIterator.map { l =>
+        if (l.startsWith("host ") || l.startsWith("host\t")) "hostssl" + l.substring(4)
+        else l
+      }.mkString("\n") + "\n"
+      Files.write(hba, rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val sslOpts = cert.map { crt =>
+      val key = crt.stripSuffix(".crt") + ".key"
+      s" -c ssl=on -c ssl_cert_file=$crt -c ssl_key_file=$key"
+    }.getOrElse("")
     // timezone pinned: DATE_TRUNC over timestamptz follows the server
     // TimeZone, and the parity specs compare against Spark's UTC session
     val opts = s"-p $port -c listen_addresses=127.0.0.1 " +
       s"-c unix_socket_directories=$dataDir -c fsync=off " +
-      "-c synchronous_commit=off -c timezone=UTC"
+      "-c synchronous_commit=off -c timezone=UTC" + sslOpts
     val (sc, sout) = run(asPg(Seq(s"$bin/pg_ctl", "-D", dataDir, "-w",
       "-o", opts, "-l", s"$dataDir/server.log", "start")))
     require(sc == 0, s"pg_ctl start failed ($sc):\n$sout")
-    Running(port, dataDir)
+    Running(port, dataDir, cert)
+  }
+
+  private def opensslBin: String =
+    Seq("/usr/bin/openssl", "/usr/local/bin/openssl",
+      "/root/miniconda/bin/openssl")
+      .find(new File(_).isFile).getOrElse("openssl")
+
+  /** Standalone self-signed cert (key next to it) — the TLS spec uses one
+    * as a DECOY root to prove verify-ca actually verifies. */
+  def selfSignedCert(prefix: String, cn: String): String = {
+    val key = s"$prefix.key"
+    val crt = s"$prefix.crt"
+    val (gc, gout) = run(Seq(opensslBin, "req", "-x509", "-newkey", "rsa:2048",
+      "-keyout", key, "-out", crt, "-days", "2", "-nodes", "-subj", s"/CN=$cn"))
+    require(gc == 0, s"openssl req failed ($gc):\n$gout")
+    crt
+  }
+
+  /** Self-signed server certificate for the fixture; the key must be
+    * 0600 and owned by the server user (postgres checks at startup).
+    * Returns the certificate path (the key sits next to it). */
+  private def makeSslFiles(dataDir: String): String = {
+    val dir = new File(s"$dataDir.ssl")
+    require(dir.mkdirs(), s"cannot create $dir")
+    val key = s"$dir/server.key"
+    val crt = s"$dir/server.crt"
+    val (gc, gout) = run(Seq(opensslBin, "req", "-x509", "-newkey", "rsa:2048",
+      "-keyout", key, "-out", crt, "-days", "2", "-nodes",
+      "-subj", "/CN=127.0.0.1"))
+    require(gc == 0, s"openssl req failed ($gc):\n$gout")
+    run(Seq("chmod", "755", dir.getPath))
+    run(Seq("chmod", "600", key))
+    run(Seq("chmod", "644", crt))
+    if (isRoot) run(Seq("chown", "-R", "postgres", dir.getPath))
+    crt
   }
 
   /** Flip a running (trust-started) cluster to MD5 challenge-response
@@ -150,5 +204,6 @@ object PgServerFixture {
       Files.deleteIfExists(Paths.get(f.getPath)); ()
     }
     try rm(new File(r.dataDir)) catch { case _: Throwable => () }
+    try rm(new File(r.dataDir + ".ssl")) catch { case _: Throwable => () }
   }
 }
