@@ -134,7 +134,10 @@ object Graph {
     *
     * @param edges directed (src, dst); symmetrize before calling for
     *              undirected reachability
-    * @param seeds one column `id` — depth-0 vertices
+    * @param seeds one column `id` — depth-0 vertices; ids that are not
+    *              vertices of `edges` are ignored (seeds ∩ vertices, the
+    *              [[personalizedPageRank]] convention), and an
+    *              all-foreign seed set fails loudly
     * @return (id, depth) for every vertex reachable within maxDepth
     */
   def bfsDepth(edges: DataFrame, seeds: DataFrame,
@@ -142,8 +145,17 @@ object Graph {
       dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"))
       .localCheckpoint(true)
+    // seeds ∩ vertices, mirroring personalizedPageRank's seed handling:
+    // a seed that is not a vertex of the edge list is ignored (it is not
+    // "reachable" in this graph), and an all-foreign seed set fails
+    // loudly rather than returning a silently empty traversal
+    val vertices = e.select(col("e_src").as("id"))
+      .union(e.select(col("e_dst").as("id"))).distinct()
     var visited = seeds.select(col("id")).distinct()
+      .join(vertices, Seq("id"), "left_semi")
       .withColumn("depth", lit(0)).localCheckpoint(true)
+    require(!visited.limit(1).isEmpty,
+      "bfsDepth: no seed appears in the graph")
     var frontier = visited.select(col("id"))
     var d = 0
     var drained = false
@@ -198,6 +210,21 @@ object Graph {
     */
   def labelSpread(nodes: DataFrame, edges: DataFrame, iterations: Int,
       clampSeeds: Boolean = false): DataFrame = {
+    // Enforce the determinism precondition instead of just documenting
+    // it: a double weight column would make vote sums (and therefore tie
+    // outcomes) partitioning-dependent. Integral and decimal sums are
+    // exact under any reduction order — the engine-wide convention.
+    edges.schema("w").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case _: org.apache.spark.sql.types.DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"labelSpread: weight column 'w' is $other — vote sums must be " +
+          "exact for deterministic ties; use an integral or decimal " +
+          "weight (cast doubles to decimal at your chosen precision)")
+    }
     val e = edges.select(col("src"), col("dst"), col("w"))
       .localCheckpoint(true)
     var state = nodes
@@ -280,6 +307,74 @@ object Graph {
       .select(explode(array(col("center"), col("x"), col("y"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core: the maximal subgraph in which every vertex has degree ≥ k,
+    * by iterative peeling — each round recomputes degrees over the
+    * surviving edge set and drops every vertex below k (with all its
+    * edges), until a round removes nothing. The classic curation use:
+    * triangles ([[triangleCounts]]) FIND dense spam cliques, the k-core
+    * finds their BOUNDARY — everything that stays densely connected
+    * after the fringe peels away.
+    *
+    * Execution: each round is one degree aggregation (partial-aggregated
+    * hash agg over the exploded endpoints) plus two anti-joins on the
+    * vertex key — O(surviving edges) per round, nothing quadratic, the
+    * [[bfsDepth]] delta shape. Early-exits when stable; throws after
+    * `maxRounds` unconverged rounds (the [[ConnectedComponents]]
+    * contract: an EXACT operator must fail loudly, never return a
+    * partially peeled graph). Degrees are integers, so the result is a
+    * pure function of (edges, k) — exactly oracle-checkable by unrolling
+    * maxRounds peel rounds as nested CTEs (rounds after convergence are
+    * no-ops, so over-unrolling is harmless — the lp01 fixed-round trick).
+    *
+    * @param edges undirected edge set, any orientation (canonicalized,
+    *              self-loops dropped, duplicates collapsed)
+    * @return (id, core_degree) for every vertex of the k-core; empty
+    *         when no k-core exists
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var stable = false
+    while (!stable) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"kCore did not converge within $maxRounds peeling rounds — " +
+            "raise maxRounds (and the oracle's unroll depth) deliberately")
+      val doomed = peelDoomed(und, k).localCheckpoint(true)
+      if (doomed.limit(1).isEmpty) stable = true
+      else und = dropDoomed(und, doomed)
+        .localCheckpoint(true) // truncate lineage: plan must not grow per round
+    }
+    und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** One peel round's victim set: vertices of the surviving edge list
+    * with degree < k. Factored out (with [[dropDoomed]]) so the plan
+    * gate asserts on the REAL per-round plan — the loop checkpoints
+    * eagerly, so gating the final DataFrame would be vacuous (the
+    * [[expandFrontier]] convention). */
+  private[operators] def peelDoomed(und: DataFrame, k: Int): DataFrame =
+    und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .filter(col("d") < k)
+      .select(col("id"))
+
+  /** Drop every edge incident to a doomed vertex: two anti-joins on the
+    * endpoint keys. */
+  private[operators] def dropDoomed(und: DataFrame,
+      doomed: DataFrame): DataFrame =
+    und.join(doomed.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(doomed.select(col("id").as("b")), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
 
   /** The ONE trade relation every graph query derives from — (c, sp, w)
     * with w = lineitem count linking customer c to supplier sp. g01/g02
@@ -417,6 +512,28 @@ object Graph {
           expr("id div 2").as("key"), col("seed"), col("label"))
     },
 
+    // k-core of the customer co-purchase graph (the g03 projection at
+    // minShared=1 — the denser form, so the core is non-trivial at the
+    // bench SF): the densely-trading cohort that survives after
+    // low-degree fringe customers peel away — triangles locate dense
+    // cliques, the k-core draws their boundary. Integer degrees +
+    // fixed-unroll peeling make the iterative operator value-exact
+    // oracled (20 unrolled rounds in the CTE, MATERIALIZED so DuckDB
+    // doesn't inline each round's 4 references exponentially; rounds
+    // after convergence are no-ops — the lp01 trick). The Spark side
+    // early-exits when stable and THROWS past 20 rounds, so a green row
+    // proves convergence within the oracle's unroll depth (sf0.1
+    // measures 13 peel rounds, 7897 -> 2737 vertices — a real cascade).
+    "g05_kcore" -> { (s, d) =>
+      val cs = tradeRelation(s, d).filter(col("w") >= 2)
+        .select(col("c"), col("sp"))
+      val cop = copurchaseEdges(cs, minShared = 1,
+        maxSupplierDeg = 50000L)
+      Graph.kCore(cop, k = KCoreK, maxRounds = KCoreRounds,
+          srcCol = "ca", dstCol = "cb")
+        .select(col("id").as("c_custkey"), col("core_degree"))
+    },
+
     // Fixed-iteration PageRank over the directed customer→supplier trade
     // graph (suppliers are all dangling, so the sink-mass redistribution
     // path is exercised on every round). Deterministic by construction —
@@ -437,7 +554,45 @@ object Graph {
     }
   )
 
+  /** g05 parameters, shared by the query and its generated oracle. */
+  private val KCoreK = 16
+  private val KCoreRounds = 20
+
+  /** The g05 oracle: `rounds` peel rounds UNROLLED as nested CTEs over
+    * the co-purchase projection — each round recomputes degrees of the
+    * surviving edge set and drops vertices with degree < k. Identical
+    * no-op tails after convergence keep the unroll exact at any SF where
+    * peeling converges in ≤ rounds (past that, the Spark side throws —
+    * the row goes red loudly rather than wrong). */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cs AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |p0 AS MATERIALIZED (SELECT a.c AS a, b.c AS b
+      |  FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+      |  GROUP BY 1, 2)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |d$i AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+        |    SELECT a AS id FROM p${i - 1}
+        |    UNION ALL SELECT b FROM p${i - 1})
+        |  GROUP BY 1),
+        |x$i AS MATERIALIZED (SELECT id FROM d$i WHERE d < $k),
+        |p$i AS MATERIALIZED (SELECT a, b FROM p${i - 1}
+        |  WHERE a NOT IN (SELECT id FROM x$i)
+        |    AND b NOT IN (SELECT id FROM x$i))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT id AS c_custkey, COUNT(*) AS core_degree FROM (
+      |  SELECT a AS id FROM p$rounds UNION ALL SELECT b FROM p$rounds)
+      |GROUP BY 1""".stripMargin
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "g05_kcore" -> kCoreOracle(KCoreK, KCoreRounds),
+
     // UNION (not UNION ALL) recursion: the working set is the newly
     // discovered distinct (id, depth) pairs, so the recursion is bounded
     // by (maxDepth+1)·|V| rows even on this dense bipartite graph; the
@@ -450,6 +605,7 @@ object Graph {
         |  UNION ALL SELECT sp*2+1, c*2 FROM cs),
         |bfs(id, depth) AS (
         |  SELECT c_custkey*2, 0 FROM customer WHERE c_nationkey = 0
+        |    AND EXISTS (SELECT 1 FROM e WHERE e.src = c_custkey*2)
         |  UNION
         |  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.id
         |  WHERE b.depth < 4),

@@ -231,6 +231,87 @@ class GraphSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("bfsDepth: seeds outside the graph are ignored, all-foreign " +
+    "seed set fails loudly (the personalizedPageRank convention)") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.bfsDepth(edges, Seq(1L, 99L).toDF("id"), maxDepth = 3)
+      .as[(Long, Int)].collect().toMap
+    // 99 is not a vertex: it must NOT appear at depth 0
+    assert(got === Map(1L -> 0, 2L -> 1), s"foreign seed leaked in: $got")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.bfsDepth(edges, Seq(99L).toDF("id"), maxDepth = 1)
+    }
+    assert(ex.getMessage.contains("no seed"))
+  }
+
+  test("labelSpread: a double weight column fails loudly (fp vote sums " +
+    "are order-dependent — the advertised bit-stability would be false)") {
+    val nodes = Seq((1L, Some(1L)), (2L, None)).toDF("id", "label")
+    val edges = Seq((1L, 2L, 0.5)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.labelSpread(nodes, edges, iterations = 1)
+    }
+    assert(ex.getMessage.contains("integral or decimal"))
+    // the exact-decimal form of the same weights is accepted
+    val dec = edges.select($"src", $"dst", $"w".cast("decimal(20,6)").as("w"))
+    val got = Graph.labelSpread(nodes, dec, iterations = 1)
+      .select("id", "label").as[(Long, Option[Long])].collect().toMap
+    assert(got(2L) === Some(1L))
+  }
+
+  test("kCore: cascading peel — K4 survives as the 3-core, the attached " +
+    "path peels away over two rounds") {
+    // K4 {1,2,3,4}; path 4-5, 5-6, 5-7. Initially deg(5)=3 >= k, but
+    // round 1 drops {6,7} (deg 1), which drops deg(5) to 1; round 2
+    // drops 5. Exercises the cascade, not just a single filter pass.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (5L, 7L))).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 3).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core wrong: $got")
+    // maximality is two-sided: every survivor's IN-CORE degree >= k
+    assert(got.values.forall(_ >= 3))
+  }
+
+  test("kCore: empty core returns empty; unconverged peeling throws") {
+    // a triangle has max degree 2 — no 3-core
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Graph.kCore(tri, k = 3).isEmpty)
+    // the K4-plus-path graph needs 2 peel rounds; maxRounds=1 must throw
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (5L, 7L))).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(edges, k = 3, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("kCore is partitioning-invariant and canonicalizes messy input") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq((2L, 2L), (4L, 5L), (5L, 6L),
+      (5L, 7L), (1L, 2L))).toDF("src", "dst")
+    val r1 = Graph.kCore(noisy, k = 3).as[(Long, Long)].collect().toMap
+    val r2 = Graph.kCore(noisy.repartition(13), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === r2)
+    assert(r1 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore rounds are aggregations + anti-joins — the real per-round " +
+    "plan has no cartesian product or nested loop") {
+    // same rationale as the bfsDepth gate: the loop checkpoints each
+    // round, so only the factored per-round body shows the true plan
+    val und = (0L until 400L).map(i => (i, (i * 3 + 1) % 400))
+      .toDF("a", "b")
+    val doomed = Graph.peelDoomed(und, 3)
+    val p = Graph.dropDoomed(und, doomed)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("LeftAnti"), "doomed filter must be an anti join:\n" +
+      p.take(3000))
+  }
+
   test("pageRank is deterministic across runs and partitionings") {
     val ev = graft.Tables.events(spark, sf("sf0.001"))
     // user-interaction graph: consecutive events of the same type link users
