@@ -1,0 +1,187 @@
+package graft.etl.pgwire
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Encoder for PostgreSQL COPY binary format (public docs: "COPY …
+  * Binary Format"): an 19-byte header (signature + flags + extension
+  * length), one frame per tuple (int16 field count, then per field an
+  * int32 byte length — -1 for NULL — and the field bytes in the type's
+  * binary send format, network order), and an int16 -1 trailer.
+  *
+  * Versus the text format this halves the server's parse cost on
+  * timestamp/numeric-heavy rows: no datetime string parsing, no decimal
+  * string scanning — the fields arrive in (nearly) the server's internal
+  * representation. The price is strictness: binary fields must match the
+  * target column types exactly (no implicit casts), which is safe here
+  * because the staging tables are created from the same Spark schema
+  * that produces the JDBC values.
+  *
+  * Per-type formats (all public, from the types' send/recv functions):
+  * int2/int4/int8 big-endian; float4/float8 IEEE bits big-endian; bool
+  * one byte; text UTF-8; bytea raw; timestamp int64 MICROSECONDS since
+  * 2000-01-01 (integer_datetimes, the only mode since PG 10); date int32
+  * days since 2000-01-01; numeric as base-10000 digit groups
+  * (ndigits/weight/sign/dscale int16 header).
+  */
+private[pgwire] object PgCopyBinary {
+
+  /** "PGCOPY\n\377\r\n\0" + int32 flags 0 + int32 extension length 0. */
+  val header: Array[Byte] =
+    "PGCOPY\n".getBytes(UTF_8) ++
+      Array(0xff.toByte, '\r'.toByte, '\n'.toByte, 0.toByte) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** File trailer: int16 -1. */
+  val trailer: Array[Byte] = Array(0xff.toByte, 0xff.toByte)
+
+  /** Seconds between the unix epoch and the postgres epoch (2000-01-01). */
+  private val PgEpochSeconds = 946684800L
+
+  /** Days between the unix epoch and 2000-01-01. */
+  private val PgEpochDays = 10957L
+
+  /** Whether a raw JDBC parameter value has a binary encoding here —
+    * the auto format picks binary only when every value in the batch
+    * does (unknown classes fall back to the text path, which encodes
+    * anything stringly). */
+  def supported(v: Any): Boolean = v match {
+    case null => true
+    case _: String | _: java.lang.Boolean | _: java.lang.Long |
+         _: java.lang.Integer | _: java.lang.Short | _: java.lang.Double |
+         _: java.lang.Float | _: java.math.BigDecimal |
+         _: java.sql.Timestamp | _: java.sql.Date | _: Array[Byte] => true
+    case _ => false
+  }
+
+  /** The complete COPY stream for a batch: header, tuples, trailer. */
+  def frames(rows: Iterator[Array[Any]]): Iterator[Array[Byte]] =
+    Iterator.single(header) ++ rows.map(encodeRow) ++ Iterator.single(trailer)
+
+  /** One tuple frame. */
+  def encodeRow(values: Array[Any]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    writeInt16(out, values.length)
+    var i = 0
+    while (i < values.length) {
+      encodeField(values(i), out)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private def writeInt16(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def writeInt32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def writeInt64(out: ByteArrayOutputStream, v: Long): Unit = {
+    writeInt32(out, (v >>> 32).toInt); writeInt32(out, v.toInt)
+  }
+
+  private def encodeField(v: Any, out: ByteArrayOutputStream): Unit = v match {
+    case null => writeInt32(out, -1)
+    case s: String =>
+      val b = s.getBytes(UTF_8)
+      writeInt32(out, b.length); out.write(b, 0, b.length)
+    case b: java.lang.Boolean =>
+      writeInt32(out, 1); out.write(if (b) 1 else 0)
+    case n: java.lang.Long =>
+      writeInt32(out, 8); writeInt64(out, n)
+    case n: java.lang.Integer =>
+      writeInt32(out, 4); writeInt32(out, n)
+    case n: java.lang.Short =>
+      writeInt32(out, 2); writeInt16(out, n.intValue())
+    case d: java.lang.Double =>
+      writeInt32(out, 8); writeInt64(out, java.lang.Double.doubleToRawLongBits(d))
+    case f: java.lang.Float =>
+      writeInt32(out, 4); writeInt32(out, java.lang.Float.floatToRawIntBits(f))
+    case t: java.sql.Timestamp =>
+      // timestamp (no tz) stores the WALL-CLOCK value; the text path
+      // sends t.toString (JVM-default-zone rendering), so the binary
+      // micros must come from the same local datetime, not the instant
+      val ldt = t.toLocalDateTime
+      val micros = Math.addExact(
+        Math.multiplyExact(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) - PgEpochSeconds,
+          1000000L),
+        (ldt.getNano + 500L) / 1000L) // round ns → µs as the text parse does
+      writeInt32(out, 8); writeInt64(out, micros)
+    case d: java.sql.Date =>
+      writeInt32(out, 4)
+      writeInt32(out, (d.toLocalDate.toEpochDay - PgEpochDays).toInt)
+    case b: Array[Byte] =>
+      writeInt32(out, b.length); out.write(b, 0, b.length)
+    case n: java.math.BigDecimal =>
+      val body = numericBytes(n)
+      writeInt32(out, body.length); out.write(body, 0, body.length)
+    case n: Number => // defensive: supported() should have filtered
+      val b = n.toString.getBytes(UTF_8)
+      writeInt32(out, b.length); out.write(b, 0, b.length)
+    case other => throw new java.sql.SQLException(
+      s"pgwire: cannot binary-COPY-encode ${other.getClass.getName}")
+  }
+
+  /** NumericVar wire form: int16 ndigits, int16 weight (base-10000
+    * position of the FIRST digit group relative to the decimal point),
+    * int16 sign (0x0000 +, 0x4000 −), int16 dscale (display digits after
+    * the point), then ndigits int16 base-10000 groups. NaN/Inf are not
+    * producible from BigDecimal. Exposed for the spec's byte-level
+    * fixture checks. */
+  private[pgwire] def numericBytes(n: java.math.BigDecimal): Array[Byte] = {
+    val sign = if (n.signum() < 0) 0x4000 else 0x0000
+    val dscale = math.max(n.scale(), 0)
+    val abs = n.abs()
+
+    def put16(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = ((v >>> 8) & 0xff).toByte; b(at + 1) = (v & 0xff).toByte
+    }
+
+    if (abs.compareTo(java.math.BigDecimal.ZERO) == 0) {
+      val b = new Array[Byte](8)
+      put16(b, 4, sign); put16(b, 6, dscale)
+      return b
+    }
+    val plain = abs.toPlainString // no exponent, optional '.'
+    val dot = plain.indexOf('.')
+    val intLen = if (dot < 0) plain.length else dot
+    val fracLen = if (dot < 0) 0 else plain.length - dot - 1
+    // left-pad the integer digits and right-pad the fractional digits to
+    // whole base-10000 groups aligned on the decimal point
+    val intPad = (4 - intLen % 4) % 4
+    val nGroups = (intPad + intLen + fracLen + 3) / 4
+    val groups = new Array[Int](nGroups)
+    var pos = -intPad // index into the UNPADDED digit stream
+    var g = 0
+    while (g < nGroups) {
+      var v = 0
+      var j = 0
+      while (j < 4) {
+        val d =
+          if (pos < 0 || pos >= intLen + fracLen) 0
+          else {
+            val at = if (pos < intLen) pos else pos + 1 // skip the '.'
+            plain.charAt(at) - '0'
+          }
+        v = v * 10 + d
+        pos += 1; j += 1
+      }
+      groups(g) = v
+      g += 1
+    }
+    var weight = (intLen + intPad) / 4 - 1
+    // strip leading zero groups (weight shifts down) and trailing ones
+    var lo = 0
+    while (lo < nGroups && groups(lo) == 0) { lo += 1; weight -= 1 }
+    var hi = nGroups
+    while (hi > lo && groups(hi - 1) == 0) hi -= 1
+    val b = new Array[Byte](8 + 2 * (hi - lo))
+    put16(b, 0, hi - lo); put16(b, 2, weight)
+    put16(b, 4, sign); put16(b, 6, dscale)
+    var i = lo
+    while (i < hi) { put16(b, 8 + 2 * (i - lo), groups(i)); i += 1 }
+    b
+  }
+}

@@ -27,6 +27,9 @@ private[pgwire] object PgJdbc {
     * for specs/benchmarks asserting the bulk path actually engaged. */
   private[pgwire] val CopyBatches = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Of those, batches shipped in COPY BINARY format. */
+  private[pgwire] val CopyBinaryBatches = new java.util.concurrent.atomic.AtomicLong()
+
   /** OID → (java.sql.Types code, postgres type name). Public catalog
     * constants (pg_type.dat). Covers every type the engine's tables use;
     * unknown OIDs fall back to VARCHAR/"text" which Spark reads as
@@ -308,11 +311,24 @@ private[pgwire] object PgJdbc {
       else copySql match {
         case Some(copy) =>
           val n = batch.length
-          val rows = batch.iterator.map(PgCopyText.encodeRow)
-          val copied = conn.copyIn(copy, rows)
+          // format ladder: "binary" forces PGCOPY binary, "text" forces
+          // the text encoding, "auto" (default) picks binary whenever
+          // every value in the batch has a binary send format — the
+          // halved-parse-cost path on timestamp/numeric-heavy rows
+          val binary = conn.copyFormat match {
+            case "binary" => true
+            case "text" => false
+            case _ => batch.forall(_.forall(PgCopyBinary.supported))
+          }
+          val copied =
+            if (binary)
+              conn.copyIn(copy + " WITH (FORMAT BINARY)",
+                PgCopyBinary.frames(batch.iterator))
+            else conn.copyIn(copy, batch.iterator.map(PgCopyText.encodeRow))
           batch.clear()
           require(copied == n, s"pgwire: COPY of $n rows reported $copied")
           CopyBatches.incrementAndGet()
+          if (binary) CopyBinaryBatches.incrementAndGet()
           // each logical statement affected exactly its one row
           Array.fill(n)(1)
         case None =>
@@ -393,7 +409,8 @@ private[pgwire] object PgJdbc {
     * lazily before the first statement; commit/rollback end the block.
     * (The simple protocol auto-commits each bare statement, which is
     * exactly JDBC's autoCommit=true.) */
-  private final class ConnCore(val proto: PgProtocol, val copyEnabled: Boolean) {
+  private final class ConnCore(val proto: PgProtocol, val copyEnabled: Boolean,
+      val copyFormat: String = "auto") {
     private var autoCommit = true
     private var inTxn = false
     private var isolation = Connection.TRANSACTION_READ_COMMITTED
@@ -437,8 +454,8 @@ private[pgwire] object PgJdbc {
   }
 
   def connection(proto: PgProtocol, url: String, user: String,
-      copyEnabled: Boolean = true): Connection = {
-    val core = new ConnCore(proto, copyEnabled)
+      copyEnabled: Boolean = true, copyFormat: String = "auto"): Connection = {
+    val core = new ConnCore(proto, copyEnabled, copyFormat)
     lazy val conn: Connection = proxy(classOf[Connection], "PgConnection") { (name, a) =>
       name match {
         case "createStatement" => Some(statement(core, conn, null))

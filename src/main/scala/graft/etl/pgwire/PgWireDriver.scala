@@ -36,11 +36,19 @@ final class PgWireDriver extends Driver {
       .forall(_.toBoolean)
     // libpq-named TLS options: sslmode (disable|prefer|require|verify-ca,
     // default prefer) and sslrootcert (PEM path → chain verification).
+    // pgwire.copyFormat: auto (default — binary when every batch value
+    // has a binary send format), binary (force), text (force).
+    val copyFormat = Option(info)
+      .flatMap(p => Option(p.getProperty("pgwire.copyFormat")))
+      .map(_.trim.toLowerCase).getOrElse("auto")
+    if (!Set("auto", "binary", "text").contains(copyFormat))
+      throw new SQLException(
+        s"pgwire: unsupported pgwire.copyFormat '$copyFormat'", "08006")
     val ssl = PgTls.configFrom(
       Option(info).flatMap(p => Option(p.getProperty("sslmode"))),
       Option(info).flatMap(p => Option(p.getProperty("sslrootcert"))))
     val proto = new PgProtocol(host, port, user, db, password, ssl)
-    PgJdbc.connection(proto, url, user, copyEnabled)
+    PgJdbc.connection(proto, url, user, copyEnabled, copyFormat)
   }
 
   override def getPropertyInfo(url: String, info: Properties): Array[DriverPropertyInfo] =

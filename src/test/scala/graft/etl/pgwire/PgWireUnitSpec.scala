@@ -54,4 +54,34 @@ class PgWireUnitSpec extends AnyFunSuite {
     assert(PgResult(Vector.empty, Vector.empty, "CREATE TABLE").updateCount === 0)
     assert(PgResult(Vector.empty, Vector.empty, "BEGIN").updateCount === 0)
   }
+
+  private def numericHex(s: String): String =
+    PgCopyBinary.numericBytes(new java.math.BigDecimal(s))
+      .map(b => f"$b%02x").mkString
+
+  test("COPY BINARY numeric encoding: base-10000 groups, weight, sign, " +
+    "dscale (hand-checked wire fixtures)") {
+    // 0.0001: one digit group [1] at weight -1, dscale 4
+    assert(numericHex("0.0001") === "0001" + "ffff" + "0000" + "0004" + "0001")
+    // -12345678.90: groups [1234,5678,9000], weight 1, negative, dscale 2
+    assert(numericHex("-12345678.90") ===
+      "0003" + "0001" + "4000" + "0002" + "04d2" + "162e" + "2328")
+    // zero keeps its display scale, no digit groups
+    assert(numericHex("0.00") === "0000" + "0000" + "0000" + "0002")
+    // 1.5: groups [1, 5000] straddling the point, weight 0
+    assert(numericHex("1.5") ===
+      "0002" + "0000" + "0000" + "0001" + "0001" + "1388")
+    // integer with trailing zero group stripped: 10000 = [1] at weight 1
+    assert(numericHex("10000") === "0001" + "0001" + "0000" + "0000" + "0001")
+  }
+
+  test("COPY BINARY header/trailer and NULL field framing") {
+    assert(PgCopyBinary.header.length === 19)
+    assert(new String(PgCopyBinary.header.take(7)) === "PGCOPY\n")
+    assert(PgCopyBinary.trailer.toSeq === Seq(0xff.toByte, 0xff.toByte))
+    // a (long, NULL) tuple: int16 2, int32 8 + payload, int32 -1
+    val row = PgCopyBinary.encodeRow(Array[Any](java.lang.Long.valueOf(1L), null))
+    assert(row.map(b => f"$b%02x").mkString ===
+      "0002" + "00000008" + "0000000000000001" + "ffffffff")
+  }
 }

@@ -158,6 +158,69 @@ class PostgresUpsertSpec extends SparkSpec with BeforeAndAfterAll {
     assert(n === 3L, "replaying a multi-row-per-key batch must not duplicate the group")
   }
 
+  test("COPY BINARY round-trips every supported type identically to the " +
+    "text path (forced both ways; auto engages binary)") {
+    assume(PgServerFixture.available, "no postgres installation in sandbox")
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789012")
+    val day = java.sql.Date.valueOf("2024-02-29")
+    val df = Seq(
+      (1L, Option("it's — üñïcode\ttab\nnl"), Option(1.5), Option(true),
+        Option(ts), Option(day),
+        Option(new java.math.BigDecimal("-12345678.90")),
+        Option(Array[Byte](0, 1, 2, -1))),
+      (2L, None, None, None, None, None,
+        Option(new java.math.BigDecimal("0.0001")), None),
+      (3L, Option("plain"), Option(Double.NaN), Option(false),
+        Option(ts), Option(day),
+        Option(new java.math.BigDecimal("10000")), Option(Array.empty[Byte])))
+      .toDF("oid__id", "label", "score", "flag", "ts", "day", "amount", "blob")
+
+    def withFormat(fmt: String): java.util.Properties = {
+      val p = props; p.setProperty("pgwire.copyFormat", fmt); p
+    }
+    def cls(v: Any): String = v match {
+      case Some(x) => s"Some[${x.getClass.getSimpleName}]"
+      case other => String.valueOf(other)
+    }
+    val binBefore = PgJdbc.CopyBinaryBatches.get()
+    JdbcUpsert.upsert(df, url, "copybin_pg", "oid__id", withFormat("binary"))
+    assert(PgJdbc.CopyBinaryBatches.get() > binBefore,
+      "forced binary upsert did not take the binary COPY path")
+    JdbcUpsert.upsert(df, url, "copytxt_pg", "oid__id", withFormat("text"))
+
+    // score reads back as text: scala numeric equality has NaN != NaN
+    // even boxed, and PG renders float8 NaN as the string 'NaN'
+    def readBack(t: String) = spark.read.jdbc(url, t, props)
+      .select($"oid__id", $"label", $"score".cast("string"), $"flag",
+        $"ts", $"day", $"amount".cast("string"),
+        org.apache.spark.sql.functions.hex($"blob"))
+      .as[(Long, Option[String], Option[String], Option[Boolean],
+        Option[java.sql.Timestamp], Option[java.sql.Date],
+        Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    val bin = readBack("copybin_pg")
+    val txt = readBack("copytxt_pg")
+    bin.zip(txt).foreach { case (b, t) =>
+      b.productIterator.zip(t.productIterator).zipWithIndex.foreach {
+        case ((bv, tv), i) =>
+          assert(bv == tv,
+            s"binary and text COPY disagree at field $i: " +
+              s"[$bv] (${cls(bv)}) vs [$tv] (${cls(tv)})")
+      }
+    }
+    assert(bin.length === txt.length)
+    assert(bin.head._5 === Some(ts) && bin.head._6 === Some(day))
+    assert(bin.head._7.exists(_.startsWith("-12345678.90")))
+    assert(bin(2)._3 === Some("NaN"), "NaN must survive binary float8")
+
+    // default (auto) picks binary for these batches
+    val autoBefore = PgJdbc.CopyBinaryBatches.get()
+    JdbcUpsert.upsert(df, url, "copyauto_pg", "oid__id", props)
+    assert(PgJdbc.CopyBinaryBatches.get() > autoBefore,
+      "auto format should choose binary when every value is encodable")
+    assert(readBack("copyauto_pg") === bin)
+  }
+
   test("watermark probe on Postgres: absent table → None, else max(fileName)") {
     assume(PgServerFixture.available, "no postgres installation in sandbox")
     assert(JdbcUpsert.lastUploadedFile(spark, url, "missing_pg",
