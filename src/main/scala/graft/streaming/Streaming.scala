@@ -303,6 +303,103 @@ object Streaming {
       }
       .start()
 
+  /** Streaming twin of q70's incremental aggregate maintenance: a
+    * persisted per-key stats table (count + decimal sum — the MERGEABLE
+    * state; avg is derived at read time) updated per micro-batch as
+    * base ⊎ delta, never by rescanning history. Per batch the work is
+    * one O(batch) partial aggregation plus a merge against the O(keys)
+    * snapshot — at 100 TB the corpus is never read again; the nightly
+    * stats job costs O(delta + keys) forever (the q70 argument, now
+    * with the state genuinely persisted across restarts).
+    *
+    * Unlike the append-mode ingests ([[dedupIngest]]), a merge is NOT
+    * idempotent — an at-least-once replay would double-count the
+    * delta. Snapshots are therefore versioned BY BATCH ID:
+    * `statsDir/snapshot=<batchId>/` written with mode=overwrite, and a
+    * batch whose snapshot id is ≤ the latest COMMITTED snapshot is
+    * skipped (the replayed delta is already merged). Commit = the
+    * parquet `_SUCCESS` marker; a torn write has no marker, is invisible
+    * to [[readStats]], and is overwritten by the checkpoint's replay of
+    * the same batch id — the effectively-exactly-once foreachBatch
+    * recipe from the Structured Streaming docs. Older snapshots are
+    * pruned after each commit (the previous one is kept as the rollback
+    * point), so storage is O(keys), not O(batches · keys).
+    *
+    * Sums accumulate in decimal(38,2): exact under any partitioning or
+    * merge order (the engine convention), so N batches + any number of
+    * restarts reproduce the single-scan recompute BIT-identically —
+    * which is exactly what the spec asserts via the q70 oracle shape. */
+  def statsIngest(events: DataFrame, keyCol: String, valueCol: String,
+      statsDir: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestSnapshot(spark, statsDir)
+        if (latest.forall(_._1 < batchId)) {
+          val delta = batch.groupBy(col(keyCol))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col(valueCol).cast("decimal(18,2)"))
+                .cast("decimal(38,2)").as("sum_value"))
+          val merged = latest match {
+            case Some((_, base)) =>
+              base.unionByName(delta)
+                .groupBy(col(keyCol))
+                .agg(sum(col("n_events")).as("n_events"),
+                  sum(col("sum_value")).cast("decimal(38,2)").as("sum_value"))
+            case None => delta
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsDir/snapshot=$batchId")
+          // prune all but the new snapshot and its predecessor (the
+          // rollback point while the new _SUCCESS is the commit record)
+          val keep = Set(Some(batchId), latest.map(_._1)).flatten
+          snapshotIds(spark, statsDir).filterNot(keep.contains).foreach { id =>
+            val p = new org.apache.hadoop.fs.Path(s"$statsDir/snapshot=$id")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          }
+        } // else: checkpoint replay of an already-merged batch — skip
+      }
+      .start()
+
+  /** Latest COMMITTED per-key stats (q70's output shape: key, n_events,
+    * sum_value, avg_value) — empty result when no snapshot exists. */
+  def readStats(spark: SparkSession, statsDir: String,
+      keyCol: String = "user_id"): DataFrame =
+    latestSnapshot(spark, statsDir) match {
+      case Some((_, df)) =>
+        df.select(col(keyCol), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"),
+          round(col("sum_value").cast("double") / col("n_events"), 6)
+            .as("avg_value"))
+      case None =>
+        spark.emptyDataFrame
+    }
+
+  private def snapshotIds(spark: SparkSession, statsDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("snapshot="))
+      .map(_.stripPrefix("snapshot=").toLong)
+  }
+
+  /** (batchId, stats) of the newest snapshot carrying a _SUCCESS marker. */
+  private def latestSnapshot(spark: SparkSession,
+      statsDir: String): Option[(Long, DataFrame)] = {
+    val dir = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshotIds(spark, statsDir).sorted.reverse
+      .find(id => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$statsDir/snapshot=$id/_SUCCESS")))
+      .map(id => (id, spark.read.parquet(s"$statsDir/snapshot=$id")))
+  }
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key with right.ts in [left.ts - lower, left.ts + upper].
     * Watermarks on BOTH sides bound the join state — without them a

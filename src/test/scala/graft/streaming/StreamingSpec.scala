@@ -268,6 +268,58 @@ class StreamingSpec extends SparkSpec {
     ingested.unpersist(); ()
   }
 
+  test("stats ingest: 3 batches + restarts merge to EXACTLY the full " +
+    "single-scan recompute (q70's oracle shape); replays cannot double-count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("stats_ingest").toString
+    val (statsDir, ckpt) = (s"$tmp/stats", s"$tmp/ckpt")
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[Streaming.UserEvent].collect()
+    val input = MemoryStream[Streaming.UserEvent]
+    def drain(checkpoint: String = ckpt): Unit = {
+      val q = Streaming.statsIngest(
+        input.toDF().select($"user_id", $"ts", $"value"),
+        "user_id", "value", statsDir, checkpoint)
+      q.awaitTermination()
+    }
+    // three nightly batches, each a separate drain (restart in between —
+    // the persisted snapshot, not memory, carries the state across)
+    (0 to 2).foreach { r =>
+      input.addData(ev.filter(_.event_id % 3 == r).toSeq)
+      drain()
+    }
+    def collectStats() = Streaming.readStats(spark, statsDir)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val got = collectStats()
+    // the q70 contract: merged mergeable state ≡ one-pass recompute, exactly
+    val want = graft.Tables.events(spark, sf("sf0.001"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).as("__sv"))
+      .select($"user_id", $"n_events",
+        $"__sv".cast("double").as("sum_value"),
+        round($"__sv".cast("double") / $"n_events", 6).as("avg_value"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got === want, "merged snapshots must equal the full recompute")
+    // an empty re-drain (restart, no new data) changes nothing
+    drain()
+    assert(collectStats() === got)
+    // replay safety: batch ids are the commit keys — a stream whose ids
+    // rewind (fresh checkpoint against the SAME statsDir, re-offering
+    // already-merged data) must be skipped, never double-merged;
+    // statsDir and checkpointDir move together or not at all
+    input.addData(ev.filter(_.event_id % 3 == 0).toSeq)
+    drain(s"$tmp/ckpt_rewound")
+    assert(collectStats() === got, "a rewound batch id must not re-merge")
+    // storage stays O(keys): only the latest snapshot and its rollback
+    // predecessor are retained
+    val snaps = new java.io.File(statsDir).listFiles()
+      .map(_.getName).filter(_.startsWith("snapshot="))
+    assert(snaps.length <= 2, s"snapshots not pruned: ${snaps.toSeq}")
+  }
+
   test("dedup ingest: auto-compaction bounds index file count across many batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
