@@ -862,6 +862,29 @@ object DataOps {
     Dedup.semanticDupPairs(vectors, centroids, minCosSim = 0.45, nProbe = 3)
   }
 
+  /** Per-query wall-clock seconds from a Bench artifact (the one-line
+    * JSON graft.Bench prints, persisted to bench_<sf>.json): its
+    * `queries` object, with failed entries (negative sentinel) dropped.
+    * Empty when the file is absent or shaped differently — o04 degrades
+    * to null timings instead of failing the whole dump. The artifact is
+    * a few KB: parsing it via spark.read.json is a driver-bounded
+    * 1-row read, not a data-scale job. */
+  private[operators] def benchTimings(s: SparkSession,
+      file: String): Map[String, Double] = {
+    if (!new java.io.File(file).isFile) Map.empty
+    else try {
+      val df = s.read.option("multiLine", true).json(file)
+      if (!df.columns.contains("queries")) Map.empty
+      else {
+        val row = df.select(col("queries.*")).head()
+        row.schema.fieldNames.zipWithIndex.collect {
+          case (n, i) if !row.isNullAt(i) && row.getDouble(i) >= 0 =>
+            n -> row.getDouble(i)
+        }.toMap
+      }
+    } catch { case _: Exception => Map.empty }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + per-document length stats.
     "t01_token_stats" -> { (s, d) =>
@@ -1694,6 +1717,36 @@ object DataOps {
         .select($"day".cast("string").as("day"),
           coalesce($"__n", lit(0L)).as("n_events"),
           ($"__n".isNull).as("is_gap"))
+    },
+
+    // ANN cost-vs-scale report, the scaling companion to s06's recall
+    // report: per approximate path, the measured sf0.1 and sf1 bench
+    // seconds READ FROM THE BENCH ARTIFACTS (bench_sf0.1.json /
+    // bench_graft_sf1.json in the repo root — the same files the
+    // scaling-curve analysis in BASELINE.md cites) and their ratio at
+    // 10x data. Recall (s06) and cost-vs-scale now regress visibly
+    // together: an index change that buys recall by abandoning cell
+    // pruning shows up here as a ratio jump the next round, and
+    // vice-versa. Rows>0 even with no artifacts (fresh clone: null
+    // timings, listed paths) — the report's SHAPE is stable, its
+    // numbers are this machine's latest sweep. Driver-checked rows-only
+    // (no_oracle: the values are measurements, not table functions);
+    // AnnScalingSpec gates artifact parsing + ratio arithmetic.
+    "o04_ann_scaling" -> { (s, _) =>
+      import s.implicits._
+      val paths = Seq("s01_brute_knn", "s02_lsh_knn", "s03_ivf_knn",
+        "s04_pq_knn", "s05_ivfpq_knn", "s06_ann_recall",
+        "d06_embedding_dups", "d10_semantic_pairs")
+      val base = benchTimings(s, "bench_sf0.1.json")
+      val sf1 = benchTimings(s, "bench_graft_sf1.json")
+      paths.map { p =>
+        val b = base.get(p)
+        val x = sf1.get(p)
+        val ratio = for (bv <- b; xv <- x)
+          yield BigDecimal(xv / bv).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble
+        (p, b, x, ratio)
+      }.toDF("path", "sec_sf0_1", "sec_sf1", "cost_ratio_10x")
     },
 
     // Per-source KL divergence of the token distribution against the
