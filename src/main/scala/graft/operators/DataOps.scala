@@ -862,6 +862,43 @@ object DataOps {
     Dedup.semanticDupPairs(vectors, centroids, minCosSim = 0.45, nProbe = 3)
   }
 
+  /** The s07 BM25 body, factored so the hybrid fusion (s08) scores with
+    * EXACTLY the lexical arm the driver checks — the shared-def
+    * convention (report and shipped queries cannot drift). Returns the
+    * top 20 (doc_id, score), ordered (score desc, doc_id). */
+  private[operators] def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queryTerms = Seq("dup", "spark", "merge")
+    val withDl = Tables.documents(s, d)
+      .select($"doc_id", Text.tokens($"text").as("__toks"),
+        Text.tokenCount($"text").as("dl"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val matched = withDl
+      .select($"doc_id", $"dl", explode($"__toks").as("tok"))
+      .filter($"tok".isin(queryTerms: _*))
+    val tf = matched.groupBy($"doc_id", $"tok", $"dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = matched.select($"tok", $"doc_id").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val idf = round(
+      log((($"n_docs" - $"df").cast("double") + lit(0.5)) /
+        ($"df".cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val dlNorm = $"dl".cast("double") / $"avgdl"
+    val term = round(
+      idf * ($"tf".cast("double") * lit(2.2)) /
+        ($"tf".cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * dlNorm)), 6)
+    tf.join(broadcast(dfRel), "tok")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", term.as("__term"))
+      .groupBy($"doc_id")
+      .agg(sum($"__term".cast("decimal(18,6)")).cast("double").as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+  }
+
   /** Per-query wall-clock seconds from a Bench artifact (the one-line
     * JSON graft.Bench prints, persisted to bench_<sf>.json): its
     * `queries` object, with failed entries (negative sentinel) dropped.
@@ -1552,37 +1589,59 @@ object DataOps {
     // parenthesization mirrored in the oracle, constants written as the
     // SAME literals both sides (1.2+1 is NOT the double 2.2 — the
     // literal is).
-    "s07_bm25_topk" -> { (s, d) =>
+    "s07_bm25_topk" -> { (s, d) => bm25TopK(s, d) },
+
+    // Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009,
+    // k=60 — the standard production fusion of lexical + dense arms):
+    // the s07 BM25 top-20 (shared body — the arms cannot drift from the
+    // driver-checked queries) fuses with a dense arm scored against the
+    // CENTROID of the BM25 top-3's embeddings (Rocchio-style
+    // pseudo-relevance feedback — the dense query derives from the
+    // lexical winners, so the whole operator is a pure function of the
+    // corpus). Shapes: both arms end bounded (top-20); ranks come from
+    // the top_k_pairs heap + posexplode, never a rank window (the s01
+    // argument); the centroid is a broadcast 1-row array; the corpus
+    // streams once map-only per arm. Cross-engine determinism: centroid
+    // lanes are decimal-exact sums / count; cosine rounded 9dp (s01
+    // parity convention); RRF contributions rounded 9dp and
+    // decimal-summed; final order (rrf desc, doc_id).
+    "s08_hybrid_rrf" -> { (s, d) =>
       import s.implicits._
-      val queryTerms = Seq("dup", "spark", "merge")
-      val withDl = Tables.documents(s, d)
-        .select($"doc_id", Text.tokens($"text").as("__toks"),
-          Text.tokenCount($"text").as("dl"))
-      val stats = withDl.agg(count(lit(1)).as("n_docs"),
-        (sum($"dl").cast("double") / count(lit(1)).cast("double"))
-          .as("avgdl"))
-      val matched = withDl
-        .select($"doc_id", $"dl", explode($"__toks").as("tok"))
-        .filter($"tok".isin(queryTerms: _*))
-      val tf = matched.groupBy($"doc_id", $"tok", $"dl")
-        .agg(count(lit(1)).as("tf"))
-      val dfRel = matched.select($"tok", $"doc_id").distinct()
-        .groupBy($"tok").agg(count(lit(1)).as("df"))
-      val idf = round(
-        log((($"n_docs" - $"df").cast("double") + lit(0.5)) /
-          ($"df".cast("double") + lit(0.5)) + lit(1.0)), 6)
-      val dlNorm = $"dl".cast("double") / $"avgdl"
-      val term = round(
-        idf * ($"tf".cast("double") * lit(2.2)) /
-          ($"tf".cast("double") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * dlNorm)), 6)
-      tf.join(broadcast(dfRel), "tok")
-        .crossJoin(broadcast(stats))
-        .select($"doc_id", term.as("__term"))
-        .groupBy($"doc_id")
-        .agg(sum($"__term".cast("decimal(18,6)")).cast("double").as("score"))
-        .orderBy($"score".desc, $"doc_id")
-        .limit(20)
+      import graft.functions.TopKPairs.top_k_pairs
+      def ranked(arm: DataFrame, score: String, id: String,
+          rankAs: String): DataFrame =
+        arm.agg(top_k_pairs(col(score), col(id), 20).as("__ps"))
+          .select(posexplode($"__ps").as(Seq("__p", "__pair")))
+          .select($"__pair.id".as("doc_id"),
+            ($"__p" + 1).cast("long").as(rankAs))
+      val lexRanked = ranked(bm25TopK(s, d), "score", "doc_id", "r_lex")
+        .localCheckpoint(true) // feeds top-3 centroid AND the fusion join
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      val centroid = emb
+        .join(lexRanked.filter($"r_lex" <= 3)
+          .select($"doc_id".as("vec_id")), "vec_id")
+        .select(posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"dim")
+        .agg((sum($"x".cast("decimal(38,18)")).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+        .agg(collect_list(struct($"dim", $"c")).as("__dc"))
+        .select(transform(array_sort($"__dc"),
+          x => x.getField("c")).as("q"))
+      val dense = emb.crossJoin(broadcast(centroid))
+        .select($"vec_id",
+          round(Similarity.dot($"v", $"q") /
+            (Similarity.norm($"v") * Similarity.norm($"q")), 9).as("cos"))
+      val denseRanked = ranked(dense, "cos", "vec_id", "r_dense")
+      val contrib = (r: Column) =>
+        coalesce(round(lit(1.0) / (lit(60) + r), 9), lit(0.0))
+          .cast("decimal(18,9)")
+      lexRanked.join(denseRanked, Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"r_lex", $"r_dense",
+          (contrib($"r_lex") + contrib($"r_dense"))
+            .cast("double").as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id")
+        .limit(10)
     },
 
     // Budget-capped corpus selection: keep documents in deterministic
@@ -3009,6 +3068,58 @@ object DataOps {
         |FROM terms GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    // the lexical CTEs are s07's verbatim; the dense arm mirrors s01's
+    // list_dot_product cosine at 9dp; ranks are ROW_NUMBER over the
+    // bounded top-20 arms; RRF terms rounded 9dp, decimal-summed
+    "s08_hybrid_rrf" ->
+      """WITH dls AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dls),
+        |m AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dls),
+        |mt AS (SELECT * FROM m WHERE tok IN ('dup', 'spark', 'merge')),
+        |tf AS (SELECT doc_id, tok, dl, COUNT(*) AS tf FROM mt
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM mt GROUP BY 1),
+        |terms AS (SELECT doc_id,
+        |    round(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
+        |        (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) +
+        |         1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6)
+        |      AS term
+        |  FROM tf JOIN df USING (tok) CROSS JOIN stats),
+        |lex AS (SELECT doc_id,
+        |    CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM terms GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |lexr AS (SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS r_lex FROM lex),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cx AS (SELECT dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS dim
+        |    FROM e JOIN lexr ON vec_id = doc_id AND r_lex <= 3)
+        |  GROUP BY dim),
+        |q AS (SELECT list(c ORDER BY dim) AS q FROM cx),
+        |dense AS (SELECT vec_id, round(list_dot_product(v, q) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))),
+        |    9) AS cos
+        |  FROM e CROSS JOIN q),
+        |d20 AS (SELECT vec_id, cos FROM dense
+        |  ORDER BY cos DESC, vec_id LIMIT 20),
+        |denser AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY cos DESC, vec_id ASC) AS r_dense FROM d20)
+        |SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.r_lex, r.r_dense,
+        |  CAST(CAST(COALESCE(round(1.0 / (60 + l.r_lex), 9), 0)
+        |      AS DECIMAL(18,9))
+        |    + CAST(COALESCE(round(1.0 / (60 + r.r_dense), 9), 0)
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS rrf
+        |FROM lexr l FULL OUTER JOIN denser r ON l.doc_id = r.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "t29_token_budget" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

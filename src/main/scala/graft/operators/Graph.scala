@@ -308,6 +308,99 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-edge triangle support of a canonical (a < b) undirected edge
+    * set — [[triangleCounts]]' degree-oriented wedge machinery, emitting
+    * the THREE canonical edges of each triangle instead of its vertices:
+    * wedge volume stays O(|E|^1.5) under the orientation, and each
+    * triangle contributes exactly one row per edge, so the support
+    * aggregation is integer-exact. Edges in no triangle are absent
+    * (support 0). */
+  private[operators] def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val ed = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            struct(col("db").as("d"), col("b").as("v")).as("dst_rank")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("da").as("d"), col("a").as("v")).as("dst_rank")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dst_rank").as("dst_rank"))
+      .localCheckpoint(true) // wedge join + closing join both read it
+    val wedges = ed.as("e1")
+      .join(ed.select(col("src").as("src2"), col("dst").as("dst2"),
+        col("dst_rank").as("dst_rank2")),
+        col("src") === col("src2") && col("dst_rank") < col("dst_rank2"))
+      .select(col("src").as("center"), col("dst").as("x"),
+        col("dst2").as("y"))
+    wedges.join(ed.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"))
+      .select(explode(array(
+        struct(least(col("center"), col("x")).as("a"),
+          greatest(col("center"), col("x")).as("b")),
+        struct(least(col("center"), col("y")).as("a"),
+          greatest(col("center"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** One truss-peel round: edges of `und` whose support in the CURRENT
+    * graph is ≥ k−2. Factored for the plan gate (the [[expandFrontier]]
+    * convention — the loop checkpoints eagerly). */
+  private[operators] def trussRound(und: DataFrame, k: Int): DataFrame =
+    und.join(edgeSupport(und).filter(col("support") >= k - 2)
+      .select(col("a"), col("b")), Seq("a", "b"), "left_semi")
+
+  /** k-truss: the maximal subgraph in which every edge participates in
+    * at least k−2 triangles — the EDGE-strength analogue of [[kCore]]
+    * (a k-core survives on degree alone; a k-truss demands the
+    * neighborhoods actually interlock, which is why it isolates
+    * coordinated cliques — spam rings, bot farms — that degree filters
+    * miss). Iterative peeling: recompute per-edge support over the
+    * surviving graph, drop edges below k−2, repeat until stable;
+    * early-exits, throws past `maxRounds` (exact operators fail loudly).
+    * Each round is one [[edgeSupport]] pass (O(|E|^1.5) wedge volume
+    * under degree orientation) plus a semi-join — support counts are
+    * integers, so the fixpoint is exactly oracle-checkable by the same
+    * fixed-round CTE unrolling as [[kCore]].
+    *
+    * @return surviving edges with their in-truss support:
+    *         (a, b, support), a < b
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 24,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 3, s"kTruss: k must be >= 3, got $k")
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var n = und.count()
+    var round = 0
+    var stable = false
+    while (!stable) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"kTruss did not converge within $maxRounds peeling rounds — " +
+            "raise maxRounds (and the oracle's unroll depth) deliberately")
+      val next = trussRound(und, k)
+        .localCheckpoint(true) // truncate lineage: plan must not grow per round
+      val nn = next.count()
+      if (nn == n) stable = true
+      und = next
+      n = nn
+    }
+    und.join(edgeSupport(und), Seq("a", "b"))
+  }
+
   /** k-core: the maximal subgraph in which every vertex has degree ≥ k,
     * by iterative peeling — each round recomputes degrees over the
     * surviving edge set and drops every vertex below k (with all its
@@ -534,6 +627,28 @@ object Graph {
         .select(col("id").as("c_custkey"), col("core_degree"))
     },
 
+    // k-truss of the g03 co-purchase graph (SAME projection — the graph
+    // family's queries provably share one graph): every surviving edge
+    // sits in ≥ 38 triangles within the truss. Where g05's core keeps
+    // well-CONNECTED customers, the truss keeps customers whose
+    // neighborhoods INTERLOCK — the coordinated-clique detector.
+    // sf0.01 measures an 18-round cascade (94,064 → 52,948 edges);
+    // sf0.001's near-complete graph is already a truss; sf0.1's thin
+    // graph dissolves (empty, and the ORACLE agrees — the compare is on
+    // values, not row counts). Oracle: 24 unrolled peel rounds, each a
+    // MATERIALIZED triangle 3-join + support count + filter (the g05
+    // trick at edge granularity); Spark throws past 24 rounds, so green
+    // proves convergence inside the unroll depth.
+    "g06_ktruss" -> { (s, d) =>
+      val cs = tradeRelation(s, d).filter(col("w") >= 2)
+        .select(col("c"), col("sp"))
+      val cop = copurchaseEdges(cs, minShared = 2,
+        maxSupplierDeg = 50000L)
+      Graph.kTruss(cop, k = KTrussK, maxRounds = KTrussRounds,
+          srcCol = "ca", dstCol = "cb")
+        .select(col("a").as("c_a"), col("b").as("c_b"), col("support"))
+    },
+
     // Fixed-iteration PageRank over the directed customer→supplier trade
     // graph (suppliers are all dangling, so the sink-mass redistribution
     // path is exercised on every round). Deterministic by construction —
@@ -557,6 +672,49 @@ object Graph {
   /** g05 parameters, shared by the query and its generated oracle. */
   private val KCoreK = 16
   private val KCoreRounds = 20
+
+  /** g06 parameters, shared by the query and its generated oracle. */
+  private val KTrussK = 40
+  private val KTrussRounds = 24
+
+  /** The g06 oracle: `rounds` truss-peel rounds unrolled as MATERIALIZED
+    * CTEs — per round, enumerate the surviving graph's triangles once
+    * (canonical a<b<c 3-join), count each edge's support, keep edges at
+    * ≥ k−2. Rounds after convergence are no-ops (the g05 argument);
+    * the final SELECT recomputes support over the converged edge set. */
+  private def kTrussOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cs AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |p0 AS MATERIALIZED (SELECT a.c AS a, b.c AS b
+      |  FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+    def supportCte(i: Int, src: String): String =
+      s""",
+        |s$i AS MATERIALIZED (
+        |  WITH tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |      FROM $src e1
+        |      JOIN $src e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |  ed AS (SELECT a AS x, b AS y FROM tri
+        |    UNION ALL SELECT a, c FROM tri
+        |    UNION ALL SELECT b, c FROM tri)
+        |  SELECT x, y, COUNT(*) AS sup FROM ed GROUP BY 1, 2)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= supportCte(i, s"p${i - 1}")
+      sb ++= s""",
+        |p$i AS MATERIALIZED (SELECT p.a, p.b FROM p${i - 1} p
+        |  JOIN s$i ON s$i.x = p.a AND s$i.y = p.b
+        |  WHERE s$i.sup >= ${k - 2})""".stripMargin
+    }
+    sb ++= supportCte(rounds + 1, s"p$rounds")
+    sb ++= s"""
+      |SELECT p.a AS c_a, p.b AS c_b, s.sup AS support
+      |FROM p$rounds p JOIN s${rounds + 1} s ON s.x = p.a AND s.y = p.b"""
+      .stripMargin
+    sb.toString
+  }
 
   /** The g05 oracle: `rounds` peel rounds UNROLLED as nested CTEs over
     * the co-purchase projection — each round recomputes degrees of the
@@ -592,6 +750,7 @@ object Graph {
 
   val oracleSql: Map[String, String] = Map(
     "g05_kcore" -> kCoreOracle(KCoreK, KCoreRounds),
+    "g06_ktruss" -> kTrussOracle(KTrussK, KTrussRounds),
 
     // UNION (not UNION ALL) recursion: the working set is the newly
     // discovered distinct (id, depth) pairs, so the recursion is bounded

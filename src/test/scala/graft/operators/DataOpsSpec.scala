@@ -611,6 +611,40 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("s08 hybrid RRF: contributions tie to arm ranks exactly, both " +
+    "arms fuse in, deterministic under repartitioning") {
+    val rows = DataOps.queries("s08_hybrid_rrf")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length === 10)
+    def optLong(r: org.apache.spark.sql.Row, c: String): Option[Long] = {
+      val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    rows.foreach { r =>
+      val rl = optLong(r, "r_lex")
+      val rd = optLong(r, "r_dense")
+      assert(rl.nonEmpty || rd.nonEmpty, s"rankless row fused in: $r")
+      val want = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - want) <= 1.1e-9,
+        s"rrf must be the rounded rank contributions: $r vs $want")
+    }
+    // fusion is the point: the output must contain docs found by BOTH
+    // arms (the PRF centroid makes the lexical top dense-similar) AND
+    // rank docs with two arms above comparable single-arm docs
+    val both = rows.filter(r =>
+      optLong(r, "r_lex").nonEmpty && optLong(r, "r_dense").nonEmpty)
+    assert(both.nonEmpty, "no doc fused from both arms")
+    // ordering: rrf non-increasing down the result
+    val rrfs = rows.map(_.getAs[Double]("rrf")).toSeq
+    assert(rrfs === rrfs.sorted.reverse, s"not rrf-ordered: $rrfs")
+    // determinism across input layout (the centroid/rank machinery has
+    // no partitioning-sensitive step)
+    val again = DataOps.queries("s08_hybrid_rrf")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("o04 ann-scaling report: artifact parsing, failed-entry drop, " +
     "ratio arithmetic, stable shape without artifacts") {
     // synthetic artifact with a failed (-1) entry: parses, drops the failure

@@ -312,6 +312,64 @@ class GraphSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("edgeSupport: exact per-edge triangle counts (K4 = 2 each, " +
+    "stars = none)") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val sup = Graph.edgeSupport(k4.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(sup === k4.map(e => e -> 2L).toMap, s"K4 supports wrong: $sup")
+    // a star has wedges but no closing edges: no supported edge at all
+    val star = (1L to 20L).map(i => (0L, i)).toDF("a", "b")
+    assert(Graph.edgeSupport(star).isEmpty)
+  }
+
+  test("kTruss: cascading edge peel — K5 survives as the 4-truss, the " +
+    "attached triangle pair cascades away over two rounds") {
+    // K5 {1..5}: every edge in 3 triangles. Attach triangles {5,6,7} and
+    // {5,6,8}: edge (5,6) has support 2, its satellites support 1.
+    // k=4 (support >= 2): round 1 drops the support-1 satellites, which
+    // drops (5,6) to support 0 — round 2 removes it. Exercises the
+    // cascade, not a single filter pass.
+    val k5 = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val extra = Seq((5L, 6L), (5L, 7L), (6L, 7L), (5L, 8L), (6L, 8L))
+    val edges = (k5 ++ extra).toDF("src", "dst")
+    val got = Graph.kTruss(edges, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantK5 = k5.map { case (i, j) => (i, j, 3L) }.toSet
+    assert(got === wantK5, s"4-truss must be exactly K5 (support 3): $got")
+    // unconverged peeling throws (needs 2 rounds)
+    val ex = intercept[IllegalStateException] {
+      Graph.kTruss(edges, k = 4, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // no 6-truss here (needs support 4): dissolves to empty
+    assert(Graph.kTruss(edges, k = 6).isEmpty)
+  }
+
+  test("kTruss is partitioning-invariant and canonicalizes messy input") {
+    val k5 = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val noisy = (k5 ++ k5.map(_.swap) ++ Seq((2L, 2L), (5L, 6L), (1L, 2L)))
+      .toDF("src", "dst")
+    val r1 = Graph.kTruss(noisy, k = 4).as[(Long, Long, Long)].collect().toSet
+    val r2 = Graph.kTruss(noisy.repartition(13), k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 === r2)
+    assert(r1 === k5.map { case (i, j) => (i, j, 3L) }.toSet)
+  }
+
+  test("kTruss rounds are oriented equi-joins — the real per-round plan " +
+    "has no cartesian product or nested loop") {
+    val und = (0L until 300L).map(i => (i, (i * 3 + 1) % 300))
+      .toDF("a", "b")
+    val p = Graph.trussRound(und, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("LeftSemi"), "the keep-filter must be a semi join:\n" +
+      p.take(3000))
+  }
+
   test("pageRank is deterministic across runs and partitionings") {
     val ev = graft.Tables.events(spark, sf("sf0.001"))
     // user-interaction graph: consecutive events of the same type link users
