@@ -1714,6 +1714,52 @@ object DataOps {
         .select($"doc_id", ($"__off" + $"__rk").as("pos"))
     },
 
+    // Length-bucketed batch formation — the padded-batch twin of the
+    // packing family (p01/p03 CONCATENATE into fixed windows; a
+    // fine-tuning loader PADS each batch to its longest member, so it
+    // buckets by length first to bound the waste — the T5/fairseq
+    // dynamic-batching shape). Docs land in 64-token-wide length
+    // buckets, are ordered inside each bucket by a deterministic md5
+    // shuffle, and form 16-doc batches; the report carries each batch's
+    // padded cost (n·max) and waste (n·max − Σlen). Scale shape: the
+    // per-bucket rank decomposes over 256 md5-prefix sub-buckets with
+    // broadcast offsets (q41/p04 — ordering by the prefix then the full
+    // digest IS ordering by the digest, so the decomposition is exact
+    // and no window ever sees more than corpus/(buckets·256) rows);
+    // everything else is one hash aggregation on (bucket, batch).
+    // Integer arithmetic end-to-end — value-exact oracle.
+    "p05_length_buckets" -> { (s, d) =>
+      import s.implicits._
+      val bucketW = 64
+      val batchN = 16
+      val t = Tables.documents(s, d)
+        .select($"doc_id", Text.tokenCount($"text").cast("long")
+          .as("n_tokens"))
+        .withColumn("__bkt",
+          expr(s"(greatest(n_tokens, 1L) - 1L) div $bucketW"))
+        .withColumn("__pr", md5($"doc_id".cast("string")))
+        .withColumn("__sub", substring($"__pr", 1, 2))
+      val inSub = t.withColumn("__rk",
+        row_number().over(Window.partitionBy($"__bkt", $"__sub")
+          .orderBy($"__pr", $"doc_id")).cast("long"))
+      val offsets = t.groupBy($"__bkt", $"__sub")
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__off",
+          coalesce(sum($"__n").over(Window.partitionBy($"__bkt")
+            .orderBy($"__sub")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"__bkt", $"__sub", $"__off")
+      inSub.join(broadcast(offsets), Seq("__bkt", "__sub"))
+        .select($"__bkt", $"n_tokens",
+          expr(s"(__off + __rk - 1L) div $batchN").as("__batch"))
+        .groupBy($"__bkt".as("bucket"), $"__batch".as("batch_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+          max($"n_tokens").as("max_len"),
+          sum($"n_tokens").as("sum_len"))
+        .withColumn("padded_cost", $"n_docs" * $"max_len")
+        .withColumn("padding_waste", $"padded_cost" - $"sum_len")
+    },
+
     // Corpus profile: the one-row observability report a pipeline logs
     // per ingest batch — sizes, token volume, source/language mix, exact-
     // dup rate. Single pass over the corpus (one aggregate; the token
@@ -1730,6 +1776,43 @@ object DataOps {
           count(lit(1))).as("en_share"),
         (lit(1.0) - countDistinct(md5($"text")).cast("double") /
           count(lit(1))).as("exact_dup_rate"))
+    },
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — public): per-doc
+    // importance weight = Σ_tokens [ln p_target(tok) − ln p_raw(tok)]
+    // under add-one-smoothed unigram LMs of a TARGET slice (source
+    // 'src0' — the high-quality reference corpus) vs everything else.
+    // Docs whose token mix resembles the target score high; resampling
+    // by these weights steers a raw crawl toward the target
+    // distribution. Shape: ONE token pass builds both LMs (conditional
+    // sums in a single groupBy — never two corpus scans), totals ride
+    // as a broadcast 1-row aggregate, the per-token log-ratio joins
+    // back shuffle-hash (vocab scales with the corpus, the t13
+    // convention), per-doc sums are 6dp-rounded decimal (cross-engine
+    // exact).
+    "t32_dsir_weights" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", ($"source" === "src0").as("__t"),
+          explode(Text.tokens($"text")).as("tok"))
+      val counts = toks.groupBy($"tok")
+        .agg(sum(when($"__t", 1L).otherwise(0L)).as("__ct"),
+          sum(when(!$"__t", 1L).otherwise(0L)).as("__cr"))
+        .localCheckpoint(true) // feeds the totals AND the ratio join
+      val tot = counts.agg(sum($"__ct").as("__nt"),
+        sum($"__cr").as("__nr"), count(lit(1)).as("__v"))
+      val lp = counts.crossJoin(broadcast(tot))
+        .select($"tok",
+          (round(log(($"__ct" + 1L).cast("double") /
+            ($"__nt" + $"__v").cast("double")), 6) -
+            round(log(($"__cr" + 1L).cast("double") /
+              ($"__nr" + $"__v").cast("double")), 6)).as("__lr"))
+      toks.join(lp.hint("shuffle_hash"), "tok")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"__lr".cast("decimal(20,6)")).cast("double")
+            .as("dsir_logratio"))
     },
 
     // Zipf exponent per source: slope of ln(freq) over ln(rank) via the
@@ -3138,6 +3221,45 @@ object DataOps {
       """SELECT doc_id, ROW_NUMBER() OVER (
         |    ORDER BY md5('epoch0' || doc_id::VARCHAR), doc_id) AS pos
         |FROM documents""".stripMargin,
+
+    "t32_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source = 'src0' AS t,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+        |    CAST(SUM(cr) AS BIGINT) AS nr, COUNT(*) AS v FROM c),
+        |lp AS (SELECT tok,
+        |    round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 6)
+        |    - round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)), 6)
+        |      AS lr
+        |  FROM c CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CAST(lr AS DECIMAL(20,6))) AS DOUBLE) AS dsir_logratio
+        |FROM toks JOIN lp USING (tok) GROUP BY doc_id""".stripMargin,
+
+    // the sub-bucket decomposition on the Spark side equals this direct
+    // per-bucket rank because ordering by (md5-prefix, md5, id) IS
+    // ordering by (md5, id)
+    "p05_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(doc_id::VARCHAR) AS pr FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |    (greatest(n_tokens, 1) - 1) // 64 AS bucket, pr FROM t),
+        |r AS (SELECT bucket, n_tokens,
+        |    (ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY pr, doc_id) - 1) // 16 AS batch_idx
+        |  FROM b)
+        |SELECT bucket, batch_idx, COUNT(*) AS n_docs,
+        |  MAX(n_tokens) AS max_len,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+        |  COUNT(*) * MAX(n_tokens) AS padded_cost,
+        |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+        |    AS padding_waste
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "t08_normalize" ->
       """SELECT doc_id,

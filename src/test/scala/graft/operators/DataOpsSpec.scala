@@ -611,6 +611,55 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("t32 DSIR weights: the target slice scores higher than the rest " +
+    "(the importance-resampling premise), token counts tie out") {
+    val w = DataOps.queries("t32_dsir_weights")(spark, sf("sf0.001"))
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", ($"source" === "src0").as("is_target"),
+        graft.functions.Text.tokenCount($"text").cast("long").as("nt"))
+    val joined = w.join(docs, "doc_id").cache()
+    try {
+      // weights exist for every doc and n_tokens is the tokenizer count
+      assert(joined.count() === docs.count())
+      assert(joined.filter($"n_tokens" =!= $"nt").isEmpty)
+      // the premise: docs from the target source resemble the target LM
+      // more than the raw pool does — their mean log-ratio must sit
+      // clearly above the rest (measured: +0.86 vs −0.78 at sf0.001)
+      val means = joined.groupBy($"is_target")
+        .agg(avg($"dsir_logratio").as("m"))
+        .as[(Boolean, Double)].collect().toMap
+      assert(means(true) > means(false) + 0.5,
+        s"target mean must clearly exceed raw mean: $means")
+    } finally { joined.unpersist(); () }
+  }
+
+  test("p05 length buckets: batches are full except per-bucket tails, " +
+    "lengths stay inside their bucket, waste is bounded by the bucket " +
+    "width, every doc is batched exactly once") {
+    val rows = DataOps.queries("p05_length_buckets")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (b, bi, n, mx, sm, pc, pw) => (b, bi, n, mx, sm, pc, pw) }
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, sf("sf0.001")).count()
+    assert(rows.map(_._3).sum === nDocs, "every doc in exactly one batch")
+    rows.groupBy(_._1).foreach { case (bucket, batches) =>
+      // batch indices are dense from 0; only the LAST batch may be short
+      val byIdx = batches.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq === byIdx.indices.map(_.toLong))
+      byIdx.init.foreach(b => assert(b._3 === 16L,
+        s"non-tail batch not full: $b"))
+      assert(byIdx.last._3 <= 16L)
+      batches.foreach { case (b, _, n, mx, sm, pc, pw) =>
+        // members' lengths live in (b*64, (b+1)*64] (empty docs clamp to 1)
+        assert(mx > b * 64 || (b == 0 && mx >= 0), s"max_len under bucket: $b $mx")
+        assert(mx <= (b + 1) * 64, s"max_len over bucket: $b $mx")
+        assert(pc === n * mx && pw === pc - sm)
+        // THE bucketing guarantee: per-doc padding < bucket width
+        assert(pw < n * 64, s"waste exceeds the bucket-width bound: $pw")
+      }
+    }
+  }
+
   test("s08 hybrid RRF: contributions tie to arm ranks exactly, both " +
     "arms fuse in, deterministic under repartitioning") {
     val rows = DataOps.queries("s08_hybrid_rrf")(spark, sf("sf0.001"))
