@@ -899,6 +899,102 @@ object DataOps {
       .limit(20)
   }
 
+  /** The s09 body: greedy Maximal Marginal Relevance over the `nCand`
+    * dense candidates for `probeId` (λ=0.5 — see the s09 query comment
+    * for the determinism and scale arguments). Factored so the planted
+    * spec can prove the DIVERSIFICATION semantics on a constructed
+    * embedding set. Input: (vec_id, v array<double>). */
+  private[operators] def mmrSelect(emb: DataFrame, probeId: Long,
+      nCand: Int, k: Int): DataFrame = {
+    import graft.functions.TopKPairs.top_k_pairs
+    val probe = emb.filter(col("vec_id") === probeId)
+      .select(col("v").as("q"))
+    val rel = emb.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("v"), col("q")) /
+          (Similarity.norm(col("v")) * Similarity.norm(col("q"))), 9)
+          .as("rel"),
+        col("v"))
+    val cand = rel
+      .agg(top_k_pairs(col("rel"), col("vec_id"), nCand).as("__ps"))
+      .select(explode(col("__ps")).as("__p"))
+      .select(col("__p.id").as("vec_id"))
+      .join(rel, "vec_id")
+      .localCheckpoint(true) // ≤ nCand rows; feeds sims and every round
+    val sims = cand.select(col("vec_id").as("ia"), col("v").as("va"))
+      .join(cand.select(col("vec_id").as("ib"), col("v").as("vb")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(Similarity.dot(col("va"), col("vb")) /
+          (Similarity.norm(col("va")) * Similarity.norm(col("vb"))), 9)
+          .as("sim"))
+      .localCheckpoint(true) // ≤ nCand² rows; read every round
+    var selected = cand
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), lit(1).as("rank"),
+        (lit(0.5) * col("rel")).as("mmr_score"))
+    for (r <- 2 to k) {
+      val selIds = selected.select(col("vec_id").as("__sid"))
+      val maxSim = sims.join(selIds, col("ib") === col("__sid"))
+        .groupBy(col("ia")).agg(max(col("sim")).as("__msim"))
+      val pick = cand
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(maxSim, col("vec_id") === col("ia"))
+        .select(col("vec_id"), col("rel"),
+          (lit(0.5) * col("rel") - lit(0.5) * col("__msim")).as("__sc"))
+        .orderBy(col("__sc").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(r).as("rank"),
+          col("__sc").as("mmr_score"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("rank"), col("vec_id"),
+      col("rel").as("relevance"), col("mmr_score"))
+  }
+
+  /** The s09 oracle: the greedy MMR selection unrolled as `k` rounds of
+    * nested CTEs (max-sim-to-selected aggregate + argmax pick + union
+    * into the accumulator) over the MATERIALIZED bounded candidate and
+    * similarity relations — the lp01/g05 fixed-round trick applied to a
+    * greedy selection. */
+  private def mmrOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |    FROM embeddings),
+      |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+      |rel AS (SELECT vec_id, round(list_dot_product(v, q) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))),
+      |    9) AS rel, v
+      |  FROM e CROSS JOIN qv WHERE vec_id <> 0),
+      |cand AS MATERIALIZED (SELECT vec_id, rel, v FROM rel
+      |  ORDER BY rel DESC, vec_id LIMIT 20),
+      |sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+      |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      |sel1 AS (SELECT vec_id, rel, 1 AS rank, 0.5 * rel AS mmr_score
+      |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      |acc1 AS (SELECT * FROM sel1)""".stripMargin
+    for (r <- 2 to k) {
+      sb ++= s""",
+        |m$r AS (SELECT s.ia AS vec_id, MAX(s.sim) AS msim
+        |  FROM sims s JOIN acc${r - 1} p ON s.ib = p.vec_id
+        |  WHERE s.ia NOT IN (SELECT vec_id FROM acc${r - 1})
+        |  GROUP BY 1),
+        |sel$r AS (SELECT c.vec_id, c.rel, $r AS rank,
+        |    0.5 * c.rel - 0.5 * m.msim AS mmr_score
+        |  FROM cand c JOIN m$r m USING (vec_id)
+        |  ORDER BY mmr_score DESC, vec_id LIMIT 1),
+        |acc$r AS (SELECT * FROM acc${r - 1}
+        |  UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT rank, vec_id, rel AS relevance, mmr_score
+      |FROM acc$k""".stripMargin
+    sb.toString
+  }
+
   /** Per-query wall-clock seconds from a Bench artifact (the one-line
     * JSON graft.Bench prints, persisted to bench_<sf>.json): its
     * `queries` object, with failed entries (negative sentinel) dropped.
@@ -1642,6 +1738,26 @@ object DataOps {
             .cast("double").as("rrf"))
         .orderBy($"rrf".desc, $"doc_id")
         .limit(10)
+    },
+
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    // λ=0.5): from the top-20 dense candidates for a probe, greedily
+    // select 5 that balance relevance against similarity to what is
+    // ALREADY selected — the diversification pass a retrieval pipeline
+    // runs after s07/s08 so near-duplicate hits don't crowd the result.
+    // The greedy is 5 FIXED rounds over a BOUNDED (≤20-row) candidate
+    // relation — each round one max-sim aggregate + one
+    // TakeOrderedAndProject pick, unrolled the lp01/g05 way so the
+    // whole iterative operator is value-exact oracled. λ=0.5 keeps
+    // every score an exact halving of 9dp-rounded cosines, so both
+    // engines compute BIT-identical doubles (no re-rounding needed).
+    // The corpus-scale work is one map-only cosine pass + the top-20
+    // heap; everything after is O(k²) on bounded rows.
+    "s09_mmr_rerank" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      mmrSelect(emb, probeId = 0L, nCand = 20, k = 5)
     },
 
     // Budget-capped corpus selection: keep documents in deterministic
@@ -3221,6 +3337,8 @@ object DataOps {
       """SELECT doc_id, ROW_NUMBER() OVER (
         |    ORDER BY md5('epoch0' || doc_id::VARCHAR), doc_id) AS pos
         |FROM documents""".stripMargin,
+
+    "s09_mmr_rerank" -> mmrOracle(5),
 
     "t32_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, source = 'src0' AS t,

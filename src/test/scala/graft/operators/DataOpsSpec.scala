@@ -611,6 +611,27 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("s09 MMR: diversification beats pure relevance — clones of the " +
+    "top hit are skipped for diverse candidates") {
+    // probe (1,0,0); ids 1-3 are CLONES at rel≈0.72 (pairwise sim 1);
+    // id 4 is nearly orthogonal to the clones at rel 0.70; id 5 is
+    // orthogonal to everything (rel 0). Pure relevance picks the three
+    // clones; MMR(λ=0.5) must pick clone -> diverse -> orthogonal.
+    val clone = Seq(0.72, 0.69, 0.0)
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, clone), (2L, clone), (3L, clone),
+      (4L, Seq(0.70, -0.714, 0.0)),
+      (5L, Seq(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val got = DataOps.mmrSelect(vecs, probeId = 0L, nCand = 5, k = 3)
+      .select($"rank", $"vec_id").as[(Int, Long)].collect().sorted.toSeq
+    assert(got.map(_._2) === Seq(1L, 4L, 5L),
+      s"MMR must diversify past the clones: $got")
+    // ranks are dense 1..k
+    assert(got.map(_._1) === Seq(1, 2, 3))
+  }
+
   test("t32 DSIR weights: the target slice scores higher than the rest " +
     "(the importance-resampling premise), token counts tie out") {
     val w = DataOps.queries("t32_dsir_weights")(spark, sf("sf0.001"))
