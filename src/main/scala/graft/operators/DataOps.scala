@@ -1732,7 +1732,12 @@ object DataOps {
       val contrib = (r: Column) =>
         coalesce(round(lit(1.0) / (lit(60) + r), 9), lit(0.0))
           .cast("decimal(18,9)")
-      lexRanked.join(denseRanked, Seq("doc_id"), "full_outer")
+      // both arms are ≤20 rows; full outer can't broadcast, and sorting
+      // for an SMJ is pointless at this size — hint the hash form so
+      // the census's no-SMJ claim stays exact (q37 remains the one
+      // deliberate SMJ on the surface)
+      lexRanked.join(denseRanked.hint("shuffle_hash"),
+          Seq("doc_id"), "full_outer")
         .select($"doc_id", $"r_lex", $"r_dense",
           (contrib($"r_lex") + contrib($"r_dense"))
             .cast("double").as("rrf"))
