@@ -273,6 +273,51 @@ object Analytics {
         .select($"user_id", $"n_events",
           $"__svm".cast("double").as("sum_value"),
           round($"__svm".cast("double") / $"n_events", 6).as("avg_value"))
+    },
+
+    // Time-series resampling with LINEAR interpolation — q57's LOCF
+    // upgraded to the other classic gap repair: per user, an hourly grid
+    // spans first-to-last observation, each grid hour carries the last
+    // event of that hour (unique (ts, event_id) selection — no float
+    // arithmetic on observed values), and empty hours interpolate
+    // linearly between the bracketing observations. Hours are epoch-hour
+    // longs (the `$"ts".cast("long")` ↔ `epoch(ts)` convention), the
+    // grid is sequence+explode (NEVER a driver loop), and the fill is
+    // two frames of one per-user window over the grid. The interpolation
+    // expression is the same IEEE tree on both engines, rounded to 9 dp.
+    // Scale: the grid is users × a wall-clock-bounded span (720 h here)
+    // — row count grows linearly with users, never quadratically; the
+    // windows sort bounded per-user grids, not the raw event stream.
+    "q71_interpolate" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", expr("cast(ts as long) div 3600").as("h"),
+          $"ts", $"event_id", $"value")
+      val pick = Window.partitionBy($"user_id", $"h")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val known = ev.withColumn("__rn", row_number().over(pick))
+        .filter($"__rn" === 1)
+        .select($"user_id", $"h", $"value".as("v"))
+      val grid = known.groupBy($"user_id")
+        .agg(min($"h").as("__h0"), max($"h").as("__h1"))
+        .select($"user_id", explode(sequence($"__h0", $"__h1")).as("h"))
+      val asc = Window.partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val desc = Window.partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(known.hint("shuffle_hash"), Seq("user_id", "h"), "left")
+        .select($"user_id", $"h", $"v",
+          last($"v", ignoreNulls = true).over(asc).as("__pv"),
+          last(when($"v".isNotNull, $"h"), ignoreNulls = true).over(asc)
+            .as("__ph"),
+          first($"v", ignoreNulls = true).over(desc).as("__nv"),
+          first(when($"v".isNotNull, $"h"), ignoreNulls = true).over(desc)
+            .as("__nh"))
+        .select($"user_id", $"h".as("hour_bucket"),
+          when($"v".isNotNull, $"v")
+            .otherwise(round($"__pv" + ($"__nv" - $"__pv") *
+              (($"h" - $"__ph") / ($"__nh" - $"__ph")), 9)).as("value"),
+          $"v".isNull.as("interpolated"))
     }
   )
 
@@ -287,6 +332,42 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    // same grid, same windows, same IEEE interpolation tree — the
+    // floor-div epoch-hour mirrors `cast(ts as long) div 3600`
+    "q71_interpolate" ->
+      """WITH ev AS (SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT) // 3600 AS h, ts, event_id, value
+        |  FROM events),
+        |k AS (SELECT user_id, h, value AS v FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, h
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |s AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM k
+        |  GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM s),
+        |j AS (SELECT g.user_id, g.h, k.v FROM g LEFT JOIN k
+        |  ON k.user_id = g.user_id AND k.h = g.h),
+        |w AS (SELECT user_id, h, v,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY h
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY h
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT user_id, h AS hour_bucket,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE round(pv + (nv - pv) * ((h - ph) / (nh - ph)), 9) END
+        |    AS value,
+        |  v IS NULL AS interpolated
+        |FROM w""".stripMargin,
+
     // full recompute — proving the engine's base+delta merge exact
     "q70_incremental_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -1899,6 +1899,30 @@ object DataOps {
           count(lit(1))).as("exact_dup_rate"))
     },
 
+    // N-gram novelty scoring: per document, the fraction of its distinct
+    // trigram shingles whose GLOBAL first occurrence (min doc_id over
+    // the corpus) is this document — the corpus-level "how much of this
+    // doc is new text" signal that ranks boilerplate/template families
+    // low and fresh content high (the d02 shingle universe, reused as a
+    // per-doc statistic instead of a pair generator). Shape: one shingle
+    // pass (native TokenShingles), one groupBy(shingle) min, one
+    // shuffle-hash join back (shingle vocab scales with the corpus —
+    // never broadcast), one per-doc aggregation. Counts are exact longs;
+    // the fraction is one 9 dp-rounded division.
+    "t33_ngram_novelty" -> { (s, d) =>
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", explode(Text.shingles($"text", 3)).as("shingle"))
+      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("__first"))
+      sh.join(first.hint("shuffle_hash"), Seq("shingle"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"doc_id" === $"__first", 1L).otherwise(0L))
+            .as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          round($"n_novel" / $"n_shingles", 9).as("novelty"))
+    },
+
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling" — public): per-doc
     // importance weight = Σ_tokens [ln p_target(tok) − ln p_raw(tok)]
@@ -3344,6 +3368,24 @@ object DataOps {
         |FROM documents""".stripMargin,
 
     "s09_mmr_rerank" -> mmrOracle(5),
+
+    // the d02 shingle mirror, grouped per doc against the global
+    // min-doc_id first-sighting table
+    "t33_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |f AS (SELECT shingle, MIN(doc_id) AS fd FROM sh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(SUM(CASE WHEN doc_id = fd THEN 1 ELSE 0 END)
+        |    AS BIGINT) / COUNT(*), 9) AS novelty
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY doc_id""".stripMargin,
 
     "t32_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, source = 'src0' AS t,

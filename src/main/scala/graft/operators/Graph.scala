@@ -469,6 +469,209 @@ object Graph {
       .join(doomed.select(col("id").as("b")), Seq("b"), "left_anti")
       .select(col("a"), col("b"))
 
+  /** Single-source shortest paths (min-plus Bellman–Ford) over POSITIVE
+    * INTEGER edge costs, by frontier delta-iteration: each round relaxes
+    * only the out-edges of vertices whose distance improved last round
+    * — O(frontier adjacency) per round, the [[bfsDepth]] shape — and
+    * merges improvements into the running distance map with an
+    * anti-join + union keyed on the vertex id. Integer costs make the
+    * min-plus fixpoint exact (no fp accumulation anywhere), so the
+    * operator is value-exact oracle-checkable by unrolling `maxRounds`
+    * full relaxation rounds as nested CTEs: full-relaxation and
+    * frontier-relaxation reach the SAME fixpoint, and rounds after
+    * convergence are no-ops (the lp01/kCore trick). The Spark side
+    * THROWS past `maxRounds` still-improving rounds, so a green result
+    * proves convergence inside the oracle's unroll depth.
+    *
+    * Contracts, enforced loudly: costs must be an integral type
+    * (doubles would make min-plus ties fp-representation-dependent) and
+    * ≥ 1 (zero/negative cycles would unbound the iteration); seeds are
+    * intersected with the vertex set and an all-foreign seed set throws
+    * (the [[bfsDepth]] convention).
+    *
+    * @param edges directed (src, dst, cost); symmetrize for undirected
+    * @param seeds one column `id` — distance-0 sources
+    * @return (id, dist) for every vertex reachable from the seeds
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      costCol: String = "cost"): DataFrame = {
+    import org.apache.spark.sql.types._
+    edges.schema(costCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"shortestPaths: cost column '$costCol' is $other — min-plus " +
+          "distances must be exact; use an integral cost")
+    }
+    val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"),
+      col(costCol).cast("long").as("e_cost")).localCheckpoint(true)
+    e.filter(col("e_cost") < 1L).limit(1).collect().headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"shortestPaths: edge cost ${r.get(2)} < 1 — non-positive costs " +
+          "unbound the relaxation; shift or filter them first")
+    }
+    val vertices = e.select(col("e_src").as("id"))
+      .union(e.select(col("e_dst").as("id"))).distinct()
+    var dist = seeds.select(col("id")).distinct()
+      .join(vertices, Seq("id"), "left_semi")
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    require(!dist.limit(1).isEmpty,
+      "shortestPaths: no seed appears in the graph")
+    var frontier = dist
+    var round = 0
+    var drained = false
+    while (!drained) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"shortestPaths did not converge within $maxRounds relaxation " +
+            "rounds — raise maxRounds (and the oracle's unroll depth) " +
+            "deliberately")
+      val improved = relaxRound(frontier, e, dist)
+        .localCheckpoint(true) // truncate lineage: plan must not grow per round
+      if (improved.limit(1).isEmpty) drained = true
+      else {
+        dist = dist.join(improved.select(col("id")), Seq("id"), "left_anti")
+          .union(improved).localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    dist
+  }
+
+  /** One relaxation round: best candidate distance through the frontier
+    * for each out-neighbor, kept only where it beats (or first reaches)
+    * the current distance. Factored out so the plan gate asserts on the
+    * REAL per-round plan (the [[expandFrontier]] convention). */
+  private[operators] def relaxRound(frontier: DataFrame, e: DataFrame,
+      dist: DataFrame): DataFrame =
+    frontier.join(e, col("id") === col("e_src"))
+      .select(col("e_dst").as("id"),
+        (col("dist") + col("e_cost")).as("cand"))
+      .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      .join(dist.select(col("id"), col("dist").as("__old")),
+        Seq("id"), "left_outer")
+      .filter(col("__old").isNull || col("cand") < col("__old"))
+      .select(col("id"), col("cand").as("dist"))
+
+  /** Modularity of a vertex partition over a weighted undirected graph,
+    * per community: Q_c = w_in(c)/W − (deg(c)/W)², where W is the total
+    * directed weight (2m), w_in(c) the directed weight inside c, and
+    * deg(c) the summed weighted degree of c's vertices — Newman's
+    * modularity decomposed by community (Σ_c Q_c = Q). The community-
+    * QUALITY scorer that closes the loop on [[labelSpread]]: propagate
+    * labels, then measure how much denser-than-random each community is.
+    *
+    * Execution: two broadcast-free equi-joins tag each directed edge
+    * with both endpoint labels, then ONE partial-aggregating groupBy on
+    * the source label computes w_in and deg together; W is a 1-row
+    * aggregate broadcast into the final projection. Integer weights are
+    * enforced (the [[labelSpread]] determinism convention) so both sums
+    * are exact longs, and the two divisions + multiply + subtract are
+    * the same IEEE expression tree on any engine — rounded to 9 dp for
+    * the dump, making the operator value-exact oracle-checkable.
+    *
+    * @param labels (id, label) — every vertex of `edges` must be labeled
+    *               (unlabeled endpoints drop their edges, inner-join
+    *               semantics, mirrored by the oracle)
+    * @param edges  directed symmetrized (src, dst, w): each undirected
+    *               edge appears in both orientations
+    * @return (label, internal_w, degree_w, q_contrib) per community
+    */
+  def modularityByLabel(labels: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    edges.schema("w").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case _: DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"modularityByLabel: weight column 'w' is $other — modularity " +
+          "sums must be exact; use an integral or decimal weight")
+    }
+    val lab = labels.select(col("id"), col("label"))
+    val ew = edges.select(col("src"), col("dst"), col("w"))
+      .join(lab.select(col("id").as("src"), col("label").as("__la")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("__lb")),
+        Seq("dst"))
+    val tot = ew.agg(sum(col("w")).as("__m2"))
+    ew.groupBy(col("__la").as("label"))
+      .agg(sum(when(col("__la") === col("__lb"), col("w"))
+          .otherwise(lit(0L))).as("internal_w"),
+        sum(col("w")).as("degree_w"))
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("internal_w"), col("degree_w"),
+        round(col("internal_w") / col("__m2") -
+          (col("degree_w") / col("__m2")) * (col("degree_w") / col("__m2")),
+          9).as("q_contrib"))
+  }
+
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * vertex pair with ≥ `minCommon` common neighbors, the three classic
+    * scores — common-neighbor count, Adamic–Adar (Σ_z 1/ln deg(z), the
+    * hub-discounted form), and neighborhood Jaccard — returned as the
+    * global top-`k` by (Adamic–Adar desc, pair asc): the "suggest merge
+    * candidates / missing edges" primitive of a curation pipeline.
+    *
+    * Execution: candidate pairs come from wedge enumeration (the
+    * posting-list shape — each common neighbor z emits its neighbor
+    * pairs, never all-pairs), so per-vertex fan-out is deg²; a hub above
+    * `maxDeg` FAILS LOUDLY (the exact-op contract: no silent
+    * degradation). Wedges join the degree table on the center key they
+    * are already partitioned by, aggregate once on the endpoint pair,
+    * anti-join the edge set, and the top-k is a TakeOrderedAndProject
+    * heap — no global sort materialization. Determinism: counts and
+    * degrees are exact longs; each Adamic–Adar term is rounded to 6 dp
+    * and decimal-summed (the t13 ln convention); Jaccard is one 9
+    * dp-rounded division; and the (score, a, b) order key is unique, so
+    * the top-k cut is exact — the whole operator oracle-checks
+    * value-level.
+    *
+    * @param edges undirected edge set, any orientation (canonicalized,
+    *              self-loops dropped, duplicates collapsed)
+    */
+  def linkPredictionTopK(edges: DataFrame, minCommon: Long, k: Int,
+      maxDeg: Long, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("a").as("z"), col("b").as("nb"))
+      .union(und.select(col("b").as("z"), col("a").as("nb")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    deg.filter(col("d") > maxDeg).limit(1).collect().headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"linkPredictionTopK: vertex ${r.get(0)} has degree ${r.get(1)} " +
+          s"> cap $maxDeg — wedge fan-out is no longer bounded; raise " +
+          "the cap deliberately or pre-filter the graph")
+    }
+    val wedges = adj.select(col("z"), col("nb").as("x"))
+      .join(adj.select(col("z"), col("nb").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+    val scored = wedges
+      .join(deg.hint("shuffle_hash"), Seq("z")) // deg ~ vertex set: never broadcast
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(round(lit(1.0) / log(col("d")), 6).cast("decimal(18,6)"))
+          .as("__aa"))
+      .filter(col("n_common") >= minCommon)
+    scored
+      .join(und, col("x") === col("a") && col("y") === col("b"), "left_anti")
+      .join(deg.select(col("z").as("x"), col("d").as("__da")).hint("shuffle_hash"),
+        Seq("x"))
+      .join(deg.select(col("z").as("y"), col("d").as("__db")).hint("shuffle_hash"),
+        Seq("y"))
+      .select(col("x").as("c_a"), col("y").as("c_b"), col("n_common"),
+        col("__aa").cast("double").as("adamic_adar"),
+        round(col("n_common") /
+          (col("__da") + col("__db") - col("n_common")), 9).as("jaccard"))
+      .orderBy(col("adamic_adar").desc, col("c_a"), col("c_b"))
+      .limit(k)
+  }
+
   /** The ONE trade relation every graph query derives from — (c, sp, w)
     * with w = lineitem count linking customer c to supplier sp. g01/g02
     * drop w, lp01 keeps it as the vote weight, g03 thresholds on it;
@@ -666,8 +869,83 @@ object Graph {
             .otherwise(lit("supplier")).as("kind"),
           expr("id div 2").as("key"),
           round(col("rank"), 10).as("rank"))
+    },
+
+    // Community quality for lp01's propagation: per propagated-nation
+    // community over the SAME weighted trade graph, how much denser than
+    // random is the community (Newman modularity, decomposed per label).
+    // Integer weight sums + one rounded IEEE expression per row keep it
+    // value-exact: the oracle replays lp01's two vote rounds (the nested
+    // CTEs) and stacks the modularity aggregation on top — the iterative
+    // operator AND its quality metric checked end-to-end in one row set.
+    "g07_modularity" -> { (s, d) =>
+      val cs = tradeRelation(s, d)
+      val edges = cs.select((col("c") * 2).as("src"),
+          (col("sp") * 2 + 1).as("dst"), col("w"))
+        .union(cs.select((col("sp") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst"), col("w")))
+      val nodes = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("id"),
+          col("c_nationkey").cast("long").as("label"))
+        .union(Tables.supplier(s, d)
+          .select((col("s_suppkey") * 2 + 1).as("id"),
+            lit(null).cast("long").as("label")))
+      val labeled = Graph.labelSpread(nodes, edges, iterations = 2,
+          clampSeeds = false)
+        .select(col("id"), col("label"))
+      Graph.modularityByLabel(labeled, edges)
+    },
+
+    // Weighted single-source shortest paths from the nation-0 cohort:
+    // strong trade ties are cheap to cross (lineitem count ≥ 4 → cost 1,
+    // ≥ 2 → 2, else 3), so the distance ranks every vertex by how
+    // cheaply the trusted cohort reaches it THROUGH repeat business —
+    // g01's hop count upgraded with tie strength. Integer min-plus is
+    // exact; the oracle unrolls 14 full relaxation rounds (no-op tails
+    // after convergence), and the Spark side throws past 14 improving
+    // rounds, so green proves convergence inside the unroll depth.
+    "g08_sssp" -> { (s, d) =>
+      val cs = tradeRelation(s, d)
+      val cost = when(col("w") >= 4, 1L).when(col("w") >= 2, 2L)
+        .otherwise(3L)
+      val edges = cs.select((col("c") * 2).as("src"),
+          (col("sp") * 2 + 1).as("dst"), cost.as("cost"))
+        .union(cs.select((col("sp") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst"), cost.as("cost")))
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("id"))
+      Graph.shortestPaths(edges, seeds, maxRounds = SsspRounds)
+        .select(
+          when(col("id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("id div 2").as("key"),
+          col("dist"))
+    },
+
+    // Link prediction on the g03 co-purchase projection (SAME graph):
+    // the top non-adjacent customer pairs by Adamic–Adar — "these two
+    // never shared 2+ suppliers directly, but their neighborhoods
+    // overlap so much they plausibly should" — the missing-edge /
+    // merge-candidate suggester. Wedge enumeration (posting-list shape)
+    // behind the loud degree cap; exact counts, 6 dp-rounded
+    // decimal-summed AA terms (the t13 ln convention), unique top-k
+    // order key — fully value-oracled including the k cut.
+    "g09_link_prediction" -> { (s, d) =>
+      val cs = tradeRelation(s, d).filter(col("w") >= 2)
+        .select(col("c"), col("sp"))
+      val cop = copurchaseEdges(cs, minShared = 2,
+        maxSupplierDeg = 50000L)
+      Graph.linkPredictionTopK(cop, minCommon = 1, k = LinkPredK,
+        maxDeg = 50000L, srcCol = "ca", dstCol = "cb")
     }
   )
+
+  /** g08 unroll depth, shared by the query and its generated oracle. */
+  private val SsspRounds = 14
+
+  /** g09 top-k cut, shared by the query and its oracle. */
+  private val LinkPredK = 5000
 
   /** g05 parameters, shared by the query and its generated oracle. */
   private val KCoreK = 16
@@ -748,9 +1026,127 @@ object Graph {
     sb.toString
   }
 
+  /** The g08 oracle: `rounds` FULL min-plus relaxation rounds unrolled
+    * as MATERIALIZED CTEs. Full relaxation (every settled vertex, not
+    * just the frontier) reaches the same fixpoint as the Spark side's
+    * frontier delta-iteration, and rounds after convergence are no-ops
+    * — so over-unrolling is exact, and the Spark side's throw past
+    * `rounds` improving rounds makes a green row a convergence proof. */
+  private def ssspOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cs AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS sp,
+      |    COUNT(*) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |e AS MATERIALIZED (SELECT c*2 AS src, sp*2+1 AS dst,
+      |    CASE WHEN w >= 4 THEN 1 WHEN w >= 2 THEN 2 ELSE 3 END AS cost
+      |  FROM cs
+      |  UNION ALL SELECT sp*2+1, c*2,
+      |    CASE WHEN w >= 4 THEN 1 WHEN w >= 2 THEN 2 ELSE 3 END
+      |  FROM cs),
+      |d0 AS MATERIALIZED (SELECT DISTINCT c_custkey*2 AS id,
+      |    CAST(0 AS BIGINT) AS dd
+      |  FROM customer WHERE c_nationkey = 0
+      |    AND EXISTS (SELECT 1 FROM e WHERE e.src = c_custkey*2))"""
+      .stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |d$i AS MATERIALIZED (SELECT id, MIN(dd) AS dd FROM (
+        |    SELECT id, dd FROM d${i - 1}
+        |    UNION ALL
+        |    SELECT e.dst, p.dd + e.cost FROM d${i - 1} p
+        |    JOIN e ON e.src = p.id)
+        |  GROUP BY 1)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+      |    AS kind,
+      |  id // 2 AS key, dd AS dist
+      |FROM d$rounds""".stripMargin
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
     "g05_kcore" -> kCoreOracle(KCoreK, KCoreRounds),
     "g06_ktruss" -> kTrussOracle(KTrussK, KTrussRounds),
+    "g08_sssp" -> ssspOracle(SsspRounds),
+
+    // lp01's two vote rounds (the nested aggregate CTEs, verbatim) with
+    // the modularity aggregation stacked on top: tag each directed edge
+    // with both endpoint labels, one grouped sum per community, one
+    // total — the iterative operator and its quality metric checked in
+    // one statement. SUMs cast back to BIGINT (DuckDB widens to
+    // HUGEINT); the q_contrib expression tree mirrors the Spark side
+    // op-for-op so the 9 dp rounding sees identical doubles.
+    "g07_modularity" ->
+      """WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp,
+        |    COUNT(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT c*2 AS src, sp*2+1 AS dst, w FROM cs
+        |  UNION ALL SELECT sp*2+1, c*2, w FROM cs),
+        |n0 AS (SELECT c_custkey*2 AS id, CAST(c_nationkey AS BIGINT)
+        |    AS label FROM customer
+        |  UNION ALL SELECT s_suppkey*2+1, NULL FROM supplier),
+        |v1 AS (SELECT e.dst AS id, s.label, SUM(e.w) AS v
+        |  FROM e JOIN n0 s ON e.src = s.id
+        |  WHERE s.label IS NOT NULL GROUP BY 1, 2),
+        |w1 AS (SELECT id, label FROM (SELECT id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY v DESC, label ASC) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |n1 AS (SELECT n0.id, n0.label AS seed,
+        |    coalesce(w1.label, n0.label) AS label
+        |  FROM n0 LEFT JOIN w1 USING (id)),
+        |v2 AS (SELECT e.dst AS id, s.label, SUM(e.w) AS v
+        |  FROM e JOIN n1 s ON e.src = s.id
+        |  WHERE s.label IS NOT NULL GROUP BY 1, 2),
+        |w2 AS (SELECT id, label FROM (SELECT id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY v DESC, label ASC) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |n2 AS (SELECT n1.id, n1.seed,
+        |    coalesce(w2.label, n1.label) AS label
+        |  FROM n1 LEFT JOIN w2 USING (id)),
+        |ew AS (SELECT e.w, a.label AS la, b.label AS lb
+        |  FROM e JOIN n2 a ON a.id = e.src JOIN n2 b ON b.id = e.dst),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM ew),
+        |agg AS (SELECT la AS label,
+        |    CAST(SUM(CASE WHEN la = lb THEN w ELSE 0 END) AS BIGINT)
+        |      AS internal_w,
+        |    CAST(SUM(w) AS BIGINT) AS degree_w
+        |  FROM ew GROUP BY 1)
+        |SELECT label, internal_w, degree_w,
+        |  round(internal_w / m2 - (degree_w / m2) * (degree_w / m2), 9)
+        |    AS q_contrib
+        |FROM agg CROSS JOIN tot""".stripMargin,
+
+    // wedge enumeration over the g03 projection, scored and cut exactly
+    // as the Spark side: 6 dp-rounded decimal-summed AA terms, 9 dp
+    // Jaccard, unique (aa desc, pair asc) order key so LIMIT is exact
+    "g09_link_prediction" ->
+      s"""WITH cs AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |cop AS MATERIALIZED (SELECT a.c AS ca, b.c AS cb
+        |  FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS MATERIALIZED (SELECT ca AS z, cb AS nb FROM cop
+        |  UNION ALL SELECT cb, ca FROM cop),
+        |deg AS MATERIALIZED (SELECT z, COUNT(*) AS d FROM adj GROUP BY 1),
+        |w AS (SELECT a.nb AS x, b.nb AS y, COUNT(*) AS cn,
+        |    CAST(SUM(CAST(round(1.0 / ln(dg.d), 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS aa
+        |  FROM adj a JOIN adj b ON a.z = b.z AND a.nb < b.nb
+        |  JOIN deg dg ON dg.z = a.z
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+        |ne AS (SELECT w.* FROM w LEFT JOIN cop
+        |  ON w.x = cop.ca AND w.y = cop.cb
+        |  WHERE cop.ca IS NULL)
+        |SELECT x AS c_a, y AS c_b, cn AS n_common, aa AS adamic_adar,
+        |  round(cn / (da.d + db.d - cn), 9) AS jaccard
+        |FROM ne JOIN deg da ON da.z = ne.x JOIN deg db ON db.z = ne.y
+        |ORDER BY aa DESC, c_a, c_b LIMIT $LinkPredK""".stripMargin,
 
     // UNION (not UNION ALL) recursion: the working set is the newly
     // discovered distinct (id, depth) pairs, so the recursion is bounded

@@ -241,4 +241,32 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(again === got)
   }
+
+  test("q71 interpolate: hourly grid spans first-to-last, gaps fill " +
+    "linearly, each hour keeps its LAST event") {
+    // user 1: hour 0 has two events (later one wins: v=10, not 99),
+    // hour 3 has v=40 -> grid 0..3, hours 1,2 interpolate to 20, 30.
+    // user 2: a single observed hour -> one un-interpolated row.
+    val ev = Seq(
+      (1L, 1L, 99.0, "2024-01-01 00:10:00"),
+      (1L, 2L, 10.0, "2024-01-01 00:50:00"),
+      (1L, 3L, 40.0, "2024-01-01 03:20:00"),
+      (2L, 4L, 7.0, "2024-01-01 05:00:00")
+    ).toDF("user_id", "event_id", "value", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("event_type", lit("view"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q71").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.queries("q71_interpolate")(spark, dir)
+      .orderBy($"user_id", $"hour_bucket")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 1L, 1L, 1L, 2L))
+    // the grid is contiguous per user
+    val hours = out.filter(_._1 == 1L).map(_._2)
+    assert(hours === (hours.head to hours.head + 3))
+    assert(out.map(r => (r._3, r._4)) === Seq(
+      (10.0, false), (20.0, true), (30.0, true), (40.0, false),
+      (7.0, false)))
+  }
 }

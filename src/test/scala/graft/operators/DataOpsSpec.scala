@@ -1321,4 +1321,19 @@ class DataOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < local.length,
       "budget must select a strict non-empty prefix")
   }
+
+  test("t33 novelty: first sighting owns the shingle — dup docs score 0, " +
+    "partial overlap scores the unseen fraction, short docs are absent") {
+    // doc 1 coins both trigrams; doc 2 repeats them verbatim (0 novel);
+    // doc 3 shares 'a b c' but coins 'b c x' (1 of 2); doc 4 is under
+    // 3 tokens and yields no shingles at all.
+    val dir = java.nio.file.Files.createTempDirectory("t33").toString
+    Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"), (4L, "x y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DataOps.queries("t33_ngram_novelty")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
+  }
 }

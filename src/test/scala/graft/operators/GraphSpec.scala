@@ -385,4 +385,137 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(v - r2(k)) < 1e-12, s"vertex $k: $v vs ${r2(k)}")
     }
   }
+
+  test("shortestPaths: cheap multi-hop beats the expensive direct edge") {
+    // s→a direct costs 5; s→b→a costs 1+1 — min-plus must pick 2, which
+    // a BFS hop count (g01) cannot express. Vertex 9 is unreachable.
+    val edges = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 1L),
+        (9L, 9L, 1L)).toDF("src", "dst", "cost")
+      .filter($"src" =!= 9L) // 9 appears nowhere: truly absent
+    val d = Graph.shortestPaths(edges, Seq(0L).toDF("id"), maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 0L, 2L -> 1L, 1L -> 2L))
+  }
+
+  test("shortestPaths contracts: double costs, non-positive costs, " +
+    "all-foreign seeds, and non-convergence all fail loudly") {
+    val ok = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "cost")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.shortestPaths(ok.withColumn("cost", $"cost".cast("double")),
+        Seq(0L).toDF("id"), maxRounds = 5)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.shortestPaths(ok.withColumn("cost", $"cost" - 1L),
+        Seq(0L).toDF("id"), maxRounds = 5)
+    }
+    assert(e2.getMessage.contains("< 1"))
+    val e3 = intercept[IllegalArgumentException] {
+      Graph.shortestPaths(ok, Seq(77L).toDF("id"), maxRounds = 5)
+    }
+    assert(e3.getMessage.contains("no seed"))
+    // the 4-hop chain cannot settle in 2 improving rounds
+    val e4 = intercept[IllegalStateException] {
+      Graph.shortestPaths(ok, Seq(0L).toDF("id"), maxRounds = 2)
+    }
+    assert(e4.getMessage.contains("did not converge"))
+  }
+
+  test("shortestPaths is exactly partitioning-invariant (integer min-plus)") {
+    val edges = (0L until 400L).map(i => (i, (i * 7 + 3) % 400, i % 3 + 1))
+      .toDF("src", "dst", "cost")
+    val seeds = Seq(0L, 13L).toDF("id")
+    val r1 = Graph.shortestPaths(edges, seeds, maxRounds = 30)
+      .as[(Long, Long)].collect().toMap
+    val r2 = Graph.shortestPaths(edges.repartition(13), seeds, maxRounds = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === r2)
+    assert(r1(0L) === 0L && r1(13L) === 0L)
+  }
+
+  test("relaxRound is equi-joins — the real per-round plan has no " +
+    "cartesian product or nested loop") {
+    // The loop checkpoints each round eagerly (the expandFrontier
+    // convention): gate the factored round body, not the final plan.
+    val e = (0L until 500L).map(i => (i, (i * 7 + 1) % 500, 1L))
+      .toDF("e_src", "e_dst", "e_cost")
+    val dist = (0L until 50L).toDF("id").withColumn("dist", lit(0L))
+    val p = Graph.relaxRound(dist, e, dist)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("modularityByLabel: two triangles and a bridge — hand-computed " +
+    "per-community contributions") {
+    // communities A={0,1,2}, B={3,4,5}; triangles inside each, one
+    // bridge 2–3. W (directed) = 14. A: internal 6, degree 7 →
+    // 6/14 − (7/14)² = 0.178571429 after 9 dp rounding; B symmetric.
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (2L, 3L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+      .toDF("src", "dst", "w")
+    val labels = (0L to 5L).map(i => (i, if (i <= 2) 10L else 20L))
+      .toDF("id", "label")
+    val rows = Graph.modularityByLabel(labels, edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(10L) === ((6L, 7L, 0.178571429)))
+    assert(rows(20L) === ((6L, 7L, 0.178571429)))
+    // the decomposition sums to Newman's Q for the whole partition
+    assert(math.abs(rows.values.map(_._3).sum - 0.357142858) < 1e-9)
+  }
+
+  test("modularityByLabel enforces exact weight sums: double weights " +
+    "rejected, a perfect single community scores ~0") {
+    val edges = Seq((0L, 1L, 1L), (1L, 0L, 1L)).toDF("src", "dst", "w")
+    val labels = Seq((0L, 1L), (1L, 1L)).toDF("id", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.modularityByLabel(labels,
+        edges.withColumn("w", $"w".cast("double")))
+    }
+    assert(e1.getMessage.contains("integral or decimal"))
+    // one community holding the whole graph: Q = 1 − 1 = 0 exactly
+    val q = Graph.modularityByLabel(labels, edges)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(q.toSeq === Seq((1L, 2L, 2L, 0.0)))
+  }
+
+  test("linkPredictionTopK on the 4-cycle: both diagonals, exact " +
+    "scores, deterministic k cut") {
+    // square 1-2-3-4: non-edges (1,3) and (2,4), each with 2 common
+    // neighbors of degree 2 → aa = 2·round(1/ln 2, 6) = 2.885390,
+    // jaccard = 2/(2+2−2) = 1. Adjacent pairs must NOT appear.
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val all = Graph.linkPredictionTopK(square, minCommon = 1, k = 10,
+        maxDeg = 100L)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(all === Set((1L, 3L, 2L, 2.88539, 1.0),
+      (2L, 4L, 2L, 2.88539, 1.0)))
+    // equal scores: the unique (aa desc, a asc, b asc) key cuts at (1,3)
+    val top1 = Graph.linkPredictionTopK(square, minCommon = 1, k = 1,
+        maxDeg = 100L)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(top1 === Seq((1L, 3L, 2L, 2.88539, 1.0)))
+  }
+
+  test("linkPredictionTopK: hub cap fails loudly, top-k plan is a heap " +
+    "with no cartesian product") {
+    val star = (1L to 40L).map(i => (0L, i)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.linkPredictionTopK(star, minCommon = 1, k = 10, maxDeg = 10L)
+    }
+    assert(ex.getMessage.contains("cap"))
+    val ring = (0L until 200L).map(i => (i, (i + 1) % 200))
+      .toDF("src", "dst")
+    val plan = Graph.linkPredictionTopK(ring, minCommon = 1, k = 5,
+      maxDeg = 100L).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k must be a per-partition heap, not a sort:\n" +
+        plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
