@@ -59,6 +59,31 @@ object Advanced {
           $"asof_purchase_event_id".as("purchase_event_id"))
     },
 
+    // Last-touch attribution with a 24 h lookback: every purchase claims
+    // the user's most recent view/click at-or-before it, and touches
+    // older than the window null out — the marketing-attribution twin of
+    // q22 that exercises the as-of join's TOLERANCE variant (the matched
+    // right time rides along and stale matches are nulled, not dropped:
+    // the purchase row survives with no credited touch). Same
+    // one-shuffle union-window machinery; (user, ts) is unique in this
+    // corpus so no tie discipline is in play (the q22/q66 precedent).
+    "q73_attribution" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id", $"event_id".as("touch_event_id"),
+          $"event_type".as("touch_type"), $"ts")
+      AsofJoin.backwardWithTolerance(purchases, touches, "ts",
+          keyCols = Seq("user_id"),
+          rightCols = Seq("touch_event_id", "touch_type"),
+          rightTieBreak = "touch_event_id", toleranceSeconds = 86400L)
+        .select($"user_id", $"event_id",
+          $"asof_touch_event_id".as("touch_event_id"),
+          $"asof_touch_type".as("touch_type"))
+    },
+
     // Custom physical operator (BroadcastRangeJoinExec via RangeJoinPlan):
     // events joined to each user's first-72h window by key + time range,
     // probed against a broadcast sorted interval index — no shuffle, no
@@ -220,6 +245,22 @@ object Advanced {
         |SELECT p.user_id, p.event_id, s.signup_event_id
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    // ASOF backward + the tolerance as a CASE over the matched right
+    // time — second-truncated on both sides, mirroring cast(ts as long)
+    "q73_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_event_id,
+        |        event_type AS touch_type, ts FROM events
+        |      WHERE event_type IN ('view', 'click'))
+        |SELECT p.user_id, p.event_id,
+        |  CASE WHEN floor(epoch(p.ts))::BIGINT - floor(epoch(t.ts))::BIGINT
+        |      > 86400 THEN NULL ELSE t.touch_event_id END AS touch_event_id,
+        |  CASE WHEN floor(epoch(p.ts))::BIGINT - floor(epoch(t.ts))::BIGINT
+        |      > 86400 THEN NULL ELSE t.touch_type END AS touch_type
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.ts >= t.ts""".stripMargin,
 
     "q66_asof_forward" ->
       """WITH s AS (SELECT user_id, event_id, ts FROM events

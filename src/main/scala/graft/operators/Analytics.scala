@@ -318,6 +318,36 @@ object Analytics {
             .otherwise(round($"__pv" + ($"__nv" - $"__pv") *
               (($"h" - $"__ph") / ($"__nh" - $"__ph")), 9)).as("value"),
           $"v".isNull.as("interpolated"))
+    },
+
+    // Cohort retention: users cohorted by first-active day; per cohort
+    // and week offset, the share of the cohort active that week — the
+    // standard product-analytics retention matrix, and (for a corpus)
+    // the "contributor stickiness" profile. Shape: one distinct
+    // (user, day) pass, a per-user min, one shuffle-hash join back on
+    // user_id, a distinct + count per (cohort, offset), and the ≤31-row
+    // cohort-size table broadcast into the final projection. Counts are
+    // exact longs; retention is one 9 dp-rounded division. The matrix
+    // size is cohort-days × offsets — bounded by the calendar, not the
+    // data, at any SF.
+    "q72_cohort_retention" -> { (s, d) =>
+      import s.implicits._
+      val days = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val firsts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      val sizes = firsts.groupBy($"cohort_day")
+        .agg(count(lit(1)).as("cohort_size"))
+      days.join(firsts.hint("shuffle_hash"), Seq("user_id"))
+        .select($"cohort_day",
+          expr("datediff(day, cohort_day) div 7").cast("long")
+            .as("offset_week"),
+          $"user_id")
+        .distinct()
+        .groupBy($"cohort_day", $"offset_week")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select($"cohort_day", $"offset_week", $"n_active", $"cohort_size",
+          round($"n_active" / $"cohort_size", 9).as("retention"))
     }
   )
 
@@ -332,6 +362,24 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    // DATE subtraction is integer days in DuckDB; // 7 mirrors
+    // `datediff(...) div 7`
+    "q72_cohort_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1),
+        |sz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM f
+        |  GROUP BY 1),
+        |act AS (SELECT DISTINCT f.cohort_day,
+        |    ((d.day - f.cohort_day) // 7)::BIGINT AS offset_week,
+        |    d.user_id
+        |  FROM days d JOIN f USING (user_id)),
+        |a AS (SELECT cohort_day, offset_week, COUNT(*) AS n_active
+        |  FROM act GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.offset_week, a.n_active, sz.cohort_size,
+        |  round(a.n_active / sz.cohort_size, 9) AS retention
+        |FROM a JOIN sz USING (cohort_day)""".stripMargin,
+
     // same grid, same windows, same IEEE interpolation tree — the
     // floor-div epoch-hour mirrors `cast(ts as long) div 3600`
     "q71_interpolate" ->

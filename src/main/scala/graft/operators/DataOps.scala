@@ -1590,6 +1590,43 @@ object DataOps {
     // corpus to a single row, stack() unpivots it into the funnel — no
     // shuffle beyond the 1-row final aggregate at any corpus size, so
     // the funnel costs one scan at 100 TB. Exactly oracled (counts).
+    // Contrastive training pairs: every high-overlap near-dup pair
+    // (trigram Jaccard ≥ 0.5 — the d02 machinery at a strict threshold)
+    // becomes an (anchor, positive), and each anchor draws 3
+    // deterministic hard-ish negatives from a 64-doc corpus sample —
+    // the (anchor, pos, negs) triplet feed of embedding/contrastive
+    // pretraining. Determinism without randomness: the pool is the 64
+    // smallest md5('x06pool:'||doc_id) (a TakeOrderedAndProject heap,
+    // never a full sort), and per-anchor negatives rank by
+    // md5(anchor||'#'||doc_id) — both engines hash identical strings.
+    // The anchors × 64-doc pool product is broadcast-bounded; positives
+    // are excluded from an anchor's negatives by anti-join. Fully
+    // value-oracled including both rank cuts.
+    "x06_contrastive_pairs" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pos = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          minJaccard = 0.5, maxDocFreq = 1000L)
+        .select($"doc_a".as("anchor"), $"doc_b".as("paired_doc"))
+      val anchors = pos.select($"anchor").distinct()
+      val pool = docs.select($"doc_id")
+        .orderBy(md5(concat(lit("x06pool:"), $"doc_id")), $"doc_id")
+        .limit(64)
+      val cand = anchors.crossJoin(broadcast(pool))
+        .filter($"doc_id" =!= $"anchor")
+        .join(pos.select($"anchor", $"paired_doc".as("doc_id")),
+          Seq("anchor", "doc_id"), "left_anti")
+      val w = Window.partitionBy($"anchor")
+        .orderBy(md5(concat($"anchor", lit("#"), $"doc_id")), $"doc_id")
+      val negs = cand.withColumn("__rnk", row_number().over(w))
+        .filter($"__rnk" <= 3)
+        .select($"anchor", $"doc_id".as("paired_doc"),
+          lit("neg").as("label"), $"__rnk".cast("long").as("rnk"))
+      pos.select($"anchor", $"paired_doc", lit("pos").as("label"),
+          lit(0L).as("rnk"))
+        .unionByName(negs)
+    },
+
     "x05_filter_cascade" -> { (s, d) =>
       import s.implicits._
       val f = Tables.documents(s, d).select(
@@ -3190,6 +3227,45 @@ object DataOps {
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS mean_token_len
         |FROM documents""".stripMargin,
+
+    // the d02 shingle/pair machinery at jaccard >= 0.5, then the two
+    // md5 rank cuts mirrored string-for-string
+    "x06_contrastive_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t
+        |  FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pos AS (SELECT doc_a AS anchor, doc_b AS paired_doc
+        |  FROM com JOIN sizes sa ON doc_a = sa.doc
+        |    JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        |    >= 0.5),
+        |anchors AS (SELECT DISTINCT anchor FROM pos),
+        |pool AS (SELECT doc_id FROM documents
+        |  ORDER BY md5('x06pool:' || doc_id::VARCHAR), doc_id LIMIT 64),
+        |cand AS (SELECT a.anchor, p.doc_id FROM anchors a CROSS JOIN pool p
+        |  WHERE p.doc_id <> a.anchor
+        |    AND NOT EXISTS (SELECT 1 FROM pos
+        |      WHERE pos.anchor = a.anchor AND pos.paired_doc = p.doc_id)),
+        |negs AS (SELECT anchor, doc_id AS paired_doc, 'neg' AS label,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor
+        |      ORDER BY md5(anchor::VARCHAR || '#' || doc_id::VARCHAR),
+        |        doc_id) AS rnk
+        |  FROM cand)
+        |SELECT anchor, paired_doc, 'pos' AS label, CAST(0 AS BIGINT) AS rnk
+        |FROM pos
+        |UNION ALL
+        |SELECT anchor, paired_doc, label, rnk FROM negs WHERE rnk <= 3"""
+        .stripMargin,
 
     "x05_filter_cascade" ->
       s"""WITH f AS (SELECT

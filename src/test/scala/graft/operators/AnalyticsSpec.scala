@@ -269,4 +269,29 @@ class AnalyticsSpec extends SparkSpec {
       (10.0, false), (20.0, true), (30.0, true), (40.0, false),
       (7.0, false)))
   }
+
+  test("q72 cohort retention: first-active day cohorts, weekly offsets, " +
+    "exact shares") {
+    // cohort 01-01 = {1, 2}: both active week 0, only user 1 in week 1
+    // (day 8). cohort 01-02 = {3}: week 0 only. Duplicate same-day
+    // events must not double-count.
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (1L, 2L, "2024-01-01 11:00:00"),
+      (1L, 3L, "2024-01-09 10:00:00"),
+      (2L, 4L, "2024-01-01 12:00:00"),
+      (3L, 5L, "2024-01-02 12:00:00")
+    ).toDF("user_id", "event_id", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q72").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.queries("q72_cohort_retention")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(out === Set(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-02", 0L, 1L, 1L, 1.0)))
+  }
 }

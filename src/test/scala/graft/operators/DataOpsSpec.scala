@@ -1336,4 +1336,30 @@ class DataOpsSpec extends SparkSpec {
     assert(out === Seq(
       (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
   }
+
+  test("x06 contrastive pairs: near-dup pair anchors, 3 deterministic " +
+    "negatives each, positives never leak into negatives") {
+    // docs 1 and 2 are verbatim dups (jaccard 1.0 -> the one positive
+    // pair, anchor 1); docs 10..29 are distinct filler that only the
+    // negative pool can draw from.
+    val filler = (10L until 30L).map(i =>
+      (i, s"filler$i alpha$i beta$i gamma$i delta$i"))
+    val docs = (Seq((1L, "a b c d e"), (2L, "a b c d e")) ++ filler)
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x06").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DataOps.queries("x06_contrastive_pairs")(spark, dir)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val pos = out.filter(_._3 == "pos")
+    val negs = out.filter(_._3 == "neg")
+    assert(pos === Seq((1L, 2L, "pos", 0L)))
+    assert(negs.length === 3 && negs.forall(_._1 == 1L))
+    assert(negs.map(_._4).sorted === Seq(1L, 2L, 3L))
+    assert(negs.forall(n => n._2 != 1L && n._2 != 2L),
+      s"anchor/positive leaked into negatives: $negs")
+    // deterministic under any layout
+    val again = DataOps.queries("x06_contrastive_pairs")(spark, dir)
+      .repartition(7).as[(Long, Long, String, Long)].collect().toSet
+    assert(again === out.toSet)
+  }
 }
