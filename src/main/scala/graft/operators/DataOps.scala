@@ -1922,6 +1922,27 @@ object DataOps {
     // per ingest batch — sizes, token volume, source/language mix, exact-
     // dup rate. Single pass over the corpus (one aggregate; the token
     // total is a size() sum, not an explode) plus a digest-distinct count.
+    // Ingest anomaly detection: per event type, days whose event count
+    // sits above mean + 3σ of that type's daily series — the pipeline
+    // monitor that catches a crawler gone hot or a producer replaying
+    // itself. Daily counts are exact longs; the per-type stats run over
+    // a calendar-bounded series (≤31 rows here) and are 6 dp-rounded
+    // before use (the q60/q30 rounded-stat parity convention), so the
+    // flag compares identical doubles on both engines. The stats table
+    // is type-cardinality-sized — broadcast.
+    "o05_anomaly_days" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = daily.groupBy($"event_type")
+        .agg(round(avg($"n_events"), 6).as("mu"),
+          round(stddev_samp($"n_events"), 6).as("sd"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .select($"event_type", $"day", $"n_events", $"mu", $"sd",
+          ($"n_events" > $"mu" + lit(3.0) * $"sd").as("is_anomaly"))
+    },
+
     "o01_corpus_profile" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d).agg(
@@ -2792,6 +2813,17 @@ object DataOps {
          |  MAX(last_chunk) AS last_chunk
          |FROM ($trainingSetSql)
          |GROUP BY 1""".stripMargin,
+
+    "o05_anomaly_days" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, round(AVG(n_events), 6) AS mu,
+        |    round(stddev_samp(n_events), 6) AS sd
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n_events, st.mu, st.sd,
+        |  d.n_events > st.mu + 3.0 * st.sd AS is_anomaly
+        |FROM daily d JOIN st USING (event_type)""".stripMargin,
 
     "o01_corpus_profile" ->
       """SELECT COUNT(*) AS n_docs,

@@ -400,6 +400,104 @@ object Streaming {
       .map(id => (id, spark.read.parquet(s"$statsDir/snapshot=$id")))
   }
 
+  /** Streaming twin of t33's n-gram novelty: per micro-batch of
+    * documents, each doc scores the fraction of its distinct shingles
+    * never seen by ANY earlier committed batch (in-batch first sighting
+    * goes to the smallest doc_id — the t33 tie rule), then the batch's
+    * genuinely-new shingles append to a persisted first-seen index.
+    * When batches arrive in doc_id order the committed outputs equal
+    * the batch t33 EXACTLY (the equivalence StreamingSpec pins); under
+    * arbitrary arrival the contract is "novel at arrival time", the
+    * only causally meaningful reading for a stream.
+    *
+    * Index discipline at corpus scale: the index is APPEND-ONLY (a
+    * snapshot rewrite per batch would be O(corpus), the statsIngest
+    * shape is wrong here), hash-bucketed by shingle
+    * (`bucket_p = pmod(xxhash64(shingle), indexParts)`) so probes and
+    * compaction work per-partition. Appends are not atomic, so index
+    * rows carry their writer's batch id and readers TRUST ONLY rows
+    * whose batch has a commit marker (`commitsDir/batch=<id>/_SUCCESS`,
+    * written last): a torn append is invisible, a replayed batch is
+    * detected by its marker and SKIPPED before any recompute (novelty
+    * against an index already holding the batch's own shingles would
+    * score 0 — the merge is NOT idempotent, the statsIngest lesson),
+    * and duplicate index rows from a crash-then-retry collapse in the
+    * anti-join. Per-batch output lands in `outDir/batch=<id>`
+    * (overwritten on recompute, final once the marker exists). */
+  def noveltyIngest(docs: DataFrame, idCol: String, textCol: String,
+      outDir: String, indexDir: String, commitsDir: String,
+      checkpointDir: String, shingleN: Int = 3,
+      indexParts: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val committed = committedBatches(spark, commitsDir)
+        if (!committed.contains(batchId)) {
+          val sh = batch.select(col(idCol).as("doc_id"),
+              explode(graft.functions.Text.shingles(col(textCol), shingleN))
+                .as("shingle"))
+          val firstIn = sh.groupBy(col("shingle"))
+            .agg(min(col("doc_id")).as("first_doc"))
+          val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = indexPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          // anti-join against COMMITTED index rows only (torn appends
+          // invisible); missing index = first batch, same loud-failure
+          // stance as dedupIngest for any other read error
+          val newShingles = (if (fs.exists(indexPath)) {
+            val seen = spark.read.parquet(indexDir)
+              .filter(col("batch_id").isin(committed.toSeq: _*))
+            firstIn.join(seen.select(col("shingle")), Seq("shingle"),
+              "left_anti")
+          } else firstIn).localCheckpoint(true) // consumed by score + append
+          val perDoc = sh
+            .join(newShingles.hint("shuffle_hash"), Seq("shingle"), "left")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shingles"),
+              sum(when(col("doc_id") === col("first_doc"), 1L)
+                .otherwise(0L)).as("n_novel"))
+            .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+              round(col("n_novel") / col("n_shingles"), 9).as("novelty"))
+          perDoc.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          newShingles
+            .select(col("shingle"), lit(batchId).as("batch_id"),
+              pmod(xxhash64(col("shingle")), lit(indexParts.toLong))
+                .as("bucket_p"))
+            .write.mode("append").partitionBy("bucket_p").parquet(indexDir)
+          // the commit record, written LAST: everything above is now real
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$commitsDir/batch=$batchId/_SUCCESS")
+          marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .create(marker, true).close()
+        } // else: checkpoint replay of a committed batch — skip
+      }
+      .start()
+
+  /** Novelty rows of every COMMITTED batch (torn outputs excluded). */
+  def readNovelty(spark: SparkSession, outDir: String,
+      commitsDir: String): DataFrame = {
+    val committed = committedBatches(spark, commitsDir)
+    spark.read.option("basePath", outDir).parquet(outDir)
+      .filter(col("batch").isin(committed.toSeq: _*))
+      .drop("batch")
+  }
+
+  private def committedBatches(spark: SparkSession,
+      commitsDir: String): Set[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(commitsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .filter(n => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$commitsDir/$n/_SUCCESS")))
+      .map(_.stripPrefix("batch=").toLong)
+      .toSet
+  }
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key with right.ts in [left.ts - lower, left.ts + upper].
     * Watermarks on BOTH sides bound the join state — without them a

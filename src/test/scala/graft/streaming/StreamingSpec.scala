@@ -320,6 +320,50 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.length <= 2, s"snapshots not pruned: ${snaps.toSeq}")
   }
 
+  test("novelty ingest: doc_id-ordered batches + restarts equal the batch " +
+    "t33 exactly; rewound batch ids are skipped, not rescored") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("novelty_ingest").toString
+    val (outDir, idxDir, comDir, ckpt) =
+      (s"$tmp/out", s"$tmp/index", s"$tmp/commits", s"$tmp/ckpt")
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    def drain(checkpoint: String = ckpt): Unit = {
+      val q = Streaming.noveltyIngest(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", outDir, idxDir, comDir, checkpoint)
+      q.awaitTermination()
+    }
+    // three doc_id-ordered ingests, separate drains (restart between:
+    // the persisted index + commit markers carry the state, not memory)
+    val cuts = Seq(0, docs.length / 3, 2 * docs.length / 3, docs.length)
+    (0 until 3).foreach { r =>
+      input.addData(docs.slice(cuts(r), cuts(r + 1)).toSeq)
+      drain()
+    }
+    def collectNovelty() = Streaming.readNovelty(spark, outDir, comDir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val got = collectNovelty()
+    // arrival order = doc_id order, so streaming ≡ the batch operator
+    val want = graft.operators.DataOps
+      .queries("t33_ngram_novelty")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === want,
+      "committed streaming novelty must equal the batch t33 exactly")
+    // empty re-drain: no new batch, nothing moves
+    drain()
+    assert(collectNovelty() === got)
+    // rewound batch id (fresh checkpoint, same state dirs, re-offering
+    // batch 0's docs): the commit marker detects it BEFORE scoring — a
+    // recompute would see the docs' own shingles in the index and score
+    // novelty 0 (the non-idempotent-merge trap)
+    input.addData(docs.slice(cuts(0), cuts(1)).toSeq)
+    drain(s"$tmp/ckpt_rewound")
+    assert(collectNovelty() === got, "a rewound batch must be skipped")
+  }
+
   test("dedup ingest: auto-compaction bounds index file count across many batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
