@@ -348,6 +348,42 @@ object Analytics {
         .join(broadcast(sizes), Seq("cohort_day"))
         .select($"cohort_day", $"offset_week", $"n_active", $"cohort_size",
           round($"n_active" / $"cohort_size", 9).as("retention"))
+    },
+
+    // Interval coalescing — the OTHER gaps-and-islands (q55 merges
+    // points by gap; this merges SPANS by overlap): each order opens a
+    // service window [orderdate, orderdate + 1..7 days], and per
+    // customer, transitively overlapping windows collapse to one
+    // coverage span. The classic plan: running max(end) over everything
+    // STRICTLY BEFORE the current row (a span starting past that max
+    // opens a new island), then a running sum of the new-island flags
+    // numbers the islands, then one group-by. Two frames of one per-key
+    // window + a keyed aggregation — no self-join, no recursion; the
+    // (start, orderkey) order key is unique so both engines walk
+    // identical frames. All dates and counts are exact.
+    "q75_interval_coalesce" -> { (s, d) =>
+      import s.implicits._
+      val iv = Tables.orders(s, d).select($"o_custkey",
+        $"o_orderdate".cast("date").as("start_d"),
+        date_add($"o_orderdate".cast("date"),
+          ($"o_orderkey" % 7 + 1).cast("int")).as("end_d"),
+        $"o_orderkey")
+      val before = Window.partitionBy($"o_custkey")
+        .orderBy($"start_d", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val upto = Window.partitionBy($"o_custkey")
+        .orderBy($"start_d", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("__maxe", max($"end_d").over(before))
+        .withColumn("__new",
+          ($"__maxe".isNull || $"start_d" > $"__maxe").cast("int"))
+        .withColumn("__island", sum($"__new").over(upto))
+        .groupBy($"o_custkey", $"__island")
+        .agg(min($"start_d").as("span_start"), max($"end_d").as("span_end"),
+          count(lit(1)).as("n_orders"))
+        .select($"o_custkey".as("c_custkey"), $"span_start", $"span_end",
+          $"n_orders",
+          datediff($"span_end", $"span_start").cast("long").as("span_days"))
     }
   )
 
@@ -362,6 +398,28 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    "q75_interval_coalesce" ->
+      """WITH iv AS (SELECT o_custkey,
+        |    CAST(o_orderdate AS DATE) AS start_d,
+        |    CAST(o_orderdate AS DATE)
+        |      + CAST(o_orderkey % 7 + 1 AS INTEGER) AS end_d,
+        |    o_orderkey
+        |  FROM orders),
+        |f AS (SELECT *, MAX(end_d) OVER (PARTITION BY o_custkey
+        |    ORDER BY start_d, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |g AS (SELECT *, CASE WHEN maxe IS NULL OR start_d > maxe
+        |    THEN 1 ELSE 0 END AS nw FROM f),
+        |h AS (SELECT *, SUM(nw) OVER (PARTITION BY o_custkey
+        |    ORDER BY start_d, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g)
+        |SELECT o_custkey AS c_custkey, MIN(start_d) AS span_start,
+        |  MAX(end_d) AS span_end, COUNT(*) AS n_orders,
+        |  (MAX(end_d) - MIN(start_d))::BIGINT AS span_days
+        |FROM h GROUP BY o_custkey, island""".stripMargin,
+
     // DATE subtraction is integer days in DuckDB; // 7 mirrors
     // `datediff(...) div 7`
     "q72_cohort_retention" ->

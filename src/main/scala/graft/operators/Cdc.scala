@@ -60,7 +60,51 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Apply a keyed changelog onto a base snapshot — the consuming half
+    * of the CDC loop ([[snapshotDiff]] derives a feed, this replays
+    * one): per key only the LATEST changelog op (by `seqCols`) matters;
+    * a 'D' tombstones the key, any other op REPLACES the value columns,
+    * and base keys the changelog never touches pass through. One
+    * row_number window over the changelog (keyed, so the shuffle is the
+    * feed — never the base), one anti-join, one union; latest-op-wins
+    * means the result is independent of how many intermediate ops the
+    * feed carried, which is what makes compacted-topic replays safe. */
+  def applyChangelog(base: DataFrame, changelog: DataFrame, key: String,
+      opCol: String, seqCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(seqCols.map(col(_).desc): _*)
+    val latest = changelog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(key) +: col(opCol).as("__op") +: valueCols.map(col): _*)
+    val untouched = base
+      .join(latest.select(col(key)), Seq(key), "left_anti")
+      .withColumn("src", lit("base"))
+    val applied = latest.filter(col("__op") =!= "D")
+      .drop("__op").withColumn("src", lit("applied"))
+    untouched.unionByName(applied)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The CDC loop's consuming half: first-half-of-month per-user totals
+    // as the base snapshot, the second half of the event stream as the
+    // changelog (errors are tombstones, anything else replaces the
+    // row) — latest-op-wins apply with pass-through of untouched keys.
+    "q74_cdc_apply" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val base = ev.filter($"ts" < cutoff).groupBy($"user_id")
+        .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("total"),
+          count(lit(1)).as("n"))
+      val changelog = ev.filter($"ts" >= cutoff)
+        .select($"user_id",
+          when($"event_type" === "error", "D").otherwise("U").as("op"),
+          $"ts", $"event_id", $"value".as("total"), lit(1L).as("n"))
+      applyChangelog(base, changelog, "user_id", "op",
+        seqCols = Seq("ts", "event_id"), valueCols = Seq("total", "n"))
+    },
+
     // Re-derived change feed: per-user value totals over the first half
     // of the month vs the whole month → I (new users)/U (changed totals).
     "q37_snapshot_diff" -> { (s, d) =>
@@ -87,6 +131,25 @@ object Cdc {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q74_cdc_apply" ->
+      """WITH base AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    COUNT(*) AS n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+        |cl AS (SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value AS total, CAST(1 AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+        |latest AS (SELECT user_id, op, total, n FROM cl WHERE rn = 1)
+        |SELECT b.user_id, b.total, b.n, 'base' AS src FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |    WHERE l.user_id = b.user_id)
+        |UNION ALL
+        |SELECT user_id, total, n, 'applied' AS src FROM latest
+        |WHERE op <> 'D'""".stripMargin,
+
     "q37_snapshot_diff" ->
       """WITH old AS (
         |  SELECT user_id,

@@ -294,4 +294,30 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-01", 1L, 1L, 2L, 0.5),
       ("2024-01-02", 0L, 1L, 1L, 1.0)))
   }
+
+  test("q75 interval coalesce: chained overlaps merge transitively, a " +
+    "gap opens a new span, customers never mix") {
+    // customer 1: orders on day 1 and 3 chain (1+%7 keeps all spans
+    // multi-day) into one span, then a far order opens a second.
+    // orderkey % 7 + 1 days: key 7 -> 1d span, key 9 -> 3d, key 21 -> 1d.
+    val orders = Seq(
+      (7L, 1L, "2024-01-01"),  // [01-01, 01-02]
+      (9L, 1L, "2024-01-02"),  // [01-02, 01-05] touches -> merges
+      (21L, 1L, "2024-02-01"), // far -> new span
+      (14L, 2L, "2024-01-01")  // other customer, own span
+    ).toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    val dir = java.nio.file.Files.createTempDirectory("q75").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Analytics.queries("q75_interval_coalesce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, "2024-01-01", "2024-01-05", 2L, 4L),
+      (1L, "2024-02-01", "2024-02-02", 1L, 1L),
+      (2L, "2024-01-01", "2024-01-02", 1L, 1L)))
+  }
 }
