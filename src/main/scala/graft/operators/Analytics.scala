@@ -384,6 +384,25 @@ object Analytics {
         .select($"o_custkey".as("c_custkey"), $"span_start", $"span_end",
           $"n_orders",
           datediff($"span_end", $"span_start").cast("long").as("span_days"))
+    },
+
+    // Rolling 7-row median of each event type's daily volume — the
+    // robust trend line an o05-style monitor baselines against (median
+    // shrugs off the single hot day that drags a rolling mean). The
+    // window aggregates a ≤7-row frame over the ≤31-row daily series
+    // per type, so the sort and the exact interpolated percentile both
+    // work on calendar-bounded inputs at any SF; daily counts are exact
+    // longs, and percentile(x, 0.5) ↔ quantile_cont(x, 0.5) over
+    // integer inputs is engine-parity (the q29 precedent, unrounded).
+    "q76_rolling_median" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .selectExpr("event_type", "day", "n_events",
+          """percentile(n_events, 0.5) OVER (PARTITION BY event_type
+            |ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            |AS med7""".stripMargin.replace('\n', ' '))
     }
   )
 
@@ -398,6 +417,16 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    "q76_rolling_median" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |  quantile_cont(n_events, 0.5) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS med7
+        |FROM daily""".stripMargin,
+
     "q75_interval_coalesce" ->
       """WITH iv AS (SELECT o_custkey,
         |    CAST(o_orderdate AS DATE) AS start_d,

@@ -320,4 +320,29 @@ class AnalyticsSpec extends SparkSpec {
       (1L, "2024-02-01", "2024-02-02", 1L, 1L),
       (2L, "2024-01-01", "2024-01-02", 1L, 1L)))
   }
+
+  test("q76 rolling median: frame widens to 7 rows, even frames " +
+    "interpolate, a spike moves the mean but not the median") {
+    // one event type, daily counts 10,10,10,10,1000,10,10,10: the
+    // 7-row trailing median stays 10 THROUGH the spike; day 2's 2-row
+    // frame interpolates (10+10)/2 = 10 anyway, day 5's frame of
+    // {10,10,10,10,1000} medians 10.
+    val rows = Seq(10, 10, 10, 10, 1000, 10, 10, 10).zipWithIndex.flatMap {
+      case (n, i) => (1 to n).map(k =>
+        (i.toLong * 1000 + k, f"2024-01-${i + 1}%02d 06:00:${k % 60}%02d"))
+    }
+    val ev = rows.toDF("event_id", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("user_id", $"event_id" % 7)
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q76").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val med = Analytics.queries("q76_rolling_median")(spark, dir)
+      .orderBy($"day").select($"n_events", $"med7")
+      .as[(Long, Double)].collect().toSeq
+    assert(med.map(_._1) === Seq(10L, 10L, 10L, 10L, 1000L, 10L, 10L, 10L))
+    assert(med.map(_._2) === Seq.fill(8)(10.0),
+      s"median must ignore the planted spike: $med")
+  }
 }
