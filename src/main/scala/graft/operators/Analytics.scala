@@ -403,6 +403,33 @@ object Analytics {
           """percentile(n_events, 0.5) OVER (PARTITION BY event_type
             |ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
             |AS med7""".stripMargin.replace('\n', ' '))
+    },
+
+    // Behavioral pattern mining: each user-day compressed to an ordered
+    // event-initial string (V/C/P/S/E — the five types have distinct
+    // initials), then regex-classified — did the day contain the full
+    // view→click→purchase funnel IN ORDER (q59 asks this with three
+    // joins; the trace form answers any such pattern with one regex),
+    // and was it a single-view bounce. The t31 determinism recipe:
+    // collect (ts, event_id, init) structs, array_sort (unique struct
+    // order), project, join — one keyed aggregation, trace length
+    // bounded by a user-DAY's activity at any SF. Oracled against
+    // DuckDB's ORDER BY string_agg + regexp_matches.
+    "q77_event_pattern" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
+          upper(substring($"event_type", 1, 1)).as("init"))
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"ts", $"event_id", $"init"))),
+              x => x.getField("init")),
+            "").as("pattern"))
+        .select($"user_id", $"day", $"n_events", $"pattern",
+          $"pattern".rlike("V.*C.*P").as("has_funnel"),
+          ($"pattern" === "V").as("is_bounce"))
     }
   )
 
@@ -417,6 +444,18 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    "q77_event_pattern" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts,
+        |    event_id, upper(substr(event_type, 1, 1)) AS init
+        |  FROM events),
+        |p AS (SELECT user_id, day, COUNT(*) AS n_events,
+        |    string_agg(init, '' ORDER BY ts, event_id) AS pattern
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT user_id, day, n_events, pattern,
+        |  regexp_matches(pattern, 'V.*C.*P') AS has_funnel,
+        |  pattern = 'V' AS is_bounce
+        |FROM p""".stripMargin,
+
     "q76_rolling_median" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    COUNT(*) AS n_events

@@ -923,6 +923,38 @@ object Graph {
           col("dist"))
     },
 
+    // One-row graph observability: order, size, max/avg degree, density,
+    // and total triangle count of the g03 co-purchase projection — the
+    // summary a curation pipeline logs per graph build before deciding
+    // whether the downstream family (core/truss/communities) is worth
+    // scheduling. Everything is exact integer aggregates plus two
+    // 9 dp-rounded divisions; triangles reuse the canonical a<b<c
+    // 3-join, counted once each. Cross-joins are 1-row × 1-row.
+    "g10_graph_summary" -> { (s, d) =>
+      val cs = tradeRelation(s, d).filter(col("w") >= 2)
+        .select(col("c"), col("sp"))
+      val cop = copurchaseEdges(cs, minShared = 2,
+          maxSupplierDeg = 50000L)
+        .select(col("ca"), col("cb")).localCheckpoint(true)
+      val deg = cop.select(col("ca").as("id"))
+        .union(cop.select(col("cb").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      val tri = cop.as("e1")
+        .join(cop.as("e2"), col("e1.cb") === col("e2.ca"))
+        .join(cop.as("e3"),
+          col("e3.ca") === col("e1.ca") && col("e3.cb") === col("e2.cb"))
+      val v = deg.agg(count(lit(1)).as("n_vertices"),
+        max(col("d")).as("max_degree"), sum(col("d")).as("__sumd"))
+      val e = cop.agg(count(lit(1)).as("n_edges"))
+      val t = tri.agg(count(lit(1)).as("n_triangles"))
+      v.crossJoin(e).crossJoin(t).select(
+        col("n_vertices"), col("n_edges"), col("max_degree"),
+        round(col("__sumd") / col("n_vertices"), 9).as("avg_degree"),
+        round(col("n_edges") * 2 /
+          (col("n_vertices") * (col("n_vertices") - 1)), 9).as("density"),
+        col("n_triangles"))
+    },
+
     // Link prediction on the g03 co-purchase projection (SAME graph):
     // the top non-adjacent customer pairs by Adamic–Adar — "these two
     // never shared 2+ suppliers directly, but their neighborhoods
@@ -1120,6 +1152,30 @@ object Graph {
         |  round(internal_w / m2 - (degree_w / m2) * (degree_w / m2), 9)
         |    AS q_contrib
         |FROM agg CROSS JOIN tot""".stripMargin,
+
+    "g10_graph_summary" ->
+      """WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |cop AS (SELECT a.c AS ca, b.c AS cb
+        |  FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT id, COUNT(*) AS d FROM (
+        |    SELECT ca AS id FROM cop UNION ALL SELECT cb FROM cop)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.ca AS a, e1.cb AS b, e2.cb AS c
+        |  FROM cop e1 JOIN cop e2 ON e1.cb = e2.ca
+        |  JOIN cop e3 ON e3.ca = e1.ca AND e3.cb = e2.cb),
+        |v AS (SELECT COUNT(*) AS n_vertices, MAX(d) AS max_degree,
+        |    CAST(SUM(d) AS BIGINT) AS sumd FROM deg),
+        |e AS (SELECT COUNT(*) AS n_edges FROM cop),
+        |t AS (SELECT COUNT(*) AS n_triangles FROM tri)
+        |SELECT v.n_vertices, e.n_edges, v.max_degree,
+        |  round(v.sumd / v.n_vertices, 9) AS avg_degree,
+        |  round(e.n_edges * 2 / (v.n_vertices * (v.n_vertices - 1)), 9)
+        |    AS density,
+        |  t.n_triangles
+        |FROM v CROSS JOIN e CROSS JOIN t""".stripMargin,
 
     // wedge enumeration over the g03 projection, scored and cut exactly
     // as the Spark side: 6 dp-rounded decimal-summed AA terms, 9 dp

@@ -345,4 +345,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(med.map(_._2) === Seq.fill(8)(10.0),
       s"median must ignore the planted spike: $med")
   }
+
+  test("q77 event pattern: trace order is event-time order, the funnel " +
+    "regex requires IN-ORDER stages, a lone view is a bounce") {
+    // user 1 day 1: V→C→P in order (funnel). user 1 day 2: P→C→V — same
+    // multiset, wrong order (no funnel). user 2: single V (bounce).
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (1L, 2L, "click", "2024-01-01 11:00:00"),
+      (1L, 3L, "purchase", "2024-01-01 12:00:00"),
+      (1L, 4L, "purchase", "2024-01-02 10:00:00"),
+      (1L, 5L, "click", "2024-01-02 11:00:00"),
+      (1L, 6L, "view", "2024-01-02 12:00:00"),
+      (2L, 7L, "view", "2024-01-01 10:00:00")
+    ).toDF("user_id", "event_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q77").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q77_event_pattern")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getString(3), r.getBoolean(4), r.getBoolean(5)))
+      .toSet
+    assert(got === Set(
+      (1L, "2024-01-01", 3L, "VCP", true, false),
+      (1L, "2024-01-02", 3L, "PCV", false, false),
+      (2L, "2024-01-01", 1L, "V", false, true)))
+  }
 }
