@@ -1201,6 +1201,19 @@ object DataOps {
           minJaccard = 0.05, maxDocFreq = 1000L))
     },
 
+    // EXACT near-dup pairs with provable completeness: prefix-filtered
+    // set-similarity join (the PPJoin family) at trigram Jaccard ≥ 0.7.
+    // d02's df cap is an approximation that loses pairs whose overlap
+    // lives only in hot shingles; the prefix filter prunes candidates
+    // WITHOUT dropping any qualifying pair, so the oracle is the bare
+    // capless definition — green means the pruning is complete, not
+    // just fast.
+    "d16_exact_jaccard_pairs" -> { (s, d) =>
+      Tables.documents(s, d).transform(df =>
+        Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", n = 3,
+          minJaccard = 0.7))
+    },
+
     // Asymmetric containment pairs — the subsumption detector (a short
     // doc pasted inside a long one: containment ≈ 1, Jaccard ≈ 0). Same
     // single-pass posting-list candidates and cap semantics as d02.
@@ -3566,6 +3579,29 @@ object DataOps {
         |  JOIN sizes sa ON doc_a = sa.doc
         |  JOIN sizes sb ON doc_b = sb.doc
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin,
+
+    // the bare capless definition — no df cap, no prefix: the oracle
+    // states WHAT the exact join must return, the Spark side proves its
+    // pruning returns it
+    "d16_exact_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t
+        |  FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        |    AS jaccard
+        |FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        |  >= 0.7""".stripMargin,
 
     "d14_containment_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),

@@ -131,6 +131,73 @@ object Dedup {
       .filter($"jaccard" >= minJaccard)
       .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b", $"jaccard")
 
+  /** EXACT set-similarity join by prefix filtering (the PPJoin/AllPairs
+    * family — Chaudhuri et al. 2006, Xiao et al. 2008, public): every
+    * pair with trigram Jaccard ≥ τ, with PROVABLE completeness and no
+    * caps. Where [[ngramJaccardPairs]] bounds its posting lists by
+    * dropping stop-shingles above `maxDocFreq` — an approximation that
+    * loses exactly the pairs whose overlap lives ONLY in hot shingles —
+    * this generates candidates from each document's PREFIX: its
+    * |A| − ⌈τ|A|⌉ + 1 globally-rarest shingles (rarity = corpus df,
+    * shingle as tie-break — any shared global order works, rare-first
+    * minimizes candidates). Theorem: two sets with J ≥ τ overlap in at
+    * least one prefix element, so joining prefixes (plus the τ·size
+    * length filter) misses nothing; full-set verification then computes
+    * the exact intersection for survivors only. Posting lists shrink
+    * instead of truncate: a hot shingle lands in few PREFIXES precisely
+    * because it is common.
+    *
+    * Scale shape: one shingle pass (checkpointed — df, prefix ranking,
+    * and both verification probes reuse it), one df aggregation, one
+    * per-doc row_number over (df, shingle), prefix self-join on the
+    * shingle key, exact verify as two keyed joins + one count — every
+    * shuffle keys on shingle or doc id, nothing all-pairs. High τ keeps
+    * prefixes short (τ = 0.7 ⇒ ~30% of each doc); completeness is a
+    * property of the algorithm, not a tuning outcome.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"prefixFilterJaccardPairs: minJaccard must be in (0, 1], got $minJaccard")
+    val sh = df.select(col(idCol).as("doc"),
+        explode(Text.shingles(col(textCol), n)).as("shingle"))
+      .localCheckpoint(true) // df calc + prefix + both verify probes reuse it
+    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy($"doc").orderBy($"__df", $"shingle")
+    val prefix = sh
+      .join(dfreq.hint("shuffle_hash"), Seq("shingle")) // vocab ~ corpus: never broadcast
+      .withColumn("__rk", row_number().over(byRarity))
+      .join(sizes.hint("shuffle_hash"), Seq("doc"))
+      .filter($"__rk" <= $"n_sh" - ceil(lit(minJaccard) * $"n_sh") + 1)
+      .select($"doc", $"shingle", $"n_sh")
+    val cand = prefix.select($"doc".as("doc_a"), $"shingle",
+        $"n_sh".as("__na"))
+      .join(prefix.select($"doc".as("doc_b"), $"shingle",
+        $"n_sh".as("__nb")), Seq("shingle"))
+      .filter($"doc_a" < $"doc_b" &&
+        // J ≥ τ forces the sizes within a τ factor of each other
+        $"__nb" >= lit(minJaccard) * $"__na" &&
+        $"__na" >= lit(minJaccard) * $"__nb")
+      .select($"doc_a", $"doc_b").distinct()
+    val common = cand
+      .join(sh.select($"doc".as("doc_a"), $"shingle"), Seq("doc_a"))
+      .join(sh.select($"doc".as("doc_b"), $"shingle").hint("shuffle_hash"),
+        Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select($"doc".as("doc_a"), $"n_sh".as("size_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sizes.select($"doc".as("doc_b"), $"n_sh".as("size_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("jaccard", $"n_common".cast("double") /
+        ($"size_a" + $"size_b" - $"n_common").cast("double"))
+      .filter($"jaccard" >= minJaccard)
+      .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b",
+        $"jaccard")
+  }
+
   /** Asymmetric near-dup: containment = |A∩B| / min(|A|, |B|) — the
     * subsumption detector. A short doc pasted inside a much longer one
     * scores containment ≈ 1 while its Jaccard ≈ |A|/|B| vanishes with

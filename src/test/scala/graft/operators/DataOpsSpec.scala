@@ -1337,6 +1337,33 @@ class DataOpsSpec extends SparkSpec {
       (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
   }
 
+  test("d16 prefix-filter join is COMPLETE where d02's df cap loses " +
+    "pairs: an all-hot-shingle dup family is fully recovered") {
+    // 30 verbatim copies: every shingle has df=30, so d02 with
+    // maxDocFreq=10 drops ALL posting rows and finds nothing — the
+    // documented approximation. The prefix filter prunes without
+    // dropping: all C(30,2)=435 pairs at jaccard exactly 1.0, and the
+    // unrelated doc pairs with nobody.
+    val docs = ((1L to 30L).map(i => (i, "alpha beta gamma delta epsilon"))
+      :+ (99L, "totally different content here now"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      minJaccard = 0.5, maxDocFreq = 10L)
+    assert(capped.isEmpty,
+      "premise: the df cap must drop the all-hot family for this test " +
+        "to be non-vacuous")
+    val exact = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(exact.length === 435, s"expected all 435 pairs, got ${exact.length}")
+    assert(exact.forall(p => p._6 == 1.0 && p._1 < p._2 && p._2 <= 30L))
+    // τ = 1.0 boundary: prefix length collapses to 1 and the join still
+    // finds the exact-dup family
+    val tau1 = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 1.0)
+    assert(tau1.count() === 435L)
+  }
+
   test("x06 contrastive pairs: near-dup pair anchors, 3 deterministic " +
     "negatives each, positives never leak into negatives") {
     // docs 1 and 2 are verbatim dups (jaccard 1.0 -> the one positive
