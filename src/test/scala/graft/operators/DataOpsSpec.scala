@@ -1364,6 +1364,26 @@ class DataOpsSpec extends SparkSpec {
     assert(tau1.count() === 435L)
   }
 
+  test("d16 threshold boundary: jaccard exactly at tau survives, just " +
+    "below is excluded by the verify stage, not lost by the filter") {
+    // 5-shingle docs sharing 3 shingles: J = 3/7 ≈ 0.4286. tau = 0.42
+    // keeps the pair; tau = 0.44 rejects it AFTER exact verification
+    // (the prefix join still proposes it — completeness is one-sided).
+    val docs = Seq(
+      (1L, "a b c d e f g"),            // shingles: abc bcd cde def efg
+      (2L, "a b c d e x y")             // shares abc bcd cde → 3 of 7
+    ).toDF("doc_id", "text")
+    val keep = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.42)
+    assert(keep.count() === 1L)
+    val row = keep.as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(row._3 === 3L && row._4 === 5L && row._5 === 5L)
+    assert(math.abs(row._6 - 3.0 / 7.0) < 1e-15)
+    val drop = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.44)
+    assert(drop.isEmpty)
+  }
+
   test("x06 contrastive pairs: near-dup pair anchors, 3 deterministic " +
     "negatives each, positives never leak into negatives") {
     // docs 1 and 2 are verbatim dups (jaccard 1.0 -> the one positive

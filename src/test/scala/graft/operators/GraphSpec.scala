@@ -501,6 +501,23 @@ class GraphSpec extends SparkSpec {
     assert(top1 === Seq((1L, 3L, 2L, 2.88539, 1.0)))
   }
 
+  test("g10 graph summary: K4 co-purchase graph reports exact order, " +
+    "size, degrees, density 1, and 4 triangles") {
+    // 4 customers × 2 shared suppliers, 2 lineitems per (c, sp) pair →
+    // every customer pair shares both suppliers → cop is K4:
+    // 4 vertices, 6 edges, all degrees 3, density 1, C(4,3)=4 triangles.
+    val dir = java.nio.file.Files.createTempDirectory("g10").toString
+    val orders = (1L to 4L).map(c => (c, c)).toDF("o_orderkey", "o_custkey")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val lineitem = (for {
+      c <- 1L to 4L; sp <- Seq(100L, 101L); _ <- 1 to 2
+    } yield (c, sp)).toDF("l_orderkey", "l_suppkey")
+    lineitem.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val row = Graph.queries("g10_graph_summary")(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(row.toSeq === Seq((4L, 6L, 3L, 3.0, 1.0, 4L)))
+  }
+
   test("linkPredictionTopK: hub cap fails loudly, top-k plan is a heap " +
     "with no cartesian product") {
     val star = (1L to 40L).map(i => (0L, i)).toDF("src", "dst")
