@@ -41,16 +41,30 @@ private[pgwire] object PgCopyBinary {
   /** Days between the unix epoch and 2000-01-01. */
   private val PgEpochDays = 10957L
 
-  /** Whether a raw JDBC parameter value has a binary encoding here —
-    * the auto format picks binary only when every value in the batch
-    * does (unknown classes fall back to the text path, which encodes
-    * anything stringly). */
-  def supported(v: Any): Boolean = v match {
+  /** Text-family type OIDs — the only targets a String's binary send
+    * format (raw UTF-8) is valid for. The text COPY path parses a String
+    * into ANY type via the type's input function (uuid, jsonb, inet, …);
+    * binary skips that parse, so a String bound to a non-text column
+    * must stay on the text path. */
+  private val TextFamilyOids = Set(25, 1043, 1042, 19) // text,varchar,bpchar,name
+
+  /** Whether this value's binary send format is exactly what a column of
+    * the given type OID expects — binary COPY does NO implicit casts, so
+    * 'auto' may only pick binary when every (value, target-OID) pair
+    * passes (the text format stays the universal fallback). */
+  def binaryCompatible(v: Any, oid: Int): Boolean = v match {
     case null => true
-    case _: String | _: java.lang.Boolean | _: java.lang.Long |
-         _: java.lang.Integer | _: java.lang.Short | _: java.lang.Double |
-         _: java.lang.Float | _: java.math.BigDecimal |
-         _: java.sql.Timestamp | _: java.sql.Date | _: Array[Byte] => true
+    case _: String => TextFamilyOids.contains(oid)
+    case _: java.lang.Boolean => oid == 16
+    case _: java.lang.Long => oid == 20
+    case _: java.lang.Integer => oid == 23
+    case _: java.lang.Short => oid == 21
+    case _: java.lang.Double => oid == 701
+    case _: java.lang.Float => oid == 700
+    case _: java.math.BigDecimal => oid == 1700
+    case _: java.sql.Timestamp => oid == 1114
+    case _: java.sql.Date => oid == 1082
+    case _: Array[Byte] => oid == 17
     case _ => false
   }
 
@@ -117,7 +131,7 @@ private[pgwire] object PgCopyBinary {
     case n: java.math.BigDecimal =>
       val body = numericBytes(n)
       writeInt32(out, body.length); out.write(body, 0, body.length)
-    case n: Number => // defensive: supported() should have filtered
+    case n: Number => // defensive: binaryCompatible() should have filtered
       val b = n.toString.getBytes(UTF_8)
       writeInt32(out, b.length); out.write(b, 0, b.length)
     case other => throw new java.sql.SQLException(

@@ -22,9 +22,16 @@ private[pgwire] object PgCopyText {
     """(?is)\s*INSERT\s+INTO\s+(\S+)\s*\(([^)]+)\)\s*VALUES\s*\(\s*\?\s*(?:,\s*\?\s*)*\)\s*""".r
 
   def copyStatementFor(insertTemplate: String): Option[String] =
+    copyPartsFor(insertTemplate).map { case (table, cols) =>
+      s"COPY $table ($cols) FROM STDIN"
+    }
+
+  /** The (table, column-list) tokens of a writer-shaped INSERT, verbatim
+    * as they appear in the SQL — the auto-binary catalog probe needs the
+    * table name to resolve the target column type OIDs. */
+  def copyPartsFor(insertTemplate: String): Option[(String, String)] =
     insertTemplate match {
-      case InsertShape(table, cols) =>
-        Some(s"COPY $table ($cols) FROM STDIN")
+      case InsertShape(table, cols) => Some((table, cols))
       case _ => None
     }
 

@@ -266,6 +266,15 @@ private[pgwire] object PgJdbc {
       s"pgwire: cannot encode parameter of ${other.getClass.getName}")
   }
 
+  /** SQL identifier token → catalog name: strip the double quotes and
+    * unescape `""` when quoted; fold to lowercase when not (PG's rule). */
+  private[pgwire] def unquoteIdent(tok: String): String = {
+    val t = tok.trim
+    if (t.length >= 2 && t.head == '"' && t.last == '"')
+      t.substring(1, t.length - 1).replace("\"\"", "\"")
+    else t.toLowerCase(java.util.Locale.ROOT)
+  }
+
   private final class StmtCore(conn: ConnCore, sqlTemplate: String) {
     private lazy val segments =
       if (sqlTemplate == null) Vector.empty else splitPlaceholders(sqlTemplate)
@@ -280,6 +289,25 @@ private[pgwire] object PgJdbc {
     private lazy val copySql: Option[String] =
       if (sqlTemplate == null || !conn.copyEnabled) None
       else PgCopyText.copyStatementFor(sqlTemplate)
+    // Target column type OIDs for the COPY column list, probed once per
+    // statement from pg_attribute. to_regclass returns NULL instead of
+    // erroring, so the probe can never poison an open transaction; any
+    // unresolved column (view target, renamed column, probe failure)
+    // yields None and 'auto' stays on the always-correct text path.
+    private lazy val copyTargetOids: Option[Array[Int]] =
+      try {
+        PgCopyText.copyPartsFor(sqlTemplate).flatMap { case (table, cols) =>
+          val probe = conn.run(
+            "SELECT a.attname, a.atttypid::int4 FROM pg_catalog.pg_attribute a " +
+              s"WHERE a.attrelid = to_regclass('${table.replace("'", "''")}') " +
+              "AND a.attnum > 0 AND NOT a.attisdropped")
+          val byName = probe.head.rows
+            .map(r => r(0) -> r(1).toInt).toMap
+          val wanted = cols.split(",").map(unquoteIdent)
+          val oids = wanted.flatMap(byName.get)
+          if (oids.length == wanted.length) Some(oids) else None
+        }
+      } catch { case _: Exception => None }
     var stClosed = false
     private var lastResults: IndexedSeq[PgResult] = Vector.empty
     private var resultIdx = 0
@@ -312,13 +340,18 @@ private[pgwire] object PgJdbc {
         case Some(copy) =>
           val n = batch.length
           // format ladder: "binary" forces PGCOPY binary, "text" forces
-          // the text encoding, "auto" (default) picks binary whenever
-          // every value in the batch has a binary send format — the
-          // halved-parse-cost path on timestamp/numeric-heavy rows
+          // the text encoding, "auto" (default) picks binary only when
+          // the catalog probe resolved every target column's type OID
+          // AND every value's binary send format matches its column —
+          // binary COPY does no implicit casts, so a String bound to a
+          // uuid/jsonb column must keep riding the text path
           val binary = conn.copyFormat match {
             case "binary" => true
             case "text" => false
-            case _ => batch.forall(_.forall(PgCopyBinary.supported))
+            case _ => copyTargetOids.exists(oids =>
+              batch.forall(row => row.length == oids.length &&
+                row.indices.forall(i =>
+                  PgCopyBinary.binaryCompatible(row(i), oids(i)))))
           }
           val copied =
             if (binary)

@@ -81,12 +81,19 @@ private[pgwire] object PgTls {
               s"pgwire: non-X509 server certificate ${other.getClass.getName}", "08006")
           }
           (ssl, Some(cert))
-        case 'N' | 'E' =>
-          // 'E' = pre-7.4 server erroring on the request: treat as "no TLS"
+        case 'N' =>
           if (cfg.mode == Require)
             throw new SQLException(
               "pgwire: server does not support TLS but sslmode=require", "08006")
           (raw, None)
+        case 'E' =>
+          // ErrorResponse to SSLRequest (pre-7.4 server): the rest of the
+          // error message is still in the socket, so continuing a
+          // plaintext startup here would parse those bytes as v3 frames.
+          // libpq hard-fails this case; so do we.
+          throw new SQLException(
+            "pgwire: server answered SSLRequest with ErrorResponse " +
+              "(pre-7.4 protocol) — refusing to continue on this socket", "08006")
         case -1 =>
           throw new SQLException("pgwire: server closed connection during SSLRequest", "08006")
         case other =>

@@ -22,10 +22,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioning-invariant). Kept verbatim deliberately: it is the
   * reference's own published SQL, its ambiguity included; the golden
   * spec gates the deterministic projection (count distribution, sum,
-  * boundary shape), and a user wanting a stable set adds the
-  * deterministic tiebreak (`ORDER BY total_events DESC, trackingCode`).
-  * Q1 orders by its unique group key and Q3 is RANK-closed (ties
-  * included), so both are exactly deterministic.
+  * boundary shape), and the registered `ref_q2_deterministic` twin pins
+  * the tiebreak (`ORDER BY total_events DESC, trackingCode`) for users
+  * who need a stable set. Q1 orders by its unique group key and Q3 is
+  * RANK-closed (ties included), so both are exactly deterministic.
   */
 object ReferenceQueries {
 
@@ -69,13 +69,28 @@ object ReferenceQueries {
       |WHERE event_rank <= 10
       |ORDER BY event_rank""".stripMargin
 
+  /** Q2 with the documented deterministic tiebreak: same counts, same
+    * boundary, but WHICH tie members fill the limit is now pinned by
+    * trackingCode — the partitioning-invariant companion (the verbatim
+    * q2 stays registered as the reference's own SQL, ambiguity and all). */
+  val q2DeterministicSql: String =
+    """SELECT `trackingCode`, COUNT(*) AS total_events
+      |FROM events
+      |GROUP BY `trackingCode`
+      |ORDER BY total_events DESC, `trackingCode`
+      |LIMIT 1000""".stripMargin
+
   def q1(s: SparkSession): DataFrame = { ensureViews(s); s.sql(q1Sql) }
   def q2(s: SparkSession): DataFrame = { ensureViews(s); s.sql(q2Sql) }
   def q3(s: SparkSession): DataFrame = { ensureViews(s); s.sql(q3Sql) }
+  def q2Deterministic(s: SparkSession): DataFrame = {
+    ensureViews(s); s.sql(q2DeterministicSql)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ref_q1_trackings_per_minute" -> ((s, _) => q1(s)),
     "ref_q2_events_per_code"      -> ((s, _) => q2(s)),
+    "ref_q2_deterministic"        -> ((s, _) => q2Deterministic(s)),
     "ref_q3_top_descriptions"     -> ((s, _) => q3(s))
   )
 

@@ -376,7 +376,19 @@ object Streaming {
           round(col("sum_value").cast("double") / col("n_events"), 6)
             .as("avg_value"))
       case None =>
-        spark.emptyDataFrame
+        // empty but TYPED: callers select these columns on the empty
+        // case too, and a zero-column emptyDataFrame would throw
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(keyCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_events",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_value",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("avg_value",
+              org.apache.spark.sql.types.DoubleType))))
     }
 
   private def snapshotIds(spark: SparkSession, statsDir: String): Seq[Long] = {
