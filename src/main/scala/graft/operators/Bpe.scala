@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -67,7 +68,7 @@ object Bpe {
       .groupBy($"__w").agg(count(lit(1)).as("__freq"))
       .select(transform(sequence(lit(1), length($"__w")),
         i => $"__w".substr(i, lit(1))).as("__syms"), $"__freq")
-      .localCheckpoint()
+      .graftCheckpoint()
 
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
@@ -91,7 +92,7 @@ object Bpe {
         merges += ((rank, l, r, l + r, cnt))
         vocab = vocab
           .select(applyMerge($"__syms", l, r).as("__syms"), $"__freq")
-          .localCheckpoint()
+          .graftCheckpoint()
         rank += 1
       }
     }

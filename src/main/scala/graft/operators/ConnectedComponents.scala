@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,7 +18,7 @@ import org.apache.spark.sql.functions._
   * O(log diameter) — 20 rounds covers any component a real corpus can
   * produce. If the loop still exits unconverged the labels are WRONG
   * (split components → multiple "keepers" per duplicate cluster), so run()
-  * throws instead of returning them. `localCheckpoint` truncates the
+  * throws instead of returning them. [[graft.Checkpoints]] truncates the
   * lineage every round — without it the plan doubles per iteration and
   * the job dies on plan explosion long before it dies on data size.
   */
@@ -33,10 +34,10 @@ object ConnectedComponents {
     val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
       .distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var labels = sym.select(col("s").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -49,7 +50,7 @@ object ConnectedComponents {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("label") =!= least(col("label"),
             coalesce(col("nmin"), col("label")))).as("changed"))
-        .localCheckpoint(true) // materialize BEFORE the self-join below
+        .graftCheckpoint(true) // materialize BEFORE the self-join below
       // pointer jumping: label := label(label). Reads the checkpoint
       // twice rather than recomputing the propagation plan per side.
       val next = prop.as("x")
@@ -61,7 +62,7 @@ object ConnectedComponents {
           (col("x.changed") || col("x.label") =!=
             least(col("x.label"), coalesce(col("y_label"), col("x.label"))))
             .as("changed"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
       converged = next.filter(col("changed")).limit(1).isEmpty
       labels = next.drop("changed")
       iter += 1

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -540,11 +541,11 @@ object DataOps {
     // survivor relations so the expensive curation lineage runs ONCE
     // (the CC/BPE convention), not once per reference
     val curated = Dedup.curateCorpus(docs, "doc_id", "text", "lang")
-      .localCheckpoint()
+      .graftCheckpoint()
     val clean = curated.join(
       broadcast(contaminatedIds(curated, benchmark)),
       Seq("doc_id"), "left_anti")
-    val sampled = temperatureSample(clean, budget).localCheckpoint()
+    val sampled = temperatureSample(clean, budget).graftCheckpoint()
     packChunks(sampled)
       .join(sampled.select(col("doc_id"), col("source"), col("keep_rate")),
         Seq("doc_id"))
@@ -689,7 +690,7 @@ object DataOps {
       val docs = Tables.documents(s, d)
       prepareTrainingSet(
         docs.filter($"doc_id" % 53 =!= 0),
-        docs.filter($"doc_id" % 53 === 0)).localCheckpoint()
+        docs.filter($"doc_id" % 53 === 0)).graftCheckpoint()
     })
   }
 
@@ -714,7 +715,7 @@ object DataOps {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
         minJaccard = 0.05, maxDocFreq = 1000L)
       ConnectedComponents.dedupClusters(docs, "doc_id", pairs)
-        .localCheckpoint()
+        .graftCheckpoint()
     })
   }
 
@@ -785,11 +786,11 @@ object DataOps {
     val vectors = emb.select($"vec_id",
       Similarity.toDouble($"embedding").as("v"))
     val coarse = Ivf.kmeans(vectors, nCells = 16, iterations = 3)
-    val assigned = Ivf.index(emb, coarse).localCheckpoint(true)
+    val assigned = Ivf.index(emb, coarse).graftCheckpoint(true)
     val resid = assigned.join(broadcast(coarse), "cell")
       .select($"vec_id", $"cell",
         zip_with($"v", $"centroid", (x, c) => x - c).as("v"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val books = Pq.trainCodebooks(resid.select($"vec_id", $"v"),
       dim = 64, numSubspaces = 8, numCodes = 16)
     val encodedCells = Pq.encode(resid.select($"vec_id", $"v"), books,
@@ -941,7 +942,7 @@ object DataOps {
       .select(explode(col("__ps")).as("__p"))
       .select(col("__p.id").as("vec_id"))
       .join(rel, "vec_id")
-      .localCheckpoint(true) // ≤ nCand rows; feeds sims and every round
+      .graftCheckpoint(true) // ≤ nCand rows; feeds sims and every round
     val sims = cand.select(col("vec_id").as("ia"), col("v").as("va"))
       .join(cand.select(col("vec_id").as("ib"), col("v").as("vb")),
         col("ia") =!= col("ib"))
@@ -949,7 +950,7 @@ object DataOps {
         round(Similarity.dot(col("va"), col("vb")) /
           (Similarity.norm(col("va")) * Similarity.norm(col("vb"))), 9)
           .as("sim"))
-      .localCheckpoint(true) // ≤ nCand² rows; read every round
+      .graftCheckpoint(true) // ≤ nCand² rows; read every round
     var selected = cand
       .orderBy(col("rel").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), col("rel"), lit(1).as("rank"),
@@ -1788,7 +1789,7 @@ object DataOps {
           .select($"__pair.id".as("doc_id"),
             ($"__p" + 1).cast("long").as(rankAs))
       val lexRanked = ranked(bm25TopK(s, d), "score", "doc_id", "r_lex")
-        .localCheckpoint(true) // feeds top-3 centroid AND the fusion join
+        .graftCheckpoint(true) // feeds top-3 centroid AND the fusion join
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
       val centroid = emb
@@ -2042,7 +2043,7 @@ object DataOps {
       val counts = toks.groupBy($"tok")
         .agg(sum(when($"__t", 1L).otherwise(0L)).as("__ct"),
           sum(when(!$"__t", 1L).otherwise(0L)).as("__cr"))
-        .localCheckpoint(true) // feeds the totals AND the ratio join
+        .graftCheckpoint(true) // feeds the totals AND the ratio join
       val tot = counts.agg(sum($"__ct").as("__nt"),
         sum($"__cr").as("__nr"), count(lit(1)).as("__v"))
       val lp = counts.crossJoin(broadcast(tot))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -161,9 +162,9 @@ object Dedup {
       s"prefixFilterJaccardPairs: minJaccard must be in (0, 1], got $minJaccard")
     val sh = df.select(col(idCol).as("doc"),
         explode(Text.shingles(col(textCol), n)).as("shingle"))
-      .localCheckpoint(true) // df calc + prefix + both verify probes reuse it
+      .graftCheckpoint(true) // df calc + prefix + both verify probes reuse it
     val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("n_sh"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy($"doc").orderBy($"__df", $"shingle")
     val prefix = sh
@@ -660,7 +661,7 @@ object Dedup {
       // + heap assignment (measured 6.8s → 3.3s at sf0.1). In a
       // persisted deployment the assignment IS the inverted file on
       // parquet (Ivf.writeIndex) and this checkpoint disappears.
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // payload sorts by its leading field (vec_id, unique) → a < b by id
     val pairs = bucketPairs(assigned, Seq("cell"),
       struct($"vec_id", $"__nrm", $"v"), cap = cellCap, starHot = true)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -139,7 +140,7 @@ object EntityMatch {
       maxDist: Int = 2): DataFrame = {
     // one support aggregate feeds BOTH the pair generator and the
     // output rollup — catalog-sized, materialized once
-    val support = supportNames(df, nameCol).localCheckpoint(true)
+    val support = supportNames(df, nameCol).graftCheckpoint(true)
     val names = support.select(col("name"), col("n").as("n_rows"))
     val pairs = pairsFromNames(support, maxDist, maxShortPool = 100000L)
     val labels = ConnectedComponents.run(pairs, "name_a", "name_b")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -112,7 +113,7 @@ object Extended {
       val splits = orders.agg(percentile_approx($"o_totalprice",
         typedLit((1 until 256).map(_ / 256.0).toArray), lit(10000))
         .as("__splits"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
       // bucket = #splits strictly below the price (codegen'd binary
       // search): monotone in price, and price-ties always land in the
       // same bucket → order-consistent. NULL prices land in bucket -1 —

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -13,8 +14,9 @@ import graft.Tables
   *
   * Shared conventions: every round is joins + hash aggregations keyed
   * on the vertex id (co-partitioning reused round to round), lineage is
-  * truncated per round (localCheckpoint) exactly as in
-  * [[ConnectedComponents]], and iteration counts are FIXED — a
+  * truncated per round via [[graft.Checkpoints]] (local blocks by
+  * default, reliable-store checkpoints on preemptible clusters) exactly
+  * as in [[ConnectedComponents]], and iteration counts are FIXED — a
   * convergence-threshold loop would couple results to fp accumulation
   * order, while fixed rounds + exact accumulators (decimal for rank
   * mass, integers for depths/votes/counts) keep every operator
@@ -52,15 +54,15 @@ object Graph {
       damping: Double, srcCol: String, dstCol: String,
       seeds: Option[DataFrame]): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().graftCheckpoint(true)
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val nV = vertices.count().toDouble
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val norm = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
 
     // dangling (sink) vertices: their rank mass must be redistributed
     // (to the teleport distribution) each round or it leaks and ranks
@@ -81,14 +83,14 @@ object Graph {
         val inGraph = s.select(col("id")).distinct()
           .join(vertices, Seq("id"), "left_semi")
           .withColumn("__is_seed", lit(true))
-          .localCheckpoint(true)
+          .graftCheckpoint(true)
         val nS = inGraph.count().toDouble
         require(nS > 0, "personalizedPageRank: no seed appears in the graph")
         hasOut.join(inGraph, Seq("id"), "left")
           .select(col("id"), col("has_out"),
             when(coalesce(col("__is_seed"), lit(false)), lit(1.0 / nS))
               .otherwise(lit(0.0)).as("tele"))
-    }).localCheckpoint(true)
+    }).graftCheckpoint(true)
 
     var ranks = flagged.withColumn("rank", col("tele"))
     for (_ <- 1 to iterations) {
@@ -114,7 +116,7 @@ object Graph {
           (lit(1.0 - damping) * col("tele") +
             lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
               col("__dm") * col("tele"))).as("rank"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     ranks.select(col("id"), col("rank"))
   }
@@ -144,7 +146,7 @@ object Graph {
       maxDepth: Int, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // seeds ∩ vertices, mirroring personalizedPageRank's seed handling:
     // a seed that is not a vertex of the edge list is ignored (it is not
     // "reachable" in this graph), and an all-foreign seed set fails
@@ -153,7 +155,7 @@ object Graph {
       .union(e.select(col("e_dst").as("id"))).distinct()
     var visited = seeds.select(col("id")).distinct()
       .join(vertices, Seq("id"), "left_semi")
-      .withColumn("depth", lit(0)).localCheckpoint(true)
+      .withColumn("depth", lit(0)).graftCheckpoint(true)
     require(!visited.limit(1).isEmpty,
       "bfsDepth: no seed appears in the graph")
     var frontier = visited.select(col("id"))
@@ -162,10 +164,10 @@ object Graph {
     while (d < maxDepth && !drained) {
       d += 1
       val next = expandFrontier(frontier, e, visited, d)
-        .localCheckpoint(true) // truncate lineage: plan must not grow per round
+        .graftCheckpoint(true) // truncate lineage: plan must not grow per round
       if (next.limit(1).isEmpty) drained = true
       else {
-        visited = visited.union(next).localCheckpoint(true)
+        visited = visited.union(next).graftCheckpoint(true)
         frontier = next.select(col("id"))
       }
     }
@@ -226,10 +228,10 @@ object Graph {
           "weight (cast doubles to decimal at your chosen precision)")
     }
     val e = edges.select(col("src"), col("dst"), col("w"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var state = nodes
       .select(col("id"), col("label").as("seed"), col("label").as("cur"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     for (_ <- 1 to iterations) {
       val votes = e
         .join(state.filter(col("cur").isNotNull)
@@ -245,7 +247,7 @@ object Graph {
       else coalesce(col("winner"), col("cur"))
       state = state.join(votes, Seq("id"), "left")
         .select(col("id"), col("seed"), next.as("cur"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     state.select(col("id"), col("seed"), col("cur").as("label"))
   }
@@ -274,7 +276,7 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     // orient low-rank -> high-rank, rank = (degree, id); carry the
@@ -292,7 +294,7 @@ object Graph {
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.dst_rank").as("dst_rank"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // wedges from shared oriented source; endpoints ordered by rank so
     // the closing edge is oriented x -> y by construction
     val wedges = ed.as("e1")
@@ -331,7 +333,7 @@ object Graph {
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.dst_rank").as("dst_rank"))
-      .localCheckpoint(true) // wedge join + closing join both read it
+      .graftCheckpoint(true) // wedge join + closing join both read it
     val wedges = ed.as("e1")
       .join(ed.select(col("src").as("src2"), col("dst").as("dst2"),
         col("dst_rank").as("dst_rank2")),
@@ -381,7 +383,7 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var n = und.count()
     var round = 0
     var stable = false
@@ -392,7 +394,7 @@ object Graph {
           s"kTruss did not converge within $maxRounds peeling rounds — " +
             "raise maxRounds (and the oracle's unroll depth) deliberately")
       val next = trussRound(und, k)
-        .localCheckpoint(true) // truncate lineage: plan must not grow per round
+        .graftCheckpoint(true) // truncate lineage: plan must not grow per round
       val nn = next.count()
       if (nn == n) stable = true
       und = next
@@ -432,7 +434,7 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var round = 0
     var stable = false
     while (!stable) {
@@ -441,10 +443,10 @@ object Graph {
         throw new IllegalStateException(
           s"kCore did not converge within $maxRounds peeling rounds — " +
             "raise maxRounds (and the oracle's unroll depth) deliberately")
-      val doomed = peelDoomed(und, k).localCheckpoint(true)
+      val doomed = peelDoomed(und, k).graftCheckpoint(true)
       if (doomed.limit(1).isEmpty) stable = true
       else und = dropDoomed(und, doomed)
-        .localCheckpoint(true) // truncate lineage: plan must not grow per round
+        .graftCheckpoint(true) // truncate lineage: plan must not grow per round
     }
     und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
@@ -504,7 +506,7 @@ object Graph {
           "distances must be exact; use an integral cost")
     }
     val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"),
-      col(costCol).cast("long").as("e_cost")).localCheckpoint(true)
+      col(costCol).cast("long").as("e_cost")).graftCheckpoint(true)
     e.filter(col("e_cost") < 1L).limit(1).collect().headOption.foreach { r =>
       throw new IllegalArgumentException(
         s"shortestPaths: edge cost ${r.get(2)} < 1 — non-positive costs " +
@@ -514,7 +516,7 @@ object Graph {
       .union(e.select(col("e_dst").as("id"))).distinct()
     var dist = seeds.select(col("id")).distinct()
       .join(vertices, Seq("id"), "left_semi")
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).graftCheckpoint(true)
     require(!dist.limit(1).isEmpty,
       "shortestPaths: no seed appears in the graph")
     var frontier = dist
@@ -528,11 +530,11 @@ object Graph {
             "rounds — raise maxRounds (and the oracle's unroll depth) " +
             "deliberately")
       val improved = relaxRound(frontier, e, dist)
-        .localCheckpoint(true) // truncate lineage: plan must not grow per round
+        .graftCheckpoint(true) // truncate lineage: plan must not grow per round
       if (improved.limit(1).isEmpty) drained = true
       else {
         dist = dist.join(improved.select(col("id")), Seq("id"), "left_anti")
-          .union(improved).localCheckpoint(true)
+          .union(improved).graftCheckpoint(true)
         frontier = improved
       }
     }
@@ -636,12 +638,12 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val adj = und.select(col("a").as("z"), col("b").as("nb"))
       .union(und.select(col("b").as("z"), col("a").as("nb")))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     deg.filter(col("d") > maxDeg).limit(1).collect().headOption.foreach { r =>
       throw new IllegalArgumentException(
         s"linkPredictionTopK: vertex ${r.get(0)} has degree ${r.get(1)} " +
@@ -686,7 +688,7 @@ object Graph {
       // probe, the pair self-join) — materialize the 6M-row join once
       // per query instead of re-shuffling it per branch (the pageRank
       // e/norm convention)
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
 
   /** Co-purchase projection: canonical (ca < cb) customer pairs sharing
     * at least `minShared` suppliers in `cs` — posting-list pair
@@ -935,7 +937,7 @@ object Graph {
         .select(col("c"), col("sp"))
       val cop = copurchaseEdges(cs, minShared = 2,
           maxSupplierDeg = 50000L)
-        .select(col("ca"), col("cb")).localCheckpoint(true)
+        .select(col("ca"), col("cb")).graftCheckpoint(true)
       val deg = cop.select(col("ca").as("id"))
         .union(cop.select(col("cb").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("d"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TopKPairs.top_k_pairs
@@ -57,13 +58,13 @@ object Ivf {
     // Lloyd's behavior) — callers get ≤ nCells centroids back.
     var centroids = vectors.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("centroid"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     for (_ <- 1 to iterations) {
       val assigned = assign(vectors, centroids)
       val means = assigned
         .groupBy(col("cell"))
         .agg(graft.functions.VectorMean.vector_mean(col("v")).as("centroid"))
-      centroids = means.localCheckpoint(true)
+      centroids = means.graftCheckpoint(true)
     }
     centroids
   }

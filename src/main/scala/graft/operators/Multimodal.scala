@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -177,7 +178,7 @@ object Multimodal {
     // frame explode + distinct shuffle + 64-lane signature hashing
     val kept = withSig.join(hot.hint("shuffle_hash"), Seq("__sig"),
         "left_anti")
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val cand = Dedup.signaturePairs(
       kept.select(col("__fid").as("doc"), col("__sig").as("simhash")),
       maxDist = 0, maxBucket = maxFrameFreq)

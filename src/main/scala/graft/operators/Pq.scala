@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,7 +56,7 @@ object Pq {
     var centroids = sub.join(broadcast(initIds), "vec_id")
       .select(col("m"), col("vec_id").cast("int").as("cell"),
         col("sv").as("centroid"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     for (_ <- 1 to iterations) {
       val assigned = sub.join(broadcast(centroids), "m")
         .withColumn("__d", sqDist(col("sv"), col("centroid")))
@@ -66,7 +67,7 @@ object Pq {
       centroids = assigned
         .groupBy(col("m"), col("cell"))
         .agg(graft.functions.VectorMean.vector_mean(col("sv")).as("centroid"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     centroids.withColumn("code",
         row_number().over(Window.partitionBy(col("m"))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Checkpoints._
 import java.sql.Timestamp
 import java.util.Properties
 
@@ -277,7 +278,7 @@ object Streaming {
             .select(col("vec_id").as("new_id"), col("v").as("new_v"),
               col("__nrm").as("new_nrm"),
               explode(col("__cells.id").cast("array<int>")).as("cell"))
-            .localCheckpoint(true) // consumed by the cell filter AND the probe
+            .graftCheckpoint(true) // consumed by the cell filter AND the probe
           val touched = assigned.select(col("cell")).distinct()
           val crossDup = Ivf.readIndex(spark, indexDir)
             .join(broadcast(touched), Seq("cell")) // → PartitionFilters
@@ -463,7 +464,7 @@ object Streaming {
               .filter(col("batch_id").isin(committed.toSeq: _*))
             firstIn.join(seen.select(col("shingle")), Seq("shingle"),
               "left_anti")
-          } else firstIn).localCheckpoint(true) // consumed by score + append
+          } else firstIn).graftCheckpoint(true) // consumed by score + append
           val perDoc = sh
             .join(newShingles.hint("shuffle_hash"), Seq("shingle"), "left")
             .groupBy(col("doc_id"))
