@@ -1,21 +1,25 @@
 package graft.operators
 
 import graft.Checkpoints._
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video payloads ride through the
-  * engine as opaque `binary` columns with typed metadata, exactly like any
-  * other column — parquet stores them page-compressed, Tungsten moves
+/** Multimodal-column operators: image/audio/video payloads ride through
+  * the engine as opaque `binary` columns with typed metadata, exactly like
+  * any other column — parquet stores them page-compressed, Tungsten moves
   * pointers not copies, and operators that don't touch the bytes never
   * deserialize them (column pruning).
   *
-  * The DECODE step (jpeg→pixels, wav→samples, mp4→frames) is a STUB in
-  * this container — no codec libraries ship with it — implemented as a
-  * deterministic fake keyed on the content hash, clearly marked below.
-  * Everything around it is real and tested: the schema, the byte-range
-  * frame sampler, the partition-wise batching, and the feature-vector
-  * shape contract.
+  * The decode step is REAL for the trivially-parseable public formats:
+  * PPM (P6) and 24-bit BMP images decode to actual pixels, WAV PCM to
+  * actual samples ([[MediaCodec]]), and the derived features (per-channel
+  * stats, aHash over block-averaged gray cells, RMS/zero-crossings) are
+  * integer-exact — which is what makes m03/m04 exactly oracle-able: the
+  * fixture media is synthesized from a closed-form formula the DuckDB
+  * oracle mirrors, so value parity proves encode∘decode is the identity
+  * on every blob. Formats that genuinely need codec libraries (JPEG,
+  * MP4) are out of scope in this container; the decode DISPATCH is the
+  * extension point and fails loudly on an unknown media_type.
   *
   * Scale notes: per-blob work is embarrassingly parallel; the only rule at
   * 100 TB is "never shuffle the bytes" — derive features/fingerprints
@@ -24,9 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** A decoded media batch row: fixed-size feature vector per blob. */
+  /** A media blob row: the corpus schema for the multimodal lane. */
+  final case class MediaBlob(media_id: Long, media_type: String,
+      content: Array[Byte])
+
+  /** A decoded media batch row (m04's vector contract): fixed per-type
+    * feature vector — images [w, h, r_sum, g_sum, b_sum, px_min, px_max],
+    * audio [n_samples, duration_ms, sum_sq, n_zero_cross]. */
   final case class MediaFeatures(media_id: Long, media_type: String,
-      n_bytes: Long, features: Array[Float])
+      n_bytes: Long, features: Array[Long])
+
+  /** The full typed feature row (m03): image and audio columns unified,
+    * null where the modality doesn't apply. `rms` is UNROUNDED — the
+    * registered query applies the engine round(…, 9) convention. */
+  final case class MediaFeatureRow(media_id: Long, media_type: String,
+      n_bytes: Long,
+      width: Option[Long], height: Option[Long],
+      r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long],
+      px_min: Option[Long], px_max: Option[Long],
+      ahash: Option[String], ahash_sig: Option[Long],
+      n_samples: Option[Long], duration_ms: Option[Long],
+      sum_sq: Option[Long], n_zero_cross: Option[Long],
+      rms: Option[Double])
 
   /** Demo source: lift any text table into the media schema
     * (id, media_type, content: binary, n_bytes). */
@@ -37,6 +60,25 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("content"))
       .withColumn("n_bytes", octet_length(col("content")))
 
+  /** Deterministic fixture corpus: one real encoded media blob per id —
+    * PPM / BMP / WAV round-robin by id, pixels and samples from
+    * [[MediaCodec]]'s closed-form formulas. Map-only (mapPartitions, one
+    * encoder pass per row); at corpus scale this stands in for `spark
+    * .read.format("binaryFile")` — everything downstream is identical. */
+  def syntheticMedia(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = Encoders.product[MediaBlob]
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (mt, bytes) = MediaCodec.synthesize(id)
+          MediaBlob(id, mt, bytes)
+        }
+      }(enc)
+      .toDF()
+      .withColumn("n_bytes", octet_length(col("content")))
+  }
+
   /** Content digest + size — the dedup/partition key for media corpora
     * (hash the bytes once, shuffle the 32-byte digest forever after). */
   def withDigest(df: DataFrame, blobCol: String = "content"): DataFrame =
@@ -44,8 +86,8 @@ object Multimodal {
 
   /** Byte-range frame sampler: split a blob into fixed-size frames
     * (posexplode → one row per frame, offset carried). Pure column
-    * arithmetic — the real codec would replace `substring` with a
-    * keyframe index lookup, the plumbing stays identical. */
+    * arithmetic — a keyframe-indexed codec would replace `substring`
+    * with an index lookup, the plumbing stays identical. */
   def sampleFrames(df: DataFrame, frameBytes: Int,
       blobCol: String = "content"): DataFrame = {
     val nFrames = ceil(octet_length(col(blobCol)).cast("double") / frameBytes)
@@ -62,56 +104,83 @@ object Multimodal {
   private def substring_index_bytes(blob: Column, i: Column, w: Int): Column =
     blob.substr(i * w + 1, lit(w))
 
-  /** ======== STUB DECODE ========
-    * Deterministic fake "decode + feature extract": `dim` floats derived
-    * from xxhash64(content, lane). A real deployment swaps ONLY the body
-    * of this function for a codec call (libjpeg/ffmpeg via JNI or a
-    * vendored pure-JVM decoder); signature, schema and partition shape are
-    * the production ones. Stays in codegen'd built-ins — no UDF. */
-  def stubFeatures(df: DataFrame, dim: Int,
-      blobCol: String = "content"): DataFrame =
-    df.withColumn("features",
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => (pmod(xxhash64(col(blobCol), i), lit(1000000)).cast("double")
-          / 1000000.0).cast("float")))
-
-  /** Partition-wise decode path for codecs that need native buffers:
-    * mapPartitions gives one JVM-side batch per partition (amortizes codec
-    * init), the fake body marks where the real decoder goes. */
-  def decodePartitions(df: DataFrame, dim: Int): Dataset[MediaFeatures] = {
-    val enc = Encoders.product[MediaFeatures]
-    df.select(col("media_id"), col("media_type"), col("n_bytes"),
-        col("content"))
+  /** REAL decode + feature extraction, one typed row per blob: PPM/BMP →
+    * per-channel sums, min/max, 64-bit aHash over real pixels; WAV → sum
+    * of squares, zero-crossings, duration, RMS over real samples. Decode
+    * runs partition-wise (mapPartitions — where a native codec would init
+    * once per partition); unknown media types fail loudly rather than
+    * fake anything. Bytes are consumed map-side and never shuffle. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatureRow] = {
+    val enc = Encoders.product[MediaFeatureRow]
+    media.select(col("media_id"), col("media_type"), col("content"))
       .mapPartitions { rows =>
-        // >>> real impl: init codec ONCE here, decode each blob <<<
         rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("content")
-          val seed = java.util.Arrays.hashCode(bytes)
-          val feats = Array.tabulate(dim)(i =>
-            (((seed * 31 + i) & 0xffff).toFloat) / 65536.0f)
-          MediaFeatures(r.getAs[Long]("media_id"),
-            r.getAs[String]("media_type"), bytes.length.toLong, feats)
+          val id = r.getLong(0)
+          val mt = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          if (mt.startsWith("image/")) {
+            val img = MediaCodec.decodeImage(bytes)
+            val (rs, gs, bs, mn, mx, bits, sig) = MediaCodec.imageFeatures(img)
+            MediaFeatureRow(id, mt, bytes.length.toLong,
+              Some(img.width.toLong), Some(img.height.toLong),
+              Some(rs), Some(gs), Some(bs), Some(mn), Some(mx),
+              Some(bits), Some(sig),
+              None, None, None, None, None)
+          } else if (mt == "audio/wav") {
+            val a = MediaCodec.decodeWav(bytes)
+            val (sumSq, zc, durMs, rms) = MediaCodec.audioFeatures(a)
+            MediaFeatureRow(id, mt, bytes.length.toLong,
+              None, None, None, None, None, None, None, None, None,
+              Some(a.samples.length.toLong), Some(durMs),
+              Some(sumSq), Some(zc), Some(rms))
+          } else throw new IllegalArgumentException(
+            s"decodeFeatures: no decoder for media_type '$mt' (media_id=$id)")
         }
       }(enc)
   }
 
-  /** m05: perceptual-hash near-duplicate pairs over media blobs — the
-    * image-dedup path production pipelines run (pHash/dHash): decode →
-    * feature lanes → 64-bit sign signature → pigeonhole-banded candidate
-    * join → exact hamming verify. The signature bit i is "lane i above
-    * midpoint", standing exactly where real dHash's pixel comparisons go
-    * (the stub decode supplies the lanes; identical bytes ⇒ identical
-    * signature, so exact-duplicate media always pair at distance 0).
-    * Bytes never shuffle: the 8-byte signature derives map-side and only
-    * (id, signature) enters [[Dedup.signaturePairs]]' band join — at
-    * 100 TB of media the shuffle is ids and longs, not blobs. */
+  /** Partition-wise decode into the compact vector contract (m04): the
+    * batched path a feature-store write or embedding-model feed consumes.
+    * Same real decoders, per-type integer feature vector. */
+  def decodePartitions(media: DataFrame): Dataset[MediaFeatures] = {
+    val enc = Encoders.product[MediaFeatures]
+    media.select(col("media_id"), col("media_type"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mt = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          val feats =
+            if (mt.startsWith("image/")) {
+              val img = MediaCodec.decodeImage(bytes)
+              val (rs, gs, bs, mn, mx, _, _) = MediaCodec.imageFeatures(img)
+              Array(img.width.toLong, img.height.toLong, rs, gs, bs, mn, mx)
+            } else if (mt == "audio/wav") {
+              val a = MediaCodec.decodeWav(bytes)
+              val (sumSq, zc, durMs, _) = MediaCodec.audioFeatures(a)
+              Array(a.samples.length.toLong, durMs, sumSq, zc)
+            } else throw new IllegalArgumentException(
+              s"decodePartitions: no decoder for media_type '$mt' (media_id=$id)")
+          MediaFeatures(id, mt, bytes.length.toLong, feats)
+        }
+      }(enc)
+  }
+
+  /** Perceptual-hash near-duplicate pairs over image media — the
+    * image-dedup path production pipelines run: decode REAL pixels →
+    * 64-bit aHash (block-averaged gray grid, [[MediaCodec
+    * .imageFeatures]]) → pigeonhole-banded candidate join → exact
+    * hamming verify. Identical pixels ⇒ distance 0; a lightly edited
+    * image moves only the cells it touches, so near-dups sit at small
+    * hamming distance long after byte hashes diverge. Bytes never
+    * shuffle: the 8-byte signature derives map-side and only
+    * (id, signature) enters [[Dedup.signaturePairs]]' band join. */
   def phashPairs(media: DataFrame, maxDist: Int = 3,
       maxBucket: Long = 1000L): DataFrame = {
-    val sig = (0 until 64).map(i =>
-      when(element_at(col("features"), i + 1) > 0.5f,
-        shiftleft(lit(1L), i)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    val sigs = stubFeatures(media, 64)
-      .select(col("media_id").as("doc"), sig.as("simhash"))
+    val sigs = decodeFeatures(
+        media.filter(col("media_type").startsWith("image/")))
+      .toDF()
+      .select(col("media_id").as("doc"), col("ahash_sig").as("simhash"))
     Dedup.signaturePairs(sigs, maxDist, maxBucket)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
@@ -121,14 +190,15 @@ object Multimodal {
     * video-dedup unit production pipelines use (a re-encoded or trimmed
     * clip shares frames with its source long after whole-file hashes
     * diverge). Frames are fixed `frameBytes` aligned slices; each FULL
-    * frame gets the perceptual signature; [[Dedup.signaturePairs]] at
-    * distance 0 PROPOSES candidate frame pairs (8-byte signatures
-    * shuffle, frames don't), and a byte-equality join over only the
-    * candidates VERIFIES them (sign-lane collisions are ~2⁻⁶⁴ but the
-    * verify makes the result exact — the d12 propose/verify shape, spans
-    * not blobs on the wire). Output: (media_a, media_b,
-    * n_shared_frames) = how many DISTINCT frame values the two media
-    * share, a < b, stop-frames (> maxFrameFreq media) excluded.
+    * frame gets an 8-byte content signature (xxhash64 of the frame
+    * bytes); [[Dedup.signaturePairs]] at distance 0 PROPOSES candidate
+    * frame pairs (8-byte signatures shuffle, frames don't), and a
+    * byte-equality join over only the candidates VERIFIES them (hash
+    * collisions are ~2⁻⁶⁴ but the verify makes the result exact — the
+    * d12 propose/verify shape, spans not blobs on the wire). Output:
+    * (media_a, media_b, n_shared_frames) = how many DISTINCT frame
+    * values the two media share, a < b, stop-frames (> maxFrameFreq
+    * media) excluded.
     *
     * Composite frame id = media_id · 2²⁰ + frame_no (documented packing:
     * media_id < 2⁴³, frames per blob < 2²⁰). */
@@ -162,12 +232,9 @@ object Multimodal {
             "frameDupPairs packing overflow: need frame_no < 2^20 and media_id < 2^43")))
           .as("__fid"),
         col("media_id"), col("frame_bytes"))
-    val sig = (0 until 64).map(i =>
-      when(element_at(col("features"), i + 1) > 0.5f,
-        shiftleft(lit(1L), i)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    val withSig = stubFeatures(frames, dim = 64, blobCol = "frame_bytes")
+    val withSig = frames
       .select(col("__fid"), col("media_id"), col("frame_bytes"),
-        sig.as("__sig"))
+        xxhash64(col("frame_bytes")).as("__sig"))
     val hot = withSig.groupBy(col("__sig"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxFrameFreq)
@@ -175,7 +242,7 @@ object Multimodal {
     // EAGER materialization (the d10 lesson): the pair generator's
     // three internal passes and both verify joins all consume this
     // relation with different plans — uncached, each would redo the
-    // frame explode + distinct shuffle + 64-lane signature hashing
+    // frame explode + distinct shuffle + signature hashing
     val kept = withSig.join(hot.hint("shuffle_hash"), Seq("__sig"),
         "left_anti")
       .graftCheckpoint(true)
@@ -193,7 +260,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared_frames"))
   }
 
-  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary metadata path: encode → octet_length → sha256 (hex).
     "m01_media_meta" -> { (s, d) =>
       val media = fromText(graft.Tables.documents(s, d), "doc_id", "text")
@@ -207,40 +274,90 @@ object Multimodal {
         .agg(count(lit(1)).as("n_frames"),
           sum(octet_length(col("frame_bytes"))).as("total_bytes"))
     },
-    // Stubbed decode features: deterministic, rows-only check (the fake
-    // decode is hash-defined, not SQL-portable). The vector is surfaced as
-    // a csv of integer-scaled lanes (à la q33's keys_csv) — raw
-    // array<float> columns crash pandas-side row comparators.
-    "m03_stub_features" -> { (s, d) =>
-      val media = fromText(graft.Tables.documents(s, d), "doc_id", "text")
-      stubFeatures(media, dim = 8)
-        .select(col("media_id"),
-          concat_ws(",", transform(col("features"),
-            f => round(f.cast("double") * 1000000).cast("long")))
-            .as("features_csv"))
+    // REAL decode features over real encoded blobs: synthesize the
+    // PPM/BMP/WAV corpus, decode it back, surface the typed feature row.
+    // Exactly oracled — DuckDB computes the same features from the
+    // closed-form pixel/sample formulas, so parity proves the decoders
+    // (header math, BMP bottom-up rows + padding + BGR order, WAV
+    // endianness) byte-exact. rms rounds via the engine round(…, 9)
+    // convention on the final column.
+    "m03_media_features" -> { (s, d) =>
+      val media = syntheticMedia(graft.Tables.documents(s, d))
+      decodeFeatures(media).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"),
+          col("px_min"), col("px_max"), col("ahash"),
+          col("n_samples"), col("duration_ms"),
+          col("sum_sq"), col("n_zero_cross"),
+          round(col("rms"), 9).as("rms_q"))
     },
     // Duplicate-frame detection: signature-proposed, byte-VERIFIED —
     // exact, so it oracles against a plain frame self-join in SQL even
     // though the proposal path is hash-defined. (Whole-media phashPairs
-    // stays a library call — this corpus has byte-identical MEDIA only
-    // at sf0.1, but shared aligned frames at every SF.)
+    // pairs decoded image aHashes — spec-gated; this corpus has
+    // byte-identical MEDIA only at sf0.1, but shared aligned frames at
+    // every SF.)
     "m05_frame_dups" -> { (s, d) =>
       frameDupPairs(fromText(graft.Tables.documents(s, d), "doc_id", "text"))
     },
 
-    // The mapPartitions decode path surfaced end-to-end: one typed batch
-    // per partition (where a real codec would init once), deterministic
-    // fake features, csv-surfaced lanes (m03 convention). Rows-only
-    // check — the fake decode is JVM-hash-defined, not SQL-portable.
+    // The mapPartitions batch-decode path surfaced end-to-end: one typed
+    // batch per partition, REAL per-type integer feature vectors,
+    // csv-surfaced lanes (raw array columns crash pandas-side row
+    // comparators). Exactly oracled from the same closed forms.
     "m04_batch_decode" -> { (s, d) =>
-      val media = fromText(graft.Tables.documents(s, d), "doc_id", "text")
-      decodePartitions(media, dim = 8).toDF()
+      val media = syntheticMedia(graft.Tables.documents(s, d))
+      decodePartitions(media).toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
-          concat_ws(",", transform(col("features"),
-            f => round(f.cast("double") * 65536).cast("long")))
+          concat_ws(",", transform(col("features"), f => f.cast("string")))
             .as("features_csv"))
     }
   )
+
+  /** The closed-form fixture formulas mirrored in SQL. Image pixels:
+    * value((x,y,c)) = (id·97 + ((y·w+x)·3+c)·31) % 256 over w = 8+id%9,
+    * h = 8+(id/3)%7; WAV samples: ((id·37 + i·101) % 4096) − 2048 over
+    * n = 256+id%512 at 8 kHz. Encoded sizes are exact per format spec:
+    * PPM 9+digits(w)+digits(h)+3wh; BMP 54+h·rowSize (rows padded to 4
+    * bytes); WAV 44+2n. */
+  private val imgCte =
+    """img AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |         CAST(8 + (doc_id // 3) % 7 AS BIGINT) AS h,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image/ppm'
+      |              ELSE 'image/bmp' END AS mt
+      |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |px AS (
+      |  SELECT doc_id, w, h, p % w AS x, p // w AS y,
+      |         (doc_id*97 + (p*3+0)*31) % 256 AS r,
+      |         (doc_id*97 + (p*3+1)*31) % 256 AS g,
+      |         (doc_id*97 + (p*3+2)*31) % 256 AS b
+      |  FROM img, LATERAL (SELECT unnest(range(w*h)) AS p)),
+      |ist AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+      |    CAST(SUM(b) AS BIGINT) AS b_sum,
+      |    CAST(LEAST(MIN(r), MIN(g), MIN(b)) AS BIGINT) AS px_min,
+      |    CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS BIGINT) AS px_max
+      |  FROM px GROUP BY doc_id)""".stripMargin
+
+  private val audCte =
+    """aud AS (
+      |  SELECT doc_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |sm AS (
+      |  SELECT doc_id, n, i, ((doc_id*37 + i*101) % 4096) - 2048 AS s
+      |  FROM aud, LATERAL (SELECT unnest(range(n)) AS i)),
+      |sq AS (
+      |  SELECT doc_id, n, i, s,
+      |         LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |  FROM sm),
+      |ast AS (
+      |  SELECT doc_id, n, CAST(SUM(s*s) AS BIGINT) AS sum_sq,
+      |    CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+      |      AND ((s < 0) <> (prev < 0)) THEN 1 END), 0) AS BIGINT) AS n_zc
+      |  FROM sq GROUP BY doc_id, n)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "m01_media_meta" ->
@@ -254,6 +371,63 @@ object Multimodal {
         |    AS n_frames,
         |  octet_length(encode(text)) AS total_bytes
         |FROM documents""".stripMargin,
+
+    "m03_media_features" ->
+      s"""WITH $imgCte,
+        |cells AS (
+        |  SELECT doc_id, (y*8//h)*8 + (x*8//w) AS cell,
+        |         SUM((r+g+b)//3) // COUNT(*) AS cavg
+        |  FROM px GROUP BY doc_id, cell),
+        |gm AS (SELECT doc_id, SUM(cavg) // 64 AS gmean
+        |  FROM cells GROUP BY doc_id),
+        |ah AS (
+        |  SELECT cells.doc_id,
+        |    string_agg(CASE WHEN cavg > gmean THEN '1' ELSE '0' END,
+        |      '' ORDER BY cell) AS ahash
+        |  FROM cells JOIN gm USING (doc_id) GROUP BY cells.doc_id),
+        |$audCte
+        |SELECT i.doc_id AS media_id, i.mt AS media_type,
+        |  CASE WHEN i.mt = 'image/ppm'
+        |    THEN 9 + length(i.w::VARCHAR) + length(i.h::VARCHAR) + i.w*i.h*3
+        |    ELSE 54 + i.h * (((i.w*3 + 3) // 4) * 4) END AS n_bytes,
+        |  i.w AS width, i.h AS height,
+        |  s.r_sum, s.g_sum, s.b_sum, s.px_min, s.px_max, a.ahash,
+        |  CAST(NULL AS BIGINT) AS n_samples,
+        |  CAST(NULL AS BIGINT) AS duration_ms,
+        |  CAST(NULL AS BIGINT) AS sum_sq,
+        |  CAST(NULL AS BIGINT) AS n_zero_cross,
+        |  CAST(NULL AS DOUBLE) AS rms_q
+        |FROM img i JOIN ist s USING (doc_id) JOIN ah a USING (doc_id)
+        |UNION ALL
+        |SELECT t.doc_id AS media_id, 'audio/wav' AS media_type,
+        |  44 + t.n*2 AS n_bytes,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS VARCHAR),
+        |  t.n AS n_samples, t.n // 8 AS duration_ms,
+        |  t.sum_sq, t.n_zc AS n_zero_cross,
+        |  round(sqrt(CAST(t.sum_sq AS DOUBLE) / t.n), 9) AS rms_q
+        |FROM ast t""".stripMargin,
+
+    "m04_batch_decode" ->
+      s"""WITH $imgCte,
+        |$audCte
+        |SELECT i.doc_id AS media_id, i.mt AS media_type,
+        |  CASE WHEN i.mt = 'image/ppm'
+        |    THEN 9 + length(i.w::VARCHAR) + length(i.h::VARCHAR) + i.w*i.h*3
+        |    ELSE 54 + i.h * (((i.w*3 + 3) // 4) * 4) END AS n_bytes,
+        |  i.w::VARCHAR || ',' || i.h::VARCHAR || ',' ||
+        |    s.r_sum::VARCHAR || ',' || s.g_sum::VARCHAR || ',' ||
+        |    s.b_sum::VARCHAR || ',' || s.px_min::VARCHAR || ',' ||
+        |    s.px_max::VARCHAR AS features_csv
+        |FROM img i JOIN ist s USING (doc_id)
+        |UNION ALL
+        |SELECT t.doc_id AS media_id, 'audio/wav' AS media_type,
+        |  44 + t.n*2 AS n_bytes,
+        |  t.n::VARCHAR || ',' || (t.n // 8)::VARCHAR || ',' ||
+        |    t.sum_sq::VARCHAR || ',' || t.n_zc::VARCHAR AS features_csv
+        |FROM ast t""".stripMargin,
 
     // the corpus is pure ASCII (spec-checked octet_length == length), so
     // character substrings equal the engine's byte frames

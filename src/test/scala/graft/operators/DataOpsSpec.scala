@@ -279,19 +279,44 @@ class DataOpsSpec extends SparkSpec {
   }
 
   test("m05 phash pairs: identical blobs pair at distance 0, distinct blobs don't pair") {
-    // identical bytes ⇒ identical stub lanes ⇒ identical signature;
-    // distinct random texts sit near hamming 32 ≫ maxDist
-    val media = Multimodal.fromText(Seq(
-      (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "the quick brown fox jumps over the lazy dog"), // byte-dup of 1
-      (3L, "completely different media payload number three"),
-      (4L, "and a fourth unrelated payload with other bytes"),
-      (5L, "the quick brown fox jumps over the lazy dog")  // byte-dup of 1
-    ).toDF("doc_id", "text"), "doc_id", "text")
-    val pairs = Multimodal.phashPairs(media)
+    // REAL pixels now: identical pixel arrays ⇒ identical aHash ⇒
+    // distance 0 even across FORMATS (same image saved as PPM and BMP
+    // pairs at 0 — the whole point of a perceptual hash); a lightly
+    // edited copy pairs at small distance; structured distinct images
+    // (opposite gradients) sit far apart
+    val w = 16; val h = 16
+    // horizontal gradient: bright right half, dark left
+    val grad = Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; if (x >= w / 2) 220 else 30
+    }
+    // same image, one cell's brightness nudged: flip a couple of cells
+    val edited = grad.clone()
+    for (y <- 0 until 4; x <- 0 until 2; c <- 0 until 3)
+      edited((y * w + x) * 3 + c) = 255
+    // the opposite gradient: complement signature
+    val anti = Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; if (x < w / 2) 220 else 30
+    }
+    val media = Seq(
+      Multimodal.MediaBlob(1L, "image/ppm", MediaCodec.encodePpm(w, h, grad)),
+      Multimodal.MediaBlob(2L, "image/bmp", MediaCodec.encodeBmp(w, h, grad)),
+      Multimodal.MediaBlob(3L, "image/ppm", MediaCodec.encodePpm(w, h, edited)),
+      Multimodal.MediaBlob(4L, "image/ppm", MediaCodec.encodePpm(w, h, anti)),
+      Multimodal.MediaBlob(5L, "audio/wav",
+        MediaCodec.encodeWav(Array.tabulate(64)(i => (i * 13).toShort), 8000))
+    ).toDF()
+    val pairs = Multimodal.phashPairs(media, maxDist = 8)
       .as[(Long, Long, Int)].collect().toSet
-    assert(pairs === Set((1L, 2L, 0), (1L, 5L, 0), (2L, 5L, 0)),
-      s"expected exactly the byte-duplicate pairs at distance 0, got $pairs")
+    // cross-format pixel dup at distance 0
+    assert(pairs.contains((1L, 2L, 0)),
+      s"PPM/BMP of the same pixels must pair at distance 0, got $pairs")
+    // light edit pairs at small nonzero-capable distance (≤ 8)
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      s"edited copy should pair within maxDist, got $pairs")
+    // the opposite gradient never pairs (hamming ≈ 32+), audio ignored
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"anti-gradient must not pair, got $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
     // frame-level: two "clips" share one aligned 64-byte frame (m05's
     // registered form); the count is the verified frame-pair count
     val a64 = "A" * 64; val b64 = "B" * 64; val c64 = "C" * 64
@@ -318,23 +343,56 @@ class DataOpsSpec extends SparkSpec {
       .count() === 0L, "m05 oracle requires a pure-ASCII corpus")
   }
 
-  test("multimodal decodePartitions: stable schema, deterministic features") {
-    val media = Multimodal.fromText(
-      graft.Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
-    val decoded = Multimodal.decodePartitions(media, dim = 4)
+  test("multimodal decodePartitions: stable schema, real decoded features") {
+    val media = Multimodal.syntheticMedia(
+      graft.Tables.documents(spark, sf("sf0.001")))
+    val decoded = Multimodal.decodePartitions(media)
     assert(decoded.columns.toSeq ===
       Seq("media_id", "media_type", "n_bytes", "features"))
     val rows = decoded.collect()
     assert(rows.length === 500)
-    assert(rows.forall(_.features.length == 4))
+    // per-type vector contract: images 7 lanes, audio 4
+    rows.foreach { r =>
+      if (r.media_type.startsWith("image/")) assert(r.features.length == 7)
+      else assert(r.features.length == 4)
+    }
     // deterministic: same blob → same features across runs/partitionings
-    val again = Multimodal.decodePartitions(media.repartition(7), dim = 4)
+    val again = Multimodal.decodePartitions(media.repartition(7))
       .collect().map(r => r.media_id -> r.features.toSeq).toMap
     rows.foreach(r => assert(again(r.media_id) === r.features.toSeq))
     // n_bytes matches the blob length the column functions report
     val byLen = media.select($"media_id", $"n_bytes").as[(Long, Long)]
       .collect().toMap
     rows.foreach(r => assert(r.n_bytes === byLen(r.media_id)))
+    // decoded dims must equal the closed-form dims (decoder ≡ encoder)
+    rows.filter(_.media_type.startsWith("image/")).foreach { r =>
+      val (w, h) = MediaCodec.imageDims(r.media_id)
+      assert(r.features(0) === w.toLong && r.features(1) === h.toLong)
+    }
+  }
+
+  test("media codecs: encode/decode roundtrip is the identity") {
+    // PPM and BMP (incl. width cases hitting every row-padding branch)
+    for (w <- Seq(8, 9, 10, 11, 16); h <- Seq(8, 13)) {
+      val rgb = Array.tabulate(w * h * 3)(i => (i * 7 + w * 13 + h) % 256)
+      val p = MediaCodec.decodePpm(MediaCodec.encodePpm(w, h, rgb))
+      assert(p.width == w && p.height == h && p.rgb.sameElements(rgb),
+        s"PPM roundtrip failed at ${w}x$h")
+      val b = MediaCodec.decodeBmp(MediaCodec.encodeBmp(w, h, rgb))
+      assert(b.width == w && b.height == h && b.rgb.sameElements(rgb),
+        s"BMP roundtrip failed at ${w}x$h (padding ${(4 - w * 3 % 4) % 4})")
+    }
+    // WAV: negative samples exercise the sign roundtrip through LE bytes
+    val samples = Array.tabulate(300)(i => ((i * 211) % 4096 - 2048).toShort)
+    val a = MediaCodec.decodeWav(MediaCodec.encodeWav(samples, 8000))
+    assert(a.sampleRate == 8000 && a.samples.sameElements(samples))
+    // malformed input fails loudly, never fakes
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage("not an image".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav("RIFFxxxxJUNK".getBytes)
+    }
   }
 
   test("d10 semantic pairs: recall >= 0.8 vs exact pairs, no false positives") {
