@@ -1100,7 +1100,94 @@ object Graph {
     sb.toString
   }
 
+  /** g02/g04's exact oracle: 10 power iterations unrolled as 3 CTEs per
+    * round (dangling mass, contribution sum, rank update), the g08/g05
+    * technique applied to floating-point iteration. Exactness argument:
+    * the engine's per-round sums are DECIMAL(38,28)-exact (order-free),
+    * every remaining op is IEEE double arithmetic mirrored op-for-op —
+    * including the `1.0 - 0.85` constant, which is NOT 0.15 in binary
+    * (it is 0.15000000000000002, interpolated below from the same Scala
+    * expression the engine plan embeds) — so the round-10 rank doubles
+    * are bit-equal and the final round(…, 10) sees identical values.
+    * MATERIALIZED per round: each r$i is consumed by three successors
+    * and DuckDB would inline it exponentially otherwise (the kCore
+    * lesson). `personalized` switches the teleport column: uniform
+    * 1/V vs 1/|seeds ∩ V| on the nation-0 cohort, and the edge set:
+    * directed customer→supplier vs the symmetrized trade graph. */
+  private def pageRankOracle(rounds: Int, personalized: Boolean): String = {
+    val damping = 0.85
+    val dS = damping.toString          // "0.85"
+    val oneMinusD = (1.0 - damping).toString // "0.15000000000000002"
+    val sb = new StringBuilder
+    sb ++= """WITH cs AS MATERIALIZED (SELECT o_custkey AS c,
+      |    l_suppkey AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),""".stripMargin
+    sb ++= (if (personalized)
+      """
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT c*2 AS src, sp*2+1 AS dst FROM cs
+        |  UNION ALL SELECT sp*2+1, c*2 FROM cs)),""".stripMargin
+    else
+      """
+        |e AS MATERIALIZED (SELECT c*2 AS src, sp*2+1 AS dst FROM cs),"""
+        .stripMargin)
+    sb ++= """
+      |v AS MATERIALIZED (SELECT DISTINCT id FROM (
+      |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      |deg AS (SELECT src, COUNT(*) AS dd FROM e GROUP BY 1),
+      |norm AS MATERIALIZED (SELECT e.src, e.dst,
+      |    CAST(1 AS DOUBLE) / CAST(dd AS DOUBLE) AS w
+      |  FROM e JOIN deg USING (src)),""".stripMargin
+    sb ++= (if (personalized)
+      """
+        |sd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM (
+        |  SELECT DISTINCT c_custkey*2 AS id FROM customer
+        |  WHERE c_nationkey = 0) s
+        |  WHERE EXISTS (SELECT 1 FROM v WHERE v.id = s.id)),
+        |f AS MATERIALIZED (SELECT v.id,
+        |    EXISTS (SELECT 1 FROM e WHERE e.src = v.id) AS has_out,
+        |    CASE WHEN v.id % 2 = 0 AND EXISTS (SELECT 1 FROM customer
+        |        WHERE c_nationkey = 0 AND c_custkey*2 = v.id)
+        |      THEN CAST(1 AS DOUBLE) / ns ELSE CAST(0 AS DOUBLE) END AS tele
+        |  FROM v CROSS JOIN sd),""".stripMargin
+    else
+      """
+        |vn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM v),
+        |f AS MATERIALIZED (SELECT v.id,
+        |    EXISTS (SELECT 1 FROM e WHERE e.src = v.id) AS has_out,
+        |    CAST(1 AS DOUBLE) / nv AS tele
+        |  FROM v CROSS JOIN vn),""".stripMargin)
+    sb ++= """
+      |r0 AS MATERIALIZED (SELECT id, has_out, tele, tele AS rank FROM f)"""
+      .stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |dm$i AS (SELECT CAST(COALESCE(SUM(CASE WHEN NOT has_out
+        |    THEN CAST(rank AS DECIMAL(38,28)) END), 0) AS DOUBLE) AS dm
+        |  FROM r${i - 1}),
+        |c$i AS (SELECT n.dst AS id,
+        |    CAST(SUM(CAST(p.rank * n.w AS DECIMAL(38,28))) AS DOUBLE)
+        |      AS in_rank
+        |  FROM norm n JOIN r${i - 1} p ON p.id = n.src GROUP BY 1),
+        |r$i AS MATERIALIZED (SELECT f.id, f.has_out, f.tele,
+        |    CAST($oneMinusD AS DOUBLE) * f.tele + CAST($dS AS DOUBLE) *
+        |      (COALESCE(c.in_rank, CAST(0 AS DOUBLE)) + d.dm * f.tele)
+        |      AS rank
+        |  FROM f LEFT JOIN c$i c USING (id) CROSS JOIN dm$i d)"""
+        .stripMargin
+    }
+    sb ++= s"""
+      |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+      |    AS kind,
+      |  id // 2 AS key, round(rank, 10) AS rank
+      |FROM r$rounds""".stripMargin
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "g02_pagerank" -> pageRankOracle(rounds = 10, personalized = false),
+    "g04_seed_proximity" -> pageRankOracle(rounds = 10, personalized = true),
     "g05_kcore" -> kCoreOracle(KCoreK, KCoreRounds),
     "g06_ktruss" -> kTrussOracle(KTrussK, KTrussRounds),
     "g08_sssp" -> ssspOracle(SsspRounds),
