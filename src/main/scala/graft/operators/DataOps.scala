@@ -1238,6 +1238,22 @@ object DataOps {
           minJaccard = 0.7))
     },
 
+    // d16's incremental twin: the EXACT (no-cap) prefix-filter join run
+    // the way a production ingest runs it — new batch's prefixes probe
+    // the corpus prefix inventory one-sided, exact verify only on pairs
+    // touching the batch. Canonical (df-independent) prefix order so a
+    // persisted corpus prefix index stays immutable under df drift (see
+    // Dedup.incrementalPrefixJaccardPairs); agreement with d16's
+    // rare-first order is spec-pinned. Oracle = the capless definition
+    // restricted to batch-touching pairs.
+    "d17_incremental_exact_pairs" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("is_new", $"doc_id" % 7 === 0)
+        .transform(df => Dedup.incrementalPrefixJaccardPairs(df, "doc_id",
+          "text", "is_new", n = 3, minJaccard = 0.7))
+    },
+
     // Asymmetric containment pairs — the subsumption detector (a short
     // doc pasted inside a long one: containment ≈ 1, Jaccard ≈ 0). Same
     // single-pass posting-list candidates and cap semantics as d02.
@@ -3625,6 +3641,31 @@ object DataOps {
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        |    AS jaccard
+        |FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        |  >= 0.7""".stripMargin,
+
+    "d17_incremental_exact_pairs" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 7 = 0 AS is_new,
+        |    string_split(text, ' ') t
+        |  FROM documents),
+        |sh AS (SELECT doc_id AS doc, is_new,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, any_value(is_new) AS is_new,
+        |    COUNT(*) AS n_sh
+        |  FROM sh GROUP BY doc),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  WHERE a.is_new OR b.is_new
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sa.is_new AS new_a, sb.is_new AS new_b,
+        |  n_common, sa.n_sh AS size_a, sb.n_sh AS size_b,
         |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
         |    AS jaccard
         |FROM com

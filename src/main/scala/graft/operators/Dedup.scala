@@ -199,6 +199,102 @@ object Dedup {
         $"jaccard")
   }
 
+  /** EXACT incremental set-similarity join — [[prefixFilterJaccardPairs]]'
+    * no-cap guarantee applied to [[incrementalJaccardPairs]]' batch-vs-
+    * corpus contract: every pair with n-gram Jaccard ≥ τ TOUCHING the new
+    * batch (new×old and new×new), provably complete, no df caps; old×old
+    * pairs are never generated (they were reported when their younger
+    * member ingested). ONE-SIDED probe: only the batch's prefixes drive
+    * the candidate join — the corpus contributes its prefix inventory as
+    * the build side — so per-ingest candidate volume scales with the
+    * batch's prefix footprint, never with corpus age.
+    *
+    * The prefix order is CANONICAL — (xxhash64(shingle), shingle) — not
+    * corpus-df rare-first as in d16. The prefix lemma (Xiao et al. 2008)
+    * holds for ANY total order shared by both sides, and a df-independent
+    * order makes a PERSISTED corpus prefix IMMUTABLE: document prefixes
+    * never need recomputation as corpus df drifts, which is what lets
+    * [[graft.streaming.Streaming.exactPairsIngest]] append to its prefix
+    * index instead of rebuilding it per batch. The price is more
+    * candidates than rare-first (hash order has no selectivity
+    * preference); the exact verify keeps the OUTPUT identical — the
+    * agreement-with-d16 spec pins that the two orders produce the same
+    * pairs.
+    *
+    * Output: d11's shape — (doc_a < doc_b, new_a, new_b, n_common,
+    * size_a, size_b, jaccard). */
+  def incrementalPrefixJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, isNewCol: String, n: Int,
+      minJaccard: Double): DataFrame = {
+    val inv = canonicalShingleInventory(
+      df.select(col(idCol).as("doc"), col(textCol).as("__text")),
+      "doc", "__text", n)
+      .join(df.select(col(idCol).as("doc"), col(isNewCol).as("__new")),
+        Seq("doc"))
+      .graftCheckpoint(true) // prefix ranking + both verify probes reuse it
+    prefixPairsFromInventory(inv, minJaccard)
+  }
+
+  /** The canonical-order shingle inventory of a corpus slice: one row per
+    * (doc, shingle) with the doc's canonical rank `__rk` (position in
+    * (xxhash64(shingle), shingle) order — df-independent, so persisted
+    * rows never need re-ranking) and size `n_sh`. This IS the schema of
+    * [[graft.streaming.Streaming.exactPairsIngest]]'s persisted index. */
+  def canonicalShingleInventory(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(Text.shingles(col(textCol), n)).as("shingle"))
+    val byCanon = Window.partitionBy($"doc")
+      .orderBy(xxhash64($"shingle"), $"shingle")
+    sh.withColumn("__rk", row_number().over(byCanon))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc"))
+        .cast("long"))
+      .select($"doc", $"shingle", $"__rk", $"n_sh")
+  }
+
+  /** The one-sided prefix-filter join over a prepared inventory
+    * (doc, __new, shingle, __rk, n_sh): batch prefixes probe ALL
+    * prefixes, τ-factor length filter, exact verify on survivors.
+    * Callers checkpoint the inventory — it is consumed by the prefix
+    * filter and both verify probes. */
+  private[graft] def prefixPairsFromInventory(inv: DataFrame,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"prefixPairsFromInventory: minJaccard must be in (0, 1], got $minJaccard")
+    val sizes = inv.groupBy($"doc")
+      .agg(first($"n_sh").as("n_sh"), first($"__new").as("__new"))
+      .graftCheckpoint(true)
+    val prefix = inv
+      .filter($"__rk" <= $"n_sh" - ceil(lit(minJaccard) * $"n_sh") + 1)
+      .select($"doc", $"__new", $"shingle", $"n_sh")
+    val cand = prefix.filter($"__new")
+      .select($"doc".as("doc_n"), $"shingle", $"n_sh".as("__nn"))
+      .join(prefix.select($"doc".as("doc_o"), $"shingle",
+        $"n_sh".as("__no")), Seq("shingle"))
+      .filter($"doc_n" =!= $"doc_o" &&
+        // J ≥ τ forces the sizes within a τ factor of each other
+        $"__no" >= lit(minJaccard) * $"__nn" &&
+        $"__nn" >= lit(minJaccard) * $"__no")
+      .select(least($"doc_n", $"doc_o").as("doc_a"),
+        greatest($"doc_n", $"doc_o").as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(inv.select($"doc".as("doc_a"), $"shingle"), Seq("doc_a"))
+      .join(inv.select($"doc".as("doc_b"), $"shingle").hint("shuffle_hash"),
+        Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select($"doc".as("doc_a"), $"n_sh".as("size_a"),
+        $"__new".as("new_a")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sizes.select($"doc".as("doc_b"), $"n_sh".as("size_b"),
+        $"__new".as("new_b")).hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("jaccard", $"n_common".cast("double") /
+        ($"size_a" + $"size_b" - $"n_common").cast("double"))
+      .filter($"jaccard" >= minJaccard)
+      .select($"doc_a", $"doc_b", $"new_a", $"new_b", $"n_common",
+        $"size_a", $"size_b", $"jaccard")
+  }
+
   /** Asymmetric near-dup: containment = |A∩B| / min(|A|, |B|) — the
     * subsumption detector. A short doc pasted inside a much longer one
     * scores containment ≈ 1 while its Jaccard ≈ |A|/|B| vanishes with

@@ -488,6 +488,80 @@ object Streaming {
       }
       .start()
 
+  /** Streaming EXACT near-dup pair feed — d17
+    * ([[graft.operators.Dedup.incrementalPrefixJaccardPairs]]) run per
+    * micro-batch against a PERSISTED corpus inventory: each batch
+    * (1) computes its canonical-order shingle inventory (the canonical
+    * prefix order is df-independent, so persisted rows are IMMUTABLE —
+    * the index appends, never re-ranks), (2) probes the committed index
+    * one-sided and emits the EXACT pairs touching the batch (new×old,
+    * new×new — provably complete, no caps), (3) appends its own
+    * inventory rows to the index, bucketed by shingle hash for probe
+    * pruning. Cumulative invariant (spec-pinned): the union of all
+    * committed pair feeds equals the WHOLE-CORPUS d16 join — every
+    * qualifying pair reported exactly once, when its later member
+    * ingests.
+    *
+    * Exactly-once via batch-id commit markers written LAST (the
+    * noveltyIngest pattern): the pair feed is NOT idempotent under
+    * replay (re-emitting double-reports pairs, re-appending the
+    * inventory would double n_common and corrupt every later jaccard),
+    * so a checkpoint replay of a committed batch is skipped BEFORE any
+    * pair math. */
+  def exactPairsIngest(docs: DataFrame, idCol: String, textCol: String,
+      outDir: String, indexDir: String, commitsDir: String,
+      checkpointDir: String, shingleN: Int = 3, minJaccard: Double = 0.7,
+      indexParts: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val committed = committedBatches(spark, commitsDir)
+        if (!committed.contains(batchId)) {
+          val batchInv = graft.operators.Dedup
+            .canonicalShingleInventory(batch, idCol, textCol, shingleN)
+            .graftCheckpoint(true) // probe + index append both consume it
+          val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = indexPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          // COMMITTED index rows only (torn appends invisible); missing
+          // index = first batch — any other read failure fails the batch
+          // so the checkpoint replays it (the dedupIngest stance)
+          val corpusInv = if (fs.exists(indexPath)) {
+            spark.read.parquet(indexDir)
+              .filter(col("batch_id").isin(committed.toSeq: _*))
+              .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"))
+          } else batchInv.filter(lit(false))
+            .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"))
+          val inv = batchInv.withColumn("__new", lit(true))
+            .unionByName(corpusInv.withColumn("__new", lit(false)))
+          graft.operators.Dedup.prefixPairsFromInventory(inv, minJaccard)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          batchInv
+            .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"),
+              lit(batchId).as("batch_id"),
+              pmod(xxhash64(col("shingle")), lit(indexParts.toLong))
+                .as("bucket_p"))
+            .write.mode("append").partitionBy("bucket_p").parquet(indexDir)
+          // the commit record, written LAST: everything above is now real
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$commitsDir/batch=$batchId/_SUCCESS")
+          marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .create(marker, true).close()
+        } // else: checkpoint replay of a committed batch — skip
+      }
+      .start()
+
+  /** Pair rows of every COMMITTED exactPairsIngest batch. */
+  def readPairs(spark: SparkSession, outDir: String,
+      commitsDir: String): DataFrame = {
+    val committed = committedBatches(spark, commitsDir)
+    spark.read.option("basePath", outDir).parquet(outDir)
+      .filter(col("batch").isin(committed.toSeq: _*))
+      .drop("batch")
+  }
+
   /** Novelty rows of every COMMITTED batch (torn outputs excluded). */
   def readNovelty(spark: SparkSession, outDir: String,
       commitsDir: String): DataFrame = {

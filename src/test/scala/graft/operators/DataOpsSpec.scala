@@ -1442,6 +1442,36 @@ class DataOpsSpec extends SparkSpec {
     assert(drop.isEmpty)
   }
 
+  test("d17 incremental exact pairs agree with d16 restricted to " +
+    "batch-touching pairs, despite the different prefix orders") {
+    // d16 orders prefixes by corpus-df rare-first; d17 by canonical
+    // hash order (so a persisted index never needs re-ranking). The
+    // prefix lemma holds for ANY shared total order, so the exact
+    // OUTPUT must agree on the batch-touching restriction — this is the
+    // d17 contract, pinned here on the real corpus at sf0.001.
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .withColumn("is_new", $"doc_id" % 7 === 0)
+    val d16 = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.7)
+      .join(docs.select($"doc_id".as("doc_a"), $"is_new".as("na")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"is_new".as("nb")), "doc_b")
+      .filter($"na" || $"nb")
+      .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val d17 = Dedup.incrementalPrefixJaccardPairs(docs, "doc_id", "text",
+        "is_new", n = 3, minJaccard = 0.7)
+      .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(d16.nonEmpty, "premise: batch-touching pairs must exist")
+    assert(d17 === d16,
+      s"order-independence broken: d16-only=${d16 -- d17}, d17-only=${d17 -- d16}")
+    // old×old is never generated, and every returned pair touches the batch
+    val flags = Dedup.incrementalPrefixJaccardPairs(docs, "doc_id", "text",
+        "is_new", n = 3, minJaccard = 0.7)
+      .select($"new_a", $"new_b").as[(Boolean, Boolean)].collect()
+    assert(flags.forall(f => f._1 || f._2))
+  }
+
   test("x06 contrastive pairs: near-dup pair anchors, 3 deterministic " +
     "negatives each, positives never leak into negatives") {
     // docs 1 and 2 are verbatim dups (jaccard 1.0 -> the one positive

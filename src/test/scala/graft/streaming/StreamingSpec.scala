@@ -364,6 +364,60 @@ class StreamingSpec extends SparkSpec {
     assert(collectNovelty() === got, "a rewound batch must be skipped")
   }
 
+  test("exact-pairs ingest: cumulative feed over 3 restarts equals the " +
+    "whole-corpus d16 join; rewound batch ids are skipped, not re-paired") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("exact_pairs_ingest").toString
+    val (outDir, idxDir, comDir, ckpt) =
+      (s"$tmp/out", s"$tmp/index", s"$tmp/commits", s"$tmp/ckpt")
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    def drain(checkpoint: String = ckpt): Unit = {
+      val q = Streaming.exactPairsIngest(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", outDir, idxDir, comDir, checkpoint,
+        minJaccard = 0.7)
+      q.awaitTermination()
+    }
+    // three ingests, separate drains (restart between: the persisted
+    // inventory index + commit markers carry the state, not memory)
+    val cuts = Seq(0, docs.length / 3, 2 * docs.length / 3, docs.length)
+    (0 until 3).foreach { r =>
+      input.addData(docs.slice(cuts(r), cuts(r + 1)).toSeq)
+      drain()
+    }
+    def collectPairs() = Streaming.readPairs(spark, outDir, comDir)
+      .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b",
+        $"jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val got = collectPairs()
+    // each qualifying pair reported EXACTLY once (when its later member
+    // ingested) — the cumulative feed is the whole-corpus exact join
+    assert(got.distinct.length === got.length,
+      "a pair must never be reported twice across batches")
+    val want = graft.operators.Dedup.prefixFilterJaccardPairs(
+        graft.Tables.documents(spark, sf("sf0.001")), "doc_id", "text",
+        n = 3, minJaccard = 0.7)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(want.nonEmpty, "premise: the corpus must contain 0.7-pairs")
+    assert(got.sorted === want.sorted,
+      "cumulative committed pair feed must equal the batch d16 exactly")
+    // empty re-drain: no new batch, nothing moves
+    drain()
+    assert(collectPairs().sorted === got.sorted)
+    // rewound batch id (fresh checkpoint, same state dirs, re-offering
+    // batch 0's docs): the commit marker detects it BEFORE pair math — a
+    // recompute would re-emit batch 0's in-batch pairs (double-report)
+    // and re-append its inventory (doubling n_common for every future
+    // probe against those docs)
+    input.addData(docs.slice(cuts(0), cuts(1)).toSeq)
+    drain(s"$tmp/ckpt_rewound")
+    assert(collectPairs().sorted === got.sorted,
+      "a rewound batch must be skipped")
+  }
+
   test("dedup ingest: auto-compaction bounds index file count across many batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
