@@ -366,6 +366,67 @@ object Streaming {
       }
       .start()
 
+  /** Streaming twin of q74's changelog apply: a persisted keyed base
+    * table updated per micro-batch of CDC rows via
+    * [[graft.operators.Cdc.applyChangelog]] — latest-op-wins within the
+    * batch, tombstones delete, untouched keys pass through WITH their
+    * provenance (`src`) intact, so chained per-batch applies equal one
+    * apply of the concatenated feed (spec-pinned against the batch q74).
+    *
+    * Apply is ORDER-sensitive across batches — a rewound batch
+    * re-applied on newer state would REGRESS keys to stale values (the
+    * within-batch seq window cannot defend against cross-batch rewinds) —
+    * so the base is versioned BY BATCH ID exactly like [[statsIngest]]:
+    * `baseDir/snapshot=<batchId>/` overwrite-written, `_SUCCESS` as the
+    * commit record, batch ids ≤ the latest committed snapshot skipped,
+    * all but the newest snapshot and its rollback predecessor pruned.
+    * Cross-batch correctness assumes the feed arrives in per-key seq
+    * order (what a keyed CDC topic guarantees); WITHIN a batch any
+    * disorder is absorbed by the seq window.
+    *
+    * Seeding: write the initial base as `baseDir/snapshot=-1/` (with a
+    * `src` column and a `_SUCCESS` marker) before starting the stream;
+    * an unseeded ingest starts from an empty base. */
+  def cdcIngest(changelog: DataFrame, key: String, opCol: String,
+      seqCols: Seq[String], valueCols: Seq[String],
+      baseDir: String, checkpointDir: String): StreamingQuery =
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestSnapshot(spark, baseDir)
+        if (latest.forall(_._1 < batchId)) {
+          val base = latest match {
+            case Some((_, df)) => df
+            case None => batch // empty, typed like the feed's value schema
+              .select(col(key) +: valueCols.map(col): _*)
+              .filter(lit(false))
+              .withColumn("src", lit("base"))
+          }
+          graft.operators.Cdc.applyChangelog(base, batch, key, opCol,
+              seqCols, valueCols)
+            .write.mode("overwrite").parquet(s"$baseDir/snapshot=$batchId")
+          val keep = Set(Some(batchId), latest.map(_._1)).flatten
+          snapshotIds(spark, baseDir).filterNot(keep.contains).foreach { id =>
+            val p = new org.apache.hadoop.fs.Path(s"$baseDir/snapshot=$id")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          }
+        } // else: checkpoint replay/rewind of an applied batch — skip
+      }
+      .start()
+
+  /** The latest COMMITTED CDC base table. Loud when nothing committed —
+    * an unseeded, never-drained ingest has no meaningful read. */
+  def readCdcBase(spark: SparkSession, baseDir: String): DataFrame =
+    latestSnapshot(spark, baseDir) match {
+      case Some((_, df)) => df
+      case None => throw new IllegalStateException(
+        s"readCdcBase: no committed snapshot under $baseDir")
+    }
+
   /** Latest COMMITTED per-key stats (q70's output shape: key, n_events,
     * sum_value, avg_value) — empty result when no snapshot exists. */
   def readStats(spark: SparkSession, statsDir: String,

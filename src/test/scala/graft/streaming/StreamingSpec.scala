@@ -320,6 +320,83 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.length <= 2, s"snapshots not pruned: ${snaps.toSeq}")
   }
 
+  test("cdc ingest: seq-ordered changelog batches + restarts equal the " +
+    "batch q74 exactly; rewound batch ids are skipped, not re-applied") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("cdc_ingest").toString
+    val (baseDir, ckpt) = (s"$tmp/base", s"$tmp/ckpt")
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    // seed: q74's base snapshot, committed as snapshot=-1 (src carried
+    // so pass-through preserves provenance across rounds)
+    ev.filter($"ts" < cutoff).groupBy($"user_id")
+      .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .withColumn("src", lit("base"))
+      .write.mode("overwrite").parquet(s"$baseDir/snapshot=-1")
+    // q74's changelog, sorted by the seq columns so batch cuts respect
+    // per-key delivery order (the keyed-CDC-topic guarantee)
+    val cl = ev.filter($"ts" >= cutoff)
+      .select($"user_id",
+        when($"event_type" === "error", "D").otherwise("U").as("op"),
+        $"ts", $"event_id", $"value".as("total"), lit(1L).as("n"))
+      .as[(Long, String, java.sql.Timestamp, Long, Double, Long)]
+      .collect().sortBy(r => (r._3.getTime, r._4))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long, Double, Long)]
+    def drain(checkpoint: String = ckpt): Unit = {
+      val q = Streaming.cdcIngest(
+        input.toDF().toDF("user_id", "op", "ts", "event_id", "total", "n"),
+        "user_id", "op", Seq("ts", "event_id"), Seq("total", "n"),
+        baseDir, checkpoint)
+      q.awaitTermination()
+    }
+    // hoist ONE user (final op U) entirely into batch 0: per-key order
+    // is preserved (all their ops ride together), so the chained apply
+    // is unaffected — but their 'applied' provenance must now survive
+    // two pass-through rounds, exercising the src-preservation path
+    // that an always-overwrite-src apply would break
+    val uStar = cl.groupBy(_._1).collectFirst {
+      case (u, ops) if ops.maxBy(r => (r._3.getTime, r._4))._2 == "U" => u
+    }.get
+    val (starOps, others) = cl.partition(_._1 == uStar)
+    val cuts = Seq(0, others.length / 3, 2 * others.length / 3, others.length)
+    val batches = Seq(
+      (starOps ++ others.slice(cuts(0), cuts(1))).toSeq,
+      others.slice(cuts(1), cuts(2)).toSeq,
+      others.slice(cuts(2), cuts(3)).toSeq)
+    batches.foreach { b => input.addData(b); drain() }
+    def collectBase() = Streaming.readCdcBase(spark, baseDir)
+      .select($"user_id", $"total", $"n", $"src")
+      .as[(Long, Double, Long, String)].collect().sortBy(_._1).toSeq
+    val got = collectBase()
+    val want = graft.operators.Cdc.queries("q74_cdc_apply")(
+        spark, sf("sf0.001"))
+      .select($"user_id", $"total", $"n", $"src")
+      .as[(Long, Double, Long, String)].collect().sortBy(_._1).toSeq
+    // the hoisted user is the src-preservation witness: touched only in
+    // batch 0 with a surviving U, their row must read 'applied' after
+    // two pass-through rounds (an always-overwrite-src apply would have
+    // relabeled it 'base')
+    assert(got.find(_._1 == uStar).exists(_._4 == "applied"),
+      s"user $uStar lost its provenance through pass-through rounds")
+    assert(got === want,
+      "chained per-batch applies must equal one apply of the whole feed")
+    // empty re-drain: no new batch, nothing moves
+    drain()
+    assert(collectBase() === got)
+    // rewound batch id (fresh checkpoint, same baseDir, re-offering
+    // batch 0's rows): applying stale ops on newer state would REGRESS
+    // keys — the snapshot-id guard skips it instead
+    input.addData(batches(0))
+    drain(s"$tmp/ckpt_rewound")
+    assert(collectBase() === got, "a rewound batch must be skipped")
+    // storage stays O(keys): latest snapshot + rollback predecessor only
+    val snaps = new java.io.File(baseDir).listFiles()
+      .map(_.getName).filter(_.startsWith("snapshot="))
+    assert(snaps.length <= 2, s"snapshots not pruned: ${snaps.toSeq}")
+  }
+
   test("novelty ingest: doc_id-ordered batches + restarts equal the batch " +
     "t33 exactly; rewound batch ids are skipped, not rescored") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
