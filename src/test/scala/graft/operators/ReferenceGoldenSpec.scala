@@ -50,6 +50,28 @@ class ReferenceGoldenSpec extends SparkSpec {
     assert(counts.count(_ == 27L) === 51)
   }
 
+  test("ref_q2_deterministic: tiebreak pins the tie members, aggregates match the verbatim q2") {
+    val rows = ReferenceQueries.q2Deterministic(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.length === 1000)
+    // same deterministic projection as the verbatim q2 golden
+    val counts = rows.map(_._2)
+    assert(counts === counts.sorted.reverse)
+    assert(counts.sum === 34773L && counts.min === 27L && counts.max === 1882L)
+    assert(counts.count(_ == 27L) === 51)
+    // what the twin ADDS: WHICH tie members fill the limit is pinned —
+    // within each count, codes ascend, so the row set is a pure function
+    // of the data (the verbatim q2's one partitioning-dependent freedom)
+    rows.groupBy(_._2).values.foreach { grp =>
+      val codes = grp.map(_._1)
+      assert(codes === codes.sorted, "ties must be trackingCode-ascending")
+    }
+    // stable under re-partitioning BY CONSTRUCTION: re-run equals run
+    val again = ReferenceQueries.q2Deterministic(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(again === rows)
+  }
+
   test("ref_q3 golden: top-10 descriptions, exact values") {
     val got = ReferenceQueries.q3(spark)
       .collect()
