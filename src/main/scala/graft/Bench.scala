@@ -42,12 +42,17 @@ object Bench {
     // at 10x data a fixed 32 partitions measures spill pressure, not
     // plan shape, and a real cluster sizes partitions with the data.
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Checkpoint-strategy experiments (local vs reliable[:dir]) ride the
+    // normal bench harness — the write-amplification number SCALE.md
+    // quotes comes from exactly this switch.
+    val ckptMode = sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT", "local")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("graft.checkpoint", ckptMode)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

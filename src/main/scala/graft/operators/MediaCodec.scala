@@ -70,6 +70,40 @@ object MediaCodec {
       (mt, encodeWav(Array.tabulate(n)(sampleValue(id, _)), WavSampleRate))
   }
 
+  /** splitmix64 finalizer (public mixing constants) — the per-pixel
+    * diffusion for content-keyed media: a LINEAR pixel formula would make
+    * two different seeds differ by a near-constant offset, correlating
+    * their aHashes; full 64-bit mixing makes distinct seeds' signatures
+    * independent (collision ~2⁻⁶⁴). */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Content-keyed image synthesis: every property (dims, pixels)
+    * derives from the CONTENT seed alone — two documents with identical
+    * text get bit-identical images regardless of their ids, which is
+    * what lets pixel-level duplicate detection (m06) be oracled against
+    * text equality. Format still alternates by id (PPM/BMP) — identical
+    * pixels must pair across formats, so the format choice is free. */
+  def contentImage(seed: Long): (Int, Int, Array[Int]) = {
+    val w = 8 + java.lang.Math.floorMod(mix64(seed), 9L).toInt
+    val h = 8 + java.lang.Math.floorMod(mix64(seed + 1), 7L).toInt
+    val rgb = Array.tabulate(w * h * 3)(idx =>
+      (mix64(seed ^ (idx.toLong * 0x9E3779B97F4A7C15L)) & 0xFF).toInt)
+    (w, h, rgb)
+  }
+
+  /** Content seed for a text: first 8 bytes of its MD5, big-endian —
+    * deterministic, engine-independent, collision-safe at corpus scale. */
+  def contentSeed(text: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   // ---------- encoders -------------------------------------------------
 
   /** PPM P6: "P6\n<w> <h>\n255\n" + raw RGB bytes, top-down row-major. */

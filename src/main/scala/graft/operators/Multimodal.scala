@@ -79,6 +79,32 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("content")))
   }
 
+  /** Content-keyed image corpus: each document rendered as an image
+    * whose pixels derive from its TEXT (not its id) — duplicate
+    * documents produce bit-identical pixels even when one is stored as
+    * PPM and the other as BMP (format alternates by id). The fixture
+    * for end-to-end pixel-level dedup: encode → decode → aHash →
+    * pair must rediscover exactly the text-duplicate pairs. */
+  def contentKeyedImages(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val enc = Encoders.product[MediaBlob]
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(textCol).as("__text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, rgb) = MediaCodec.contentImage(
+            MediaCodec.contentSeed(r.getString(1)))
+          if (id % 2 == 0)
+            MediaBlob(id, "image/ppm", MediaCodec.encodePpm(w, h, rgb))
+          else
+            MediaBlob(id, "image/bmp", MediaCodec.encodeBmp(w, h, rgb))
+        }
+      }(enc)
+      .toDF()
+      .withColumn("n_bytes", octet_length(col("content")))
+  }
+
   /** Content digest + size — the dedup/partition key for media corpora
     * (hash the bytes once, shuffle the 32-byte digest forever after). */
   def withDigest(df: DataFrame, blobCol: String = "content"): DataFrame =
@@ -302,6 +328,25 @@ object Multimodal {
       frameDupPairs(fromText(graft.Tables.documents(s, d), "doc_id", "text"))
     },
 
+    // End-to-end PIXEL-level duplicate detection, exactly oracled: each
+    // document's head (first 200 chars) renders to a content-keyed
+    // preview image (pixels from the text's MD5 seed through splitmix64
+    // diffusion — identical heads ⇒ identical pixels, even across
+    // PPM/BMP formats), then encode → REAL decode → aHash → banded pair
+    // join at distance 0. The oracle is plain prefix equality, so green
+    // proves the whole lane — format encoders, decoders, block-average
+    // hash, band join — rediscovers exactly the shared-preview pairs
+    // from PIXELS (a signature collision between different heads, ~2⁻⁶⁴
+    // per pair, would break the hash compare; none exists).
+    "m06_pixel_dups" -> { (s, d) =>
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d)
+      val media = contentKeyedImages(
+        docs.select($"doc_id", substring($"text", 1, 200).as("head")),
+        "doc_id", "head")
+      phashPairs(media, maxDist = 0)
+    },
+
     // The mapPartitions batch-decode path surfaced end-to-end: one typed
     // batch per partition, REAL per-type integer feature vectors,
     // csv-surfaced lanes (raw array columns crash pandas-side row
@@ -428,6 +473,13 @@ object Multimodal {
         |  t.n::VARCHAR || ',' || (t.n // 8)::VARCHAR || ',' ||
         |    t.sum_sq::VARCHAR || ',' || t.n_zc::VARCHAR AS features_csv
         |FROM ast t""".stripMargin,
+
+    "m06_pixel_dups" ->
+      """SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON substring(a.text, 1, 200) = substring(b.text, 1, 200)
+        |  AND a.doc_id < b.doc_id""".stripMargin,
 
     // the corpus is pure ASCII (spec-checked octet_length == length), so
     // character substrings equal the engine's byte frames

@@ -572,7 +572,8 @@ object Streaming {
   def exactPairsIngest(docs: DataFrame, idCol: String, textCol: String,
       outDir: String, indexDir: String, commitsDir: String,
       checkpointDir: String, shingleN: Int = 3, minJaccard: Double = 0.7,
-      indexParts: Int = 64): StreamingQuery =
+      indexParts: Int = 64,
+      compactEvery: Int = 8, compactMaxFiles: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -580,9 +581,8 @@ object Streaming {
         val spark = batch.sparkSession
         val committed = committedBatches(spark, commitsDir)
         if (!committed.contains(batchId)) {
-          val batchInv = graft.operators.Dedup
+          val batchInv0 = graft.operators.Dedup
             .canonicalShingleInventory(batch, idCol, textCol, shingleN)
-            .graftCheckpoint(true) // probe + index append both consume it
           val indexPath = new org.apache.hadoop.fs.Path(indexDir)
           val fs = indexPath.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
@@ -593,8 +593,17 @@ object Streaming {
             spark.read.parquet(indexDir)
               .filter(col("batch_id").isin(committed.toSeq: _*))
               .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"))
-          } else batchInv.filter(lit(false))
+          } else batchInv0.filter(lit(false))
             .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"))
+          // at-least-once guard: a doc RE-DELIVERED under a fresh batch
+          // id (source rewind, upstream retry) is already in the index —
+          // the index IS the identity record. Without this anti-join its
+          // inventory rows would duplicate, double-counting n_common and
+          // corrupting (even zeroing) every affected jaccard denominator
+          val batchInv = batchInv0
+            .join(corpusInv.select(col("doc")).distinct(),
+              Seq("doc"), "left_anti")
+            .graftCheckpoint(true) // probe + index append both consume it
           val inv = batchInv.withColumn("__new", lit(true))
             .unionByName(corpusInv.withColumn("__new", lit(false)))
           graft.operators.Dedup.prefixPairsFromInventory(inv, minJaccard)
@@ -610,6 +619,17 @@ object Streaming {
             s"$commitsDir/batch=$batchId/_SUCCESS")
           marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .create(marker, true).close()
+          // every compactEvery batches, sweep hot bucket_p partitions —
+          // the dedupIngest maintenance story: without it the per-batch
+          // appends grow the probe's file count with batch COUNT forever.
+          // Safe AFTER the commit: compaction preserves rows (incl. the
+          // batch_id column the committed-filter reads), and micro-
+          // batches serialize so the swap never races a probe
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+            graft.sources.ParquetSink.compactHotPartitions(spark, indexDir,
+              compactMaxFiles)
+            ()
+          }
         } // else: checkpoint replay of a committed batch — skip
       }
       .start()

@@ -455,7 +455,7 @@ class StreamingSpec extends SparkSpec {
       val q = Streaming.exactPairsIngest(
         input.toDF().toDF("doc_id", "text"),
         "doc_id", "text", outDir, idxDir, comDir, checkpoint,
-        minJaccard = 0.7)
+        minJaccard = 0.7, compactEvery = 1, compactMaxFiles = 1)
       q.awaitTermination()
     }
     // three ingests, separate drains (restart between: the persisted
@@ -493,6 +493,33 @@ class StreamingSpec extends SparkSpec {
     drain(s"$tmp/ckpt_rewound")
     assert(collectPairs().sorted === got.sorted,
       "a rewound batch must be skipped")
+    // compaction ran after every batch (compactEvery=1, target 1 file):
+    // the per-batch appends must not grow the probe's file count
+    val buckets = new java.io.File(idxDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket_p="))
+    assert(buckets.nonEmpty)
+    val worst = buckets.map(b => new java.io.File(s"$idxDir/$b").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))).max
+    assert(worst <= 1,
+      s"compaction must bound per-bucket file count, worst=$worst")
+    // probe-equivalence through the swept index: a NEW verbatim copy of
+    // a pairless doc must pair with its original at jaccard 1.0 — the
+    // compacted inventory lost/duplicated nothing. The same batch ALSO
+    // carries batch 0's re-added docs (the original checkpoint never
+    // consumed the rewound re-offer above), so this drain additionally
+    // proves the at-least-once guard: re-delivered doc ids are dropped
+    // against the index instead of duplicating their inventory rows —
+    // without the guard, doubled n_common zeroes jaccard denominators
+    val paired = (want.map(_._1) ++ want.map(_._2)).toSet
+    val lone = docs.find(d => !paired.contains(d._1)).get
+    input.addData(Seq((100000L, lone._2)))
+    drain()
+    val after = collectPairs().sorted
+    val fresh = after.diff(got.sorted)
+    assert(fresh.length === 1 &&
+      fresh.head._1 === lone._1 && fresh.head._2 === 100000L &&
+      fresh.head._6 === 1.0,
+      s"expected exactly the planted (${lone._1}, 100000) pair, got $fresh")
   }
 
   test("dedup ingest: auto-compaction bounds index file count across many batches") {
