@@ -430,6 +430,30 @@ object Analytics {
         .select($"user_id", $"day", $"n_events", $"pattern",
           $"pattern".rlike("V.*C.*P").as("has_funnel"),
           ($"pattern" === "V").as("is_bounce"))
+    },
+
+    // q78: first-order Markov transition matrix over each user's event
+    // sequence — the behavior-model / synthetic-session-generator
+    // primitive (q77 classifies whole traces; this gives the generative
+    // step model). One keyed lag window (shuffles by user — the same
+    // partitioning every sequence op here reuses), one grouped count,
+    // row-count totals joined back broadcast (|types|² rows at most);
+    // the probability is a single division rounded 9 dp (IEEE tree).
+    "q78_markov_transitions" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val seq = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+      val counts = seq
+        .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy($"from_type")
+        .agg(sum($"n").as("n_from"))
+      counts.join(broadcast(totals), Seq("from_type"))
+        .select($"from_type", $"to_type", $"n", $"n_from",
+          round($"n".cast("double") / $"n_from".cast("double"), 9).as("p"))
     }
   )
 
@@ -444,6 +468,20 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    "q78_markov_transitions" ->
+      """WITH seqd AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS from_type, event_type AS to_type,
+        |    COUNT(*) AS n
+        |  FROM seqd WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 9) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+
     "q77_event_pattern" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts,
         |    event_id, upper(substr(event_type, 1, 1)) AS init

@@ -1353,6 +1353,42 @@ object DataOps {
       Similarity.bruteKnn(emb, emb.filter($"vec_id" < 3), k = 5)
     },
 
+    // s10: mutual (reciprocal) k-NN pairs — the similarity-graph edge
+    // set embedding dedup/clustering actually builds: (a, b) qualifies
+    // only when b sits in a's top-k AND a sits in b's top-k. One-sided
+    // kNN lists are noisy around hubs (a hub lands in everyone's list;
+    // mutuality prunes it — the standard hubness fix). Shape: the d06
+    // blocked exact kernel scores each pair ONCE (canonical
+    // orientation), both orientations feed a map-side top_k_pairs heap
+    // (k rows per vector ship, never the candidate set — the s08
+    // convention), and mutuality is one self-join on the k·N-row list
+    // relation. Exactly oracled incl. both rank columns (the heap's
+    // tie order IS the oracle's ORDER BY cos DESC, id ASC).
+    "s10_mutual_knn" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TopKPairs.top_k_pairs
+      val all = Similarity.allPairsCosine(Tables.embeddings(s, d),
+        minCos = -1.1)
+      val both = all
+        .select($"vec_a".as("probe"), $"vec_b".as("other"), $"cos_sim")
+        .unionByName(all.select($"vec_b".as("probe"),
+          $"vec_a".as("other"), $"cos_sim"))
+      val nn = both.groupBy($"probe")
+        .agg(top_k_pairs($"cos_sim", $"other", 5).as("__nn"))
+        .select($"probe", posexplode($"__nn").as(Seq("__pos", "__p")))
+        .select($"probe", $"__p.id".as("other"),
+          $"__p.score".as("cos_sim"),
+          ($"__pos" + 1).cast("long").as("rnk"))
+        .graftCheckpoint(true) // both sides of the mutual join read it
+      nn.as("x").join(nn.as("y"),
+          col("x.probe") === col("y.other") &&
+          col("x.other") === col("y.probe") &&
+          col("x.probe") < col("y.probe"))
+        .select(col("x.probe").as("vec_a"), col("x.other").as("vec_b"),
+          col("x.cos_sim").as("cos_sim"), col("x.rnk").as("rnk_a"),
+          col("y.rnk").as("rnk_b"))
+    },
+
     // Hyperplane-LSH approximate top-5 (no SQL oracle: approximate).
     "s02_lsh_knn" -> (lshKnnQuery(_, _)),
 
@@ -2036,6 +2072,60 @@ object DataOps {
             .as("n_novel"))
         .select($"doc_id", $"n_shingles", $"n_novel",
           round($"n_novel" / $"n_shingles", 9).as("novelty"))
+    },
+
+    // t34: lexical richness — per-doc type count, hapax count (tokens
+    // occurring exactly once IN the doc) and type-token ratio. The
+    // vocabulary-diversity signal next to t02's repetitiveness: TTR
+    // catches templated/boilerplate text whose distinct-TOKEN-ratio
+    // gate passes on length alone, hapax share separates generative
+    // text from slot-filled templates. Map-only shape: one explode,
+    // per-(doc, token) partial count, per-doc rollup — no corpus-wide
+    // state, so the signal costs one scan at any SF.
+    "t34_lexical_richness" -> { (s, d) =>
+      import s.implicits._
+      val perTok = Tables.documents(s, d)
+        .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      perTok.groupBy($"doc_id").agg(
+          sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
+          round($"n_types".cast("double") / $"n_tokens".cast("double"), 9)
+            .as("ttr"),
+          round($"n_hapax".cast("double") / $"n_types".cast("double"), 9)
+            .as("hapax_share"))
+    },
+
+    // o06: day-over-day event-type MIXTURE drift — the distribution
+    // monitor that catches a silently re-weighted upstream (a crawler
+    // flooding one source, a producer dropping a type) before it skews
+    // a training mix. Per day each type's share of traffic; per
+    // (type, day) the share delta vs the previous day; per day the L1
+    // drift (Σ|delta| over types, decimal-summed so the 5-way double
+    // sum is order-free). o05 flags VOLUME anomalies; this flags SHAPE
+    // anomalies volume can hide.
+    "o06_mixture_drift" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = daily.groupBy($"day").agg(sum($"n").as("n_day"))
+      val share = daily.join(broadcast(totals), Seq("day"))
+        .withColumn("share", $"n".cast("double") / $"n_day".cast("double"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val delta = share
+        .withColumn("delta", $"share" - lag($"share", 1).over(w))
+      val l1 = delta.filter($"delta".isNotNull)
+        .groupBy($"day")
+        .agg(sum(abs($"delta").cast("decimal(38,18)")).cast("double")
+          .as("__l1"))
+      delta.join(broadcast(l1), Seq("day"), "left")
+        .select($"day", $"event_type", $"n",
+          round($"share", 9).as("share"),
+          round($"delta", 9).as("delta"),
+          round($"__l1", 9).as("day_l1_drift"))
     },
 
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -2893,6 +2983,42 @@ object DataOps {
         |  1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
         |    AS exact_dup_rate
         |FROM documents""".stripMargin,
+
+    "t34_lexical_richness" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+        |      AS n_hapax
+        |  FROM pt GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+        |    AS ttr,
+        |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 9)
+        |    AS hapax_share
+        |FROM a""".stripMargin,
+
+    "o06_mixture_drift" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n_day
+        |  FROM daily GROUP BY 1),
+        |sh AS (SELECT d.day, d.event_type, d.n,
+        |    CAST(d.n AS DOUBLE) / CAST(t.n_day AS DOUBLE) AS share
+        |  FROM daily d JOIN t USING (day)),
+        |dl AS (SELECT day, event_type, n, share,
+        |    share - LAG(share) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS delta
+        |  FROM sh),
+        |l1 AS (SELECT day,
+        |    CAST(SUM(CAST(abs(delta) AS DECIMAL(38,18))) AS DOUBLE) AS l1
+        |  FROM dl WHERE delta IS NOT NULL GROUP BY day)
+        |SELECT dl.day, dl.event_type, dl.n, round(dl.share, 9) AS share,
+        |  round(dl.delta, 9) AS delta, round(l1.l1, 9) AS day_l1_drift
+        |FROM dl LEFT JOIN l1 USING (day)""".stripMargin,
 
     "t28_zipf_alpha" ->
       """WITH tf AS (SELECT source, tok, COUNT(*) AS f
@@ -3861,6 +3987,22 @@ object DataOps {
         |  CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
         |  CAST(SUM(CASE WHEN keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dups
         |FROM assign""".stripMargin,
+
+    "s10_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT a.vec_id AS probe, b.vec_id AS other,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |        sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |nn AS (SELECT probe, other, cos_sim, ROW_NUMBER() OVER (
+        |    PARTITION BY probe ORDER BY cos_sim DESC, other ASC) AS rnk
+        |  FROM sc),
+        |k AS (SELECT * FROM nn WHERE rnk <= 5)
+        |SELECT x.probe AS vec_a, x.other AS vec_b, x.cos_sim AS cos_sim,
+        |  x.rnk AS rnk_a, y.rnk AS rnk_b
+        |FROM k x JOIN k y ON x.probe = y.other AND x.other = y.probe
+        |  AND x.probe < y.probe""".stripMargin,
 
     "s01_brute_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

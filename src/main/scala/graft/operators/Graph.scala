@@ -957,6 +957,41 @@ object Graph {
         col("n_triangles"))
     },
 
+    // g11: degree assortativity — Pearson correlation of endpoint
+    // degrees over the symmetrized trade graph's directed edges.
+    // Hubs-link-hubs (r > 0) vs hub-and-spoke (r < 0) decides which
+    // sampling and partitioning strategies survive on this graph
+    // (skew-salting matters exactly when assortativity is negative and
+    // hot vertices face wide fan-outs), and the metric drifting
+    // round-over-round flags upstream shape changes the way o06 flags
+    // mixture drift. Integer sums (exact, order-free) feed ONE
+    // mirrored IEEE double tree rounded 9 dp — the g10 convention, so
+    // the single output row is value-oracled, not approximated. At
+    // 100 TB the whole query is two keyed joins + a 1-row aggregate.
+    "g11_assortativity" -> { (s, d) =>
+      val e = tradeEdges(s, d).graftCheckpoint(true)
+      val deg = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      e.join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("dy"))
+          .hint("shuffle_hash"), "dst")
+        .agg(
+          count(lit(1)).as("n_edges"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sx2"),
+          sum(col("dy") * col("dy")).as("sy2"))
+        .select(col("n_edges"),
+          round(
+            (col("n_edges").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n_edges").cast("double") * col("sx2").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n_edges").cast("double") * col("sy2").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 9)
+            .as("assortativity"))
+    },
+
     // Link prediction on the g03 co-purchase projection (SAME graph):
     // the top non-adjacent customer pairs by Adamic–Adar — "these two
     // never shared 2+ suppliers directly, but their neighborhoods
@@ -1241,6 +1276,31 @@ object Graph {
         |  round(internal_w / m2 - (degree_w / m2) * (degree_w / m2), 9)
         |    AS q_contrib
         |FROM agg CROSS JOIN tot""".stripMargin,
+
+    "g11_assortativity" ->
+      """WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT c*2 AS src, sp*2+1 AS dst FROM cs
+        |  UNION ALL SELECT sp*2+1, c*2 FROM cs),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+        |p AS (SELECT a.deg AS dx, b.deg AS dy
+        |  FROM e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id),
+        |s AS (SELECT COUNT(*) AS n_edges,
+        |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+        |    CAST(SUM(dx*dy) AS BIGINT) AS sxy,
+        |    CAST(SUM(dx*dx) AS BIGINT) AS sx2,
+        |    CAST(SUM(dy*dy) AS BIGINT) AS sy2
+        |  FROM p)
+        |SELECT n_edges,
+        |  round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n_edges AS DOUBLE) * CAST(sx2 AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      sqrt(CAST(n_edges AS DOUBLE) * CAST(sy2 AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+        |    AS assortativity
+        |FROM s""".stripMargin,
 
     "g10_graph_summary" ->
       """WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp

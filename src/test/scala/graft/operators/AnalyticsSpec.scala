@@ -372,4 +372,35 @@ class AnalyticsSpec extends SparkSpec {
       (1L, "2024-01-02", 3L, "PCV", false, false),
       (2L, "2024-01-01", 1L, "V", false, true)))
   }
+
+  test("q78 markov transitions: per-user sequences, no cross-user edges, " +
+    "rows normalize to 1") {
+    // user 1: V->C, C->V, V->C (so V->C has n=2); user 2's single V
+    // contributes NO transition, and 2's V must not chain onto 1's tail
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (1L, 2L, "click", "2024-01-01 10:01:00"),
+      (1L, 3L, "view", "2024-01-01 10:02:00"),
+      (1L, 4L, "click", "2024-01-01 10:03:00"),
+      (2L, 5L, "view", "2024-01-01 10:04:00")
+    ).toDF("user_id", "event_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q78").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q78_markov_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got === Set(
+      ("view", "click", 2L, 2L, 1.0),
+      ("click", "view", 1L, 1L, 1.0)))
+    // probability rows per from_type sum to 1 on the real corpus
+    val rows = Analytics.queries("q78_markov_transitions")(
+        spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getDouble(4)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val tot = g.map(_._2).sum
+      assert(math.abs(tot - 1.0) < 1e-6, s"rows must normalize, got $tot")
+    }
+  }
 }

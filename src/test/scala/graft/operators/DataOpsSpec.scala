@@ -1497,4 +1497,36 @@ class DataOpsSpec extends SparkSpec {
       .repartition(7).as[(Long, Long, String, Long)].collect().toSet
     assert(again === out.toSet)
   }
+
+  test("s10 mutual kNN: heap formulation equals the window formulation, " +
+    "and mutuality genuinely prunes one-sided edges") {
+    import org.apache.spark.sql.expressions.Window
+    val out = DataOps.queries("s10_mutual_knn")(spark, sf("sf0.001"))
+      .as[(Long, Long, Double, Long, Long)].collect()
+    // independent recomputation of the same ranking: full rank WINDOW
+    // over the same 6dp blocked-kernel scores (the formulation the
+    // heap aggregate exists to avoid at scale)
+    val all = Similarity.allPairsCosine(
+      graft.Tables.embeddings(spark, sf("sf0.001")), minCos = -1.1)
+    val both = all.select($"vec_a".as("probe"), $"vec_b".as("other"),
+        $"cos_sim")
+      .unionByName(all.select($"vec_b".as("probe"), $"vec_a".as("other"),
+        $"cos_sim"))
+    val w = Window.partitionBy($"probe")
+      .orderBy($"cos_sim".desc, $"other".asc)
+    val top = both.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"probe", $"other").as[(Long, Long)].collect().toSet
+    val mutual = top.filter { case (a, b) => top.contains((b, a)) && a < b }
+    assert(out.map(p => (p._1, p._2)).toSet === mutual,
+      "heap-aggregated mutual set must equal the window formulation")
+    // premise: mutuality bites — some one-sided edge is not mutual
+    val oneSidedCanon = top.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(mutual.size < oneSidedCanon.size,
+      "one-sided union must strictly exceed the mutual set")
+    // every pair is canonical with consistent ranks
+    out.foreach { p =>
+      assert(p._1 < p._2 && p._4 >= 1 && p._4 <= 5 && p._5 >= 1 && p._5 <= 5)
+    }
+  }
 }
