@@ -1529,4 +1529,43 @@ class DataOpsSpec extends SparkSpec {
       assert(p._1 < p._2 && p._4 >= 1 && p._4 <= 5 && p._5 >= 1 && p._5 <= 5)
     }
   }
+
+  test("t34 lexical richness: hand-counted types, hapax, TTR on planted " +
+    "docs; templated text separates from generative text") {
+    // doc 1 "a b a c": 4 tokens, 3 types (a,b,c), 2 hapax (b,c)
+    // doc 2 "x x x x": 4 tokens, 1 type, 0 hapax -- the templated case
+    val dir = java.nio.file.Files.createTempDirectory("t34").toString
+    Seq((1L, "a b a c"), (2L, "x x x x"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.queries("t34_lexical_richness")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 4L, 3L, 2L, 0.75, 0.666666667),
+      (2L, 4L, 1L, 0L, 0.25, 0.0)))
+  }
+
+  test("o06 mixture drift: share flip between two days yields L1 drift 1, " +
+    "first day has null delta and null drift") {
+    // day 1: A=3 B=1 (shares .75/.25); day 2: A=1 B=3 -- deltas -+0.5,
+    // L1 = 1.0; day-1 rows carry nulls (no previous day to diff against)
+    val ev = (Seq.fill(3)("A") ++ Seq("B")).zipWithIndex.map { case (t, i) =>
+        (t, s"2024-01-01 10:0$i:00")
+      } ++ (Seq("A") ++ Seq.fill(3)("B")).zipWithIndex.map { case (t, i) =>
+        (t, s"2024-01-02 10:0$i:00")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("o06").toString
+    ev.toDF("event_type", "t").withColumn("ts", to_timestamp($"t")).drop("t")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = DataOps.queries("o06_mixture_drift")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+    assert(got === Set(
+      ("2024-01-01", "A", 3L, 0.75, None, None),
+      ("2024-01-01", "B", 1L, 0.25, None, None),
+      ("2024-01-02", "A", 1L, 0.25, Some(-0.5), Some(1.0)),
+      ("2024-01-02", "B", 3L, 0.75, Some(0.5), Some(1.0))))
+  }
 }

@@ -535,4 +535,29 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("g11 assortativity: bipartite star is exactly -1, a shared-supplier " +
+    "path is exactly -0.5 (closed-form Pearson over endpoint degrees)") {
+    // star: 1 customer x 4 suppliers. Symmetrized edges pair degree 4
+    // against degree 1 both ways -> r = -k^2(k-1)^2 / k^2(k-1)^2 = -1.
+    val star = java.nio.file.Files.createTempDirectory("g11a").toString
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$star/orders.parquet")
+    (100L to 103L).map((1L, _)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$star/lineitem.parquet")
+    val a = Graph.queries("g11_assortativity")(spark, star)
+      .as[(Long, Double)].collect()
+    assert(a.toSeq === Seq((8L, -1.0)))
+    // path: c1-s100, c1-s101, c2-s100. Degrees c1=2, s100=2, c2=1,
+    // s101=1; six directed edges give n*sxy - sx*sy = -4 over
+    // n*sx2 - sx^2 = 8 -> r = -0.5 exactly.
+    val path = java.nio.file.Files.createTempDirectory("g11b").toString
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$path/orders.parquet")
+    Seq((1L, 100L), (1L, 101L), (2L, 100L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$path/lineitem.parquet")
+    val b = Graph.queries("g11_assortativity")(spark, path)
+      .as[(Long, Double)].collect()
+    assert(b.toSeq === Seq((6L, -0.5)))
+  }
 }
