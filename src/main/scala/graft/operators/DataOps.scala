@@ -1380,7 +1380,9 @@ object DataOps {
           $"__p.score".as("cos_sim"),
           ($"__pos" + 1).cast("long").as("rnk"))
         .graftCheckpoint(true) // both sides of the mutual join read it
-      nn.as("x").join(nn.as("y"),
+      // k·N rows per side — corpus-scale, so the self-join must never
+      // ride the broadcast path (the d16 shuffle_hash convention)
+      nn.as("x").join(nn.as("y").hint("shuffle_hash"),
           col("x.probe") === col("y.other") &&
           col("x.other") === col("y.probe") &&
           col("x.probe") < col("y.probe"))

@@ -972,7 +972,10 @@ object Graph {
       val e = tradeEdges(s, d).graftCheckpoint(true)
       val deg = e.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"))
-      e.join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
+      // the degree relation is vertex-scale: shuffle-hash on BOTH
+      // endpoint joins, never broadcast (the d16 convention)
+      e.join(deg.select(col("id").as("src"), col("deg").as("dx"))
+          .hint("shuffle_hash"), "src")
         .join(deg.select(col("id").as("dst"), col("deg").as("dy"))
           .hint("shuffle_hash"), "dst")
         .agg(
