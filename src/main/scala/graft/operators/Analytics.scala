@@ -454,6 +454,70 @@ object Analytics {
       counts.join(broadcast(totals), Seq("from_type"))
         .select($"from_type", $"to_type", $"n", $"n_from",
           round($"n".cast("double") / $"n_from".cast("double"), 9).as("p"))
+    },
+
+    // q79: EWMA (α = 1/2) of each event type's daily volume, EXACT —
+    // the smoothed baseline behind spike alerts (q76's rolling median is
+    // robust but laggy; EWMA reacts geometrically). The float recursion
+    // ewma_t = α·x_t + (1−α)·ewma_{t−1} is order-sensitive and never
+    // bit-stable across engines, so it is rescaled into integers:
+    // with α = 1/2, 2^(t−1)·ewma_t = x_1 + Σ_{j=2..t} x_j·2^(j−2) — a
+    // RUNNING SUM of per-row dyadic terms. Terms sum in DECIMAL(38,0)
+    // (order-free, exact; a 30-day span times 10^15-row days still fits
+    // 38 digits), and the final scale-back multiplies by 2^-(t−1) —
+    // a pure exponent shift, exact in IEEE — so the ewma column is
+    // bit-identical cross-engine with NO rounding anywhere. The daily
+    // aggregation is the only corpus-scale stage; the window runs over
+    // calendar-bounded per-type series (≤ span rows per type at any SF).
+    "q79_ewma" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      daily
+        .withColumn("t", row_number().over(w))
+        .withColumn("term",
+          expr("shiftleft(n_events, cast(greatest(t - 2, 0) as int))")
+            .cast("decimal(38,0)"))
+        .withColumn("scaled", sum($"term").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"event_type", $"day", $"n_events",
+          ($"scaled".cast("double") * pow(lit(2.0), -($"t" - 1)))
+            .as("ewma"))
+        .withColumn("dev", $"n_events" - $"ewma")
+    },
+
+    // q80: CUSUM changepoint scan per event type — cumulative sum of
+    // deviations from the type's own mean daily volume; the day where
+    // |CUSUM| peaks is the level-shift estimate (Page's classic test;
+    // o05 flags single outlier days, THIS finds sustained regime
+    // changes a per-day z-score never sees). Exact: the running count
+    // sum and day index are integers, the mean is one division of exact
+    // integers, and S_t = run_sum_t − t·μ is a two-op IEEE tree
+    // evaluated in the same order by both engines — bit-equal with no
+    // rounding. Peak flag compares those identical doubles against the
+    // type's window max. Same scale shape as q79: one corpus-scale
+    // daily aggregation, then calendar-bounded windows.
+    "q80_cusum" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val wAll = Window.partitionBy($"event_type")
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      daily
+        .withColumn("t", row_number().over(w))
+        .withColumn("run_sum", sum($"n_events").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("mu",
+          sum($"n_events").over(wAll).cast("double") /
+            count(lit(1)).over(wAll).cast("double"))
+        .withColumn("cusum",
+          $"run_sum".cast("double") - $"t".cast("double") * $"mu")
+        .withColumn("is_peak",
+          abs($"cusum") === max(abs($"cusum")).over(wAll))
+        .select($"event_type", $"day", $"n_events", $"cusum", $"is_peak")
     }
   )
 
@@ -468,6 +532,46 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    "q79_ewma" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS t FROM daily),
+        |s AS (SELECT *, SUM(CAST(n_events
+        |      * (CAST(1 AS BIGINT) << GREATEST(t - 2, 0)) AS
+        |      DECIMAL(38,0)))
+        |    OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS scaled FROM r)
+        |SELECT event_type, day, n_events,
+        |  CAST(scaled AS DOUBLE) * power(2.0, -(t - 1)) AS ewma,
+        |  n_events - CAST(scaled AS DOUBLE) * power(2.0, -(t - 1))
+        |    AS dev
+        |FROM s""".stripMargin,
+
+    "q80_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS t,
+        |    SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS run_sum,
+        |    CAST(SUM(n_events) OVER (PARTITION BY event_type)
+        |        AS DOUBLE)
+        |      / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      AS mu
+        |  FROM daily),
+        |c AS (SELECT *, CAST(run_sum AS DOUBLE)
+        |    - CAST(t AS DOUBLE) * mu AS cusum FROM r)
+        |SELECT event_type, day, n_events, cusum,
+        |  abs(cusum) = MAX(abs(cusum))
+        |    OVER (PARTITION BY event_type) AS is_peak
+        |FROM c""".stripMargin,
+
     "q78_markov_transitions" ->
       """WITH seqd AS (SELECT user_id, event_type,
         |    LAG(event_type) OVER (PARTITION BY user_id

@@ -403,4 +403,60 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(tot - 1.0) < 1e-6, s"rows must normalize, got $tot")
     }
   }
+
+  test("q79 ewma: dyadic scaling reproduces the α=1/2 recursion exactly; " +
+    "series are per-type; a single-day type is its own baseline") {
+    // type A daily counts 4, 8, 2 → ewma 4, 6, 4 (exact halvings):
+    //   t1: 4; t2: (8+4)/2 = 6; t3: 2/2 + 6/2 = 4
+    val ev = Seq(
+      ("click", "2024-01-01", 4), ("click", "2024-01-02", 8),
+      ("click", "2024-01-03", 2), ("view", "2024-01-02", 1)
+    ).flatMap { case (ty, day, n) =>
+      (1 to n).map(i => (ty, day, i))
+    }.zipWithIndex.map { case ((ty, day, i), id) =>
+      (id.toLong, ty, s"$day 0${i % 10}:0${i / 10}:00")
+    }.toDF("event_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q79").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q79_ewma")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    // exact == on doubles is deliberate: every value is a dyadic rational
+    assert(got === Set(
+      ("click", "2024-01-01", 4L, 4.0, 0.0),
+      ("click", "2024-01-02", 8L, 6.0, 2.0),
+      ("click", "2024-01-03", 2L, 4.0, -2.0),
+      ("view", "2024-01-02", 1L, 1.0, 0.0)))
+  }
+
+  test("q80 cusum: peak day marks the level shift; single-day series " +
+    "peak at zero; exact values") {
+    // type A counts 10,10,4,4 → μ=7, cusum 3,6,3,0 → peak day 2
+    val ev = Seq(
+      ("click", "2024-01-01", 10), ("click", "2024-01-02", 10),
+      ("click", "2024-01-03", 4), ("click", "2024-01-04", 4),
+      ("view", "2024-01-02", 5)
+    ).flatMap { case (ty, day, n) =>
+      (1 to n).map(i => (ty, day, i))
+    }.zipWithIndex.map { case ((ty, day, i), id) =>
+      (id.toLong, ty, s"$day 0${i % 10}:0${i / 10}:00")
+    }.toDF("event_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q80").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q80_cusum")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got === Set(
+      ("click", "2024-01-01", 10L, 3.0, false),
+      ("click", "2024-01-02", 10L, 6.0, true),
+      ("click", "2024-01-03", 4L, 3.0, false),
+      ("click", "2024-01-04", 4L, 0.0, false),
+      ("view", "2024-01-02", 5L, 0.0, true)))
+  }
 }
