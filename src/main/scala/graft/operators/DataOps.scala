@@ -2100,6 +2100,40 @@ object DataOps {
             .as("hapax_share"))
     },
 
+    // t35: code-vs-prose detection — the corpus-routing signal every
+    // mixed crawl needs (code wants different dedup granularity,
+    // tokenizers, and mixture weights than prose; mislabeled code also
+    // poisons perplexity filters like t23, which score it as
+    // gibberish). Pure structural signals, no ML: symbol density,
+    // code-punctuation counts ({};()=), keyword hits, indented-line
+    // count — every one an exact integer from length/replace
+    // arithmetic or a codegen'd regex count, composed into one exact
+    // division. Map-only single pass over the corpus; thresholds are
+    // compared on bit-identical doubles so the flag is deterministic
+    // cross-engine.
+    "t35_code_detect" -> { (s, d) =>
+      import s.implicits._
+      // keyword list deliberately excludes if/for/while/else — common
+      // English words; the retained set is rare in prose, so the
+      // false-positive rate is carried by punctuation density instead
+      val kw = "\\b(def|class|return|import|function|val|var|const|" +
+        "elif|lambda|println|void)\\b"
+      Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          length($"text").as("n_chars"),
+          length(regexp_replace($"text", "[A-Za-z0-9 \\t\\n]", ""))
+            .as("n_sym"),
+          (length($"text") - length(translate($"text", "{};()=", "")))
+            .as("n_punct"),
+          regexp_count($"text", lit(kw)).as("n_kw"),
+          regexp_count($"text", lit("(?m)^(  |\\t)")).as("indent_lines"))
+        .withColumn("code_score",
+          round((($"n_kw" * 3 + $"n_punct" * 2 + $"indent_lines" * 2)
+            * 1000).cast("double") /
+            greatest($"n_chars", lit(1)).cast("double"), 9))
+        .withColumn("is_code", $"code_score" >= 10.0)
+    },
+
     // o06: day-over-day event-type MIXTURE drift — the distribution
     // monitor that catches a silently re-weighted upstream (a crawler
     // flooding one source, a producer dropping a type) before it skews
@@ -2128,6 +2162,48 @@ object DataOps {
           round($"share", 9).as("share"),
           round($"delta", 9).as("delta"),
           round($"__l1", 9).as("day_l1_drift"))
+    },
+
+    // o07: PSI feature drift — the population stability index
+    // (Σ (p−q)·ln(p/q), the standard ML model-monitoring metric) of the
+    // numeric event property `props.k`, binned by decile cutpoints,
+    // day over day. o06 watches the TYPE mixture; this watches a
+    // FEATURE's distribution, so a producer that keeps its event mix
+    // but starts emitting shifted values (an upstream unit change, a
+    // clamped sensor) trips this monitor and nothing else. Bins are
+    // Laplace-smoothed (+1 over the 10 possible bins) so empty bins
+    // are well-defined without ε hacks; the dense day×bin grid is
+    // calendar-bounded (days × 10 rows) however large the corpus. The
+    // JSON extraction is a map-only codegen'd path over the corpus —
+    // the only corpus-scale stage; shares are exact-integer divisions,
+    // the ln rides the t13 round-6dp convention, and per-day PSI is an
+    // order-free decimal sum of 9dp-rounded terms.
+    "o07_psi_drift" -> { (s, d) =>
+      import s.implicits._
+      val binned = Tables.events(s, d)
+        .select(to_date($"ts").as("day"),
+          expr("least(cast(get_json_object(props, '$.k') as bigint) " +
+            "div 10, 9)").as("bin"))
+        .groupBy($"day", $"bin").agg(count(lit(1)).as("n"))
+      val grid = binned.select($"day").distinct()
+        .crossJoin(s.range(0, 10).select($"id".as("bin")))
+      val dense = grid.join(binned, Seq("day", "bin"), "left")
+        .select($"day", $"bin", coalesce($"n", lit(0L)).as("n"))
+      val totals = dense.groupBy($"day").agg(sum($"n").as("n_day"))
+      val share = dense.join(broadcast(totals), Seq("day"))
+        .withColumn("p", ($"n" + 1).cast("double") /
+          ($"n_day" + 10).cast("double"))
+      val w = Window.partitionBy($"bin").orderBy($"day")
+      val terms = share
+        .withColumn("q", lag($"p", 1).over(w))
+        .withColumn("term", when($"q".isNotNull,
+          round(($"p" - $"q") * round(log($"p" / $"q"), 6), 9)))
+      val psi = terms.filter($"term".isNotNull)
+        .groupBy($"day")
+        .agg(sum($"term".cast("decimal(28,9)")).cast("double").as("__psi"))
+      terms.join(broadcast(psi), Seq("day"), "left")
+        .select($"day", $"bin", $"n", round($"p", 9).as("p"),
+          $"term", round($"__psi", 9).as("day_psi"))
     },
 
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -3001,6 +3077,55 @@ object DataOps {
         |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 9)
         |    AS hapax_share
         |FROM a""".stripMargin,
+
+    "o07_psi_drift" ->
+      """WITH binned AS (SELECT CAST(ts AS DATE) AS day,
+        |    least(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      // 10, 9) AS bin, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT day, bin
+        |  FROM (SELECT DISTINCT day FROM binned),
+        |       (SELECT unnest(generate_series(0, 9)) AS bin)),
+        |dense AS (SELECT g.day, g.bin, COALESCE(b.n, 0) AS n
+        |  FROM grid g LEFT JOIN binned b
+        |    ON g.day = b.day AND g.bin = b.bin),
+        |t AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n_day
+        |  FROM dense GROUP BY 1),
+        |sh AS (SELECT d.day, d.bin, d.n,
+        |    CAST(d.n + 1 AS DOUBLE) / CAST(t.n_day + 10 AS DOUBLE) AS p
+        |  FROM dense d JOIN t USING (day)),
+        |tm AS (SELECT *, CASE WHEN q IS NOT NULL THEN
+        |      round((p - q) * round(ln(p / q), 6), 9) END AS term
+        |  FROM (SELECT *, LAG(p) OVER (PARTITION BY bin ORDER BY day)
+        |      AS q FROM sh)),
+        |psi AS (SELECT day,
+        |    CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) AS psi
+        |  FROM tm WHERE term IS NOT NULL GROUP BY day)
+        |SELECT tm.day, tm.bin, tm.n, round(tm.p, 9) AS p, tm.term,
+        |  round(psi.psi, 9) AS day_psi
+        |FROM tm LEFT JOIN psi USING (day)""".stripMargin,
+
+    "t35_code_detect" ->
+      """WITH sig AS (SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g'))
+        |      AS n_sym,
+        |    length(text) - length(translate(text, '{};()=', ''))
+        |      AS n_punct,
+        |    len(regexp_extract_all(text,
+        |      '\b(def|class|return|import|function|val|var|const|elif|lambda|println|void)\b'))
+        |      AS n_kw,
+        |    len(regexp_extract_all(text, '(?m)^(  |\t)'))
+        |      AS indent_lines
+        |  FROM documents),
+        |sc AS (SELECT *,
+        |    round(CAST((n_kw * 3 + n_punct * 2 + indent_lines * 2)
+        |        * 1000 AS DOUBLE)
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS code_score
+        |  FROM sig)
+        |SELECT doc_id, source, n_chars, n_sym, n_punct, n_kw,
+        |  indent_lines, code_score, code_score >= 10.0 AS is_code
+        |FROM sc""".stripMargin,
 
     "o06_mixture_drift" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,

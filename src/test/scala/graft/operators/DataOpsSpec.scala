@@ -1568,4 +1568,61 @@ class DataOpsSpec extends SparkSpec {
       ("2024-01-02", "A", 1L, 0.25, Some(-0.5), Some(1.0)),
       ("2024-01-02", "B", 3L, 0.75, Some(0.5), Some(1.0))))
   }
+
+  test("o07 psi drift: identical day-over-day distribution scores " +
+    "EXACTLY zero, a shifted one scores positive, first day is null, " +
+    "smoothed shares always sum to 1 over the dense 10-bin grid") {
+    // day1/day2: same k multiset {5,15,15,95}; day3: all mass at k=95
+    val ks = Seq("2024-01-01" -> Seq(5, 15, 15, 95),
+      "2024-01-02" -> Seq(5, 15, 15, 95),
+      "2024-01-03" -> Seq(95, 95, 95, 95))
+    val ev = ks.flatMap { case (day, vals) =>
+      vals.zipWithIndex.map { case (k, i) =>
+        (s"""{"k": $k}""", s"$day 10:0$i:00")
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("o07").toString
+    ev.toDF("props", "t").withColumn("ts", to_timestamp($"t")).drop("t")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = DataOps.queries("o07_psi_drift")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(rows.length === 30, "dense grid: 3 days x 10 bins")
+    val byDay = rows.groupBy(_._1)
+    // Laplace-smoothed shares sum to (N+10)/(N+10) = 1 per day, up to
+    // the 9dp output rounding of the 10 individual shares
+    byDay.values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-8)
+    }
+    assert(byDay("2024-01-01").forall(r => r._5.isEmpty && r._6.isEmpty),
+      "first day has no previous distribution")
+    assert(byDay("2024-01-02").forall(_._6 === Some(0.0)),
+      "identical distributions must score exactly zero PSI")
+    assert(byDay("2024-01-03").forall(_._6.exists(_ > 0.1)),
+      "a mass shift into one bin must score positive PSI")
+    // the shifted bin's count moved 1 -> 4
+    assert(byDay("2024-01-03").find(_._2 == 9L).map(_._3) === Some(4L))
+  }
+
+  test("t35 code detect: keyword+punct+indent structure flags code, " +
+    "prose with incidental if/for stays prose, exact signal counts") {
+    val code = "def f() {\n  return 1;\n}"
+    val prose = "if you wait for the train it will come for you in time"
+    val docs = Seq((1L, code, "src0"), (2L, prose, "src0"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+    val dir = java.nio.file.Files.createTempDirectory("t35").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.queries("t35_code_detect")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getBoolean(8)))).toMap
+    // code: kw {def, return}, punct {(,),{,;,}} = 5, one indented line
+    assert(got(1L) === ((23, 5, 5, 2, 1, true)))
+    // prose: if/for are NOT in the keyword list; zero structure
+    assert(got(2L) === ((54, 0, 0, 0, 0, false)))
+  }
 }
