@@ -1364,6 +1364,19 @@ object DataOps {
     // convention), and mutuality is one self-join on the k·N-row list
     // relation. Exactly oracled incl. both rank columns (the heap's
     // tie order IS the oracle's ORDER BY cos DESC, id ASC).
+    // s11: lexical near-dup by TF-IDF cosine over trigram OCCURRENCE
+    // vectors — the weighted upgrade of d02's set-Jaccard (repeated
+    // distinctive phrases amplify, boilerplate discounts via idf) and
+    // the model-free sibling of d06's embedding cosine. Candidates from
+    // sub-cap posting lists, scores EXACT over the full vectors (see
+    // Dedup.tfidfCosinePairs). τ = 0.2 sits in the measured score gap:
+    // at sf0.01 the non-dup candidate mass tops out near 0.05 while
+    // planted near-dup families score ≥ 0.98.
+    "s11_sparse_cosine" -> { (s, d) =>
+      Dedup.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minCosine = 0.2, maxDocFreq = 1000L)
+    },
+
     "s10_mutual_knn" -> { (s, d) =>
       import s.implicits._
       import graft.functions.TopKPairs.top_k_pairs
@@ -4114,6 +4127,40 @@ object DataOps {
         |  CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
         |  CAST(SUM(CASE WHEN keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dups
         |FROM assign""".stripMargin,
+
+    "s11_sparse_cosine" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t
+        |  FROM documents),
+        |occ AS (SELECT doc_id AS doc,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |tf AS (SELECT doc, shingle, COUNT(*) AS tf FROM occ
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |w AS (SELECT doc, tf.shingle, dfq.df,
+        |    CAST(round(tf * ln(n.n / dfq.df), 6) AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfq USING (shingle), n),
+        |norms AS (SELECT doc, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |sub AS (SELECT doc, shingle FROM w WHERE df <= 1000),
+        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM sub a JOIN sub b
+        |    ON a.shingle = b.shingle AND a.doc < b.doc),
+        |dt AS (SELECT doc_a, doc_b, COUNT(*) AS n_common,
+        |    CAST(SUM(wa.w * wb.w) AS DOUBLE) AS dot
+        |  FROM cand
+        |    JOIN w wa ON wa.doc = doc_a
+        |    JOIN w wb ON wb.doc = doc_b AND wb.shingle = wa.shingle
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT doc_a, doc_b, n_common,
+        |    round(dot / (na.nrm * nb.nrm), 9) AS cosine
+        |  FROM dt
+        |    JOIN norms na ON na.doc = doc_a
+        |    JOIN norms nb ON nb.doc = doc_b)
+        |SELECT doc_a, doc_b, n_common, cosine FROM cs
+        |WHERE cosine >= 0.2""".stripMargin,
 
     "s10_mutual_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -132,6 +132,69 @@ object Dedup {
       .filter($"jaccard" >= minJaccard)
       .select($"doc_a", $"doc_b", $"n_common", $"size_a", $"size_b", $"jaccard")
 
+  /** TF-IDF-weighted cosine near-dup pairs over token n-gram OCCURRENCE
+    * vectors — the weighted companion to [[ngramJaccardPairs]]: Jaccard
+    * sees sets (a doc that repeats a rare phrase 40 times scores the
+    * same as one mention), cosine over tf·idf sees how much of each
+    * document's MASS the overlap carries, so boilerplate-heavy overlap
+    * (high df ⇒ idf ≈ 0) is discounted without any cap and repeated
+    * distinctive content is amplified. This is lexical near-dup at the
+    * weighting a retrieval stack uses — d06's dense-embedding cosine
+    * without a model in the loop.
+    *
+    * Exactness: weights are 6dp-rounded (the t13 ln convention) then
+    * DECIMAL(18,6); dots and squared norms are decimal sums (exact,
+    * order-free); norm and cosine are a sqrt + one division/multiply
+    * IEEE tree mirrored op-for-op in the oracle, rounded 9dp at the end.
+    *
+    * Scale shape: candidate pairs come from sub-`maxDocFreq` posting
+    * lists (the d02 stop-shingle contract — a shingle in thousands of
+    * docs generates df² candidate rows and, at idf ≈ ln(N/df) → 0,
+    * nearly zero score mass); the dot product then runs over the FULL
+    * weight vectors of surviving candidates, so scores are exact even
+    * when the overlap includes hot shingles — the cap bounds RECALL of
+    * candidate generation only, never the score of a reported pair.
+    * Every shuffle keys on shingle or doc id; nothing is all-pairs. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCosine: Double, maxDocFreq: Long): DataFrame = {
+    val occ = df.select(col(idCol).as("doc"),
+      explode(Text.ngrams(col(textCol), n)).as("shingle"))
+    val tf = occ.groupBy($"doc", $"shingle").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"shingle").agg(count(lit(1)).as("__df"))
+    val nDf = df.agg(count(lit(1)).cast("double").as("__n"))
+    val w = tf
+      .join(dfreq.hint("shuffle_hash"), Seq("shingle")) // vocab ~ corpus
+      .crossJoin(broadcast(nDf))
+      .select($"doc", $"shingle", $"__df",
+        round($"tf" * log($"__n" / $"__df"), 6).cast("decimal(18,6)")
+          .as("w"))
+      .graftCheckpoint(true) // norms, candidates, and both dot probes
+    val norms = w.groupBy($"doc")
+      .agg(sqrt(sum($"w" * $"w").cast("double")).as("norm"))
+    val sub = w.filter($"__df" <= maxDocFreq).select($"doc", $"shingle")
+    val cand = sub.select($"doc".as("doc_a"), $"shingle")
+      .join(sub.select($"doc".as("doc_b"), $"shingle")
+        .hint("shuffle_hash"), Seq("shingle"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val dot = cand
+      .join(w.select($"doc".as("doc_a"), $"shingle", $"w".as("__wa")),
+        Seq("doc_a"))
+      .join(w.select($"doc".as("doc_b"), $"shingle", $"w".as("__wb"))
+        .hint("shuffle_hash"), Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        sum($"__wa" * $"__wb").cast("double").as("__dot"))
+    dot
+      .join(norms.select($"doc".as("doc_a"), $"norm".as("__na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(norms.select($"doc".as("doc_b"), $"norm".as("__nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("cosine", round($"__dot" / ($"__na" * $"__nb"), 9))
+      .filter($"cosine" >= minCosine)
+      .select($"doc_a", $"doc_b", $"n_common", $"cosine")
+  }
+
   /** EXACT set-similarity join by prefix filtering (the PPJoin/AllPairs
     * family — Chaudhuri et al. 2006, Xiao et al. 2008, public): every
     * pair with trigram Jaccard ≥ τ, with PROVABLE completeness and no

@@ -1625,4 +1625,38 @@ class DataOpsSpec extends SparkSpec {
     // prose: if/for are NOT in the keyword list; zero structure
     assert(got(2L) === ((54, 0, 0, 0, 0, false)))
   }
+
+  test("s11 sparse cosine: corpus-wide boilerplate carries ZERO score " +
+    "mass (idf = ln(N/N) = 0), shared rare content pairs; repetition " +
+    "amplifies where Jaccard saturates") {
+    // boiler appears in EVERY doc -> its shingles have df = N and
+    // idf = ln(1) = 0 EXACTLY, so they contribute nothing to any dot
+    val boiler = "lorem ipsum dolor sit amet"
+    val phrase = "quick brown fox jumps over lazy dog near river bank"
+    val docs = Seq(
+      (1L, s"$boiler $phrase"),
+      (2L, s"$boiler solar panels convert light energy"),
+      (3L, s"$boiler $phrase again today"),
+      // 4 repeats the rare phrase many times: same shingle SET, but
+      // far more tf mass concentrated on it
+      (4L, s"$boiler " + Seq.fill(6)(phrase).mkString(" ") +
+        " again today")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("s11").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.queries("s11_sparse_cosine")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // doc 2 shares ONLY the boilerplate with everyone: its pairs are
+    // all CANDIDATES (shared sub-cap shingles) but idf zeroes their
+    // dot, so none may appear above τ
+    assert(got.keySet.forall { case (a, b) => a != 2L && b != 2L },
+      "boilerplate-only overlap must score exactly 0 under idf")
+    // every pair of phrase-sharing docs is reported
+    assert(got.keySet === Set((1L, 3L), (1L, 4L), (3L, 4L)))
+    // 1 and 3 are near-verbatim: the top pair; 4's junk junction
+    // shingles (tf=5, df=1) dilute its direction away from both
+    assert(got((1L, 3L)) > got((1L, 4L)) &&
+      got((1L, 3L)) > got((3L, 4L)))
+  }
 }
