@@ -679,6 +679,24 @@ object Graph {
     * drop w, lp01 keeps it as the vote weight, g03 thresholds on it;
     * sharing the construction means the graph family provably runs over
     * the same graph (the queries' cross-references depend on it). */
+  /** Component-size distribution of a CC labeling: one row per distinct
+    * component size — (component_size, n_components, vertex_share),
+    * where vertex_share is the fraction of all labeled vertices living
+    * in components of that size (exact integer division rounded 9 dp).
+    * Row count is bounded by the number of DISTINCT sizes (≤ √(2·V) for
+    * any graph), so the output is observability-sized at any scale. */
+  private[operators] def componentSummary(labels: DataFrame): DataFrame = {
+    val comp = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("sz"))
+    val total = comp.agg(sum(col("sz")).cast("double").as("__t"))
+    comp.groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(total))
+      .select(col("component_size"), col("n_components"),
+        round((col("component_size") * col("n_components")).cast("double")
+          / col("__t"), 9).as("vertex_share"))
+  }
+
   private def tradeRelation(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
@@ -995,6 +1013,27 @@ object Graph {
             .as("assortativity"))
     },
 
+    // g12: connected-component size distribution of the g03
+    // co-purchase projection — the fragmentation gate a pipeline reads
+    // before scheduling any per-component work. One giant hairball
+    // (vertex_share ≈ 1 in one row) means CC labels are a HOT KEY for
+    // every downstream groupBy-by-component (salt or go global);
+    // a flat distribution means per-component parallelism is free.
+    // The engine's pointer-jumping CC (O(log d) rounds, throws if
+    // unconverged) computes the labels; the oracle replays plain
+    // min-label propagation unrolled 6 rounds (measured fixpoint ≤ 4
+    // rounds at every SF) — jumping and one-hop propagation share the
+    // min-id-per-component fixpoint, so value parity proves BOTH the
+    // labels and the distribution. Exact: sizes and counts are
+    // integers; vertex_share is one division rounded 9 dp.
+    "g12_components" -> { (s, d) =>
+      val cs = tradeRelation(s, d).filter(col("w") >= 2)
+        .select(col("c"), col("sp"))
+      val cop = copurchaseEdges(cs, minShared = 2,
+        maxSupplierDeg = 50000L)
+      componentSummary(ConnectedComponents.run(cop, "ca", "cb"))
+    },
+
     // Link prediction on the g03 co-purchase projection (SAME graph):
     // the top non-adjacent customer pairs by Adamic–Adar — "these two
     // never shared 2+ suppliers directly, but their neighborhoods
@@ -1304,6 +1343,35 @@ object Graph {
         |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
         |    AS assortativity
         |FROM s""".stripMargin,
+
+    // min-label propagation unrolled 6 rounds (measured fixpoint <= 4
+    // at every SF; extra rounds are exact no-ops) — the pointer-jumping
+    // engine shares this fixpoint, so parity proves the labeling
+    "g12_components" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT e.s AS id,
+           |    MIN(LEAST(a.lab, b.lab)) AS lab
+           |  FROM e JOIN l${k - 1} a ON a.id = e.s
+           |    JOIN l${k - 1} b ON b.id = e.d
+           |  GROUP BY e.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |cop AS (SELECT a.c AS ca, b.c AS cb
+         |  FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT ca AS s, cb AS d FROM cop
+         |  UNION ALL SELECT cb, ca FROM cop),
+         |l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lab FROM e),
+         |$rounds,
+         |comp AS (SELECT lab, COUNT(*) AS sz FROM l6 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(sz) AS DOUBLE) AS t FROM comp)
+         |SELECT sz AS component_size, COUNT(*) AS n_components,
+         |  round(CAST(sz * COUNT(*) AS DOUBLE) / MAX(tot.t), 9)
+         |    AS vertex_share
+         |FROM comp CROSS JOIN tot GROUP BY sz""".stripMargin
+    },
 
     "g10_graph_summary" ->
       """WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp

@@ -560,4 +560,27 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect()
     assert(b.toSeq === Seq((6L, -0.5)))
   }
+
+  test("g12 component summary: two triangles and one isolated edge " +
+    "give the exact size distribution and dyadic vertex shares") {
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // triangle a
+      (4L, 4L), (5L, 4L), (6L, 4L),   // triangle b
+      (7L, 7L), (8L, 7L)              // edge
+    ).toDF("id", "label")
+    val got = Graph.componentSummary(labels)
+      .as[(Long, Long, Double)].collect().toSet
+    // shares 6/8 and 2/8 are dyadic: exact double equality holds
+    assert(got === Set((3L, 2L, 0.75), (2L, 1L, 0.25)))
+  }
+
+  test("g12 query: size distribution accounts for every vertex of the " +
+    "co-purchase projection and shares sum to 1") {
+    val rows = Graph.queries("g12_components")(spark, sf("sf0.001"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-8)
+    val verts = rows.map(r => r._1 * r._2).sum
+    assert(verts > 0 && rows.forall(_._2 > 0))
+  }
 }
