@@ -518,6 +518,38 @@ object Analytics {
         .withColumn("is_peak",
           abs($"cusum") === max(abs($"cusum")).over(wAll))
         .select($"event_type", $"day", $"n_events", $"cusum", $"is_peak")
+    },
+
+    // q81: funnel TIMING — q59 counts who converts, this measures how
+    // fast: per stage transition (first view→first qualifying click,
+    // that click→first qualifying purchase), the population min /
+    // median / p90 / mean of the gap in whole seconds. Reuses q59's
+    // per-user stage times verbatim (one keyed-shuffle pipeline, ≤1 row
+    // per user), then aggregates two bounded transition groups —
+    // the reporting step costs one 2-group sort-aggregate over ≤2 rows
+    // per converting user at any SF. Gaps are floored epoch-second
+    // differences (exact integers; the q71 convention), quantiles ride
+    // the q29/q76 percentile↔quantile_cont integer parity, the mean is
+    // one exact-integer division: every statistic is engine-exact,
+    // unrounded.
+    "q81_time_to_convert" -> { (s, d) =>
+      import s.implicits._
+      val f = queries("q59_funnel")(s, d)
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase")
+      val gaps = f.select(lit("view_to_click").as("transition"),
+          (expr("cast(t_click as long)") - expr("cast(t_view as long)"))
+            .as("gap_s"))
+        .unionByName(f.select(lit("click_to_purchase").as("transition"),
+          (expr("cast(t_purchase as long)") -
+            expr("cast(t_click as long)")).as("gap_s")))
+        .filter($"gap_s".isNotNull)
+      gaps.groupBy($"transition").agg(
+        count(lit(1)).as("n_users"),
+        min($"gap_s").as("min_s"),
+        expr("percentile(gap_s, 0.5)").as("median_s"),
+        expr("percentile(gap_s, 0.9)").as("p90_s"),
+        (sum($"gap_s").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_s"))
     }
   )
 
@@ -532,6 +564,34 @@ object Analytics {
       .select(col(keyCol), col("__m.v"), (-col("__m.nn")).as("__cnt"))
 
   val oracleSql: Map[String, String] = Map(
+    "q81_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |t1 AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM ev e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM ev e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+        |  GROUP BY 1),
+        |w AS (SELECT t1.user_id, t_view, t_click, t_purchase
+        |  FROM t1 LEFT JOIN t2 USING (user_id)
+        |    LEFT JOIN t3 USING (user_id)),
+        |g AS (SELECT 'view_to_click' AS transition,
+        |    CAST(floor(epoch(t_click)) AS BIGINT)
+        |      - CAST(floor(epoch(t_view)) AS BIGINT) AS gap_s FROM w
+        |  UNION ALL SELECT 'click_to_purchase',
+        |    CAST(floor(epoch(t_purchase)) AS BIGINT)
+        |      - CAST(floor(epoch(t_click)) AS BIGINT) FROM w)
+        |SELECT transition, COUNT(*) AS n_users,
+        |  MIN(gap_s) AS min_s,
+        |  quantile_cont(gap_s, 0.5) AS median_s,
+        |  quantile_cont(gap_s, 0.9) AS p90_s,
+        |  CAST(CAST(SUM(gap_s) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_s
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
+
     "q79_ewma" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    COUNT(*) AS n_events

@@ -459,4 +459,29 @@ class AnalyticsSpec extends SparkSpec {
       ("click", "2024-01-04", 4L, 0.0, false),
       ("view", "2024-01-02", 5L, 0.0, true)))
   }
+
+  test("q81 time to convert: per-transition gap statistics over " +
+    "qualifying users only; non-converters contribute nothing") {
+    // user 1: view +0s, click +10s, purchase +40s; user 2: view +0s,
+    // click +50s, never purchases; user 3: click with no prior view
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (1L, 2L, "click", "2024-01-01 10:00:10"),
+      (1L, 3L, "purchase", "2024-01-01 10:00:40"),
+      (2L, 4L, "view", "2024-01-01 11:00:00"),
+      (2L, 5L, "click", "2024-01-01 11:00:50"),
+      (3L, 6L, "click", "2024-01-01 12:00:00")
+    ).toDF("user_id", "event_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q81").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q81_time_to_convert")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    // view_to_click gaps {10, 50}: median 30, p90 = 10 + 0.9*40 = 46
+    assert(got === Set(
+      ("view_to_click", 2L, 10L, 30.0, 46.0, 30.0),
+      ("click_to_purchase", 1L, 30L, 30.0, 30.0, 30.0)))
+  }
 }
