@@ -1706,6 +1706,35 @@ object DataOps {
     // The anchors × 64-doc pool product is broadcast-bounded; positives
     // are excluded from an anchor's negatives by anti-join. Fully
     // value-oracled including both rank cuts.
+    // x07: curriculum staging — every document assigned an easy→hard
+    // training stage (1..3) by a deterministic difficulty proxy (mean
+    // token length: short-word text reads easier; the signal is
+    // swappable, the MACHINERY is the point). Stages come from exact
+    // tercile THRESHOLDS computed as a broadcast 1-row aggregate (the
+    // t23 percentile-gate convention) — never a global ntile, which
+    // would single-partition-sort the corpus; after the 1-row
+    // broadcast the stage assignment is map-only at any SF. Equal
+    // difficulty ⇒ equal stage by construction (thresholds compare
+    // identical doubles), so the split is deterministic under any
+    // partitioning without needing a unique order key.
+    "x07_curriculum" -> { (s, d) =>
+      import s.implicits._
+      val diff = Tables.documents(s, d)
+        .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+        .groupBy($"doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(length($"tok")).cast("double") /
+            count(lit(1)).cast("double"), 9).as("difficulty"))
+      val thr = diff.agg(
+        expr("percentile(difficulty, cast(1 as double)/3)").as("__t1"),
+        expr("percentile(difficulty, cast(2 as double)/3)").as("__t2"))
+      diff.crossJoin(broadcast(thr))
+        .select($"doc_id", $"n_tokens", $"difficulty",
+          when($"difficulty" <= $"__t1", 1L)
+            .when($"difficulty" <= $"__t2", 2L)
+            .otherwise(3L).as("stage"))
+    },
+
     "x06_contrastive_pairs" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -3585,6 +3614,22 @@ object DataOps {
 
     // the d02 shingle/pair machinery at jaccard >= 0.5, then the two
     // md5 rank cuts mirrored string-for-string
+    "x07_curriculum" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |diff AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    round(CAST(CAST(SUM(length(tok)) AS BIGINT) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 9) AS difficulty
+        |  FROM toks GROUP BY 1),
+        |thr AS (SELECT
+        |    quantile_cont(difficulty, CAST(1 AS DOUBLE)/3) AS t1,
+        |    quantile_cont(difficulty, CAST(2 AS DOUBLE)/3) AS t2
+        |  FROM diff)
+        |SELECT doc_id, n_tokens, difficulty,
+        |  CAST(CASE WHEN difficulty <= t1 THEN 1
+        |    WHEN difficulty <= t2 THEN 2 ELSE 3 END AS BIGINT) AS stage
+        |FROM diff, thr""".stripMargin,
+
     "x06_contrastive_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t
         |  FROM documents),

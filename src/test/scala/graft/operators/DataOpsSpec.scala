@@ -1659,4 +1659,22 @@ class DataOpsSpec extends SparkSpec {
     assert(got((1L, 3L)) > got((1L, 4L)) &&
       got((1L, 3L)) > got((3L, 4L)))
   }
+
+  test("x07 curriculum: tercile thresholds stage docs easy to hard, " +
+    "equal difficulty lands in the same stage") {
+    // mean token lengths 2, 4, 8, 2: quantile_cont thresholds over
+    // [2,2,4,8] are t1=2 (pos 1.0) and t2=4 (pos 2.0) exactly
+    val docs = Seq(
+      (1L, "aa aa aa"), (2L, "aaaa aaaa"),
+      (3L, "aaaaaaaa aaaaaaaa"), (4L, "aa aa")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x07").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.queries("x07_curriculum")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2.0, 1L)), 4L -> ((2L, 2.0, 1L)),
+      2L -> ((2L, 4.0, 2L)), 3L -> ((2L, 8.0, 3L))))
+  }
 }
