@@ -550,6 +550,107 @@ object Analytics {
         expr("percentile(gap_s, 0.9)").as("p90_s"),
         (sum($"gap_s").cast("double") / count(lit(1)).cast("double"))
           .as("mean_s"))
+    },
+
+    // q82: day-of-week seasonal anomaly baseline — each (type, day)
+    // count z-scored against that TYPE's OWN WEEKDAY history, the
+    // seasonal adjustment o05's global z-score lacks (Monday traffic is
+    // not anomalous for being bigger than Sunday's; a quiet MONDAY is).
+    // Exactness: the baseline never uses streaming moments (stddev's
+    // M2 accumulation is order-dependent) — per-slot count c, Σn and
+    // Σn² are exact integers (Σn² in DECIMAL(38,0): a 10^10-row day
+    // squares past 63 bits long before the corpus is exotic), and
+    // z = (n·c − Σn) / sqrt(c·Σn² − (Σn)²) puts every subtraction in
+    // exact integer space, leaving ONE int64→double conversion (exactly
+    // specified round-to-nearest in both engines), one sqrt and one
+    // divide — a mirrored IEEE tree, rounded 9 dp. Constant slots
+    // (variance 0) yield NULL, not a 0-division; a variance term past
+    // 62 bits raises loudly (exact ops fail, never wrap — chunk the
+    // horizon per epoch as q79 prescribes). Scale shape: one
+    // corpus-scale daily aggregation; the baseline windows run over
+    // calendar-bounded (type × dow) slots.
+    "q82_seasonal_dow" -> { (s, d) =>
+      import s.implicits._
+      val slot = Window.partitionBy($"event_type", $"dow")
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("dow", dayofweek($"day").cast("long"))
+      val stats = daily
+        .withColumn("c", count(lit(1)).over(slot))
+        .withColumn("s1", sum($"n_events").over(slot))
+        .withColumn("s2",
+          sum(($"n_events".cast("decimal(38,0)") * $"n_events")
+            .cast("decimal(38,0)")).over(slot))
+        .withColumn("var_num",
+          ($"c".cast("decimal(38,0)") * $"s2" -
+            $"s1".cast("decimal(38,0)") * $"s1").cast("decimal(38,0)"))
+      stats
+        .withColumn("z_dow",
+          when($"var_num" > lit(Long.MaxValue / 2),
+            raise_error(lit("q82_seasonal_dow: variance term exceeds " +
+              "62 bits; chunk the horizon per epoch")).cast("double"))
+            .when($"var_num" === 0, lit(null).cast("double"))
+            .otherwise(round(
+              ($"n_events" * $"c" - $"s1").cast("double") /
+                sqrt($"var_num".cast("long").cast("double")), 9)))
+        .select($"event_type", $"day", $"n_events", $"dow", $"z_dow",
+          (abs(coalesce($"z_dow", lit(0.0))) > 2.0).as("is_anomaly"))
+    },
+
+    // q83: interval×interval overlap join — which activity REGIMES
+    // co-occur: per-type activity bursts (runs of active minutes with
+    // gaps ≤ 15 min) overlap-joined across types. The scale pattern is
+    // the point: interval overlap is a non-equi predicate Spark would
+    // nest-loop, so both sides explode into fixed 6-hour epoch buckets
+    // and equi-join ON BUCKET, with the OWNERSHIP filter (the bucket
+    // containing the overlap's start, floor(greatest(s_a,s_b)/W))
+    // emitting each overlapping pair EXACTLY once — no post-hoc
+    // distinct, no double counting, no cross join (the capless oracle
+    // joins on the raw predicate, proving the bucket cover complete).
+    // The corpus is touched once (the minute-grid aggregation); burst
+    // detection windows run over calendar-bounded minute series (q79
+    // convention: ≤ span-minutes rows per type at ANY corpus size), so
+    // the join inputs are calendar-bounded too. Minute-aligned closed
+    // intervals: overlap_s = 0 means same-minute co-activity (counted —
+    // the types were both live inside that minute).
+    "q83_overlap_join" -> { (s, d) =>
+      import s.implicits._
+      val W = 21600L // 6h bucket width in seconds
+      val w = Window.partitionBy($"event_type").orderBy($"minute")
+      val grid = Tables.events(s, d)
+        .groupBy($"event_type",
+          date_trunc("minute", $"ts").as("minute"))
+        .agg(count(lit(1)).as("n"))
+      val bursts = grid
+        .withColumn("gap_break",
+          when(lag($"minute", 1).over(w).isNull ||
+            $"minute".cast("long") -
+              lag($"minute", 1).over(w).cast("long") > 900L,
+            1L).otherwise(0L))
+        .withColumn("burst",
+          sum($"gap_break").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"event_type", $"burst")
+        .agg(min($"minute".cast("long")).as("start_s"),
+          max($"minute".cast("long")).as("end_s"),
+          sum($"n").as("n_events"))
+      val exploded = bursts.withColumn("bkt",
+        explode(sequence(floor($"start_s" / W), floor($"end_s" / W))))
+      val a = exploded.select($"event_type".as("type_a"),
+        $"start_s".as("sa"), $"end_s".as("ea"), $"bkt")
+      val b = exploded.select($"event_type".as("type_b"),
+        $"start_s".as("sb"), $"end_s".as("eb"), $"bkt")
+      a.join(b, Seq("bkt"))
+        .filter($"type_a" < $"type_b" &&
+          $"sa" <= $"eb" && $"sb" <= $"ea" &&
+          $"bkt" === floor(greatest($"sa", $"sb") / W))
+        .withColumn("overlap_s",
+          least($"ea", $"eb") - greatest($"sa", $"sb"))
+        .groupBy($"type_a", $"type_b")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum($"overlap_s").as("sum_overlap_s"),
+          max($"overlap_s").as("max_overlap_s"))
     }
   )
 
@@ -631,6 +732,63 @@ object Analytics {
         |  abs(cusum) = MAX(abs(cusum))
         |    OVER (PARTITION BY event_type) AS is_peak
         |FROM c""".stripMargin,
+
+    // DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 — hence +1.
+    // Exact-integer moments ride HUGEINT here (the oracle's int128
+    // stands in for the engine's DECIMAL(38,0) lane).
+    "q82_seasonal_dow" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT *, CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+        |  FROM daily),
+        |st AS (SELECT *,
+        |    COUNT(*) OVER w AS c,
+        |    CAST(SUM(n_events) OVER w AS BIGINT) AS s1,
+        |    SUM(CAST(n_events AS HUGEINT) * n_events) OVER w AS s2
+        |  FROM b WINDOW w AS (PARTITION BY event_type, dow)),
+        |v AS (SELECT *,
+        |    CAST(c AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+        |      AS var_num FROM st),
+        |z AS (SELECT event_type, day, n_events, dow,
+        |    CASE WHEN var_num = 0 THEN NULL
+        |      ELSE round(CAST(n_events * c - s1 AS DOUBLE)
+        |        / sqrt(CAST(CAST(var_num AS BIGINT) AS DOUBLE)), 9)
+        |    END AS z_dow
+        |  FROM v)
+        |SELECT *, abs(COALESCE(z_dow, 0.0)) > 2.0 AS is_anomaly
+        |FROM z""".stripMargin,
+
+    // Capless: the raw overlap predicate over the burst relation — the
+    // engine's bucket-explode + ownership-filter equi-join must produce
+    // exactly this (each overlapping pair once).
+    "q83_overlap_join" ->
+      """WITH grid AS (SELECT event_type,
+        |    date_trunc('minute', ts) AS minute, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CASE WHEN LAG(minute) OVER w IS NULL
+        |      OR CAST(epoch(minute) AS BIGINT)
+        |        - CAST(epoch(LAG(minute) OVER w) AS BIGINT) > 900
+        |      THEN 1 ELSE 0 END AS gap_break
+        |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY minute)),
+        |i AS (SELECT *, SUM(gap_break) OVER (PARTITION BY event_type
+        |    ORDER BY minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+        |  FROM r),
+        |bursts AS (SELECT event_type, burst,
+        |    MIN(CAST(epoch(minute) AS BIGINT)) AS start_s,
+        |    MAX(CAST(epoch(minute) AS BIGINT)) AS end_s
+        |  FROM i GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s)
+        |      AS overlap_s
+        |  FROM bursts a JOIN bursts b
+        |    ON a.event_type < b.event_type
+        |    AND a.start_s <= b.end_s AND b.start_s <= a.end_s)
+        |SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(overlap_s) AS BIGINT) AS sum_overlap_s,
+        |  MAX(overlap_s) AS max_overlap_s
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     "q78_markov_transitions" ->
       """WITH seqd AS (SELECT user_id, event_type,

@@ -484,4 +484,83 @@ class AnalyticsSpec extends SparkSpec {
       ("view_to_click", 2L, 10L, 30.0, 46.0, 30.0),
       ("click_to_purchase", 1L, 30L, 30.0, 30.0, 30.0)))
   }
+
+  test("q82 seasonal dow: z-scores against the type's own weekday " +
+    "history; constant and single-day slots yield NULL, never 0-div") {
+    // Mondays (dow 2): counts 4,4,4,4,4,14 → c=6, S1=34, S2=276,
+    // var = 6·276−34² = 500; z(14) = 50/sqrt(500) = 2.236067977 →
+    // anomaly; z(4) = −10/sqrt(500) = −0.447213595 → not.
+    // Tuesdays 3,3 → var 0 → NULL; a single Wednesday → var 0 → NULL.
+    val days = Seq(
+      ("2024-01-01", 4), ("2024-01-08", 4), ("2024-01-15", 4),
+      ("2024-01-22", 4), ("2024-01-29", 4), ("2024-02-05", 14),
+      ("2024-01-02", 3), ("2024-01-09", 3),
+      ("2024-01-03", 5))
+    val ev = days.flatMap { case (day, n) =>
+      (1 to n).map(i => (day, i))
+    }.zipWithIndex.map { case ((day, i), id) =>
+      (id.toLong, s"$day 0${i % 10}:0${i / 10}:00")
+    }.toDF("event_id", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("event_type", lit("click"))
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q82").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q82_seasonal_dow")(spark, dir)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.toString), r.getBoolean(5)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01", 4L, 2L, Some("-0.447213595"), false),
+      ("2024-01-08", 4L, 2L, Some("-0.447213595"), false),
+      ("2024-01-15", 4L, 2L, Some("-0.447213595"), false),
+      ("2024-01-22", 4L, 2L, Some("-0.447213595"), false),
+      ("2024-01-29", 4L, 2L, Some("-0.447213595"), false),
+      ("2024-02-05", 14L, 2L, Some("2.236067977"), true),
+      ("2024-01-02", 3L, 3L, None, false),
+      ("2024-01-09", 3L, 3L, None, false),
+      ("2024-01-03", 5L, 4L, None, false)))
+  }
+
+  test("q83 overlap join: bucket-ownership emission equals the naive " +
+    "predicate join, including multi-bucket and zero-overlap pairs") {
+    // All intervals on one day; W = 21600 s (6 h). click is active
+    // every 10 min over [0 s, 24000 s] (crosses the bucket-0/1
+    // boundary), view over [1800 s, 25200 s] (also crosses): their
+    // overlap [1800, 24000] lies in BOTH shared buckets, so a plain
+    // bucket equi-join would emit the pair twice — the ownership
+    // filter (bucket of greatest start) must emit it once. purchase
+    // covers [21600, 25200] (bucket 1 only); error is a single minute
+    // at exactly 24000 s, touching all three (overlap 0 = same-minute
+    // co-activity, counted by contract).
+    def minutes(ty: String, fromS: Long, toS: Long, stepS: Long) =
+      (fromS to toS by stepS).map(sec => (ty, sec))
+    val ev = (minutes("click", 0L, 24000L, 600L) ++
+      minutes("view", 1800L, 25200L, 600L) ++
+      minutes("purchase", 21600L, 25200L, 600L) ++
+      minutes("error", 24000L, 24000L, 600L))
+      .zipWithIndex.map { case ((ty, sec), id) => (id.toLong, ty, sec) }
+      .toDF("event_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + $"sec"))
+      .drop("sec")
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q83").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // premise: the double-emission hazard is real — both click and view
+    // span two buckets
+    assert(24000L / 21600L > 0L && 25200L / 21600L > 0L)
+    val got = Analytics.queries("q83_overlap_join")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // expected = the naive predicate join, derived by hand
+    assert(got === Set(
+      ("click", "view", 1L, 22200L, 22200L),
+      ("click", "purchase", 1L, 2400L, 2400L),
+      ("purchase", "view", 1L, 3600L, 3600L),
+      ("click", "error", 1L, 0L, 0L),
+      ("error", "purchase", 1L, 0L, 0L),
+      ("error", "view", 1L, 0L, 0L)))
+  }
 }
