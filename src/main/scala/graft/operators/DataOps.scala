@@ -1717,6 +1717,47 @@ object DataOps {
     // difficulty ⇒ equal stage by construction (thresholds compare
     // identical doubles), so the split is deterministic under any
     // partitioning without needing a unique order key.
+    // x08: budget apportionment — the sampling PLAN a mixture build
+    // (t16/t22) executes: a global budget of 100 docs split across
+    // sources proportional to each source's QUALITY-passing doc count,
+    // by Hamilton's largest-remainder method (exact integer floors +
+    // one top-up per largest remainder until the budget is spent). The
+    // whole computation is integer arithmetic — floor = (B·w) div W,
+    // remainder = (B·w) mod W — so the plan is value-exact, sums to B
+    // by construction (Σfloor + #top-ups = B), and a tied remainder
+    // breaks by source name: deterministic under any partitioning.
+    // Top-ups can never reach a zero-remainder source (the fractional
+    // parts of k sources sum to n_topup < k), so empty sources get 0.
+    // Scale shape: ONE corpus pass builds the per-source weights; the
+    // apportionment runs on the bounded source relation (windows over
+    // |sources| rows — the t23 broadcast-scalar class, not a corpus
+    // sort). W = 0 (no quality docs at all) yields all-zero allocs
+    // rather than an integer 0-division.
+    "x08_budget_plan" -> { (s, d) =>
+      import s.implicits._
+      val B = 100L
+      val q = Tables.documents(s, d).groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(qualityPassCol($"text"), 1L).otherwise(0L))
+          .as("n_quality"))
+      val tot = q.agg(sum($"n_quality").as("__w"))
+      val wAll = Window.partitionBy(lit(1))
+      val ranked = q.crossJoin(broadcast(tot))
+        .withColumn("floor_alloc",
+          when($"__w" === 0, 0L)
+            .otherwise(expr(s"($B * n_quality) div __w")))
+        .withColumn("__r",
+          when($"__w" === 0, 0L).otherwise(lit(B) * $"n_quality" % $"__w"))
+        .withColumn("__n_topup", lit(B) - sum($"floor_alloc").over(wAll))
+        .withColumn("__rnk", row_number().over(
+          wAll.orderBy($"__r".desc, $"source".asc)))
+      ranked.select($"source", $"n_docs", $"n_quality", $"floor_alloc",
+        when($"__w" === 0, 0L)
+          .otherwise($"floor_alloc" +
+            when($"__rnk" <= $"__n_topup", 1L).otherwise(0L))
+          .as("alloc"))
+    },
+
     "x07_curriculum" -> { (s, d) =>
       import s.implicits._
       val diff = Tables.documents(s, d)
@@ -3614,6 +3655,30 @@ object DataOps {
 
     // the d02 shingle/pair machinery at jaccard >= 0.5, then the two
     // md5 rank cuts mirrored string-for-string
+    "x08_budget_plan" ->
+      """WITH q AS (SELECT source, COUNT(*) AS n_docs,
+        |    SUM(CASE WHEN len(string_split(text, ' ')) >= 5
+        |      AND CAST(len(list_distinct(string_split(text, ' ')))
+        |          AS DOUBLE) / len(string_split(text, ' ')) >= 0.2
+        |      THEN 1 ELSE 0 END) AS n_quality
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_quality) AS BIGINT) AS w FROM q),
+        |r AS (SELECT q.*, t.w,
+        |    CASE WHEN w = 0 THEN 0
+        |      ELSE (100 * n_quality) // w END AS floor_alloc,
+        |    CASE WHEN w = 0 THEN 0
+        |      ELSE (100 * n_quality) % w END AS rem
+        |  FROM q, t),
+        |k AS (SELECT *, 100 - SUM(floor_alloc) OVER () AS n_topup,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk
+        |  FROM r)
+        |SELECT source, n_docs, CAST(n_quality AS BIGINT) AS n_quality,
+        |  CAST(floor_alloc AS BIGINT) AS floor_alloc,
+        |  CAST(CASE WHEN w = 0 THEN 0
+        |    ELSE floor_alloc + CASE WHEN rnk <= n_topup THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS alloc
+        |FROM k""".stripMargin,
+
     "x07_curriculum" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1677,4 +1677,32 @@ class DataOpsSpec extends SparkSpec {
       1L -> ((3L, 2.0, 1L)), 4L -> ((2L, 2.0, 1L)),
       2L -> ((2L, 4.0, 2L)), 3L -> ((2L, 8.0, 3L))))
   }
+
+  test("x08 budget plan: largest-remainder apportionment sums to the " +
+    "budget; cutoff ties break by source name; empty sources get 0") {
+    // quality weights A=2, B=2, C=3 (W=7): floors 28, 28, 42 (Σ=98),
+    // remainders 4, 4, 6 → 2 top-ups go to C (rem 6) then A (rem 4,
+    // tied with B, name-ascending) → allocs 29, 28, 43. Source D has
+    // quality weight 0 (all docs under 5 tokens) → alloc 0.
+    val good = "alpha beta gamma delta epsilon"
+    val bad = "tiny doc"
+    val docs = (
+      (1 to 2).map(i => (s"A$i", "srcA", good)) ++
+      (3 to 4).map(i => (s"B$i", "srcB", good)) ++
+      (5 to 7).map(i => (s"C$i", "srcC", good)) ++
+      Seq(("D1", "srcD", bad), ("D2", "srcD", bad))
+    ).zipWithIndex.map { case ((_, src, t), id) => (id.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x08").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.queries("x08_budget_plan")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      ("srcA", 2L, 2L, 28L, 29L),
+      ("srcB", 2L, 2L, 28L, 28L),
+      ("srcC", 3L, 3L, 42L, 43L),
+      ("srcD", 2L, 0L, 0L, 0L)))
+    assert(got.toSeq.map(_._5).sum === 100L)
+  }
 }
