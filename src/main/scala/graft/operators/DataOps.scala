@@ -30,6 +30,47 @@ object DataOps {
   private[operators] def md5Bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** c04's Bloom screen, parameterized so the spec can shrink the
+    * filter until false positives are forced. Word layout: `mBits`
+    * bits packed 32 per BIGINT word (bit 31 is the widest shift, so
+    * masks never touch the sign bit in either engine); position j of a
+    * gram is md5Bucket("blm" + j + ":" + gram) mod mBits — the
+    * md5Bucket convention, mirrored verbatim in the oracle. The word
+    * table has mBits/32 rows independent of benchmark size; the probe
+    * is a broadcast equi-join on word index, and a gram is flagged iff
+    * ALL kh probed bits are set (min over j). */
+  private[operators] def bloomDecontaminate(docs: DataFrame,
+      mBits: Int, kh: Int): DataFrame = {
+    require(mBits % 32 == 0, "mBits must pack whole 32-bit words")
+    def posCol: Column =
+      conv(substring(md5(concat(lit("blm"), col("j").cast("string"),
+        lit(":"), col("shingle"))), 1, 8), 16, 10)
+        .cast("long") % mBits
+    def withBits(df: DataFrame): DataFrame = df
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1), lit(kh))).as("j"): _*)
+      .withColumn("__pos", posCol)
+      .withColumn("word", expr("__pos div 32"))
+      .withColumn("mask", expr("shiftleft(1L, cast(__pos % 32 as int))"))
+    val grams = Dedup.shingleIndex(docs, "doc_id", "text", 4)
+    val words = withBits(grams.filter(col("doc") % 53 === 0)
+        .select("shingle").distinct())
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("w"))
+    withBits(grams.filter(col("doc") % 53 =!= 0))
+      .join(broadcast(words), Seq("word"), "left")
+      .withColumn("__present",
+        coalesce(col("w").bitwiseAND(col("mask")) === col("mask"),
+          lit(false)))
+      .groupBy(col("doc"), col("shingle"))
+      .agg(min(when(col("__present"), 1L).otherwise(0L)).as("__all_set"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__all_set")).as("n_flagged"))
+      .filter(col("n_flagged") > 0)
+      .select(col("doc").as("doc_id"), col("n_grams"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_grams"))
+          .as("bloom_frac"))
+  }
+
   /** The t12 quality-gate definitions, single-sourced so the clean
     * report and [[Dedup.curateCorpus]] cannot drift (thresholds live
     * here and only here; the oracle SQL is assembled from the same
@@ -1537,6 +1578,25 @@ object DataOps {
     // BROADCAST — at 100 TB the corpus side streams map-only through the
     // semi-join, because an eval suite is fixed-size by construction;
     // the corpus is never shuffled at all before the per-doc count.
+    // c04: Bloom-filter decontamination — c01's gram-level benchmark
+    // screen with the benchmark side compressed into a FIXED-SIZE bit
+    // array. c01 broadcasts the benchmark's distinct grams (grows with
+    // the benchmark); c04 broadcasts a 32768-row word table (m = 2^20
+    // bits packed 32 per word, 256 KiB) that is the SAME SIZE however large the
+    // benchmark gets — the membership structure a 100 TB decontamination
+    // pass actually ships to every executor. The price is false
+    // positives, and they are part of the CONTRACT, not noise: positions
+    // are deterministic md5 hashes, so which grams false-positive is a
+    // pure function of the corpus, the oracle reproduces every one of
+    // them bit-for-bit, and the planted spec proves flagged ⊇ the exact
+    // benchmark hits (Bloom filters never false-negative). A flagged
+    // doc set feeds the same c02-style anti-join; exact re-verification
+    // of the (tiny) flagged set against the true gram relation is
+    // c01 restricted to flagged docs.
+    "c04_bloom_decontaminate" -> { (s, d) =>
+      bloomDecontaminate(Tables.documents(s, d), mBits = 1 << 20, kh = 3)
+    },
+
     "c01_contamination" -> { (s, d) =>
       import s.implicits._
       val idx = Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", 4)
@@ -3532,6 +3592,40 @@ object DataOps {
         |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
         |  COALESCE(n_shared::DOUBLE / n_sh, 0.0) AS shared_frac
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc""".stripMargin,
+
+    // Mirrors the engine's md5 Bloom positions bit-for-bit — including
+    // any false positives, which are deterministic corpus functions
+    // here, not randomness.
+    "c04_bloom_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+        |  FROM toks WHERE len(t) >= 4),
+        |js AS (SELECT unnest(range(1, 4)) AS j),
+        |bb AS (SELECT DISTINCT
+        |    CAST(CAST(('0x' || substring(md5('blm' || j || ':' || gram),
+        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
+        |  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0), js),
+        |words AS (SELECT pos // 32 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS w
+        |  FROM bb GROUP BY 1),
+        |pr AS (SELECT doc_id, gram,
+        |    CAST(CAST(('0x' || substring(md5('blm' || j || ':' || gram),
+        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
+        |  FROM g, js WHERE doc_id % 53 <> 0),
+        |pw AS (SELECT doc_id, gram, pos // 32 AS word,
+        |    CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS mask
+        |  FROM pr),
+        |hit AS (SELECT doc_id, gram,
+        |    MIN(CASE WHEN w.w IS NOT NULL AND (w.w & mask) = mask
+        |      THEN 1 ELSE 0 END) AS all_set
+        |  FROM pw LEFT JOIN words w ON pw.word = w.word GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(all_set) AS BIGINT) AS n_flagged
+        |  FROM hit GROUP BY 1)
+        |SELECT doc_id, n_grams, n_flagged,
+        |  CAST(n_flagged AS DOUBLE) / n_grams AS bloom_frac
+        |FROM agg WHERE n_flagged > 0""".stripMargin,
 
     "c01_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),

@@ -1070,6 +1070,63 @@ class DataOpsSpec extends SparkSpec {
     assert(flagged.head._2 === 1L && flagged.head._3 >= 1L)
   }
 
+  test("c04 bloom decontamination: flags equal an independent JVM md5 " +
+    "reference; a shrunken filter forces deterministic false positives; " +
+    "never a false negative") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def pos(gram: String, j: Int, m: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"blm$j:$gram").take(8), 16) % m
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 4) Set.empty
+      else w.sliding(4).map(_.mkString(" ")).toSet
+    }
+    // doc 0 (id % 53 == 0) is the benchmark; doc 1 quotes one bench
+    // gram verbatim; doc 2 shares nothing
+    val benchText = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val hitText = "x " + (0 until 4).map(i => s"tok$i").mkString(" ") + " y"
+    val cleanText = "one two three four five six"
+    val docs = Seq((0L, benchText), (1L, hitText), (2L, cleanText))
+      .toDF("doc_id", "text")
+    // reference flags computed WITHOUT Spark, straight from the md5 spec
+    def reference(m: Int): Map[Long, (Long, Long)] = {
+      val bits = grams(benchText).flatMap(g => (1 to 3).map(pos(g, _, m)))
+      Seq(1L -> hitText, 2L -> cleanText).flatMap { case (id, t) =>
+        val gs = grams(t)
+        val f = gs.count(g => (1 to 3).forall(j => bits.contains(pos(g, j, m))))
+        if (f > 0) Some(id -> ((gs.size.toLong, f.toLong))) else None
+      }.toMap
+    }
+    def engine(m: Int): Map[Long, (Long, Long)] =
+      DataOps.bloomDecontaminate(docs, m, 3).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val big = reference(1 << 20)
+    // premise: at 2^20 bits the screen is exact here — only the true hit
+    assert(big === Map(1L -> ((3L, 1L))))
+    assert(engine(1 << 20) === big)
+    val tiny = reference(32)
+    // premise: the 32-bit filter saturates — doc 2 shares NO gram with
+    // the benchmark yet every gram false-positives (and doc 1 over-flags)
+    assert(tiny === Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L))))
+    assert(engine(32) === tiny)
+    // Bloom never false-negatives: on the real corpus every c01-flagged
+    // doc is c04-flagged with at least the exact hit count
+    val dir = sf("sf0.001")
+    val exact = DataOps.queries("c01_contamination")(spark, dir)
+      .select($"doc_id", $"n_contaminated")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = DataOps.queries("c04_bloom_decontaminate")(spark, dir)
+      .select($"doc_id", $"n_flagged")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (id, n) =>
+      assert(bloom.getOrElse(id, 0L) >= n,
+        s"doc $id: bloom must flag at least the $n exact hits")
+    }
+  }
+
   test("c02 decontaminate = train split minus exactly the c01-flagged docs") {
     val dir = sf("sf0.001")
     val flagged = DataOps.queries("c01_contamination")(spark, dir)
