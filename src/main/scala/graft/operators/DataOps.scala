@@ -30,6 +30,21 @@ object DataOps {
   private[operators] def md5Bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** The sk-family hash relation: DISTINCT (source, h) where h is the
+    * 52-bit md5-derived hash of a word 3-shingle (13 hex chars — 52 bits so the
+    * double lane in the heap is exact; the oracle mirrors it with the
+    * md5Bucket UBIGINT-cast convention). Distinctness is what makes the
+    * downstream heap a true KMV (k smallest VALUES, not offers);
+    * Spark's partial hash aggregation dedups map-side, so the shuffled
+    * volume is per-partition-vocabulary-bound, never corpus-bound. */
+  private def kmvHashes(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(graft.functions.Text.shingles(col("text"), 3)).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+
   /** c04's Bloom screen, parameterized so the spec can shrink the
     * filter until false positives are forced. Word layout: `mBits`
     * bits packed 32 per BIGINT word (bit 31 is the widest shift, so
@@ -1416,6 +1431,97 @@ object DataOps {
     "s11_sparse_cosine" -> { (s, d) =>
       Dedup.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, minCosine = 0.2, maxDocFreq = 1000L)
+    },
+
+    // sk01: KMV (k-minimum-values) distinct-3-shingle sketch per
+    // source — n-gram vocabulary size, the diversity signal where exact
+    // countDistinct starts to hurt (shingle space grows superlinearly
+    // in corpus size; token space here is too small to need a sketch) —
+    // the MERGEABLE cardinality estimator (Bar-Yossef et al. 2002)
+    // with every bit deterministic: tokens hash to 52-bit md5-derived
+    // values (52 so the double lane is exact), each source keeps its
+    // k = 256 smallest via the top_k_pairs heap (k rows per source per
+    // map task — the partial-aggregable form a 100 TB sketch build
+    // needs), and D̂ = (k−1)/h_(k) normalized from the k-th smallest.
+    // Unlike HLL (q23/q50, whose register layout is engine-internal →
+    // no_oracle), KMV's estimate is a pure function of the hash set —
+    // the ORACLE REPRODUCES THE ESTIMATE EXACTLY, approximation error
+    // and all; the n_exact/rel_err lanes ride the same distinct
+    // relation the sketch needs anyway (map-side-deduped, vocabulary-
+    // bound — at production scale you'd drop them and keep the heap).
+    // The whole family speaks DISTINCT HASH VALUES (n_exact included):
+    // identical to distinct tokens absent a ~2^-52 collision, and
+    // mirrored by the oracle either way.
+    // Sub-k sources degrade to the exact count (the sketch IS the set).
+    "sk01_kmv_distinct" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TopKPairs.top_k_pairs
+      val sk = kmvHashes(Tables.documents(s, d))
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_exact"),
+          top_k_pairs(-$"h".cast("double"), $"h", 256).as("__sk"))
+        .withColumn("__kth", get($"__sk", lit(255))("id"))
+      sk.select($"source", $"n_exact",
+        when($"__kth".isNull, round($"n_exact".cast("double"), 6))
+          .otherwise(round(
+            (lit(255.0) * lit(4503599627370496.0)) /
+              $"__kth".cast("double"), 6)).as("kmv_est"))
+        .withColumn("rel_err",
+          round(abs($"kmv_est" - $"n_exact".cast("double")) /
+            $"n_exact".cast("double"), 9))
+    },
+
+    // sk02: KMV set operations over source PAIRS — union cardinality,
+    // Jaccard, and intersection estimated from the per-source sketches
+    // ALONE (the theta-sketch trick: the k smallest of A∪B are found
+    // inside skA ∪ skB, so the corpus is never re-read — merge k-row
+    // sketches, rank, count agreements). ρ = |U ∩ skA ∩ skB|/|U| is
+    // the Jaccard estimate, ρ·D̂_union the intersection. When |U| < k
+    // both sketches were complete and every estimate collapses to the
+    // exact value. All candidate relations are k·|sources| rows; the
+    // per-pair rank runs over ≤ 2k rows (bounded-group class). The
+    // sketch speaks hash-value sets: a 52-bit cross-token collision
+    // would merge two tokens in BOTH engines identically.
+    "sk02_kmv_setops" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TopKPairs.top_k_pairs
+      val sk = kmvHashes(Tables.documents(s, d))
+        .groupBy($"source").agg(
+          top_k_pairs(-$"h".cast("double"), $"h", 256).as("__sk"))
+        .select($"source", explode($"__sk").as("__e"))
+        .select($"source", $"__e.id".as("h"))
+      val srcs = sk.select($"source").distinct()
+      val pairs = srcs.select($"source".as("source_a"))
+        .join(srcs.select($"source".as("source_b")),
+          $"source_a" < $"source_b")
+      val ra = pairs.join(sk.withColumnRenamed("source", "source_a"),
+        Seq("source_a")).select($"source_a", $"source_b", $"h",
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+      val rb = pairs.join(sk.withColumnRenamed("source", "source_b"),
+        Seq("source_b")).select($"source_a", $"source_b", $"h",
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+      val w = Window.partitionBy($"source_a", $"source_b").orderBy($"h")
+      val u = ra.unionByName(rb)
+        .groupBy($"source_a", $"source_b", $"h")
+        .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" <= 256)
+      u.groupBy($"source_a", $"source_b").agg(
+          count(lit(1)).as("n_union_sample"),
+          sum($"in_a" * $"in_b").as("n_both"),
+          max(when($"__rn" === 256, $"h")).as("__kth"))
+        .withColumn("union_est",
+          when($"__kth".isNull,
+            round($"n_union_sample".cast("double"), 6))
+            .otherwise(round(
+              (lit(255.0) * lit(4503599627370496.0)) /
+                $"__kth".cast("double"), 6)))
+        .withColumn("jaccard_est",
+          round($"n_both".cast("double") /
+            $"n_union_sample".cast("double"), 9))
+        .withColumn("intersect_est",
+          round($"jaccard_est" * $"union_est", 6))
+        .drop("__kth")
     },
 
     "s10_mutual_knn" -> { (s, d) =>
@@ -4331,6 +4437,80 @@ object DataOps {
         |  CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
         |  CAST(SUM(CASE WHEN keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dups
         |FROM assign""".stripMargin,
+
+    // The oracle rebuilds the KMV sketch from scratch: distinct 52-bit
+    // md5 hashes per source, rank ascending, k = 256; the estimator
+    // (k−1)·2^52/h_(k) is the same two-constant IEEE expression the
+    // engine folds (255·2^52 is integer-exact in double).
+    "sk01_kmv_distinct" ->
+      """WITH sp AS (SELECT source, string_split(text, ' ') t
+        |  FROM documents),
+        |toks AS (SELECT source,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tok
+        |  FROM sp WHERE len(t) >= 3),
+        |h AS (SELECT DISTINCT source,
+        |    CAST(CAST(('0x' || substring(md5(tok), 1, 13)) AS UBIGINT)
+        |      AS BIGINT) AS h
+        |  FROM toks),
+        |r AS (SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_exact
+        |  FROM h),
+        |k AS (SELECT source, CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+        |    MAX(CASE WHEN rn = 256 THEN h END) AS kth
+        |  FROM r GROUP BY source),
+        |est AS (SELECT source, n_exact,
+        |    CASE WHEN kth IS NULL THEN round(CAST(n_exact AS DOUBLE), 6)
+        |      ELSE round((255e0 * 4503599627370496e0)
+        |        / CAST(kth AS DOUBLE), 6) END AS kmv_est
+        |  FROM k)
+        |SELECT source, n_exact, kmv_est,
+        |  round(abs(kmv_est - CAST(n_exact AS DOUBLE))
+        |    / CAST(n_exact AS DOUBLE), 9) AS rel_err
+        |FROM est""".stripMargin,
+
+    "sk02_kmv_setops" ->
+      """WITH sp AS (SELECT source, string_split(text, ' ') t
+        |  FROM documents),
+        |toks AS (SELECT source,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tok
+        |  FROM sp WHERE len(t) >= 3),
+        |h AS (SELECT DISTINCT source,
+        |    CAST(CAST(('0x' || substring(md5(tok), 1, 13)) AS UBIGINT)
+        |      AS BIGINT) AS h
+        |  FROM toks),
+        |sk AS (SELECT source, h FROM (SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+        |  FROM h) WHERE rn <= 256),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (SELECT a.source AS source_a, b.source AS source_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |m AS (SELECT p.source_a, p.source_b, s.h,
+        |    MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s
+        |    ON s.source = p.source_a OR s.source = p.source_b
+        |  GROUP BY 1, 2, 3),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+        |    ORDER BY h ASC) AS rn FROM m),
+        |agg AS (SELECT source_a, source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+        |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+        |    MAX(CASE WHEN rn = 256 THEN h END) AS kth
+        |  FROM u WHERE rn <= 256 GROUP BY 1, 2),
+        |est AS (SELECT source_a, source_b, n_union_sample, n_both,
+        |    CASE WHEN kth IS NULL
+        |      THEN round(CAST(n_union_sample AS DOUBLE), 6)
+        |      ELSE round((255e0 * 4503599627370496e0)
+        |        / CAST(kth AS DOUBLE), 6) END AS union_est,
+        |    round(CAST(n_both AS DOUBLE)
+        |      / CAST(n_union_sample AS DOUBLE), 9) AS jaccard_est
+        |  FROM agg)
+        |SELECT source_a, source_b, n_union_sample, n_both, union_est,
+        |  jaccard_est, round(jaccard_est * union_est, 6) AS intersect_est
+        |FROM est""".stripMargin,
 
     "s11_sparse_cosine" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t

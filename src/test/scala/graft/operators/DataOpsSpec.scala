@@ -1070,6 +1070,70 @@ class DataOpsSpec extends SparkSpec {
     assert(flagged.head._2 === 1L && flagged.head._3 >= 1L)
   }
 
+  test("sk01/sk02 KMV sketches: estimates equal an independent JVM md5 " +
+    "reference; sketch-merge equals full-set union (the KMV theorem); " +
+    "sub-k collapses to exact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def h52(sh: String): Long =
+      java.lang.Long.parseLong(md5hex(sh).take(13), 16)
+    def shingleHashes(text: String): Set[Long] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).map(h52).toSet
+    val textX = (0 to 1300).map(i => s"x$i").mkString(" ")
+    val textY = (650 to 1950).map(i => s"x$i").mkString(" ")
+    val textZ = (0 to 20).map(i => s"z$i").mkString(" ")  // sub-k
+    val hx = shingleHashes(textX); val hy = shingleHashes(textY)
+    val hz = shingleHashes(textZ)
+    assert(hx.size > 256 && hy.size > 256 && hz.size < 256)
+    def est(hashes: Set[Long]): Double = {
+      val sorted = hashes.toSeq.sorted
+      if (sorted.size < 256) sorted.size.toDouble
+      else 255.0 * 4503599627370496.0 / sorted(255).toDouble
+    }
+    // the KMV merge theorem on this data: the k smallest of the full
+    // union ARE found inside the union of the two k-sketches
+    val skX = hx.toSeq.sorted.take(256).toSet
+    val skY = hy.toSeq.sorted.take(256).toSet
+    assert((hx ++ hy).toSeq.sorted.take(256) ===
+      (skX ++ skY).toSeq.sorted.take(256))
+    val docs = Seq((1L, "srcX", textX), (2L, "srcY", textY),
+      (3L, "srcZ", textZ)).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got1 = DataOps.queries("sk01_kmv_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    for ((src, hs) <- Seq("srcX" -> hx, "srcY" -> hy, "srcZ" -> hz)) {
+      val (n, e) = got1(src)
+      assert(n === hs.size.toLong, s"$src n_exact")
+      assert(math.abs(e - est(hs)) < 1e-6, s"$src est: $e vs ${est(hs)}")
+    }
+    // sub-k source is EXACT; over-k sources took the estimator branch
+    assert(got1("srcZ")._2 === hz.size.toDouble)
+    assert(got1("srcX")._2 !== hx.size.toDouble)
+    // pair estimates against the reference, and against the truth
+    val gotXY = DataOps.queries("sk02_kmv_setops")(spark, dir)
+      .filter($"source_a" === "srcX" && $"source_b" === "srcY")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).head
+    val u = (skX ++ skY).toSeq.sorted.take(256)
+    val refBoth = u.count(v => skX.contains(v) && skY.contains(v))
+    assert(gotXY._1 === 256L && gotXY._2 === refBoth.toLong)
+    assert(math.abs(gotXY._3 - est(hx ++ hy)) < 1e-6)
+    val trueUnion = (hx ++ hy).size.toDouble
+    assert(math.abs(gotXY._3 - trueUnion) / trueUnion <= 0.25,
+      s"union est ${gotXY._3} vs true $trueUnion")
+    val trueJacc = hx.intersect(hy).size.toDouble / trueUnion
+    assert(math.abs(gotXY._4 - trueJacc) <= 0.15,
+      s"jaccard est ${gotXY._4} vs true $trueJacc")
+    // corpus-level: every source's error stays inside the k=256 regime
+    val errs = DataOps.queries("sk01_kmv_distinct")(spark, sf("sf0.001"))
+      .collect().map(r => r.getDouble(3))
+    assert(errs.nonEmpty && errs.forall(_ < 0.3),
+      s"rel_err out of regime: ${errs.max}")
+  }
+
   test("c04 bloom decontamination: flags equal an independent JVM md5 " +
     "reference; a shrunken filter forces deterministic false positives; " +
     "never a false negative") {
