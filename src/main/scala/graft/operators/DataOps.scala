@@ -1551,6 +1551,48 @@ object DataOps {
           col("y.rnk").as("rnk_b"))
     },
 
+    // s12: kNN label agreement — label-noise detection (the
+    // confident-learning signal): each vector's label is scored against
+    // its 5 nearest neighbors' labels, and a vector whose neighborhood
+    // disagrees (< 2 of 5 share its label) is flagged as a labeling
+    // suspect before it poisons a training split. Rides s10's exact
+    // machinery unchanged: the d06 blocked kernel scores each pair
+    // once, both orientations feed the map-side top_k_pairs heap (k
+    // rows per vector ship, never the candidate set), labels attach by
+    // two shuffle-hash equi-joins on the k·N-row list (corpus-scale
+    // relations stay off the broadcast path — the d16 convention). The
+    // suspect gate is an exact integer cross-multiply (5·n_same <
+    // 2·n_neighbors), never a float threshold.
+    "s12_label_agreement" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TopKPairs.top_k_pairs
+      val emb = Tables.embeddings(s, d)
+      val all = Similarity.allPairsCosine(emb, minCos = -1.1)
+      val both = all
+        .select($"vec_a".as("probe"), $"vec_b".as("other"), $"cos_sim")
+        .unionByName(all.select($"vec_b".as("probe"),
+          $"vec_a".as("other"), $"cos_sim"))
+      val nn = both.groupBy($"probe")
+        .agg(top_k_pairs($"cos_sim", $"other", 5).as("__nn"))
+        .select($"probe", explode($"__nn").as("__e"))
+        .select($"probe", $"__e.id".as("other"))
+      val labels = emb.select($"vec_id", $"label".cast("long").as("label"))
+      nn.join(labels.select($"vec_id".as("probe"),
+          $"label".as("probe_label")).hint("shuffle_hash"), Seq("probe"))
+        .join(labels.select($"vec_id".as("other"),
+          $"label".as("other_label")).hint("shuffle_hash"), Seq("other"))
+        .groupBy($"probe", $"probe_label")
+        .agg(count(lit(1)).as("n_neighbors"),
+          sum(when($"other_label" === $"probe_label", 1L).otherwise(0L))
+            .as("n_same"))
+        .select($"probe".as("vec_id"), $"probe_label".as("label"),
+          $"n_neighbors", $"n_same",
+          round($"n_same".cast("double") / $"n_neighbors".cast("double"),
+            9).as("agree_frac"),
+          (lit(5L) * $"n_same" < lit(2L) * $"n_neighbors")
+            .as("is_suspect"))
+    },
+
     // Hyperplane-LSH approximate top-5 (no SQL oracle: approximate).
     "s02_lsh_knn" -> (lshKnnQuery(_, _)),
 
@@ -4545,6 +4587,34 @@ object DataOps {
         |    JOIN norms nb ON nb.doc = doc_b)
         |SELECT doc_a, doc_b, n_common, cosine FROM cs
         |WHERE cosine >= 0.2""".stripMargin,
+
+    "s12_label_agreement" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |sc AS (SELECT a.vec_id AS probe, b.vec_id AS other,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |        sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |nn AS (SELECT probe, other FROM (SELECT probe, other,
+        |    ROW_NUMBER() OVER (PARTITION BY probe
+        |      ORDER BY cos_sim DESC, other ASC) AS rnk FROM sc)
+        |  WHERE rnk <= 5),
+        |j AS (SELECT n.probe, pa.label AS probe_label,
+        |    pb.label AS other_label
+        |  FROM nn n JOIN e pa ON n.probe = pa.vec_id
+        |    JOIN e pb ON n.other = pb.vec_id),
+        |a AS (SELECT probe AS vec_id,
+        |    CAST(probe_label AS BIGINT) AS label,
+        |    CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+        |    CAST(SUM(CASE WHEN other_label = probe_label
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |  FROM j GROUP BY 1, 2)
+        |SELECT vec_id, label, n_neighbors, n_same,
+        |  round(CAST(n_same AS DOUBLE) / CAST(n_neighbors AS DOUBLE), 9)
+        |    AS agree_frac,
+        |  5 * n_same < 2 * n_neighbors AS is_suspect
+        |FROM a""".stripMargin,
 
     "s10_mutual_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

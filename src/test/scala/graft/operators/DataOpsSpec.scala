@@ -1070,6 +1070,44 @@ class DataOpsSpec extends SparkSpec {
     assert(flagged.head._2 === 1L && flagged.head._3 >= 1L)
   }
 
+  test("s12 label agreement: a planted mislabel is the ONLY suspect; " +
+    "clean cluster members keep majority agreement; small corpora " +
+    "use all available neighbors") {
+    // two tight clusters on orthogonal axes; id 6 sits in cluster A
+    // (label 0 territory) but carries label 1 — its 5 NN all disagree
+    val vecs =
+      (1 to 6).map(i => (i.toLong,
+        Array(1.0f, 0.01f * i, 0.0f, 0.0f),
+        if (i == 6) 1 else 0)) ++
+      (7 to 12).map(i => (i.toLong,
+        Array(0.01f * (i - 6), 1.0f, 0.0f, 0.0f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("s12").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = DataOps.queries("s12_label_agreement")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got.size === 12)
+    assert(got(6L) === ((1L, 5L, 0L, true)), s"mislabel must flag: $got")
+    // every other vector keeps majority agreement and is not flagged
+    (1 to 5).foreach { i =>
+      val (lab, n, same, susp) = got(i.toLong)
+      assert(lab === 0L && n === 5L && same === 4L && !susp, s"id $i")
+    }
+    (7 to 12).foreach { i =>
+      val (lab, n, same, susp) = got(i.toLong)
+      assert(lab === 1L && n === 5L && same === 5L && !susp, s"id $i")
+    }
+    // a 4-vector corpus has only 3 neighbors — n_neighbors reflects it
+    val tiny = java.nio.file.Files.createTempDirectory("s12t").toString
+    (1 to 4).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+    val small = DataOps.queries("s12_label_agreement")(spark, tiny)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(small.forall(_ == ((3L, 3L))))
+  }
+
   test("sk01/sk02 KMV sketches: estimates equal an independent JVM md5 " +
     "reference; sketch-merge equals full-set union (the KMV theorem); " +
     "sub-k collapses to exact") {
