@@ -651,6 +651,58 @@ object Analytics {
         .agg(count(lit(1)).as("n_overlaps"),
           sum($"overlap_s").as("sum_overlap_s"),
           max($"overlap_s").as("max_overlap_s"))
+    },
+
+    // q84: RFM segmentation — recency / frequency / monetary quintile
+    // scores per customer, the classic marketing-analytics cohorting.
+    // Exactness choices: the as-of date is the corpus max order date
+    // (no wall clock — replays score identically); monetary lives in
+    // integer CENTS from an exact DECIMAL(18,2) sum, so all three
+    // metrics are integers and the quintile thresholds ride the
+    // q29/q76 percentile↔quantile_cont integer parity (rounded 6 dp
+    // before comparison); scores are sums of exact boolean
+    // comparisons, 1..5 with recency inverted (recent = high). Scale
+    // shape: one keyed corpus aggregation; thresholds are a 1-row
+    // broadcast (the t23/x07 convention — never an ntile sort over
+    // customers); staging is map-only after the broadcast, so equal
+    // metrics get equal scores under any partitioning.
+    "q84_rfm" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(max(to_date($"o_orderdate")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          (sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+            .cast("long").as("__cents"))
+      val asOf = cust.agg(max($"last_day").as("__as_of"))
+      val base = cust.crossJoin(broadcast(asOf))
+        .select($"o_custkey".as("custkey"),
+          datediff($"__as_of", $"last_day").cast("long")
+            .as("recency_days"),
+          $"frequency", $"__cents")
+      def q(c: String, p: Double, as: String) =
+        round(expr(s"percentile($c, cast($p as double))"), 6).as(as)
+      val thr = base.agg(
+        q("recency_days", 0.2, "r20"), q("recency_days", 0.4, "r40"),
+        q("recency_days", 0.6, "r60"), q("recency_days", 0.8, "r80"),
+        q("frequency", 0.2, "f20"), q("frequency", 0.4, "f40"),
+        q("frequency", 0.6, "f60"), q("frequency", 0.8, "f80"),
+        q("__cents", 0.2, "m20"), q("__cents", 0.4, "m40"),
+        q("__cents", 0.6, "m60"), q("__cents", 0.8, "m80"))
+      def steps(c: Column, t: Seq[String]): Column =
+        t.map(n => (c > col(n)).cast("long")).reduce(_ + _)
+      base.crossJoin(broadcast(thr))
+        .withColumn("r_score", lit(5L) -
+          steps($"recency_days", Seq("r20", "r40", "r60", "r80")))
+        .withColumn("f_score", lit(1L) +
+          steps($"frequency", Seq("f20", "f40", "f60", "f80")))
+        .withColumn("m_score", lit(1L) +
+          steps($"__cents", Seq("m20", "m40", "m60", "m80")))
+        .select($"custkey", $"recency_days", $"frequency",
+          ($"__cents".cast("double") / 100.0).as("monetary"),
+          $"r_score", $"f_score", $"m_score",
+          ($"r_score" * 100 + $"f_score" * 10 + $"m_score")
+            .as("rfm_code"))
     }
   )
 
@@ -758,6 +810,51 @@ object Analytics {
         |  FROM v)
         |SELECT *, abs(COALESCE(z_dow, 0.0)) > 2.0 AS is_anomaly
         |FROM z""".stripMargin,
+
+    "q84_rfm" ->
+      """WITH cust AS (SELECT o_custkey AS custkey,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(last_day) AS as_of FROM cust),
+        |b AS (SELECT custkey,
+        |    CAST(as_of - last_day AS BIGINT) AS recency_days,
+        |    frequency, cents FROM cust, a),
+        |t AS (SELECT
+        |    round(quantile_cont(recency_days, 0.2), 6) AS r20,
+        |    round(quantile_cont(recency_days, 0.4), 6) AS r40,
+        |    round(quantile_cont(recency_days, 0.6), 6) AS r60,
+        |    round(quantile_cont(recency_days, 0.8), 6) AS r80,
+        |    round(quantile_cont(frequency, 0.2), 6) AS f20,
+        |    round(quantile_cont(frequency, 0.4), 6) AS f40,
+        |    round(quantile_cont(frequency, 0.6), 6) AS f60,
+        |    round(quantile_cont(frequency, 0.8), 6) AS f80,
+        |    round(quantile_cont(cents, 0.2), 6) AS m20,
+        |    round(quantile_cont(cents, 0.4), 6) AS m40,
+        |    round(quantile_cont(cents, 0.6), 6) AS m60,
+        |    round(quantile_cont(cents, 0.8), 6) AS m80
+        |  FROM b),
+        |sc AS (SELECT b.*,
+        |    5 - (CAST(recency_days > r20 AS BIGINT)
+        |      + CAST(recency_days > r40 AS BIGINT)
+        |      + CAST(recency_days > r60 AS BIGINT)
+        |      + CAST(recency_days > r80 AS BIGINT)) AS r_score,
+        |    1 + (CAST(frequency > f20 AS BIGINT)
+        |      + CAST(frequency > f40 AS BIGINT)
+        |      + CAST(frequency > f60 AS BIGINT)
+        |      + CAST(frequency > f80 AS BIGINT)) AS f_score,
+        |    1 + (CAST(cents > m20 AS BIGINT)
+        |      + CAST(cents > m40 AS BIGINT)
+        |      + CAST(cents > m60 AS BIGINT)
+        |      + CAST(cents > m80 AS BIGINT)) AS m_score
+        |  FROM b, t)
+        |SELECT custkey, recency_days, frequency,
+        |  CAST(cents AS DOUBLE) / 100.0 AS monetary,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_code
+        |FROM sc""".stripMargin,
 
     // Capless: the raw overlap predicate over the burst relation — the
     // engine's bucket-explode + ownership-filter equi-join must produce

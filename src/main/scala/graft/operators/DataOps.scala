@@ -45,6 +45,31 @@ object DataOps {
           .cast("long").as("h"))
       .distinct()
 
+  /** c05's audit body: [[bloomDecontaminate]]'s flags left-joined to
+    * the TRUE gram overlap of just the flagged docs (broadcast
+    * semi-join on flagged ids — the exact pass never touches the
+    * unflagged corpus). */
+  private[operators] def bloomAudit(docs: DataFrame,
+      mBits: Int, kh: Int): DataFrame = {
+    val flagged = bloomDecontaminate(docs, mBits, kh)
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"))
+    val fGrams = Dedup.shingleIndex(
+      docs.join(broadcast(flagged.select(col("doc_id"))), Seq("doc_id")),
+      "doc_id", "text", 4)
+    val bench = Dedup.shingleIndex(docs, "doc_id", "text", 4)
+      .filter(col("doc") % 53 === 0).select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    val truth = fGrams.join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col("doc"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("__n_true"))
+    flagged
+      .join(truth.select(col("doc").as("doc_id"), col("__n_true")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"),
+        coalesce(col("__n_true"), lit(0L)).cast("long").as("n_true"),
+        (coalesce(col("__n_true"), lit(0L)) === 0).as("is_fp"))
+  }
+
   /** c04's Bloom screen, parameterized so the spec can shrink the
     * filter until false positives are forced. Word layout: `mBits`
     * bits packed 32 per BIGINT word (bit 31 is the widest shift, so
@@ -1743,6 +1768,21 @@ object DataOps {
     // c01 restricted to flagged docs.
     "c04_bloom_decontaminate" -> { (s, d) =>
       bloomDecontaminate(Tables.documents(s, d), mBits = 1 << 20, kh = 3)
+    },
+
+    // c05: the exact re-verify c04's SCALE contract prescribes — c01's
+    // true gram-overlap computation restricted to the (tiny) Bloom-
+    // flagged doc set, auditing every flag into confirmed-contaminated
+    // or false positive. This is the production screen→verify pipeline
+    // in one query: the corpus-scale pass is c04's (fixed-size word
+    // table); the exact pass then touches ONLY flagged docs (a
+    // broadcast semi-join on the flagged ids — benchmark-hit-bounded,
+    // never corpus-bounded), so the expensive exact join runs on a
+    // relation the screen already shrank by ~500× (sf0.1: 1135 of
+    // 577k train docs). n_true counts the doc's grams truly shared
+    // with the benchmark; is_fp marks screen-only flags.
+    "c05_bloom_audit" -> { (s, d) =>
+      bloomAudit(Tables.documents(s, d), mBits = 1 << 20, kh = 3)
     },
 
     "c01_contamination" -> { (s, d) =>
@@ -3740,6 +3780,44 @@ object DataOps {
         |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
         |  COALESCE(n_shared::DOUBLE / n_sh, 0.0) AS shared_frac
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc""".stripMargin,
+
+    // c04's flagged set (same CTE body) left-joined to the true gram
+    // overlap of just those docs.
+    "c05_bloom_audit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+        |  FROM toks WHERE len(t) >= 4),
+        |js AS (SELECT unnest(range(1, 4)) AS j),
+        |bb AS (SELECT DISTINCT
+        |    CAST(CAST(('0x' || substring(md5('blm' || j || ':' || gram),
+        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
+        |  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0), js),
+        |words AS (SELECT pos // 32 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS w
+        |  FROM bb GROUP BY 1),
+        |pr AS (SELECT doc_id, gram,
+        |    CAST(CAST(('0x' || substring(md5('blm' || j || ':' || gram),
+        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
+        |  FROM g, js WHERE doc_id % 53 <> 0),
+        |pw AS (SELECT doc_id, gram, pos // 32 AS word,
+        |    CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS mask
+        |  FROM pr),
+        |hit AS (SELECT doc_id, gram,
+        |    MIN(CASE WHEN w.w IS NOT NULL AND (w.w & mask) = mask
+        |      THEN 1 ELSE 0 END) AS all_set
+        |  FROM pw LEFT JOIN words w ON pw.word = w.word GROUP BY 1, 2),
+        |flag AS (SELECT doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(all_set) AS BIGINT) AS n_flagged
+        |  FROM hit GROUP BY 1 HAVING SUM(all_set) > 0),
+        |truth AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM g WHERE doc_id IN (SELECT doc_id FROM flag)
+        |    AND gram IN (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0)
+        |  GROUP BY 1)
+        |SELECT f.doc_id, f.n_grams, f.n_flagged,
+        |  COALESCE(t.n_true, 0) AS n_true,
+        |  COALESCE(t.n_true, 0) = 0 AS is_fp
+        |FROM flag f LEFT JOIN truth t ON f.doc_id = t.doc_id""".stripMargin,
 
     // Mirrors the engine's md5 Bloom positions bit-for-bit — including
     // any false positives, which are deterministic corpus functions

@@ -563,4 +563,27 @@ class AnalyticsSpec extends SparkSpec {
       ("error", "purchase", 1L, 0L, 0L),
       ("error", "view", 1L, 0L, 0L)))
   }
+
+  test("q84 rfm: quintile scores over planted metrics; recency " +
+    "inverted; as-of is the corpus max date, never a clock") {
+    // customer i: i orders of 1000.00 all on 2024-01-0i → recency 5−i,
+    // frequency i, monetary i·1000; quintile thresholds over
+    // {0..4}/{1..5} are 0.8/1.6/2.4/3.2 etc → every score = i,
+    // rfm_code = 111·i
+    val orders = (1 to 5).flatMap { i =>
+      (1 to i).map(k =>
+        (i * 10L + k, i.toLong, 1000.0, s"2024-01-0$i 00:00:00"))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "t")
+      .withColumn("o_orderdate", to_timestamp($"t")).drop("t")
+    val dir = java.nio.file.Files.createTempDirectory("q84").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Analytics.queries("q84_rfm")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSet
+    assert(got === (1 to 5).map { i =>
+      (i.toLong, (5 - i).toLong, i.toLong, i * 1000.0,
+        i.toLong, i.toLong, i.toLong, 111L * i)
+    }.toSet)
+  }
 }

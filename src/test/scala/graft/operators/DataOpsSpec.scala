@@ -1108,6 +1108,36 @@ class DataOpsSpec extends SparkSpec {
     assert(small.forall(_ == ((3L, 3L))))
   }
 
+  test("c05 bloom audit: confirms every true hit with its exact gram " +
+    "count and isolates forced false positives; agrees with c01 on " +
+    "the real corpus") {
+    // the c04-spec corpus: at m=32 the clean doc (2) is all-FP, the
+    // quoting doc (1) over-flags but has exactly 1 true shared gram
+    val benchText = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val hitText = "x " + (0 until 4).map(i => s"tok$i").mkString(" ") + " y"
+    val cleanText = "one two three four five six"
+    val docs = Seq((0L, benchText), (1L, hitText), (2L, cleanText))
+      .toDF("doc_id", "text")
+    val tiny = DataOps.bloomAudit(docs, 32, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(tiny === Map(1L -> ((3L, 1L, false)), 2L -> ((3L, 0L, true))))
+    // real corpus: the audit's n_true column IS c01 restricted to flags
+    val dir = sf("sf0.001")
+    val audit = DataOps.queries("c05_bloom_audit")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    val exact = DataOps.queries("c01_contamination")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit.nonEmpty)
+    audit.foreach { case (id, (nTrue, isFp)) =>
+      assert(nTrue === exact.getOrElse(id, 0L), s"doc $id n_true")
+      assert(isFp === !exact.contains(id), s"doc $id is_fp")
+    }
+    // and the screen missed nothing c01 found
+    assert(exact.keySet.subsetOf(audit.keySet))
+  }
+
   test("sk01/sk02 KMV sketches: estimates equal an independent JVM md5 " +
     "reference; sketch-merge equals full-set union (the KMV theorem); " +
     "sub-k collapses to exact") {
