@@ -30,20 +30,40 @@ object DataOps {
   private[operators] def md5Bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
-  /** The sk-family hash relation: DISTINCT (source, h) where h is the
-    * 52-bit md5-derived hash of a word 3-shingle (13 hex chars — 52 bits so the
-    * double lane in the heap is exact; the oracle mirrors it with the
-    * md5Bucket UBIGINT-cast convention). Distinctness is what makes the
-    * downstream heap a true KMV (k smallest VALUES, not offers);
-    * Spark's partial hash aggregation dedups map-side, so the shuffled
-    * volume is per-partition-vocabulary-bound, never corpus-bound. */
-  private def kmvHashes(docs: DataFrame): DataFrame =
+  /** The sk-family hash relation: (source, h) rows (NOT yet distinct)
+    * where h is the 52-bit md5-derived hash of a word 3-shingle
+    * (13 hex chars — 52 bits so the double lane in the heap is exact;
+    * the oracle mirrors it with the md5Bucket UBIGINT-cast
+    * convention). `private[graft]`: the streaming sketch ingest hashes
+    * its micro-batches through the same definition. */
+  private[graft] def kmvHashes(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         explode(graft.functions.Text.shingles(col("text"), 3)).as("tok"))
       .select(col("source"),
         conv(substring(md5(col("tok")), 1, 13), 16, 10)
           .cast("long").as("h"))
-      .distinct()
+
+  /** KMV prune: the k smallest DISTINCT hash values per source, as
+    * exploded (source, h) rows. The distinct is load-bearing — a true
+    * KMV keeps k smallest VALUES, not offers, and it is what makes
+    * this function idempotent and associative (prune(prune(A) ∪
+    * prune(B)) = prune(A ∪ B), the merge theorem) — the property the
+    * streaming ingest's cross-batch merge rides. Spark's partial hash
+    * aggregation dedups map-side, so the shuffled volume is
+    * vocabulary-bound, never corpus-bound; the heap then ships ≤ k
+    * rows per source per map task. */
+  private[graft] def kmvPrune(hashes: DataFrame, k: Int): DataFrame =
+    hashes.distinct()
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        -col("h").cast("double"), col("h"), k).as("__sk"))
+      .select(col("source"), explode(col("__sk")).as("__e"))
+      .select(col("source"), col("__e.id").as("h"))
+
+  /** The per-source KMV sketch of a document relation (sk02's probe
+    * relation, the streaming ingest's batch-mode twin). */
+  private[graft] def kmvSketchRows(docs: DataFrame, k: Int): DataFrame =
+    kmvPrune(kmvHashes(docs), k)
 
   /** c05's audit body: [[bloomDecontaminate]]'s flags left-joined to
     * the TRUE gram overlap of just the flagged docs (broadcast
@@ -1481,7 +1501,7 @@ object DataOps {
     "sk01_kmv_distinct" -> { (s, d) =>
       import s.implicits._
       import graft.functions.TopKPairs.top_k_pairs
-      val sk = kmvHashes(Tables.documents(s, d))
+      val sk = kmvHashes(Tables.documents(s, d)).distinct()
         .groupBy($"source").agg(
           count(lit(1)).as("n_exact"),
           top_k_pairs(-$"h".cast("double"), $"h", 256).as("__sk"))
@@ -1510,11 +1530,7 @@ object DataOps {
     "sk02_kmv_setops" -> { (s, d) =>
       import s.implicits._
       import graft.functions.TopKPairs.top_k_pairs
-      val sk = kmvHashes(Tables.documents(s, d))
-        .groupBy($"source").agg(
-          top_k_pairs(-$"h".cast("double"), $"h", 256).as("__sk"))
-        .select($"source", explode($"__sk").as("__e"))
-        .select($"source", $"__e.id".as("h"))
+      val sk = kmvSketchRows(Tables.documents(s, d), 256)
       val srcs = sk.select($"source").distinct()
       val pairs = srcs.select($"source".as("source_a"))
         .join(srcs.select($"source".as("source_b")),

@@ -453,6 +453,66 @@ object Streaming {
               org.apache.spark.sql.types.DoubleType))))
     }
 
+  /** Streaming twin of sk01's KMV sketch build: a persisted per-source
+    * k-minimum-values sketch maintained per micro-batch of documents —
+    * the "mergeable" in mergeable cardinality sketch made operational.
+    * Per batch: hash the batch's shingles through the ONE sk-family
+    * definition ([[graft.operators.DataOps.kmvHashes]]), union with the
+    * committed sketch, re-prune to k smallest distinct per source
+    * ([[graft.operators.DataOps.kmvPrune]]). The merge theorem
+    * (prune(prune(A) ∪ B) = prune(A ∪ B)) makes N batches in ANY
+    * order reproduce the whole-corpus sketch EXACTLY — the spec pins
+    * streamed ≡ batch row-for-row; estimates follow. Per-batch cost is
+    * O(batch shingles + k·|sources|); the corpus is never re-read, and
+    * the state is k rows per source however much data has flowed.
+    *
+    * Set union IS idempotent, so a replayed batch would merge
+    * harmlessly — snapshots are still versioned by batch id with
+    * `_SUCCESS` commits and rewound ids skipped ([[statsIngest]]
+    * discipline) so torn writes and rewinds never surface a
+    * half-written sketch. */
+  def sketchIngest(docs: DataFrame, sketchDir: String,
+      checkpointDir: String, k: Int = 256): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestSnapshot(spark, sketchDir)
+        if (latest.forall(_._1 < batchId)) {
+          val delta = graft.operators.DataOps.kmvHashes(batch)
+          val merged = latest match {
+            case Some((_, base)) => base.unionByName(delta)
+            case None => delta
+          }
+          graft.operators.DataOps.kmvPrune(merged, k)
+            .write.mode("overwrite").parquet(s"$sketchDir/snapshot=$batchId")
+          val keep = Set(Some(batchId), latest.map(_._1)).flatten
+          snapshotIds(spark, sketchDir).filterNot(keep.contains).foreach { id =>
+            val p = new org.apache.hadoop.fs.Path(s"$sketchDir/snapshot=$id")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          }
+        } // else: replay/rewind of an already-merged batch — skip
+      }
+      .start()
+
+  /** The latest COMMITTED per-source sketch rows (source, h). Empty but
+    * typed when nothing has committed (the readStats convention). */
+  def readSketch(spark: SparkSession, sketchDir: String): DataFrame =
+    latestSnapshot(spark, sketchDir) match {
+      case Some((_, df)) => df.select(col("source"), col("h"))
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType))))
+    }
+
   private def snapshotIds(spark: SparkSession, statsDir: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(statsDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
