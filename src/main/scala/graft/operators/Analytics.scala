@@ -703,8 +703,104 @@ object Analytics {
           $"r_score", $"f_score", $"m_score",
           ($"r_score" * 100 + $"f_score" * 10 + $"m_score")
             .as("rfm_code"))
+    },
+
+    // q85: Gini concentration of per-user activity per event type —
+    // the inequality audit behind mixture decisions (a type whose
+    // traffic is one whale is a different signal than the same count
+    // spread across a fleet). Exactness: with x(1..n) the per-user
+    // counts ascending, G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — every
+    // term an exact integer in DECIMAL(38,0) (rank·count products
+    // outgrow int64 at ~10^10-user types), ONE int64→double conversion
+    // per side of the final division (q82 convention: a term past 62
+    // bits raises loudly, never wraps). Tie order can't leak: equal
+    // counts swap ranks within a tie block and Σ i·x_i is invariant
+    // under any permutation of equal x. Scale shape: the corpus-scale
+    // pass is ONE groupBy (events → per-user counts); the ranking
+    // window runs over the user-bounded relation, never events.
+    "q85_gini" -> { (s, d) =>
+      import s.implicits._
+      val u = Tables.events(s, d)
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("x"))
+      val r = u.withColumn("i",
+        row_number().over(Window.partitionBy($"event_type")
+          .orderBy($"x", $"user_id")).cast("long"))
+      r.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"x").as("total_events"),
+          sum(($"i".cast("decimal(38,0)") * $"x")
+            .cast("decimal(38,0)")).as("__w"),
+          max($"x").as("__mx"))
+        .withColumn("__num",
+          (lit(2).cast("decimal(38,0)") * $"__w" -
+            ($"n_users".cast("decimal(38,0)") + 1) * $"total_events")
+            .cast("decimal(38,0)"))
+        .withColumn("__den",
+          ($"n_users".cast("decimal(38,0)") * $"total_events")
+            .cast("decimal(38,0)"))
+        .withColumn("gini",
+          when($"__den" > lit(Long.MaxValue / 2),
+            raise_error(lit("q85_gini: rank-sum term exceeds 62 bits; " +
+              "chunk the horizon per epoch")).cast("double"))
+            .otherwise(round($"__num".cast("long").cast("double") /
+              $"__den".cast("long").cast("double"), 9)))
+        .select($"event_type", $"n_users", $"total_events", $"gini",
+          round($"__mx".cast("double") /
+            $"total_events".cast("double"), 9).as("max_user_frac"))
+    },
+
+    // q86: Benford first-digit audit per event type — the fraud/
+    // instrumentation-drift screen: organically-sized values follow
+    // log10(1+1/d), synthetic or clamped feeds don't. Cross-engine
+    // exactness without cross-engine transcendentals: the expected
+    // fractions are literals computed ONCE in [[benfordP]] and
+    // interpolated into BOTH plans (the LangMarkers single-source
+    // convention — shortest-round-trip doubles parse back bit-equal);
+    // the first digit comes from integer-cents string heads (never a
+    // log10 of the value); χ² sums per-digit contributions rounded
+    // 9 dp through DECIMAL (the t13 convention — float sums are
+    // order-dependent, decimal sums aren't). Map-only over the corpus
+    // + a 9-row-per-type spine join; zero-observation digits
+    // contribute n·p (the correct χ² term), not silence.
+    "q86_benford" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("__cents", round($"value" * 100).cast("long"))
+        .filter($"__cents" > 0)
+        .withColumn("digit",
+          substring($"__cents".cast("string"), 1, 1).cast("int"))
+      val obs = ev.groupBy($"event_type", $"digit")
+        .agg(count(lit(1)).as("n_obs"))
+      val spine = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(benfordP.toDF("digit", "p")))
+      val wt = Window.partitionBy($"event_type")
+      spine.join(obs, Seq("event_type", "digit"), "left")
+        .withColumn("n_obs", coalesce($"n_obs", lit(0L)))
+        .withColumn("__n_tot", sum($"n_obs").over(wt))
+        .withColumn("__contrib", round(
+          ($"n_obs".cast("double") - $"__n_tot".cast("double") * $"p") *
+            ($"n_obs".cast("double") - $"__n_tot".cast("double") * $"p") /
+            ($"__n_tot".cast("double") * $"p"), 9))
+        .select($"event_type", $"digit", $"n_obs",
+          round($"n_obs".cast("double") /
+            $"__n_tot".cast("double"), 9).as("obs_frac"),
+          round($"p", 9).as("exp_frac"),
+          $"__contrib".as("contrib"),
+          sum($"__contrib".cast("decimal(18,9)")).over(wt)
+            .cast("double").as("chi2"))
     }
   )
+
+  /** Benford expected first-digit probabilities, the ONE definition
+    * both q86's Spark plan and its oracle SQL interpolate (Java's
+    * shortest-round-trip double rendering parses back to the same bits
+    * in any correct reader, so no cross-engine log10 is ever taken). */
+  private[operators] val benfordP: Seq[(Int, Double)] =
+    (1 to 9).map(dd => dd -> math.log10(1.0 + 1.0 / dd))
+
+  private def benfordValuesSql: String =
+    benfordP.map { case (dd, p) => s"($dd, $p)" }.mkString(", ")
 
   /** Mode of `valCol` per `keyCol` with smallest-value tie-break, as two
     * partial-aggregating hash aggregations (see q67 scaladoc in
@@ -1123,6 +1219,57 @@ object Analytics {
         |  array_to_string(
         |    list_reverse_sort(string_split(text, ' '))[1:3], ',')
         |    AS top3_desc
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Exact-integer Gini through HUGEINT (the oracle's int128 stands in
+    // for the engine's DECIMAL(38,0) lane, the q82 convention).
+    "q85_gini" ->
+      """WITH u AS (SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY x ASC, user_id ASC) AS BIGINT) AS i FROM u),
+        |a AS (SELECT event_type, COUNT(*) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS total_events,
+        |    SUM(CAST(i AS HUGEINT) * x) AS w, MAX(x) AS mx
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, total_events,
+        |  round(CAST(CAST(2 * w - (CAST(n_users AS HUGEINT) + 1)
+        |        * total_events AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(CAST(n_users AS HUGEINT) * total_events
+        |        AS BIGINT) AS DOUBLE), 9) AS gini,
+        |  round(CAST(mx AS DOUBLE) / CAST(total_events AS DOUBLE), 9)
+        |    AS max_user_frac
+        |FROM a""".stripMargin,
+
+    // The expected-fraction literals are interpolated from the SAME
+    // benfordP constant the Spark plan embeds — no cross-engine log10.
+    "q86_benford" -> s"""
+      |WITH ev AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      |  WHERE CAST(round(value * 100) AS BIGINT) > 0),
+      |dg AS (SELECT event_type,
+      |    CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+      |      AS digit FROM ev),
+      |obs AS (SELECT event_type, digit, COUNT(*) AS n_obs
+      |  FROM dg GROUP BY 1, 2),
+      |p(digit, p) AS (VALUES $benfordValuesSql),
+      |ty AS (SELECT DISTINCT event_type FROM dg),
+      |sp AS (SELECT ty.event_type, p.digit, p.p,
+      |    COALESCE(n_obs, 0) AS n_obs
+      |  FROM ty CROSS JOIN p LEFT JOIN obs
+      |    ON obs.event_type = ty.event_type AND obs.digit = p.digit),
+      |t AS (SELECT *, SUM(n_obs) OVER (PARTITION BY event_type)
+      |    AS n_tot FROM sp),
+      |c AS (SELECT *, round(
+      |    (CAST(n_obs AS DOUBLE) - CAST(n_tot AS DOUBLE) * p)
+      |      * (CAST(n_obs AS DOUBLE) - CAST(n_tot AS DOUBLE) * p)
+      |      / (CAST(n_tot AS DOUBLE) * p), 9) AS contrib FROM t)
+      |SELECT event_type, digit, n_obs,
+      |  round(CAST(n_obs AS DOUBLE) / CAST(n_tot AS DOUBLE), 9)
+      |    AS obs_frac,
+      |  round(p, 9) AS exp_frac, contrib,
+      |  CAST(SUM(CAST(contrib AS DECIMAL(18,9)))
+      |    OVER (PARTITION BY event_type) AS DOUBLE) AS chi2
+      |FROM c""".stripMargin.trim
   )
 }

@@ -65,6 +65,121 @@ object DataOps {
   private[graft] def kmvSketchRows(docs: DataFrame, k: Int): DataFrame =
     kmvPrune(kmvHashes(docs), k)
 
+  /** The sk03/sk04 term relation: one `(source, tok)` row per word
+    * 3-gram OCCURRENCE (Count-Min counts frequencies, so `ngrams`, not
+    * the deduping `shingles` — and 3-grams, not unigrams, for the same
+    * reason sk01 sketches shingles: the n-gram space is what outgrows
+    * memory at corpus scale; this corpus' unigram vocabulary is 31
+    * words while its 3-gram vocabulary already beats the sketch width,
+    * so the overestimate lanes are non-vacuous at every SF).
+    * `private[graft]`: the streaming counter ingest tokenizes its
+    * micro-batches through the same definition. */
+  private[graft] def cmTokens(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      explode(graft.functions.Text.ngrams(col("text"), 3)).as("tok"))
+
+  /** Count-Min position of a token under hash row `j` (Cormode &
+    * Muthukrishnan 2005): md5Bucket("cm" + j + ":" + tok) mod width —
+    * the md5Bucket convention, mirrored verbatim in the oracles (the
+    * c04 Bloom recipe with row index in place of probe index). */
+  private def cmPos(j: Column, tok: Column, width: Int): Column =
+    md5Bucket(concat(lit("cm"), j.cast("string"), lit(":"), tok)) % width
+
+  /** The Count-Min counter table of a token-occurrence relation:
+    * `(source, j, pos, c)` with `depth` hash rows of `width` counters.
+    * At most `sources · depth · width` rows whatever the corpus size —
+    * the fixed-footprint frequency summary — and counters are SUMS, so
+    * the table is mergeable by addition (counters(A ∪ B) =
+    * counters(A) + counters(B) groupwise; the streaming ingest's
+    * cross-batch merge and Spark's map-side partial aggregation both
+    * ride that). Parameterized so the spec can shrink `width` until
+    * collisions are forced (the c04 convention). */
+  private[graft] def cmCounters(toks: DataFrame, width: Int,
+      depth: Int): DataFrame =
+    toks
+      .select(col("source"),
+        explode(sequence(lit(1), lit(depth))).as("j"), col("tok"))
+      .withColumn("pos", cmPos(col("j"), col("tok"), width))
+      .groupBy(col("source"), col("j"), col("pos"))
+      .agg(count(lit(1)).as("c"))
+
+  /** sk03's estimate body: point-query the counter table for each probe
+    * token (est = min over the depth rows — the CM upper bound, so
+    * est ≥ true structurally) next to the exact count. Counters are
+    * summed across sources first: the global sketch IS the sum of the
+    * per-source sketches (the mergeability sk04 rides per-source). */
+  private[operators] def cmFreqEstimates(docs: DataFrame, width: Int,
+      depth: Int, topN: Int): DataFrame = {
+    val toks = cmTokens(docs)
+    val counters = cmCounters(toks, width, depth)
+      .groupBy(col("j"), col("pos")).agg(sum(col("c")).as("c"))
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("tok").asc)
+      .limit(topN)
+    val probe = top
+      .select(col("tok"), col("true_count"),
+        explode(sequence(lit(1), lit(depth))).as("j"))
+      .withColumn("pos", cmPos(col("j"), col("tok"), width))
+    // the probe relation is topN·depth rows — it broadcasts; the
+    // counter table stays put (fixed-size, but the bigger side here)
+    counters.join(broadcast(probe), Seq("j", "pos"))
+      .groupBy(col("tok"), col("true_count"))
+      .agg(min(col("c")).as("est_count"))
+      .select(col("tok").as("token"), col("true_count"),
+        col("est_count"),
+        (col("est_count") - col("true_count")).as("overcount"))
+  }
+
+  /** sk04's estimate body: pairwise source token-join sizes
+    * Σ_t f_A(t)·f_B(t) from the per-source CM sketches ALONE — the
+    * inner product of two sketch rows upper-bounds the true join size
+    * (colliding tokens only ADD nonnegative cross terms), min over
+    * rows tightens it. The join-size estimator a cost-based planner
+    * wants at 100 TB: per-source sketches are `depth·width` counters
+    * however big the source, the pair relation joins sketch×sketch on
+    * (j, pos) — the corpus is touched exactly once (the counter
+    * build). Products accumulate in DECIMAL(38,0) (two 10^9-token
+    * sources overflow int64 products long before the corpus is
+    * exotic); a result past 62 bits raises loudly (q82 convention). */
+  private[operators] def cmJoinSizes(docs: DataFrame, width: Int,
+      depth: Int): DataFrame = {
+    val toks = cmTokens(docs)
+    val sctr = cmCounters(toks, width, depth)
+    val ip = sctr.as("a")
+      .join(sctr.as("b"), col("a.j") === col("b.j") &&
+        col("a.pos") === col("b.pos") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.j").as("j"))
+      .agg(sum((col("a.c").cast("decimal(38,0)") * col("b.c"))
+        .cast("decimal(38,0)")).as("ipj"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(min(col("ipj")).as("__est"))
+    val perSrc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val truth = perSrc.as("a")
+      .join(perSrc.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum((col("a.c").cast("decimal(38,0)") * col("b.c"))
+        .cast("decimal(38,0)")).as("__tn"))
+    def toLong(c: Column, what: String): Column =
+      when(c > lit(Long.MaxValue / 2),
+        raise_error(lit(s"sk04_cm_join_size: $what exceeds 62 bits; " +
+          "shard the corpus per epoch")).cast("long"))
+        .otherwise(c.cast("long"))
+    ip.join(truth, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        toLong(col("__est"), "sketch inner product").as("est_n"),
+        toLong(col("__tn"), "true join size").as("true_n"))
+      .withColumn("overcount", col("est_n") - col("true_n"))
+      .withColumn("rel_err",
+        when(col("true_n") === 0, lit(null).cast("double"))
+          .otherwise(round(col("overcount").cast("double") /
+            col("true_n").cast("double"), 9)))
+  }
+
   /** c05's audit body: [[bloomDecontaminate]]'s flags left-joined to
     * the TRUE gram overlap of just the flagged docs (broadcast
     * semi-join on flagged ids — the exact pass never touches the
@@ -1563,6 +1678,75 @@ object DataOps {
         .withColumn("intersect_est",
           round($"jaccard_est" * $"union_est", 6))
         .drop("__kth")
+    },
+
+    // sk03: Count-Min frequency sketch (Cormode & Muthukrishnan 2005) —
+    // KMV (sk01) answers "how many DISTINCT", CM answers "how OFTEN":
+    // word-3-gram frequencies from a 3×16384 counter table (fixed
+    // footprint however big the corpus; the exact groupBy it replaces
+    // is n-gram-vocabulary-bound, which at web scale is corpus-bound —
+    // and already exceeds the width HERE, so the overestimate lanes
+    // are live at every SF, not just in the forced-collision spec).
+    // Counters
+    // are sums → mergeable by addition (map-side combine, per-shard
+    // build + add, the streaming ingest's merge), and the estimate
+    // min_j c[j][pos_j(t)] is a pure function of the data under the
+    // md5Bucket hash convention — so like sk01/c04 and unlike HLL, the
+    // ORACLE REPRODUCES THE APPROXIMATION EXACTLY, overestimates and
+    // all (est ≥ true is the CM structural guarantee: collisions only
+    // add). Probes are the 40 true heaviest 3-grams, so the report
+    // reads estimate-vs-truth where the sketch matters most; the truth
+    // lane rides a vocab-bound aggregation (at production scale you'd
+    // probe a fixed watchlist and drop the truth lane).
+    "sk03_cm_freq" -> { (s, d) =>
+      cmFreqEstimates(Tables.documents(s, d), width = 16384, depth = 3,
+        topN = 40)
+    },
+
+    // sk04: pairwise source JOIN-SIZE estimation from the CM sketches
+    // alone — the inner product Σ_pos cA[j][pos]·cB[j][pos] upper-bounds
+    // Σ_t fA(t)·fB(t) (the equi-join cardinality on token), min over
+    // the 3 rows tightens it. What a cost-based planner consults before
+    // committing a 100 TB shuffle: per-source sketches are 3·16384
+    // counters however big the source, the estimate joins sketch
+    // against sketch — the corpus is read exactly once (the counter
+    // build). The true join size rides a vocab-bound self-join here so
+    // rel_err is measured in-row, not claimed.
+    "sk04_cm_join_size" -> { (s, d) =>
+      cmJoinSizes(Tables.documents(s, d), width = 16384, depth = 3)
+    },
+
+    // c06: SEMANTIC contamination screen — c01 catches verbatim n-gram
+    // overlap, c06 catches the paraphrase case: corpus vectors whose
+    // embedding sits too close to a held-out benchmark vector
+    // (cos ≥ 0.35 ≈ the p95 of this corpus' bench-corpus similarity;
+    // real pipelines tune τ on a labeled holdout). Shape is the c01
+    // recipe in embedding space: the benchmark side is BOUNDED (real
+    // eval sets are thousands of vectors) so it broadcasts; the corpus
+    // streams map-only through the codegen'd cosine fold and the top-1
+    // heap aggregates map-side (k=1 row per corpus vector ships, never
+    // the pair relation). The heap is fed the ROUNDED score so its
+    // (score desc, id asc) total order is exactly the oracle's
+    // ROW_NUMBER order — raw-double ties that round together cannot
+    // flip the argmax across engines.
+    "c06_semantic_contamination" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TopKPairs.top_k_pairs
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+        .filter($"v".isNotNull && Similarity.norm($"v") > 0)
+      val bench = e.filter($"vec_id" % 53 === 0)
+        .select($"vec_id".as("bid"), $"v".as("bv"))
+      val corpus = e.filter($"vec_id" % 53 =!= 0)
+      corpus.crossJoin(broadcast(bench))
+        .select($"vec_id",
+          round(Similarity.cosine($"v", $"bv"), 9).as("cos"), $"bid")
+        .groupBy($"vec_id")
+        .agg(top_k_pairs($"cos", $"bid", 1).as("__t"))
+        .select($"vec_id",
+          element_at($"__t", 1).getField("id").as("bench_id"),
+          element_at($"__t", 1).getField("score").as("max_cos"))
+        .filter($"max_cos" >= 0.35)
     },
 
     "s10_mutual_knn" -> { (s, d) =>
@@ -4647,6 +4831,84 @@ object DataOps {
         |SELECT source_a, source_b, n_union_sample, n_both, union_est,
         |  jaccard_est, round(jaccard_est * union_est, 6) AS intersect_est
         |FROM est""".stripMargin,
+
+    // Mirrors the engine's CM positions bit-for-bit, so the estimates
+    // — including every collision-driven overestimate — are a
+    // deterministic corpus function both sides compute identically.
+    "sk03_cm_freq" ->
+      """WITH sp AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |toks AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+        |  FROM sp WHERE len(t) >= 3),
+        |tr AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY 1),
+        |top AS (SELECT * FROM tr
+        |  ORDER BY true_count DESC, tok ASC LIMIT 40),
+        |js AS (SELECT unnest(range(1, 4)) AS j),
+        |ctr AS (SELECT j,
+        |    CAST(CAST(('0x' || substring(md5('cm' || j || ':' || tok),
+        |      1, 8)) AS UBIGINT) % 16384 AS BIGINT) AS pos,
+        |    COUNT(*) AS c
+        |  FROM toks, js GROUP BY 1, 2),
+        |pr AS (SELECT tok, true_count, j,
+        |    CAST(CAST(('0x' || substring(md5('cm' || j || ':' || tok),
+        |      1, 8)) AS UBIGINT) % 16384 AS BIGINT) AS pos
+        |  FROM top, js)
+        |SELECT tok AS token, true_count,
+        |  MIN(c) AS est_count, MIN(c) - true_count AS overcount
+        |FROM pr JOIN ctr USING (j, pos)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "sk04_cm_join_size" ->
+      """WITH sp AS (SELECT source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |toks AS (SELECT source,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+        |  FROM sp WHERE len(t) >= 3),
+        |pc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |tr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    SUM(CAST(a.c AS HUGEINT) * b.c) AS tn
+        |  FROM pc a JOIN pc b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |js AS (SELECT unnest(range(1, 4)) AS j),
+        |sc AS (SELECT source, j,
+        |    CAST(CAST(('0x' || substring(md5('cm' || j || ':' || tok),
+        |      1, 8)) AS UBIGINT) % 16384 AS BIGINT) AS pos,
+        |    COUNT(*) AS c
+        |  FROM toks, js GROUP BY 1, 2, 3),
+        |ip AS (SELECT a.source AS src_a, b.source AS src_b, a.j,
+        |    SUM(CAST(a.c AS HUGEINT) * b.c) AS ipj
+        |  FROM sc a JOIN sc b
+        |    ON a.j = b.j AND a.pos = b.pos AND a.source < b.source
+        |  GROUP BY 1, 2, 3),
+        |e AS (SELECT src_a, src_b, MIN(ipj) AS est FROM ip GROUP BY 1, 2),
+        |o AS (SELECT e.src_a, e.src_b,
+        |    CAST(est AS BIGINT) AS est_n, CAST(tn AS BIGINT) AS true_n
+        |  FROM e JOIN tr ON e.src_a = tr.src_a AND e.src_b = tr.src_b)
+        |SELECT src_a, src_b, est_n, true_n,
+        |  est_n - true_n AS overcount,
+        |  CASE WHEN true_n = 0 THEN NULL
+        |    ELSE round(CAST(est_n - true_n AS DOUBLE)
+        |      / CAST(true_n AS DOUBLE), 9) END AS rel_err
+        |FROM o""".stripMargin,
+
+    "c06_semantic_contamination" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |  WHERE sqrt(list_dot_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[])) > 0),
+        |b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 53 = 0),
+        |c AS (SELECT * FROM e WHERE vec_id % 53 <> 0),
+        |sc AS (SELECT c.vec_id, bid,
+        |    round(list_dot_product(v, bv) /
+        |      (sqrt(list_dot_product(v, v)) *
+        |        sqrt(list_dot_product(bv, bv))), 9) AS cos
+        |  FROM c CROSS JOIN b),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, bid ASC) AS rn FROM sc)
+        |SELECT vec_id, bid AS bench_id, cos AS max_cos
+        |FROM r WHERE rn = 1 AND cos >= 0.35""".stripMargin,
 
     "s11_sparse_cosine" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t

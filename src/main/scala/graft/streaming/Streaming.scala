@@ -513,6 +513,76 @@ object Streaming {
               org.apache.spark.sql.types.LongType))))
     }
 
+  /** Streaming twin of sk03/sk04's Count-Min counter build: a persisted
+    * per-source CM counter table maintained per micro-batch of
+    * documents. Counters are SUMS, so the cross-batch merge is
+    * groupwise ADDITION — exactly the mergeability
+    * [[graft.operators.DataOps.cmCounters]] documents — and N committed
+    * batches reproduce the whole-corpus counter table ROW-FOR-ROW (the
+    * spec pins streamed ≡ batch; sk03's point estimates and sk04's
+    * join-size estimates follow unchanged, both being pure functions of
+    * the counters). Per-batch cost is O(batch 3-grams + counter table);
+    * state is ≤ sources·depth·width rows however much data has flowed —
+    * the fixed-footprint ingest-side frequency monitor.
+    *
+    * Addition is NOT idempotent — a replayed batch would double-count
+    * every gram it carries (the statsIngest lesson, unlike
+    * [[sketchIngest]]'s harmless set union) — so snapshots are
+    * versioned by batch id with `_SUCCESS` commits and ids ≤ the
+    * committed high-water are skipped BEFORE any arithmetic. */
+  def cmCounterIngest(docs: DataFrame, counterDir: String,
+      checkpointDir: String, width: Int = 16384,
+      depth: Int = 3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestSnapshot(spark, counterDir)
+        if (latest.forall(_._1 < batchId)) {
+          val delta = graft.operators.DataOps.cmCounters(
+            graft.operators.DataOps.cmTokens(batch), width, depth)
+          val merged = latest match {
+            case Some((_, base)) => base.unionByName(delta)
+              .groupBy(col("source"), col("j"), col("pos"))
+              .agg(sum(col("c")).as("c"))
+            case None => delta
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$counterDir/snapshot=$batchId")
+          val keep = Set(Some(batchId), latest.map(_._1)).flatten
+          snapshotIds(spark, counterDir).filterNot(keep.contains)
+            .foreach { id =>
+              val p = new org.apache.hadoop.fs.Path(
+                s"$counterDir/snapshot=$id")
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(p, true)
+              ()
+            }
+        } // else: replay/rewind — skipped BEFORE any addition
+      }
+      .start()
+
+  /** The latest COMMITTED counter table (source, j, pos, c). Empty but
+    * typed when nothing has committed (the readStats convention). */
+  def readCmCounters(spark: SparkSession, counterDir: String): DataFrame =
+    latestSnapshot(spark, counterDir) match {
+      case Some((_, df)) =>
+        df.select(col("source"), col("j"), col("pos"), col("c"))
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("j",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("c",
+              org.apache.spark.sql.types.LongType))))
+    }
+
   private def snapshotIds(spark: SparkSession, statsDir: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(statsDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -586,4 +586,65 @@ class AnalyticsSpec extends SparkSpec {
         i.toLong, i.toLong, i.toLong, 111L * i)
     }.toSet)
   }
+
+  test("q85 gini: uniform activity scores 0, a planted 1-vs-3 split " +
+    "scores exactly 0.25; rank ties cannot move the statistic") {
+    // type eq: 4 users × 1 event (all ranks tied — any permutation of
+    // equal x leaves Σ i·x unchanged) → G = 0, max_user_frac = 0.25.
+    // type sk: counts [1, 3] ascending → W = 1·1 + 2·3 = 7, n = 2,
+    // S = 4 → G = (2·7 − 3·4)/(2·4) = 0.25; max_user_frac = 0.75.
+    val rows = (1 to 4).map(u => ("eq", u.toLong, 1)) ++
+      Seq(("sk", 1L, 1), ("sk", 2L, 3))
+    val ev = rows.flatMap { case (t, u, n) => (1 to n).map(_ => (t, u)) }
+      .zipWithIndex.map { case ((t, u), id) => (id.toLong, t, u) }
+      .toDF("event_id", "event_type", "user_id")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q85").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q85_gini")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === Set(
+      ("eq", 4L, 4L, 0.0, 0.25),
+      ("sk", 2L, 4L, 0.25, 0.75)))
+  }
+
+  test("q86 benford: digits come from integer cents, zero-count digits " +
+    "contribute n·p, chi2 is the decimal sum of 9-dp contributions, " +
+    "zero values are excluded") {
+    // type t: 1.00 ×3 (digit 1), 2.00 ×1 (digit 2), 0.0 ×1 (dropped:
+    // cents = 0) → n_tot = 4; digits 3..9 appear with n_obs = 0 and a
+    // contribution of exactly n·p
+    val vals = Seq(1.0, 1.0, 1.0, 2.0, 0.0)
+    val ev = vals.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+      .toDF("event_id", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("event_type", lit("t"))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q86").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q86_benford")(spark, dir).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet === (1 to 9).toSet)
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = 4.0
+    val refContrib = Analytics.benfordP.map { case (dd, p) =>
+      val o = if (dd == 1) 3.0 else if (dd == 2) 1.0 else 0.0
+      dd -> r9((o - n * p) * (o - n * p) / (n * p))
+    }.toMap
+    val refChi2 = refContrib.values
+      .map(BigDecimal(_)).sum.toDouble
+    for (dd <- 1 to 9) {
+      val (nObs, obsFrac, contrib, chi2) = got(dd)
+      assert(nObs === (if (dd == 1) 3L else if (dd == 2) 1L else 0L))
+      assert(obsFrac === (if (dd == 1) 0.75 else if (dd == 2) 0.25
+        else 0.0))
+      assert(math.abs(contrib - refContrib(dd)) < 1e-12,
+        s"digit $dd contrib")
+      assert(math.abs(chi2 - refChi2) < 1e-9, s"digit $dd chi2")
+    }
+  }
 }

@@ -1894,4 +1894,104 @@ class DataOpsSpec extends SparkSpec {
       ("srcD", 2L, 0L, 0L, 0L)))
     assert(got.toSeq.map(_._5).sum === 100L)
   }
+
+  test("sk03/sk04 count-min: engine equals an independent JVM md5 " +
+    "reference at a collision-forcing width; est never undercounts; " +
+    "counters merge by addition") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def pos(j: Int, tok: String, m: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"cm$j:$tok").take(8), 16) % m
+    def grams3(t: String): Seq[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Seq.empty else w.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    // two sources sharing a run of grams; >4 distinct grams per row of
+    // a width-4 sketch forces collisions by pigeonhole
+    val textA = "a b c d e f a b c d"   // 8 gram occurrences, 6 distinct
+    val textB = "c d e f g h i j"       // shares "c d e" / "d e f"
+    val docs = Seq((1L, "srcA", textA), (2L, "srcB", textB))
+      .toDF("doc_id", "source", "text")
+    val occA = grams3(textA); val occB = grams3(textB)
+    val m = 4; val depth = 3
+    def counters(occ: Seq[String]): Map[(Int, Long), Long] =
+      occ.flatMap(g => (1 to depth).map(j => (j, pos(j, g, m))))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val all = counters(occA ++ occB)
+    def est(tok: String): Long =
+      (1 to depth).map(j => all.getOrElse((j, pos(j, tok, m)), 0L)).min
+    val truth = (occA ++ occB).groupBy(identity)
+      .map { case (g, v) => g -> v.size.toLong }
+    val ref3 = truth.map { case (g, t) => (g, t, est(g), est(g) - t) }.toSet
+    // premise: the width-4 sketch actually overcounts somewhere
+    assert(ref3.exists(_._4 > 0L), "collision premise vacuous")
+    val got3 = DataOps.cmFreqEstimates(docs, width = m, depth = depth,
+      topN = 40).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got3 === ref3)
+    // sk04 reference: per-source counters, inner-product min vs truth
+    val cA = counters(occA); val cB = counters(occB)
+    val refEst = (1 to depth).map { j =>
+      (0L until m).map(p => cA.getOrElse((j, p), 0L) *
+        cB.getOrElse((j, p), 0L)).sum
+    }.min
+    val refTrue = occA.groupBy(identity).map { case (g, v) =>
+      v.size.toLong * occB.count(_ == g)
+    }.sum
+    assert(refEst >= refTrue)
+    val got4 = DataOps.cmJoinSizes(docs, width = m, depth = depth)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got4 === List(("srcA", "srcB", refEst, refTrue,
+      refEst - refTrue)))
+    // mergeability: counters(A ∪ B) = counters(A) + counters(B)
+    // groupwise — the property the streaming ingest's merge rides
+    def collectCtr(df: org.apache.spark.sql.DataFrame) =
+      DataOps.cmCounters(DataOps.cmTokens(df), m, depth).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+          r.getLong(3)).toMap
+    val half1 = docs.filter($"doc_id" === 1L)
+    val half2 = docs.filter($"doc_id" === 2L)
+    val merged = (collectCtr(half1).toSeq ++ collectCtr(half2).toSeq)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(merged === collectCtr(docs))
+    // real corpus: CM never undercounts, and the width-16384 lanes are
+    // live (the 3-gram vocabulary exceeds the sketch width)
+    val dir = sf("sf0.001")
+    val corpus3 = DataOps.queries("sk03_cm_freq")(spark, dir)
+      .collect().map(r => r.getLong(3))
+    assert(corpus3.forall(_ >= 0L) && corpus3.exists(_ > 0L))
+    val corpus4 = DataOps.queries("sk04_cm_join_size")(spark, dir)
+      .collect().map(r => r.getLong(4))
+    assert(corpus4.forall(_ >= 0L) && corpus4.exists(_ > 0L))
+  }
+
+  test("c06 semantic contamination: a planted paraphrase flags with its " +
+    "bench anchor, orthogonal corpus stays clean, tied argmax picks the " +
+    "smaller bench id") {
+    // bench 53 is bench 0 scaled by 2 — cosine is invariant under
+    // power-of-two scaling BIT-exactly (2a/(2|v|) = a/|v| in IEEE), so
+    // every corpus vector ties between them and the heap's
+    // (score desc, id asc) order must pick 0, never 53
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),      // bench anchor A
+      (53L, Array(2f, 0f, 0f, 0f)),     // bench: scaled copy of A
+      (106L, Array(0f, 1f, 0f, 0f)),    // bench anchor B
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),  // near A → flagged via id 0
+      (2L, Array(0.25f, 0.75f, 0f, 0f)), // near B → flagged via id 106
+      (3L, Array(0f, 0f, 1f, 0f))       // orthogonal → stays clean
+    ).map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("c06").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = DataOps.queries("c06_semantic_contamination")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 106L))
+    // real corpus: every emitted row clears the threshold
+    val corpus = DataOps.queries("c06_semantic_contamination")(
+      spark, sf("sf0.001")).collect().map(r => r.getDouble(2))
+    assert(corpus.nonEmpty && corpus.forall(_ >= 0.35))
+  }
 }

@@ -366,6 +366,55 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.length <= 2, s"snapshots not pruned: ${snaps.toSeq}")
   }
 
+  test("cm counter ingest: 3 batches + restarts reproduce the whole-corpus " +
+    "Count-Min counter table ROW-FOR-ROW (addition is the merge); a " +
+    "rewound batch is skipped BEFORE it can double-count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("cm_ingest").toString
+    val (cmDir, ckpt) = (s"$tmp/counters", s"$tmp/ckpt")
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String, String)]
+    def drain(checkpoint: String = ckpt): Unit = {
+      val q = Streaming.cmCounterIngest(
+        input.toDF().toDF("doc_id", "source", "text"), cmDir, checkpoint)
+      q.awaitTermination()
+    }
+    (0 until 3).foreach { r =>
+      input.addData(docs.filter(_._1 % 3 == r.toLong).toSeq)
+      drain()
+    }
+    def collectCm() = Streaming.readCmCounters(spark, cmDir)
+      .as[(String, Int, Long, Long)].collect()
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    val got = collectCm()
+    val want = graft.operators.DataOps.cmCounters(
+        graft.operators.DataOps.cmTokens(
+          graft.Tables.documents(spark, sf("sf0.001"))), 16384, 3)
+      .as[(String, Int, Long, Long)].collect()
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    assert(got === want,
+      "summed per-batch counters must equal the whole-corpus table")
+    // premise: the merge actually ADDED (some counter exceeds what any
+    // single batch could produce alone — each batch is ~1/3 of docs,
+    // and the table's total mass equals the corpus 3-gram count)
+    assert(got.map(_._4).sum === want.map(_._4).sum)
+    assert(got.exists(_._4 > 1L))
+    // empty re-drain: nothing moves
+    drain()
+    assert(collectCm() === got)
+    // rewound batch id (fresh checkpoint, same dir): MUST be skipped —
+    // addition is not idempotent, a re-merge would double-count
+    input.addData(docs.filter(_._1 % 3 == 0L).toSeq)
+    drain(s"$tmp/ckpt_rewound")
+    assert(collectCm() === got, "a rewound batch id must be skipped")
+    val snaps = new java.io.File(cmDir).listFiles()
+      .map(_.getName).filter(_.startsWith("snapshot="))
+    assert(snaps.length <= 2, s"snapshots not pruned: ${snaps.toSeq}")
+  }
+
   test("cdc ingest: seq-ordered changelog batches + restarts equal the " +
     "batch q74 exactly; rewound batch ids are skipped, not re-applied") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
