@@ -789,8 +789,42 @@ object Analytics {
           $"__contrib".as("contrib"),
           sum($"__contrib".cast("decimal(18,9)")).over(wt)
             .cast("double").as("chi2"))
-    }
+    },
+
+    // q87: DAU/MAU stickiness — the engagement-concentration companion
+    // to q85's Gini (how much of a month's audience shows up on an
+    // average day). Distinct-user days ride ONE deduped relation; see
+    // [[q87Stickiness]].
+    "q87_stickiness" -> (q87Stickiness(_, _))
   )
+
+  /** DAU/MAU stickiness per event type per month — registered under
+    * [[queries]] as q87. Lives outside the map literal only to keep the
+    * literal under Scala's method-size comfort zone. */
+  private def q87Stickiness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // One distinct pass feeds both granularities: the (type, month,
+    // day, user) relation is the corpus-scale shuffle; everything after
+    // is calendar × type bounded. Exact integers to the last step, one
+    // mirrored double division (round 9).
+    val mu = Tables.events(s, d).select($"event_type",
+      to_date(date_trunc("month", $"ts")).as("month"),
+      to_date($"ts").as("day"), $"user_id").distinct()
+    val daily = mu.groupBy($"event_type", $"month", $"day")
+      .agg(count(lit(1)).as("__du"))
+    val monthly = mu.select($"event_type", $"month", $"user_id").distinct()
+      .groupBy($"event_type", $"month").agg(count(lit(1)).as("mau"))
+    daily.groupBy($"event_type", $"month")
+      .agg(count(lit(1)).as("n_days"), sum($"__du").as("sum_daily_users"))
+      .join(monthly, Seq("event_type", "month"))
+      .select($"event_type", $"month", $"n_days", $"mau",
+        $"sum_daily_users",
+        round($"sum_daily_users".cast("double") /
+          $"n_days".cast("double"), 9).as("avg_dau"),
+        round($"sum_daily_users".cast("double") /
+          ($"n_days".cast("double") * $"mau".cast("double")), 9)
+          .as("stickiness"))
+  }
 
   /** Benford expected first-digit probabilities, the ONE definition
     * both q86's Spark plan and its oracle SQL interpolate (Java's
@@ -1270,6 +1304,28 @@ object Analytics {
       |  round(p, 9) AS exp_frac, contrib,
       |  CAST(SUM(CAST(contrib AS DECIMAL(18,9)))
       |    OVER (PARTITION BY event_type) AS DOUBLE) AS chi2
-      |FROM c""".stripMargin.trim
+      |FROM c""".stripMargin.trim,
+
+    "q87_stickiness" ->
+      """WITH mu AS (SELECT DISTINCT event_type,
+        |    CAST(date_trunc('month', ts) AS DATE) AS month,
+        |    CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |daily AS (SELECT event_type, month, day, COUNT(*) AS du
+        |  FROM mu GROUP BY 1, 2, 3),
+        |monthly AS (SELECT event_type, month, COUNT(*) AS mau
+        |  FROM (SELECT DISTINCT event_type, month, user_id FROM mu)
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT event_type, month,
+        |    COUNT(*) AS n_days, CAST(SUM(du) AS BIGINT) AS sum_daily_users
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT a.event_type, a.month, n_days, mau, sum_daily_users,
+        |  round(CAST(sum_daily_users AS DOUBLE)
+        |    / CAST(n_days AS DOUBLE), 9) AS avg_dau,
+        |  round(CAST(sum_daily_users AS DOUBLE)
+        |    / (CAST(n_days AS DOUBLE) * CAST(mau AS DOUBLE)), 9)
+        |    AS stickiness
+        |FROM agg a JOIN monthly m
+        |  ON a.event_type = m.event_type AND a.month = m.month""".stripMargin
   )
 }

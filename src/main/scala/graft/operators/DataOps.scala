@@ -3315,6 +3315,69 @@ object DataOps {
     // Stats are rounded to 6dp before use (q60/q30 convention), lanes
     // surfaced as columns + a decimal-exact checksum over all 64
     // (driver cannot sort array columns — m03 precedent).
+    // o08: approximate query processing by DETERMINISTIC cluster
+    // sampling — per-type event totals and user counts estimated from
+    // the 1/16 of USERS whose md5 bucket lands in slot 0, scaled by 16,
+    // next to the exact lane so the error is measured in-row, never
+    // claimed. Sampling by USER (the cluster), not by row: per-user
+    // event correlation makes row sampling biased for any user-level
+    // statistic, while a user-hash sample keeps every kept user's
+    // history intact — and the same predicate always selects the same
+    // users, so day-over-day estimates move only when the data does.
+    // Scale shape: the sample predicate is a scan-level filter (1/16 of
+    // the corpus read by the estimate lane); the truth lane exists only
+    // to report rel_err and is dropped at production scale. Distinct
+    // users scale by exactly 16 unbiasedly (each user kept with
+    // probability 1/16 independent of size).
+    "o08_aqp_counts" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val truth = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("true_count"),
+          countDistinct($"user_id").as("true_users"))
+      val sample = ev.filter(md5Bucket($"user_id") % 16 === 0)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_sample"),
+          countDistinct($"user_id").as("users_sample"))
+      truth.join(sample, Seq("event_type"), "left")
+        .select($"event_type", $"true_count",
+          coalesce($"n_sample", lit(0L)).as("n_sample"),
+          (coalesce($"n_sample", lit(0L)) * 16).as("est_count"),
+          round((coalesce($"n_sample", lit(0L)) * 16 - $"true_count")
+            .cast("double") / $"true_count".cast("double"), 9)
+            .as("rel_err"),
+          $"true_users",
+          (coalesce($"users_sample", lit(0L)) * 16).as("est_users"))
+    },
+
+    // t36: soft-dedup token ACCOUNTING — the scaling-law ledger: raw
+    // token counts per source next to the effective count after d15's
+    // soft-dedup weighting (each doc contributes tokens/cluster_size,
+    // so a 5-way near-dup family counts once in aggregate instead of
+    // five times). The number a data-mixture plan should budget
+    // against: raw counts overstate what a deduplicating trainer will
+    // see. Per-doc contributions round 6 dp then sum through DECIMAL
+    // (the t13 convention); clusters ride the memoized d05 fixpoint
+    // the rest of the d-family shares.
+    "t36_effective_tokens" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          size(Text.tokens($"text")).cast("long").as("__n_tok"))
+      val weights = queries("d15_soft_dedup_weights")(s, d)
+        .select($"doc_id", $"cluster_size")
+      docs.join(weights, Seq("doc_id"))
+        .withColumn("__eff", round($"__n_tok".cast("double") /
+          $"cluster_size".cast("double"), 6))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"__n_tok").as("raw_tokens"),
+          sum($"__eff".cast("decimal(18,6)")).cast("double")
+            .as("effective_tokens"))
+        .withColumn("effective_ratio",
+          round($"effective_tokens" / $"raw_tokens".cast("double"), 9))
+    },
+
     "e04_standardize" -> { (s, d) =>
       import s.implicits._
       val e = Tables.embeddings(s, d)
@@ -5042,6 +5105,73 @@ object DataOps {
         |SELECT label, MAX(n) AS n_vecs,
         |  CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS dist2
         |FROM t GROUP BY label""".stripMargin,
+
+    // user_id sampled through the md5Bucket UBIGINT mirror (t07/t19
+    // convention) so both engines keep the identical user set
+    "o08_aqp_counts" ->
+      """WITH tr AS (SELECT event_type, COUNT(*) AS true_count,
+        |    COUNT(DISTINCT user_id) AS true_users
+        |  FROM events GROUP BY 1),
+        |sm AS (SELECT event_type, COUNT(*) AS n_sample,
+        |    COUNT(DISTINCT user_id) AS users_sample
+        |  FROM events
+        |  WHERE CAST(('0x' || substring(md5(user_id::VARCHAR), 1, 8))
+        |    AS UBIGINT) % 16 = 0
+        |  GROUP BY 1)
+        |SELECT tr.event_type, true_count,
+        |  COALESCE(n_sample, 0) AS n_sample,
+        |  COALESCE(n_sample, 0) * 16 AS est_count,
+        |  round(CAST(COALESCE(n_sample, 0) * 16 - true_count AS DOUBLE)
+        |    / CAST(true_count AS DOUBLE), 9) AS rel_err,
+        |  true_users,
+        |  COALESCE(users_sample, 0) * 16 AS est_users
+        |FROM tr LEFT JOIN sm ON tr.event_type = sm.event_type""".stripMargin,
+
+    // d15's recursive-CTE clustering verbatim, extended with the token
+    // ledger (the oracle-side twin of riding the memoized d05 fixpoint)
+    "t36_effective_tokens" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, source, string_split(text, ' ') t
+        |  FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM com
+        |  JOIN sizes sa ON doc_a = sa.doc
+        |  JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM sym
+        |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+        |labels AS (SELECT s AS doc, least(s, min(d)) AS cluster
+        |  FROM reach GROUP BY s),
+        |clus AS (SELECT doc_id, coalesce(l.cluster, doc_id) AS cluster
+        |  FROM documents LEFT JOIN labels l ON doc_id = l.doc),
+        |cz AS (SELECT cluster, COUNT(*) AS cluster_size
+        |  FROM clus GROUP BY cluster),
+        |e AS (SELECT t.source, CAST(len(t.t) AS BIGINT) AS n_tok,
+        |    round(CAST(len(t.t) AS DOUBLE)
+        |      / CAST(cluster_size AS DOUBLE), 6) AS eff
+        |  FROM toks t JOIN clus c ON t.doc_id = c.doc_id
+        |    JOIN cz USING (cluster)),
+        |agg AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+        |    CAST(SUM(CAST(eff AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS effective_tokens
+        |  FROM e GROUP BY 1)
+        |SELECT source, n_docs, raw_tokens, effective_tokens,
+        |  round(effective_tokens / CAST(raw_tokens AS DOUBLE), 9)
+        |    AS effective_ratio
+        |FROM agg""".stripMargin,
 
     "e04_standardize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

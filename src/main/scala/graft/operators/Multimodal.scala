@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: image/audio/video payloads ride through
@@ -37,6 +38,9 @@ object Multimodal {
     * audio [n_samples, duration_ms, sum_sq, n_zero_cross]. */
   final case class MediaFeatures(media_id: Long, media_type: String,
       n_bytes: Long, features: Array[Long])
+
+  /** One decoded PCM sample (m07's per-sample relation). */
+  final case class AudioSample(media_id: Long, i: Int, sample: Int)
 
   /** The full typed feature row (m03): image and audio columns unified,
     * null where the modality doesn't apply. `rms` is UNROUNDED — the
@@ -190,6 +194,29 @@ object Multimodal {
           MediaFeatures(id, mt, bytes.length.toLong, feats)
         }
       }(enc)
+  }
+
+  /** REAL sample-level decode: one (media_id, i, sample) row per PCM
+    * sample of every WAV blob — the relation sample-granular audio
+    * analysis (silence detection, clipping scan, energy profiles) runs
+    * on. Decode is partition-wise and bytes never shuffle: what leaves
+    * the map side is the bounded per-media sample rows (audio seconds ×
+    * rate, independent of blob framing). Non-audio media are filtered
+    * before decode. */
+  def decodeSamples(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[AudioSample]
+    media.filter(col("media_type") === "audio/wav")
+      .select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val a = MediaCodec.decodeWav(r.getAs[Array[Byte]](1))
+          a.samples.iterator.zipWithIndex.map { case (sm, i) =>
+            AudioSample(id, i, sm.toInt)
+          }
+        }
+      }(enc)
+      .toDF()
   }
 
   /** Perceptual-hash near-duplicate pairs over image media — the
@@ -357,8 +384,47 @@ object Multimodal {
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           concat_ws(",", transform(col("features"), f => f.cast("string")))
             .as("features_csv"))
+    },
+
+    // m07: silence-run detection over REAL decoded PCM — the
+    // sample-granular audio screen (a speech corpus trims or drops
+    // silence-heavy clips before they waste training tokens). Decode is
+    // the real WAV parser on real bytes; a run is a maximal stretch of
+    // consecutive samples with |s| < 256 (−24 dBFS-ish on this int16
+    // scale), found by the gaps-and-islands index-minus-rank trick (the
+    // q58 recipe) — per-media windows over per-media-bounded sample
+    // rows (the q79 convention: clip seconds × rate rows per media at
+    // ANY corpus size). Exactly oracled: DuckDB runs the same islands
+    // over the closed-form sample formula, so parity re-proves the
+    // decoder sample-for-sample AND the run algebra.
+    "m07_silence_runs" -> { (s, d) =>
+      silenceRuns(syntheticMedia(graft.Tables.documents(s, d)), 256)
     }
   )
+
+  /** m07's body, parameterized so the spec can plant exact sample
+    * patterns: decode REAL PCM, then maximal runs of consecutive
+    * samples with |s| < threshold via index-minus-rank islands. */
+  private[operators] def silenceRuns(media: DataFrame,
+      threshold: Int): DataFrame = {
+    val sm = decodeSamples(media)
+    val silent = sm.filter(abs(col("sample")) < threshold)
+      .withColumn("__grp", col("i") - row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("i"))))
+    val runs = silent.groupBy(col("media_id"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_runs"), max(col("__len")).as("max_run"),
+        sum(col("__len")).as("n_silent"))
+    sm.groupBy(col("media_id")).agg(count(lit(1)).as("n_samples"))
+      .join(runs, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_samples"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        round(coalesce(col("n_silent"), lit(0L)).cast("double") /
+          col("n_samples").cast("double"), 9).as("silence_frac"))
+  }
 
   /** The closed-form fixture formulas mirrored in SQL. Image pixels:
     * value((x,y,c)) = (id·97 + ((y·w+x)·3+c)·31) % 256 over w = 8+id%9,
@@ -495,6 +561,33 @@ object Multimodal {
         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
         |  COUNT(*) AS n_shared_frames
         |FROM fk a JOIN fk b ON a.frame = b.frame AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The same closed-form sample stream the m03 oracle uses, run
+    // through the identical index-minus-rank islands the engine applies
+    // to the REAL decoded samples.
+    "m07_silence_runs" ->
+      """WITH aud AS (
+        |  SELECT doc_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |sm AS (
+        |  SELECT doc_id, n, i, ((doc_id*37 + i*101) % 4096) - 2048 AS s
+        |  FROM aud, LATERAL (SELECT unnest(range(n)) AS i)),
+        |sil AS (SELECT doc_id, i,
+        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM sm WHERE abs(s) < 256),
+        |runs0 AS (SELECT doc_id, grp, COUNT(*) AS len
+        |  FROM sil GROUP BY 1, 2),
+        |runs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    CAST(MAX(len) AS BIGINT) AS max_run,
+        |    CAST(SUM(len) AS BIGINT) AS n_silent
+        |  FROM runs0 GROUP BY 1)
+        |SELECT a.doc_id AS media_id, a.n AS n_samples,
+        |  COALESCE(n_runs, 0) AS n_runs,
+        |  COALESCE(max_run, 0) AS max_run,
+        |  COALESCE(n_silent, 0) AS n_silent,
+        |  round(CAST(COALESCE(n_silent, 0) AS DOUBLE)
+        |    / CAST(a.n AS DOUBLE), 9) AS silence_frac
+        |FROM aud a LEFT JOIN runs r ON a.doc_id = r.doc_id""".stripMargin
   )
 }

@@ -647,4 +647,30 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(chi2 - refChi2) < 1e-9, s"digit $dd chi2")
     }
   }
+
+  test("q87 stickiness: DAU averages over active days only, MAU dedups " +
+    "across the month, repeat events never inflate either") {
+    // Jan 't': day 1 users {1,2} (user 1 twice — dedup), day 2 user {1}
+    // → n_days 2, Σdaily 3, mau 2, avg_dau 1.5, stickiness 0.75.
+    // Feb 't': one day, one user → stickiness 1.0.
+    val rows = Seq(
+      ("2024-01-01", 1L), ("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-02", 1L),
+      ("2024-02-10", 7L))
+    val ev = rows.zipWithIndex.map { case ((day, u), id) =>
+      (id.toLong, s"$day 09:00:00", u)
+    }.toDF("event_id", "t", "user_id")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q87").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q87_stickiness")(spark, dir)
+      .collect().map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 2L, 3L, 1.5, 0.75)),
+      "2024-02-01" -> ((1L, 1L, 1L, 1.0, 1.0))))
+  }
 }

@@ -1994,4 +1994,79 @@ class DataOpsSpec extends SparkSpec {
       spark, sf("sf0.001")).collect().map(r => r.getDouble(2))
     assert(corpus.nonEmpty && corpus.forall(_ >= 0.35))
   }
+
+  test("m07 silence runs: planted PCM patterns produce exact run algebra " +
+    "(boundary sample is NOT silent, leading/trailing/all-silent cases); " +
+    "decode round-trips sample-for-sample") {
+    def wav(id: Long, samples: Array[Short]) =
+      Multimodal.MediaBlob(id, "audio/wav",
+        MediaCodec.encodeWav(samples, 8000))
+    val media = Seq(
+      // runs at idx 1..3 (len 3) and 5 (len 1); 255 silent, 256 NOT
+      wav(1L, Array[Short](1000, 10, -255, 30, 256, 5, 1000)),
+      wav(2L, Array[Short](0, 0, 0, 0)),          // all silent: one run
+      wav(3L, Array[Short](300, -300, 2000)),     // no silence at all
+      wav(4L, Array[Short](100, 999, -999, 50))   // leading + trailing
+    ).toDS().toDF()
+    val got = Multimodal.silenceRuns(media, 256).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      1L -> ((7L, 2L, 3L, 4L)),
+      2L -> ((4L, 1L, 4L, 4L)),
+      3L -> ((3L, 0L, 0L, 0L)),
+      4L -> ((4L, 2L, 1L, 2L))))
+    // decode round-trip: the samples that come back ARE the planted ones
+    val plant = Array[Short](1000, 10, -255, 30, 256, 5, 1000)
+    val back = Multimodal.decodeSamples(
+        Seq(wav(9L, plant)).toDS().toDF())
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(back.toSeq === plant.zipWithIndex.map {
+      case (s, i) => (i, s.toInt) }.toSeq)
+  }
+
+  test("o08 aqp counts: the deterministic user sample matches a JVM md5 " +
+    "reference, estimates scale by exactly 16, truth lane exact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def inSample(uid: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(uid.toString).take(8), 16) % 16 == 0
+    // 64 users × (uid % 3 + 1) events each, one type
+    val events = (1L to 64L).flatMap { uid =>
+      (0 until (uid % 3 + 1).toInt).map(k => (uid * 10 + k, uid))
+    }
+    val ev = events.toDF("event_id", "user_id")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("o08").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sampledUsers = (1L to 64L).filter(inSample)
+    assert(sampledUsers.nonEmpty, "sample premise vacuous")
+    val nSample = events.count { case (_, uid) => inSample(uid) }.toLong
+    val got = DataOps.queries("o08_aqp_counts")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6))).head
+    assert(got === ((events.size.toLong, nSample, nSample * 16,
+      64L, sampledUsers.size.toLong * 16)))
+  }
+
+  test("t36 effective tokens: a 2-way duplicate family counts once in " +
+    "aggregate, singletons keep full weight") {
+    val dup = "w1 w2 w3 w4 w5 w6"
+    val uniq = "completely different words about storage"
+    val docs = Seq(
+      (1L, "srcA", dup), (2L, "srcA", dup),  // cluster of 2: eff 3+3
+      (3L, "srcB", uniq))                    // singleton: eff 5
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t36").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.queries("t36_effective_tokens")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "srcA" -> ((2L, 12L, 6.0, 0.5)),
+      "srcB" -> ((1L, 5L, 5.0, 1.0))))
+  }
 }
