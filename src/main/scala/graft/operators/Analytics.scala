@@ -795,7 +795,98 @@ object Analytics {
     // to q85's Gini (how much of a month's audience shows up on an
     // average day). Distinct-user days ride ONE deduped relation; see
     // [[q87Stickiness]].
-    "q87_stickiness" -> (q87Stickiness(_, _))
+    "q87_stickiness" -> (q87Stickiness(_, _)),
+
+    // q88: rolling 7-day Pearson correlation between event-type daily
+    // volumes — the co-movement monitor (a click/error correlation
+    // spike is an incident signature; view/purchase decoupling is a
+    // funnel break). Exactness is the q82 recipe at window scale: the
+    // series is the DENSE calendar grid (missing days are REAL zeros,
+    // not skipped rows — a sparse inner join would correlate "the last
+    // 7 days each type happened to be active", a different statistic),
+    // co-moments Σx, Σy, Σxy, Σx², Σy² are exact integers in
+    // DECIMAL(38,0) over the 7-row frame, numerator/variances stay in
+    // integer space through the subtractions, then ONE int64→double
+    // conversion each side, sqrt·sqrt, divide, round 9. Zero variance
+    // → NULL; a term past 62 bits raises loudly. Scale shape: the
+    // corpus-scale pass is the daily aggregation; grids, pair joins,
+    // and windows are calendar × type² bounded.
+    "q88_rolling_corr" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(to_date(min($"ts")).as("__d0"),
+        to_date(max($"ts")).as("__d1"))
+      val days = bounds.select(explode(sequence(lit(0),
+        datediff($"__d1", $"__d0"))).as("__i"), $"__d0")
+        .select(date_add($"__d0", $"__i").as("day"))
+      val types = ev.select($"event_type").distinct()
+      val grid = days.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+      val a = grid.select($"event_type".as("type_a"), $"day",
+        $"n".as("x"))
+      val b = grid.select($"event_type".as("type_b"), $"day",
+        $"n".as("y"))
+      val w = Window.partitionBy($"type_a", $"type_b").orderBy($"day")
+      val fr = w.rowsBetween(-6, 0)
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)")).over(fr)
+      val paired = a.join(b, Seq("day")).filter($"type_a" < $"type_b")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__sx", dsum($"x")).withColumn("__sy", dsum($"y"))
+        .withColumn("__sxy", dsum(($"x".cast("decimal(38,0)") * $"y")
+          .cast("decimal(38,0)")))
+        .withColumn("__sxx", dsum(($"x".cast("decimal(38,0)") * $"x")
+          .cast("decimal(38,0)")))
+        .withColumn("__syy", dsum(($"y".cast("decimal(38,0)") * $"y")
+          .cast("decimal(38,0)")))
+        .filter($"__rn" >= 7)
+      def toL(c: Column, what: String) =
+        when(abs(c) > lit(Long.MaxValue / 2),
+          raise_error(lit(s"q88_rolling_corr: $what exceeds 62 bits; " +
+            "chunk the horizon per epoch")).cast("long"))
+          .otherwise(c.cast("long"))
+      paired
+        .withColumn("__num", toL((lit(7).cast("decimal(38,0)") * $"__sxy" -
+          $"__sx" * $"__sy").cast("decimal(38,0)"), "covariance term"))
+        .withColumn("__vx", toL((lit(7).cast("decimal(38,0)") * $"__sxx" -
+          $"__sx" * $"__sx").cast("decimal(38,0)"), "variance term"))
+        .withColumn("__vy", toL((lit(7).cast("decimal(38,0)") * $"__syy" -
+          $"__sy" * $"__sy").cast("decimal(38,0)"), "variance term"))
+        .select($"type_a", $"type_b", $"day",
+          when($"__vx" === 0 || $"__vy" === 0, lit(null).cast("double"))
+            .otherwise(round($"__num".cast("double") /
+              (sqrt($"__vx".cast("double")) * sqrt($"__vy".cast("double"))),
+              9)).as("corr7"))
+    },
+
+    // q89: Pareto concentration — the "how few users are 80% of the
+    // traffic" cut q85's Gini summarizes as one number. rank80 is the
+    // SMALLEST desc-rank whose cumulative share reaches 80%, found by
+    // the exact integer cross-multiply 5·cum ≥ 4·total (never a float
+    // threshold). The corpus-scale pass is one groupBy; ranking windows
+    // run over the user-bounded relation (q85 convention).
+    "q89_pareto" -> { (s, d) =>
+      import s.implicits._
+      val u = Tables.events(s, d)
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"x".desc, $"user_id".asc)
+      val r = u.withColumn("__rnk", row_number().over(w).cast("long"))
+        .withColumn("__cum", sum($"x").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = u.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"), sum($"x").as("total_events"))
+      r.join(tot, "event_type")
+        .filter($"__cum" * 5 >= $"total_events" * 4)
+        .groupBy($"event_type", $"n_users", $"total_events")
+        .agg(min($"__rnk").as("rank80"))
+        .select($"event_type", $"n_users", $"total_events", $"rank80",
+          round($"rank80".cast("double") / $"n_users".cast("double"), 9)
+            .as("top_user_frac"))
+    }
   )
 
   /** DAU/MAU stickiness per event type per month — registered under
@@ -1326,6 +1417,66 @@ object Analytics {
         |    / (CAST(n_days AS DOUBLE) * CAST(mau AS DOUBLE)), 9)
         |    AS stickiness
         |FROM agg a JOIN monthly m
-        |  ON a.event_type = m.event_type AND a.month = m.month""".stripMargin
+        |  ON a.event_type = m.event_type AND a.month = m.month""".stripMargin,
+
+    // Exact co-moments through HUGEINT (the q82 convention); the day
+    // spine is the same inclusive 0..datediff grid the engine explodes.
+    "q88_rolling_corr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0,
+        |    CAST(MAX(ts) AS DATE) AS d1 FROM events),
+        |days AS (SELECT d0 + CAST(i AS INTEGER) AS day
+        |  FROM bounds, LATERAL (SELECT unnest(
+        |    range(0, datediff('day', d0, d1) + 1)) AS i)),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(n, 0) AS n
+        |  FROM days d CROSS JOIN types t LEFT JOIN daily x
+        |    ON x.event_type = t.event_type AND x.day = d.day),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.day, a.n AS x, b.n AS y
+        |  FROM grid a JOIN grid b
+        |    ON a.day = b.day AND a.event_type < b.event_type),
+        |wnd AS (SELECT *, ROW_NUMBER() OVER w AS rn,
+        |    SUM(CAST(x AS HUGEINT)) OVER w7 AS sx,
+        |    SUM(CAST(y AS HUGEINT)) OVER w7 AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) OVER w7 AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER w7 AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) OVER w7 AS syy
+        |  FROM p WINDOW
+        |    w AS (PARTITION BY type_a, type_b ORDER BY day),
+        |    w7 AS (PARTITION BY type_a, type_b ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT type_a, type_b, day,
+        |    CAST(7 * sxy - sx * sy AS BIGINT) AS num,
+        |    CAST(7 * sxx - sx * sx AS BIGINT) AS vx,
+        |    CAST(7 * syy - sy * sy AS BIGINT) AS vy
+        |  FROM wnd WHERE rn >= 7)
+        |SELECT type_a, type_b, day,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |    ELSE round(CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 9)
+        |  END AS corr7
+        |FROM v""".stripMargin,
+
+    "q89_pareto" ->
+      """WITH u AS (SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type
+        |      ORDER BY x DESC, user_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM u WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY x DESC, user_id ASC)),
+        |t AS (SELECT event_type, COUNT(*) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS total_events FROM u GROUP BY 1)
+        |SELECT r.event_type, n_users, total_events,
+        |  MIN(rnk) AS rank80,
+        |  round(CAST(MIN(rnk) AS DOUBLE) / CAST(n_users AS DOUBLE), 9)
+        |    AS top_user_frac
+        |FROM r JOIN t ON r.event_type = t.event_type
+        |WHERE cum * 5 >= total_events * 4
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }

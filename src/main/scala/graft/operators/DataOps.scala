@@ -30,6 +30,13 @@ object DataOps {
   private[operators] def md5Bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** ln 2, computed ONCE and interpolated into both t37's Spark plan and
+    * its oracle SQL (the benfordP single-source convention — the
+    * shortest-round-trip rendering parses back to the same bits, so no
+    * cross-engine transcendental is ever taken for the closed-form
+    * one-sided JS mass). */
+  private[operators] val Ln2: Double = math.log(2.0)
+
   /** The sk-family hash relation: (source, h) rows (NOT yet distinct)
     * where h is the 52-bit md5-derived hash of a word 3-shingle
     * (13 hex chars — 52 bits so the double lane in the heap is exact;
@@ -3378,6 +3385,49 @@ object DataOps {
           round($"effective_tokens" / $"raw_tokens".cast("double"), 9))
     },
 
+    // t37: pairwise Jensen-Shannon divergence between source 3-gram
+    // distributions — the mixture-design matrix (o02 scores each source
+    // against the corpus; JS says which sources duplicate EACH OTHER's
+    // distribution, symmetric and bounded in [0, ln 2]). The algebraic
+    // move that keeps it one vocab-bound join: tokens on only ONE side
+    // contribute p·ln2 in closed form (m = p/2 there), so JS needs just
+    // the INTERSECTION terms plus the one-sided probability mass — and
+    // that mass is 1 − (Σ_inter c)/n with an INTEGER numerator, one
+    // division per pair, never a float sum over the vocabulary.
+    // Per-token terms follow the o02 convention (round(ln,6) → round 12
+    // → DECIMAL sum); ln 2 is the single-sourced [[Ln2]] literal both
+    // engines interpolate (the benfordP convention). Sources are
+    // bounded → totals broadcast; the token self-join is shuffle-hash
+    // (vocab-scale relations stay off the broadcast path).
+    "t37_js_pairs" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"source", explode(Text.ngrams($"text", 3)).as("tok"))
+      val st = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      val tot = st.groupBy($"source").agg(sum($"c").as("n"))
+      val sided = st.join(broadcast(tot), "source")
+      val a = sided.select($"source".as("source_a"), $"tok",
+        $"c".as("ca"), $"n".as("na"))
+      val b = sided.select($"source".as("source_b"), $"tok",
+        $"c".as("cb"), $"n".as("nb"))
+      val p = $"ca".cast("double") / $"na".cast("double")
+      val q = $"cb".cast("double") / $"nb".cast("double")
+      val termA = round(p * round(log(lit(2.0) * p / (p + q)), 6), 12)
+      val termB = round(q * round(log(lit(2.0) * q / (p + q)), 6), 12)
+      a.join(b.hint("shuffle_hash"),
+          a("tok") === b("tok") && $"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b", $"na", $"nb")
+        .agg(count(lit(1)).as("n_common"),
+          sum($"ca").as("__sca"), sum($"cb").as("__scb"),
+          sum((termA + termB).cast("decimal(28,12)")).cast("double")
+            .as("__ts"))
+        .select($"source_a", $"source_b", $"n_common",
+          round(lit(0.5) * ($"__ts" + lit(Ln2) *
+            ((lit(1.0) - $"__sca".cast("double") / $"na".cast("double")) +
+              (lit(1.0) - $"__scb".cast("double") / $"nb".cast("double")))),
+            9).as("js"))
+    },
+
     "e04_standardize" -> { (s, d) =>
       import s.implicits._
       val e = Tables.embeddings(s, d)
@@ -5172,6 +5222,44 @@ object DataOps {
         |  round(effective_tokens / CAST(raw_tokens AS DOUBLE), 9)
         |    AS effective_ratio
         |FROM agg""".stripMargin,
+
+    // per-token terms mirror the engine expression tree; ln 2 is the
+    // interpolated Ln2 literal, never a cross-engine log
+    "t37_js_pairs" -> s"""
+      |WITH sp AS (SELECT source, string_split(text, ' ') AS t
+      |  FROM documents),
+      |toks AS (SELECT source,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+      |  FROM sp WHERE len(t) >= 3),
+      |st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM st GROUP BY 1),
+      |sd AS (SELECT st.source, tok, c, n FROM st JOIN tt USING (source)),
+      |j AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    a.n AS na, b.n AS nb, a.c AS ca, b.c AS cb
+      |  FROM sd a JOIN sd b
+      |    ON a.tok = b.tok AND a.source < b.source),
+      |terms AS (SELECT source_a, source_b, na, nb, ca, cb,
+      |    round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |      * round(ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |        / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |          + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 6), 12)
+      |  + round((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |      * round(ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |        / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |          + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 6), 12)
+      |    AS tterm
+      |  FROM j),
+      |agg AS (SELECT source_a, source_b, na, nb, COUNT(*) AS n_common,
+      |    CAST(SUM(ca) AS BIGINT) AS sca, CAST(SUM(cb) AS BIGINT) AS scb,
+      |    CAST(SUM(CAST(tterm AS DECIMAL(28,12))) AS DOUBLE) AS ts
+      |  FROM terms GROUP BY 1, 2, 3, 4)
+      |SELECT source_a, source_b, n_common,
+      |  round(0.5 * (ts + $Ln2
+      |    * ((1.0 - CAST(sca AS DOUBLE) / CAST(na AS DOUBLE))
+      |      + (1.0 - CAST(scb AS DOUBLE) / CAST(nb AS DOUBLE)))), 9) AS js
+      |FROM agg""".stripMargin.trim,
 
     "e04_standardize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -673,4 +673,61 @@ class AnalyticsSpec extends SparkSpec {
       "2024-01-01" -> ((2L, 2L, 3L, 1.5, 0.75)),
       "2024-02-01" -> ((1L, 1L, 1L, 1.0, 1.0))))
   }
+
+  test("q88 rolling corr: proportional series score 1, reversed score -1, " +
+    "constants NULL; missing days are REAL zeros in the dense grid") {
+    // 8 days; type a = 1..8, b = 2·a (corr 1), c = 9−a (corr −1),
+    // d constant 3 (NULL), e active only on days 1 and 8 (the dense
+    // grid zero-fills the gap, so every pair still has 2 full windows)
+    val days = (1 to 8).map(i => f"2024-01-0$i")
+    val ev = days.zipWithIndex.flatMap { case (day, idx) =>
+      val i = idx + 1
+      Seq("a" -> i, "b" -> (2 * i), "c" -> (9 - i), "d" -> 3,
+        "e" -> (if (i == 1 || i == 8) 2 else 0)).flatMap {
+        case (t, n) => (1 to n).map(k => (t, day, k))
+      }
+    }.zipWithIndex.map { case ((t, day, _), id) =>
+      (id.toLong, t, s"$day 12:00:00")
+    }.toDF("event_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q88").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q88_rolling_corr")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDate(2).toString) -> Option(r.get(3)).map(_.toString)).toMap
+    // 10 type pairs × 2 full windows (days 7 and 8)
+    assert(got.size === 20)
+    for (day <- Seq("2024-01-07", "2024-01-08")) {
+      assert(got(("a", "b", day)) === Some("1.0"))
+      assert(got(("a", "c", day)) === Some("-1.0"))
+      assert(got(("a", "d", day)) === None)
+      assert(got(("b", "c", day)) === Some("-1.0"))
+      // e exists in the grid even on its silent days
+      assert(got.contains(("a", "e", day)))
+    }
+  }
+
+  test("q89 pareto: one whale reaches 80% alone; a uniform split needs " +
+    "4 of 5 users; the boundary is the exact integer cross-multiply") {
+    // type wh: user 1 has 8 events, users 2..3 one each → total 10,
+    // cum(1) = 8, 5·8 = 40 ≥ 4·10 = 40 → rank80 = 1, frac 1/3.
+    // type un: 5 users × 2 events → cum hits 8 of 10 at rank 4 → 0.8.
+    val rows = Seq(("wh", 1L, 8), ("wh", 2L, 1), ("wh", 3L, 1)) ++
+      (1 to 5).map(u => ("un", u.toLong, 2))
+    val ev = rows.flatMap { case (t, u, n) => (1 to n).map(_ => (t, u)) }
+      .zipWithIndex.map { case ((t, u), id) => (id.toLong, t, u) }
+      .toDF("event_id", "event_type", "user_id")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q89").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q89_pareto")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "wh" -> ((3L, 10L, 1L, 0.333333333)),
+      "un" -> ((5L, 10L, 4L, 0.8))))
+  }
 }

@@ -2052,6 +2052,55 @@ class DataOpsSpec extends SparkSpec {
       64L, sampledUsers.size.toLong * 16)))
   }
 
+  test("t37 js pairs: identical distributions score 0, a partial overlap " +
+    "matches an independent JVM reference, fully-disjoint pairs are " +
+    "absent by contract; corpus values stay inside [0, ln 2]") {
+    def grams3(t: String): Seq[String] =
+      t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the engine's exact arithmetic, replicated independently
+    def jsRef(ta: String, tb: String): Double = {
+      val ca = grams3(ta).groupBy(identity).view.mapValues(_.size).toMap
+      val cb = grams3(tb).groupBy(identity).view.mapValues(_.size).toMap
+      val (na, nb) = (grams3(ta).size.toDouble, grams3(tb).size.toDouble)
+      val inter = ca.keySet.intersect(cb.keySet).toSeq
+      val ts = inter.map { g =>
+        val p = ca(g) / na; val q = cb(g) / nb
+        BigDecimal(r(p * r(math.log(2.0 * p / (p + q)), 6), 12) +
+          r(q * r(math.log(2.0 * q / (p + q)), 6), 12))
+      }.sum.toDouble
+      val sca = inter.map(ca).sum.toDouble
+      val scb = inter.map(cb).sum.toDouble
+      r(0.5 * (ts + math.log(2.0) *
+        ((1.0 - sca / na) + (1.0 - scb / nb))), 9)
+    }
+    val tX = "a b c d"            // grams: "a b c", "b c d"
+    val tZ = "a b c e f g"        // shares "a b c"
+    val tW = "q r s t"            // disjoint from all
+    val docs = Seq((1L, "srcX", tX), (2L, "srcY", tX),
+      (3L, "srcZ", tZ), (4L, "srcW", tW))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t37").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.queries("t37_js_pairs")(spark, dir)
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)) ->
+        ((r0.getLong(2), r0.getDouble(3)))).toMap
+    assert(got(("srcX", "srcY")) === ((2L, 0.0)))
+    assert(got(("srcX", "srcZ")) === ((1L, jsRef(tX, tZ))))
+    assert(got(("srcY", "srcZ")) === ((1L, jsRef(tX, tZ))))
+    // disjoint pairs carry no row — the documented intersection contract
+    assert(got.keySet === Set(("srcX", "srcY"), ("srcX", "srcZ"),
+      ("srcY", "srcZ")))
+    assert(jsRef(tX, tZ) > 0.0)
+    // real corpus: JS is bounded by ln 2 and never negative
+    val corpus = DataOps.queries("t37_js_pairs")(spark, sf("sf0.001"))
+      .collect().map(_.getDouble(3))
+    assert(corpus.nonEmpty &&
+      corpus.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-9))
+  }
+
   test("t36 effective tokens: a 2-way duplicate family counts once in " +
     "aggregate, singletons keep full weight") {
     val dup = "w1 w2 w3 w4 w5 w6"
