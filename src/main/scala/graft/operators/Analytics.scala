@@ -861,6 +861,40 @@ object Analytics {
               9)).as("corr7"))
     },
 
+    // q90: user-lifetime cohort summary — per signup-month cohort (month
+    // of first activity), how long users actually stay: active days,
+    // first-to-last span, the one-day-wonder fraction, and the median
+    // span (percentile ↔ quantile_cont at the q29/q84 integer-parity
+    // convention). The corpus-scale pass is one groupBy to per-user
+    // (first, last, active-day) facts; every aggregate after runs on
+    // the user-bounded relation. Exact divisions, one per lane, round 9.
+    "q90_user_lifetime" -> { (s, d) =>
+      import s.implicits._
+      val u = Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(to_date(min($"ts")).as("__first"),
+          to_date(max($"ts")).as("__last"),
+          countDistinct(to_date($"ts")).as("__active"))
+        .withColumn("__span",
+          (datediff($"__last", $"__first") + 1).cast("long"))
+        .withColumn("cohort", to_date(date_trunc("month", $"__first")))
+      u.groupBy($"cohort")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"__active").as("__sa"),
+          sum($"__span").as("__ss"),
+          sum(when($"__span" === 1, 1L).otherwise(0L)).as("__one"),
+          round(expr("percentile(__span, cast(0.5 as double))"), 6)
+            .as("median_span_days"))
+        .select($"cohort", $"n_users",
+          round($"__sa".cast("double") / $"n_users".cast("double"), 9)
+            .as("avg_active_days"),
+          round($"__ss".cast("double") / $"n_users".cast("double"), 9)
+            .as("avg_span_days"),
+          $"median_span_days",
+          round($"__one".cast("double") / $"n_users".cast("double"), 9)
+            .as("one_day_frac"))
+    },
+
     // q89: Pareto concentration — the "how few users are 80% of the
     // traffic" cut q85's Gini summarizes as one number. rank80 is the
     // SMALLEST desc-rank whose cumulative share reaches 80%, found by
@@ -1477,6 +1511,27 @@ object Analytics {
         |    AS top_user_frac
         |FROM r JOIN t ON r.event_type = t.event_type
         |WHERE cum * 5 >= total_events * 4
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q90_user_lifetime" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(MIN(ts) AS DATE) AS first_d,
+        |    CAST(MAX(ts) AS DATE) AS last_d,
+        |    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT *,
+        |    CAST(datediff('day', first_d, last_d) + 1 AS BIGINT) AS span,
+        |    CAST(date_trunc('month', first_d) AS DATE) AS cohort
+        |  FROM u)
+        |SELECT cohort, COUNT(*) AS n_users,
+        |  round(CAST(CAST(SUM(active) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS avg_active_days,
+        |  round(CAST(CAST(SUM(span) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS avg_span_days,
+        |  round(quantile_cont(span, 0.5), 6) AS median_span_days,
+        |  round(CAST(CAST(SUM(CASE WHEN span = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS one_day_frac
+        |FROM s GROUP BY 1""".stripMargin
   )
 }

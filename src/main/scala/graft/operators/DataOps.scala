@@ -3385,6 +3385,33 @@ object DataOps {
           round($"effective_tokens" / $"raw_tokens".cast("double"), 9))
     },
 
+    // c07: temporal split-leakage audit — c01/c06 catch CONTENT leaking
+    // across a split; c07 catches the ENTITY leak a time-based split
+    // invites: users whose events land on BOTH sides of the cutoff
+    // (their test-side behavior is predictable from their own
+    // train-side history, inflating any per-user model's eval). Cutoff
+    // is the data's own midpoint day (min + span/2 — a corpus function,
+    // never a clock, the q84 as-of rule). One corpus-scale groupBy;
+    // the audit relation is user-bounded. Only spanning users emit.
+    "c07_split_leakage" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val cut = ev.agg(date_add(to_date(min($"ts")),
+        (datediff(to_date(max($"ts")), to_date(min($"ts"))) / 2)
+          .cast("int")).as("__cut"))
+      ev.crossJoin(broadcast(cut))
+        .groupBy($"user_id", $"__cut")
+        .agg(
+          sum(when(to_date($"ts") <= $"__cut", 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(to_date($"ts") > $"__cut", 1L).otherwise(0L))
+            .as("n_test"))
+        .filter($"n_train" > 0 && $"n_test" > 0)
+        .select($"user_id", $"__cut".as("cutoff"), $"n_train", $"n_test",
+          round($"n_test".cast("double") /
+            ($"n_train" + $"n_test").cast("double"), 9).as("test_frac"))
+    },
+
     // t37: pairwise Jensen-Shannon divergence between source 3-gram
     // distributions — the mixture-design matrix (o02 scores each source
     // against the corpus; JS says which sources duplicate EACH OTHER's
@@ -3408,14 +3435,14 @@ object DataOps {
       val sided = st.join(broadcast(tot), "source")
       val a = sided.select($"source".as("source_a"), $"tok",
         $"c".as("ca"), $"n".as("na"))
-      val b = sided.select($"source".as("source_b"), $"tok",
+      val b = sided.select($"source".as("source_b"), $"tok".as("tok_b"),
         $"c".as("cb"), $"n".as("nb"))
       val p = $"ca".cast("double") / $"na".cast("double")
       val q = $"cb".cast("double") / $"nb".cast("double")
       val termA = round(p * round(log(lit(2.0) * p / (p + q)), 6), 12)
       val termB = round(q * round(log(lit(2.0) * q / (p + q)), 6), 12)
       a.join(b.hint("shuffle_hash"),
-          a("tok") === b("tok") && $"source_a" < $"source_b")
+          $"tok" === $"tok_b" && $"source_a" < $"source_b")
         .groupBy($"source_a", $"source_b", $"na", $"nb")
         .agg(count(lit(1)).as("n_common"),
           sum($"ca").as("__sca"), sum($"cb").as("__scb"),
@@ -5222,6 +5249,22 @@ object DataOps {
         |  round(effective_tokens / CAST(raw_tokens AS DOUBLE), 9)
         |    AS effective_ratio
         |FROM agg""".stripMargin,
+
+    "c07_split_leakage" ->
+      """WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS d0,
+        |    CAST(MAX(ts) AS DATE) AS d1 FROM events),
+        |c AS (SELECT d0 + CAST(datediff('day', d0, d1) // 2 AS INTEGER)
+        |    AS cut FROM b),
+        |u AS (SELECT user_id, cut,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) <= cut
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) > cut
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM events, c GROUP BY 1, 2)
+        |SELECT user_id, cut AS cutoff, n_train, n_test,
+        |  round(CAST(n_test AS DOUBLE)
+        |    / CAST(n_train + n_test AS DOUBLE), 9) AS test_frac
+        |FROM u WHERE n_train > 0 AND n_test > 0""".stripMargin,
 
     // per-token terms mirror the engine expression tree; ln 2 is the
     // interpolated Ln2 literal, never a cross-engine log

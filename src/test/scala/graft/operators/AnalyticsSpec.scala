@@ -730,4 +730,32 @@ class AnalyticsSpec extends SparkSpec {
       "wh" -> ((3L, 10L, 1L, 0.333333333)),
       "un" -> ((5L, 10L, 4L, 0.8))))
   }
+
+  test("q90 user lifetime: cohort is the FIRST-activity month, span is " +
+    "inclusive, repeat same-day events never inflate active days") {
+    // cohort Jan: user 1 active 01-05 and 01-07 (inclusive span 3,
+    //             active 2), user 2 active 01-20 twice (span 1,
+    //             active 1 — a one-day wonder whose repeats dedup)
+    //             → avg span (3+1)/2 = 2.0, median of {1,3} = 2.0
+    // cohort Feb: user 3 active 02-01..02-03 daily (span 3, active 3)
+    val rows = Seq(
+      (1L, "2024-01-05"), (1L, "2024-01-07"),
+      (2L, "2024-01-20"), (2L, "2024-01-20"),
+      (3L, "2024-02-01"), (3L, "2024-02-02"), (3L, "2024-02-03"))
+    val ev = rows.zipWithIndex.map { case ((u, day), id) =>
+      (id.toLong, u, s"$day 08:00:00")
+    }.toDF("event_id", "user_id", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q90").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q90_user_lifetime")(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 1.5, 2.0, 2.0, 0.5)),
+      "2024-02-01" -> ((1L, 3.0, 3.0, 3.0, 0.0))))
+  }
 }

@@ -2052,6 +2052,35 @@ class DataOpsSpec extends SparkSpec {
       64L, sampledUsers.size.toLong * 16)))
   }
 
+  test("c07 split leakage: only users spanning the midpoint cutoff emit; " +
+    "boundary day belongs to train") {
+    // span 2024-01-01..2024-01-11 → cutoff = d0 + 10//2 = 2024-01-06.
+    // user 1: events on 01 and 11 → leaks (1 train, 1 test).
+    // user 2: events on 06 (the cutoff day — train side) only → clean.
+    // user 3: events on 07 and 11 → test-only → clean.
+    // user 4: 3 train (01,02,06) + 1 test (09) → test_frac 0.25.
+    val rows = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-11"),
+      (2L, "2024-01-06"),
+      (3L, "2024-01-07"), (3L, "2024-01-11"),
+      (4L, "2024-01-01"), (4L, "2024-01-02"), (4L, "2024-01-06"),
+      (4L, "2024-01-09"))
+    val ev = rows.zipWithIndex.map { case ((u, day), id) =>
+      (id.toLong, u, s"$day 10:00:00")
+    }.toDF("event_id", "user_id", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("c07").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = DataOps.queries("c07_split_leakage")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> (("2024-01-06", 1L, 1L, 0.5)),
+      4L -> (("2024-01-06", 3L, 1L, 0.25))))
+  }
+
   test("t37 js pairs: identical distributions score 0, a partial overlap " +
     "matches an independent JVM reference, fully-disjoint pairs are " +
     "absent by contract; corpus values stay inside [0, ln 2]") {
