@@ -1723,6 +1723,47 @@ object DataOps {
       cmJoinSizes(Tables.documents(s, d), width = 16384, depth = 3)
     },
 
+    // sk05: second frequency moment (F2 = Σ f², the SELF-join size on
+    // token) per source from the CM sketch DIAGONAL — Σ_pos c[j][pos]²,
+    // min over rows, the AMS-style skew probe: F2/n² reads 1/V for a
+    // uniform source and → 1 as one key goes hot, which is exactly the
+    // salt-or-don't signal Skew.adaptiveSalting wants BEFORE paying the
+    // shuffle (sk04 prices a join against another relation; sk05 prices
+    // a relation against ITSELF — groupBy/self-join blowup). Squares
+    // accumulate in DECIMAL(38,0) with the 62-bit loud guard; est ≥
+    // true structurally (collisions only add cross terms). The truth
+    // lane rides the vocab-bound aggregation for the in-row rel_err.
+    "sk05_cm_skew" -> { (s, d) =>
+      import s.implicits._
+      val toks = cmTokens(Tables.documents(s, d))
+      val est = cmCounters(toks, 16384, 3)
+        .groupBy($"source", $"j")
+        .agg(sum(($"c".cast("decimal(38,0)") * $"c")
+          .cast("decimal(38,0)")).as("__f2j"))
+        .groupBy($"source").agg(min($"__f2j").as("__est"))
+      val truth = toks.groupBy($"source", $"tok")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy($"source")
+        .agg(sum($"__c").as("n_grams"),
+          sum(($"__c".cast("decimal(38,0)") * $"__c")
+            .cast("decimal(38,0)")).as("__tf2"))
+      def toL(c: Column, what: String): Column =
+        when(c > lit(Long.MaxValue / 2),
+          raise_error(lit(s"sk05_cm_skew: $what exceeds 62 bits; " +
+            "shard the corpus per epoch")).cast("long"))
+          .otherwise(c.cast("long"))
+      est.join(truth, "source")
+        .select($"source", $"n_grams",
+          toL($"__est", "sketch F2").as("est_f2"),
+          toL($"__tf2", "true F2").as("true_f2"))
+        .withColumn("overcount", $"est_f2" - $"true_f2")
+        .withColumn("rel_err",
+          round($"overcount".cast("double") / $"true_f2".cast("double"), 9))
+        .withColumn("hot_ratio",
+          round($"est_f2".cast("double") /
+            ($"n_grams".cast("double") * $"n_grams".cast("double")), 9))
+    },
+
     // c06: SEMANTIC contamination screen — c01 catches verbatim n-gram
     // overlap, c06 catches the paraphrase case: corpus vectors whose
     // embedding sits too close to a held-out benchmark vector
@@ -5032,6 +5073,36 @@ object DataOps {
         |    ELSE round(CAST(est_n - true_n AS DOUBLE)
         |      / CAST(true_n AS DOUBLE), 9) END AS rel_err
         |FROM o""".stripMargin,
+
+    "sk05_cm_skew" ->
+      """WITH sp AS (SELECT source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |toks AS (SELECT source,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+        |  FROM sp WHERE len(t) >= 3),
+        |js AS (SELECT unnest(range(1, 4)) AS j),
+        |sc AS (SELECT source, j,
+        |    CAST(CAST(('0x' || substring(md5('cm' || j || ':' || tok),
+        |      1, 8)) AS UBIGINT) % 16384 AS BIGINT) AS pos,
+        |    COUNT(*) AS c
+        |  FROM toks, js GROUP BY 1, 2, 3),
+        |e AS (SELECT source, j, SUM(CAST(c AS HUGEINT) * c) AS f2j
+        |  FROM sc GROUP BY 1, 2),
+        |es AS (SELECT source, CAST(MIN(f2j) AS BIGINT) AS est_f2
+        |  FROM e GROUP BY 1),
+        |pc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |tr AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS true_f2
+        |  FROM pc GROUP BY 1)
+        |SELECT es.source, n_grams, est_f2, true_f2,
+        |  est_f2 - true_f2 AS overcount,
+        |  round(CAST(est_f2 - true_f2 AS DOUBLE)
+        |    / CAST(true_f2 AS DOUBLE), 9) AS rel_err,
+        |  round(CAST(est_f2 AS DOUBLE)
+        |    / (CAST(n_grams AS DOUBLE) * CAST(n_grams AS DOUBLE)), 9)
+        |    AS hot_ratio
+        |FROM es JOIN tr ON es.source = tr.source""".stripMargin,
 
     "c06_semantic_contamination" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -1968,6 +1968,44 @@ class DataOpsSpec extends SparkSpec {
     assert(corpus4.forall(_ >= 0L) && corpus4.exists(_ > 0L))
   }
 
+  test("sk05 cm skew: F2 matches a JVM reference exactly (collision-free " +
+    "width) and a hot key drives hot_ratio toward 1; the sketch never " +
+    "undercounts on the real corpus") {
+    // srcHot: one token repeated 13× → every 3-gram is "h h h" →
+    // F2 = 11² = n², hot_ratio = 1.0 (the one-hot-key extreme).
+    // srcFlat: 7 distinct tokens → 5 distinct grams once each →
+    // F2 = n = 5, hot_ratio = 1/n (the uniform extreme). Tiny vocab at
+    // width 16384 → no collisions → est == true == reference.
+    val hot = (1 to 13).map(_ => "h").mkString(" ")
+    val flat = "f1 f2 f3 f4 f5 f6 f7"
+    val docs = Seq((1L, "srcHot", hot), (2L, "srcFlat", flat))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sk05").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def grams3(t: String): Seq[String] =
+      t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+    def f2(t: String): Long = grams3(t).groupBy(identity)
+      .map { case (_, v) => v.size.toLong * v.size }.sum
+    val got = DataOps.queries("sk05_cm_skew")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6)))).toMap
+    val nHot = grams3(hot).size.toLong
+    val nFlat = grams3(flat).size.toLong
+    assert(got("srcHot") === ((nHot, f2(hot), f2(hot),
+      BigDecimal(f2(hot).toDouble / (nHot.toDouble * nHot))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("srcFlat") === ((nFlat, f2(flat), f2(flat),
+      BigDecimal(f2(flat).toDouble / (nFlat.toDouble * nFlat))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // the hot source concentrates, the flat one doesn't
+    assert(got("srcHot")._4 > 0.5 && got("srcFlat")._4 < 0.25)
+    // real corpus: est >= true everywhere, collisions live somewhere
+    val corpus = DataOps.queries("sk05_cm_skew")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(4))
+    assert(corpus.forall(_ >= 0L) && corpus.exists(_ > 0L))
+  }
+
   test("c06 semantic contamination: a planted paraphrase flags with its " +
     "bench anchor, orthogonal corpus stays clean, tied argmax picks the " +
     "smaller bench id") {
