@@ -197,7 +197,30 @@ object Advanced {
     // (posting-list joins, never n²); clustering is d05's pointer-
     // jumping CC over a pair set that is catalog-scale, not corpus-scale.
     "er02_entity_clusters" -> ((s, d) =>
-      EntityMatch.resolveEntities(Tables.part(s, d), "p_name", maxDist = 2))
+      EntityMatch.resolveEntities(Tables.part(s, d), "p_name", maxDist = 2)),
+
+    // er03: cross-catalog entity spread — for each resolved entity, how
+    // many distinct surface names and how many distinct BRANDS carry it
+    // (a multi-brand entity is either a reconciliation win or a false
+    // merge; this is the row a catalog-merge reviewer reads). The
+    // canonical map is er02's (cluster-scale, broadcastable at any
+    // catalog size); rows join map-side, the rollup is entity-bounded.
+    // brands_csv is the sorted-distinct csv (q33 convention — the
+    // driver's checker can't sort raw arrays).
+    "er03_entity_brands" -> { (s, d) =>
+      val resolved = EntityMatch
+        .resolveEntities(Tables.part(s, d), "p_name", maxDist = 2)
+        .select(col("name"), col("canonical"))
+      Tables.part(s, d)
+        .select(col("p_name").as("name"), col("p_brand"))
+        .join(broadcast(resolved), "name")
+        .groupBy(col("canonical"))
+        .agg(countDistinct(col("name")).as("n_names"),
+          countDistinct(col("p_brand")).as("n_brands"),
+          count(lit(1)).as("n_rows"),
+          concat_ws(",", array_sort(collect_set(col("p_brand"))))
+            .as("brands_csv"))
+    }
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -302,6 +325,35 @@ object Advanced {
         |    CAST(SUM(n) AS BIGINT) AS cluster_rows
         |  FROM resolved GROUP BY canonical)
         |SELECT name, r.canonical, n AS n_rows, cluster_size, cluster_rows
-        |FROM resolved r JOIN rollup USING (canonical)""".stripMargin
+        |FROM resolved r JOIN rollup USING (canonical)""".stripMargin,
+
+    // er02's resolution CTEs joined back to the part rows for the
+    // brand rollup
+    "er03_entity_brands" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, COUNT(*) AS n FROM part
+        |  WHERE p_name IS NOT NULL GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.name AS na, b.name AS nb
+        |  FROM names a JOIN names b ON a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |sym AS (SELECT na AS s, nb AS d FROM pairs
+        |  UNION SELECT nb, na FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM sym
+        |  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+        |labels AS (SELECT s AS name, least(s, MIN(d)) AS canonical
+        |  FROM reach GROUP BY s),
+        |resolved AS (
+        |  SELECT n.name, coalesce(l.canonical, n.name) AS canonical
+        |  FROM names n LEFT JOIN labels l ON n.name = l.name),
+        |r2 AS (SELECT p.p_name AS name, p.p_brand, r.canonical
+        |  FROM part p JOIN resolved r ON p.p_name = r.name)
+        |SELECT canonical,
+        |  CAST(COUNT(DISTINCT name) AS BIGINT) AS n_names,
+        |  CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+        |  COUNT(*) AS n_rows,
+        |  array_to_string(list_sort(list_distinct(list(p_brand))), ',')
+        |    AS brands_csv
+        |FROM r2 GROUP BY 1""".stripMargin
   )
 }

@@ -116,9 +116,10 @@ object DataOps {
     * summed across sources first: the global sketch IS the sum of the
     * per-source sketches (the mergeability sk04 rides per-source). */
   private[operators] def cmFreqEstimates(docs: DataFrame, width: Int,
-      depth: Int, topN: Int): DataFrame = {
+      depth: Int, topN: Int,
+      preCounters: Option[DataFrame] = None): DataFrame = {
     val toks = cmTokens(docs)
-    val counters = cmCounters(toks, width, depth)
+    val counters = preCounters.getOrElse(cmCounters(toks, width, depth))
       .groupBy(col("j"), col("pos")).agg(sum(col("c")).as("c"))
     val top = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("true_count"))
@@ -150,9 +151,9 @@ object DataOps {
     * sources overflow int64 products long before the corpus is
     * exotic); a result past 62 bits raises loudly (q82 convention). */
   private[operators] def cmJoinSizes(docs: DataFrame, width: Int,
-      depth: Int): DataFrame = {
+      depth: Int, preCounters: Option[DataFrame] = None): DataFrame = {
     val toks = cmTokens(docs)
-    val sctr = cmCounters(toks, width, depth)
+    val sctr = preCounters.getOrElse(cmCounters(toks, width, depth))
     val ip = sctr.as("a")
       .join(sctr.as("b"), col("a.j") === col("b.j") &&
         col("a.pos") === col("b.pos") &&
@@ -927,6 +928,25 @@ object DataOps {
     * text): different parameterizations, different fixpoints. */
   private val clusterMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private val cmMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** The (16384, 3) per-source CM counter table, memoized per
+    * (session, sfDir) — sk03/sk04/sk05 all consume the SAME counters
+    * (that is the sketch contract: build once, answer many), so the
+    * corpus-scale token pass runs once per session, not once per query
+    * (the trainedMergeTable/preparedTrainingSet convention). */
+  private[operators] def cmCountersMemo(
+      s: SparkSession, d: String): DataFrame = {
+    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
+    cmMemo.keys().asIterator().forEachRemaining { k =>
+      if (k._1 != uuid) { cmMemo.remove(k); () }
+    }
+    cmMemo.computeIfAbsent((uuid, d), _ =>
+      cmCounters(cmTokens(Tables.documents(s, d)), 16384, 3)
+        .graftCheckpoint())
+  }
   private[operators] def dedupClustersMemo(
       s: SparkSession, d: String): DataFrame = {
     val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
@@ -1707,7 +1727,7 @@ object DataOps {
     // probe a fixed watchlist and drop the truth lane).
     "sk03_cm_freq" -> { (s, d) =>
       cmFreqEstimates(Tables.documents(s, d), width = 16384, depth = 3,
-        topN = 40)
+        topN = 40, preCounters = Some(cmCountersMemo(s, d)))
     },
 
     // sk04: pairwise source JOIN-SIZE estimation from the CM sketches
@@ -1720,7 +1740,47 @@ object DataOps {
     // build). The true join size rides a vocab-bound self-join here so
     // rel_err is measured in-row, not claimed.
     "sk04_cm_join_size" -> { (s, d) =>
-      cmJoinSizes(Tables.documents(s, d), width = 16384, depth = 3)
+      cmJoinSizes(Tables.documents(s, d), width = 16384, depth = 3,
+        preCounters = Some(cmCountersMemo(s, d)))
+    },
+
+    // x09: the per-source DATASET CARD — the one-row-per-source
+    // datasheet a mixture decision reads (docs, languages + dominant
+    // language, token mass and shape, quality pass rate, corpus
+    // share). One corpus-scale pass computes every per-doc fact; the
+    // mode and rollups run source-bounded (q67's two-aggregation mode,
+    // smallest-value tie). Quality is the SHARED t12 predicate
+    // (thresholds single-sourced — the card can't drift from the
+    // cleaner). Median tokens via percentile ↔ quantile_cont round-6
+    // integer parity (q29/q84 convention).
+    "x09_dataset_card" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"lang",
+          Text.tokenCount($"text").cast("long").as("__nt"),
+          qualityPassCol($"text").as("__qp"))
+      val lm = Analytics.modePerKey(
+          docs.select($"source", $"lang"), "source", "lang")
+        .select($"source", $"v".as("top_lang"))
+      val tot = docs.agg(count(lit(1)).as("__N"))
+      docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          sum($"__nt").as("raw_tokens"),
+          round(expr("percentile(__nt, cast(0.5 as double))"), 6)
+            .as("p50_tokens"),
+          sum(when($"__qp", 1L).otherwise(0L)).as("__npass"))
+        .join(broadcast(lm), "source")
+        .crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_langs", $"top_lang",
+          $"raw_tokens",
+          round($"raw_tokens".cast("double") /
+            $"n_docs".cast("double"), 9).as("avg_tokens"),
+          $"p50_tokens",
+          round($"__npass".cast("double") /
+            $"n_docs".cast("double"), 9).as("quality_pass_rate"),
+          round($"n_docs".cast("double") /
+            $"__N".cast("double"), 9).as("corpus_doc_share"))
     },
 
     // sk05: second frequency moment (F2 = Σ f², the SELF-join size on
@@ -1736,7 +1796,7 @@ object DataOps {
     "sk05_cm_skew" -> { (s, d) =>
       import s.implicits._
       val toks = cmTokens(Tables.documents(s, d))
-      val est = cmCounters(toks, 16384, 3)
+      val est = cmCountersMemo(s, d)
         .groupBy($"source", $"j")
         .agg(sum(($"c".cast("decimal(38,0)") * $"c")
           .cast("decimal(38,0)")).as("__f2j"))
@@ -5073,6 +5133,39 @@ object DataOps {
         |    ELSE round(CAST(est_n - true_n AS DOUBLE)
         |      / CAST(true_n AS DOUBLE), 9) END AS rel_err
         |FROM o""".stripMargin,
+
+    // quality is the same shared predicate fragment t12's oracle uses;
+    // mode tie mirrors modePerKey (count desc, value asc)
+    "x09_dataset_card" ->
+      """WITH dd AS (SELECT doc_id, source, lang,
+        |    string_split(text, ' ') AS t FROM documents),
+        |f AS (SELECT source, lang, CAST(len(t) AS BIGINT) AS nt,
+        |    (len(t) >= 5 AND
+        |     len(list_distinct(t))::DOUBLE / len(t) >= 0.2) AS qp
+        |  FROM dd),
+        |lc AS (SELECT source, lang, COUNT(*) AS c
+        |  FROM f GROUP BY 1, 2),
+        |lm AS (SELECT source, lang AS top_lang FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY c DESC, lang ASC) AS rn FROM lc)
+        |  WHERE rn = 1),
+        |g AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(SUM(nt) AS BIGINT) AS raw_tokens,
+        |    round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+        |    CAST(SUM(CASE WHEN qp THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS npass
+        |  FROM f GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM dd)
+        |SELECT g.source, n_docs, n_langs, top_lang, raw_tokens,
+        |  round(CAST(raw_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |    AS avg_tokens,
+        |  p50_tokens,
+        |  round(CAST(npass AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |    AS quality_pass_rate,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |    AS corpus_doc_share
+        |FROM g JOIN lm ON g.source = lm.source, nn""".stripMargin,
 
     "sk05_cm_skew" ->
       """WITH sp AS (SELECT source, string_split(text, ' ') AS t

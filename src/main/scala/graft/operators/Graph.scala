@@ -269,6 +269,31 @@ object Graph {
     *              (symmetric duplicates collapse via canonicalization)
     * @return (id, n_triangles) for every vertex in at least one triangle
     */
+  /** Per-vertex local clustering coefficient over an undirected edge
+    * set: lcc = 2T / d(d−1) with [[triangleCounts]]' T and the deduped
+    * undirected degree; degree-1 vertices are NULL (undefined), never a
+    * 0-division. One integer-over-integer division, round 9 — the g13
+    * body, public so specs can plant exact graphs. */
+  def clusteringCoeff(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2L) * coalesce(col("n_triangles"), lit(0L)))
+              .cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 9))
+          .as("lcc"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     // canonical undirected form (a < b), deduped
@@ -776,6 +801,23 @@ object Graph {
         maxSupplierDeg = 50000L)
       Graph.triangleCounts(cop, "ca", "cb")
         .select(col("id").as("c_custkey"), col("n_triangles"))
+    },
+
+    // g13: local clustering coefficient — per-vertex cohesion on the
+    // co-purchase graph (a vertex whose neighbors all know each other
+    // is inside a community; a high-degree low-LCC vertex is a BRIDGE
+    // — the distinction g03's raw triangle count can't make). Rides
+    // g03's machinery unchanged (same degree-capped wedge generation);
+    // the degree relation is one extra map-side aggregation. The ratio
+    // 2T / d(d−1) is one integer-over-integer division, round 9;
+    // degree-1 vertices are NULL (undefined), never a 0-division.
+    "g13_clustering_coeff" -> { (s, d) =>
+      val cs = tradeRelation(s, d).filter(col("w") >= 2)
+        .select(col("c"), col("sp"))
+      val cop = copurchaseEdges(cs, minShared = 2,
+        maxSupplierDeg = 50000L)
+      Graph.clusteringCoeff(cop, "ca", "cb")
+        .withColumnRenamed("id", "c_custkey")
     },
 
     // Personalized PageRank: rank every trade-graph vertex by proximity
@@ -1463,6 +1505,32 @@ object Graph {
         |  UNION ALL SELECT c FROM tri)
         |SELECT id AS c_custkey, COUNT(*) AS n_triangles
         |FROM n GROUP BY id""".stripMargin,
+
+    // g03's CTEs + a degree rollup; the ratio mirrors the engine's
+    // integer-over-integer single division
+    "g13_clustering_coeff" ->
+      """WITH cs AS (SELECT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |cop AS (SELECT a.c AS ca, b.c AS cb
+        |  FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT id, COUNT(*) AS degree FROM
+        |  (SELECT ca AS id FROM cop UNION ALL SELECT cb FROM cop)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.ca AS a, e1.cb AS b, e2.cb AS c
+        |  FROM cop e1 JOIN cop e2 ON e1.cb = e2.ca
+        |  JOIN cop e3 ON e3.ca = e1.ca AND e3.cb = e2.cb),
+        |n AS (SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT id, COUNT(*) AS n_tri FROM n GROUP BY id)
+        |SELECT d.id AS c_custkey, CAST(degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN degree < 2 THEN NULL
+        |    ELSE round(CAST(2 * COALESCE(n_tri, 0) AS DOUBLE)
+        |      / CAST(degree * (degree - 1) AS DOUBLE), 9) END AS lcc
+        |FROM deg d LEFT JOIN tc ON d.id = tc.id""".stripMargin,
 
     // two vote rounds = two nested aggregate CTEs; integer weights make
     // every vote sum exact, so the compare is value-level

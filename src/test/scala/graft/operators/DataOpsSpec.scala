@@ -2006,6 +2006,31 @@ class DataOpsSpec extends SparkSpec {
     assert(corpus.forall(_ >= 0L) && corpus.exists(_ > 0L))
   }
 
+  test("x09 dataset card: mode ties break to the smaller lang, the t12 " +
+    "quality predicate gates the pass rate, corpus shares sum to 1") {
+    // srcA: 3 docs — en (6 distinct tokens, passes), en (passes),
+    // de (4 tokens → FAILS the ≥5 gate) → top_lang en, pass 2/3,
+    // n_langs 2, tokens (6,5,4) → p50 5. srcB: one 7-token doc.
+    val long6 = "alpha beta gamma delta epsilon zeta"
+    val long5 = "one two three four five"
+    val short4 = "vier kurze worte hier"
+    val long7 = "a b c d e f g"
+    val docs = Seq(
+      (1L, "srcA", "en", long6), (2L, "srcA", "en", long5),
+      (3L, "srcA", "de", short4), (4L, "srcB", "fr", long7))
+      .toDF("doc_id", "source", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x09").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.queries("x09_dataset_card")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8)))).toMap
+    assert(got === Map(
+      "srcA" -> ((3L, 2L, "en", 15L, 5.0, 5.0, 0.666666667, 0.75)),
+      "srcB" -> ((1L, 1L, "fr", 7L, 7.0, 7.0, 1.0, 0.25))))
+    assert(math.abs(got.values.map(_._8).sum - 1.0) < 1e-9)
+  }
+
   test("c06 semantic contamination: a planted paraphrase flags with its " +
     "bench anchor, orthogonal corpus stays clean, tied argmax picks the " +
     "smaller bench id") {

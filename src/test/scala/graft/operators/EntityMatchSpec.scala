@@ -93,4 +93,28 @@ class EntityMatchSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("short-pool cap"))
   }
+
+  test("er03 entity brands: a cross-brand name cluster rolls up both " +
+    "brands sorted, singletons keep one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // "turquoise widget" ~ "turquoise widgett" (ed 1, cross-brand);
+    // "completely different" is its own entity
+    val parts = Seq(
+      (1L, "turquoise widget", "BrandB"),
+      (2L, "turquoise widgett", "BrandA"),
+      (3L, "turquoise widget", "BrandB"),
+      (4L, "completely different", "BrandC"))
+      .toDF("p_partkey", "p_name", "p_brand")
+      .withColumn("p_mfgr", lit("m"))
+    val dir = java.nio.file.Files.createTempDirectory("er03").toString
+    parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = graft.operators.Advanced.queries("er03_entity_brands")(
+        spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(got === Map(
+      "turquoise widget" -> ((2L, 2L, 3L, "BrandA,BrandB")),
+      "completely different" -> ((1L, 1L, 1L, "BrandC"))))
+  }
 }

@@ -583,4 +583,22 @@ class GraphSpec extends SparkSpec {
     val verts = rows.map(r => r._1 * r._2).sum
     assert(verts > 0 && rows.forall(_._2 > 0))
   }
+
+  test("g13 clustering coefficient: triangle members score exactly, a " +
+    "bridge dilutes, leaves are NULL, duplicate/reversed edges dedup") {
+    import spark.implicits._
+    // K3 {1,2,3} plus a pendant 3—4; edge (2,1) repeats (1,2) reversed
+    // and must not inflate degrees. lcc(1) = lcc(2) = 1.0 (deg 2, one
+    // triangle), lcc(3) = 2·1/(3·2) = 1/3, lcc(4) = NULL (deg 1).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.clusteringCoeff(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, Some("1.0"))),
+      2L -> ((2L, 1L, Some("1.0"))),
+      3L -> ((3L, 1L, Some("0.333333333"))),
+      4L -> ((1L, 0L, None))))
+  }
 }
