@@ -1744,6 +1744,85 @@ object DataOps {
         preCounters = Some(cmCountersMemo(s, d)))
     },
 
+    // o09: column profiler — the per-column null/cardinality/range
+    // datasheet every ingestion pipeline runs before trusting a feed
+    // (x09 profiles the CORPUS per source; o09 profiles the SCHEMA per
+    // column). Shape: one single-column aggregate per column, unioned —
+    // six pruned scans that each read ONE column total roughly one
+    // full-table read, instead of a single 6×countDistinct aggregate
+    // whose EXPAND would shuffle the corpus six times. Numeric ranges
+    // stay in a DOUBLE lane (stored bits, no cross-engine rendering),
+    // timestamps profile as floor-epoch seconds (q71 convention),
+    // string ranges ride binary-collation min/max.
+    "o09_column_profile" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      def base(cname: String, v: Column) = ev.select(v.as("__c"))
+        .agg(sum(when($"__c".isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct($"__c").as("n_distinct"),
+          min($"__c").as("__mn"), max($"__c").as("__mx"))
+      def num(cname: String, v: Column) = base(cname, v)
+        .select(lit(cname).as("column"), $"n_nulls", $"n_distinct",
+          $"__mn".cast("double").as("min_num"),
+          $"__mx".cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+      def str(cname: String, v: Column) = base(cname, v)
+        .select(lit(cname).as("column"), $"n_nulls", $"n_distinct",
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          $"__mn".cast("string").as("min_str"),
+          $"__mx".cast("string").as("max_str"))
+      num("event_id", $"event_id")
+        .unionByName(num("user_id", $"user_id"))
+        .unionByName(num("value", $"value"))
+        .unionByName(num("ts", $"ts".cast("long")))
+        .unionByName(str("event_type", $"event_type"))
+        .unionByName(str("props", $"props"))
+    },
+
+    // t38: PMI collocations — which token pairs co-occur within a
+    // 2-token window far beyond chance (ln(p(a,b)/(p(a)p(b)))), the
+    // collocation-mining pass behind tokenizer-merge seeding and
+    // phrase detection. Pair generation is EQUI-join shaped: each
+    // occurrence emits (doc, pos+1) and (doc, pos+2) probe rows
+    // map-side, so the self-join is a plain key join, never a
+    // positional inequality; c ≥ 5 floors both lanes (and at web scale
+    // also bounds the pair relation — a pair needs both members
+    // frequent). The PMI ratio is computed in doubles INSIDE one ln
+    // (integer products would pass 63 bits at corpus scale), round 6
+    // (the o02 convention), top-60 by (pmi desc, pair asc) — a
+    // deterministic TakeOrdered, never a global sort.
+    "t38_pmi_pairs" -> { (s, d) =>
+      import s.implicits._
+      val occ = Tables.documents(s, d)
+        .select($"doc_id", posexplode(Text.tokens($"text"))
+          .as(Seq("pos", "tok")))
+      val uni = occ.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val nTot = occ.agg(count(lit(1)).as("__n"))
+      val probes = occ.select($"doc_id",
+          explode(array(($"pos" + 1), ($"pos" + 2))).as("pos"),
+          $"tok".as("tok_a"))
+      val pairs = probes.join(occ.withColumnRenamed("tok", "tok_b"),
+          Seq("doc_id", "pos"))
+        .groupBy($"tok_a", $"tok_b").agg(count(lit(1)).as("c_ab"))
+        .filter($"c_ab" >= 5)
+      val pTot = pairs.agg(sum($"c_ab").as("__p"))
+      pairs
+        .join(broadcast(uni.filter($"c" >= 5)
+          .select($"tok".as("tok_a"), $"c".as("__ca"))), "tok_a")
+        .join(broadcast(uni.filter($"c" >= 5)
+          .select($"tok".as("tok_b"), $"c".as("__cb"))), "tok_b")
+        .crossJoin(broadcast(pTot)).crossJoin(broadcast(nTot))
+        .select($"tok_a", $"tok_b", $"c_ab",
+          round(log(($"c_ab".cast("double") * $"__n".cast("double") *
+            $"__n".cast("double")) /
+            ($"__p".cast("double") * $"__ca".cast("double") *
+              $"__cb".cast("double"))), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"tok_a".asc, $"tok_b".asc)
+        .limit(60)
+    },
+
     // x09: the per-source DATASET CARD — the one-row-per-source
     // datasheet a mixture decision reads (docs, languages + dominant
     // language, token mass and shape, quality pass rate, corpus
@@ -5133,6 +5212,72 @@ object DataOps {
         |    ELSE round(CAST(est_n - true_n AS DOUBLE)
         |      / CAST(true_n AS DOUBLE), 9) END AS rel_err
         |FROM o""".stripMargin,
+
+    // parallel unnests zip elementwise (e03 precedent) so pos is the
+    // token ordinal; the PMI ratio is one double tree inside ln, round 6
+    "t38_pmi_pairs" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(range(len(t))) AS pos,
+        |    unnest(t) AS tok FROM sp),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM occ),
+        |pr AS (SELECT doc_id, pos + 1 AS pos, tok AS tok_a FROM occ
+        |  UNION ALL SELECT doc_id, pos + 2, tok FROM occ),
+        |pairs AS (SELECT tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        |  FROM pr JOIN occ b USING (doc_id, pos)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |pt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p FROM pairs),
+        |j AS (SELECT tok_a, tok_b, c_ab,
+        |    round(ln((CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE))
+        |      / (CAST(p AS DOUBLE) * CAST(ua.c AS DOUBLE)
+        |        * CAST(ub.c AS DOUBLE))), 6) AS pmi
+        |  FROM pairs
+        |  JOIN uni ua ON tok_a = ua.tok AND ua.c >= 5
+        |  JOIN uni ub ON tok_b = ub.tok AND ub.c >= 5, pt, nt)
+        |SELECT * FROM j
+        |ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 60""".stripMargin,
+
+    "o09_column_profile" ->
+      """SELECT 'event_id' AS "column",
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(event_id) AS DOUBLE) AS min_num,
+        |  CAST(MAX(event_id) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str,
+        |  CAST(NULL AS VARCHAR) AS max_str
+        |FROM events
+        |UNION ALL SELECT 'user_id',
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |  CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+        |  NULL, NULL FROM events
+        |UNION ALL SELECT 'value',
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COUNT(DISTINCT value) AS BIGINT),
+        |  CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+        |  NULL, NULL FROM events
+        |UNION ALL SELECT 'ts',
+        |  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CAST(floor(epoch(ts)) AS BIGINT))
+        |    AS BIGINT),
+        |  CAST(MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS DOUBLE),
+        |  CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS DOUBLE),
+        |  NULL, NULL FROM events
+        |UNION ALL SELECT 'event_type',
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT),
+        |  NULL, NULL, MIN(event_type), MAX(event_type) FROM events
+        |UNION ALL SELECT 'props',
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COUNT(DISTINCT props) AS BIGINT),
+        |  NULL, NULL, MIN(props), MAX(props) FROM events""".stripMargin,
 
     // quality is the same shared predicate fragment t12's oracle uses;
     // mode tie mirrors modePerKey (count desc, value asc)

@@ -2006,6 +2006,73 @@ class DataOpsSpec extends SparkSpec {
     assert(corpus.forall(_ >= 0L) && corpus.exists(_ > 0L))
   }
 
+  test("t38 pmi pairs: the planted collocation outranks independent " +
+    "fillers and every row matches a JVM reference with identical " +
+    "arithmetic") {
+    // "nw yk" always adjacent; fillers f1..f4 rotate so their pairings
+    // spread. All counts >= 5 by construction.
+    val docs = (0 until 24).map { i =>
+      (i.toLong, s"f${i % 4} nw yk f${(i + 1) % 4} f${(i + 2) % 4}")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t38").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent reference
+    val texts = (0 until 24).map(i =>
+      s"f${i % 4} nw yk f${(i + 1) % 4} f${(i + 2) % 4}")
+    val occ = texts.zipWithIndex.flatMap { case (t, doc) =>
+      t.split(" ").zipWithIndex.map { case (tok, p) => (doc, p, tok) }
+    }
+    val uni = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val n = occ.size.toLong
+    val byDocPos = occ.map { case (doc, p, tok) => (doc, p) -> tok }.toMap
+    val pairCounts = occ.flatMap { case (doc, p, a) =>
+      Seq(1, 2).flatMap(o => byDocPos.get((doc, p + o)).map(b => (a, b)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5L)
+    val pTot = pairCounts.values.sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = pairCounts.collect {
+      case ((a, b), cab) if uni(a) >= 5 && uni(b) >= 5 =>
+        (a, b, cab, r6(math.log((cab.toDouble * n.toDouble * n.toDouble) /
+          (pTot.toDouble * uni(a).toDouble * uni(b).toDouble))))
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(60)
+    val got = DataOps.queries("t38_pmi_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === ref)
+    // the planted collocation is the top pair
+    assert(got.head._1 === "nw" && got.head._2 === "yk")
+  }
+
+  test("o09 column profile: nulls counted, distincts exact, numeric " +
+    "ranges in the double lane, string ranges in the string lane") {
+    val ev = Seq(
+      (1L, Some(10.5), 100L, "click", "{\"a\":1}", "2024-01-01 00:00:05"),
+      (2L, None, 200L, "view", "{\"b\":2}", "2024-01-02 00:00:06"),
+      (3L, Some(2.25), 100L, "click", "{\"a\":1}", "2024-01-03 00:00:07"))
+      .toDF("event_id", "value", "user_id", "event_type", "props", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    val dir = java.nio.file.Files.createTempDirectory("o09").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = DataOps.queries("o09_column_profile")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6))))).toMap
+    assert(got("value") === ((1L, 2L, Some(2.25), Some(10.5),
+      None, None)))
+    assert(got("user_id") === ((0L, 2L, Some(100.0), Some(200.0),
+      None, None)))
+    assert(got("event_type") === ((0L, 2L, None, None,
+      Some("click"), Some("view"))))
+    assert(got("props") === ((0L, 2L, None, None,
+      Some("{\"a\":1}"), Some("{\"b\":2}"))))
+    val ts = got("ts")
+    assert(ts._1 === 0L && ts._2 === 3L &&
+      (ts._4.get.asInstanceOf[Double] -
+        ts._3.get.asInstanceOf[Double]) === 86400.0 * 2 + 2.0)
+  }
+
   test("x09 dataset card: mode ties break to the smaller lang, the t12 " +
     "quality predicate gates the pass rate, corpus shares sum to 1") {
     // srcA: 3 docs — en (6 distinct tokens, passes), en (passes),
