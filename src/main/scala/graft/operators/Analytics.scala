@@ -895,6 +895,61 @@ object Analytics {
             .as("one_day_frac"))
     },
 
+    // q91: behavioral trigram mining — which 3-event sequences users
+    // actually run (q78's Markov matrix is order-1; funnels live at
+    // order ≥ 2: view→click→purchase vs view→click→view are different
+    // products). Consecutive per-user triples via two leads over the
+    // (ts, event_id) order — windows run user-bounded — then one
+    // aggregation counts occurrences AND distinct users per sequence;
+    // top-20 by (count desc, sequence asc) is a deterministic
+    // TakeOrdered. Never a self-join: a join-based trigram build would
+    // shuffle the event relation three times.
+    "q91_event_trigrams" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t2", lead($"event_type", 1).over(w))
+        .withColumn("t3", lead($"event_type", 2).over(w))
+        .filter($"t3".isNotNull)
+        .select(concat_ws(">", $"event_type", $"t2", $"t3")
+          .as("sequence"), $"user_id")
+        .groupBy($"sequence")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"n_occurrences".desc, $"sequence".asc)
+        .limit(20)
+    },
+
+    // q92: inter-event cadence — per event type, the distribution of
+    // same-type same-user gaps (how often does a user click?): exact
+    // integer-second gaps via one lag over the user-bounded window
+    // (q81's epoch-seconds convention), integer-parity quantiles, one
+    // exact mean division. The retention-model input and the
+    // bot-detection baseline (sub-second p50 cadence is not a human).
+    "q92_inter_event_time" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type", $"user_id")
+        .orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"event_type", $"user_id", $"event_id", $"ts")
+        .withColumn("gap_s", $"ts".cast("long") -
+          lag($"ts", 1).over(w).cast("long"))
+        .filter($"gap_s".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          min($"gap_s").as("min_s"),
+          round(expr("percentile(gap_s, cast(0.5 as double))"), 6)
+            .as("median_s"),
+          round(expr("percentile(gap_s, cast(0.9 as double))"), 6)
+            .as("p90_s"),
+          max($"gap_s").as("max_s"),
+          sum($"gap_s").as("__sum"))
+        .withColumn("mean_s",
+          round($"__sum".cast("double") / $"n_gaps".cast("double"), 9))
+        .drop("__sum")
+    },
+
     // q89: Pareto concentration — the "how few users are 80% of the
     // traffic" cut q85's Gini summarizes as one number. rank80 is the
     // SMALLEST desc-rank whose cumulative share reaches 80%, found by
@@ -1512,6 +1567,35 @@ object Analytics {
         |FROM r JOIN t ON r.event_type = t.event_type
         |WHERE cum * 5 >= total_events * 4
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q91_event_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT event_type || '>' || t2 || '>' || t3 AS sequence,
+        |    user_id FROM s WHERE t3 IS NOT NULL)
+        |SELECT sequence, COUNT(*) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM g GROUP BY 1
+        |ORDER BY n_occurrences DESC, sequence ASC LIMIT 20""".stripMargin,
+
+    "q92_inter_event_time" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(LAG(ts, 1) OVER w)) AS BIGINT) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, user_id
+        |    ORDER BY ts, event_id))
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  MIN(gap_s) AS min_s,
+        |  round(quantile_cont(gap_s, 0.5), 6) AS median_s,
+        |  round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+        |  MAX(gap_s) AS max_s,
+        |  round(CAST(CAST(SUM(gap_s) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS mean_s
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q90_user_lifetime" ->
       """WITH u AS (SELECT user_id,

@@ -731,6 +731,50 @@ class AnalyticsSpec extends SparkSpec {
       "un" -> ((5L, 10L, 4L, 0.8))))
   }
 
+  test("q91 event trigrams: sequences never cross users, occurrences " +
+    "overlap within a stream, user counts dedup") {
+    // user 1: v c p v c p → trigrams v>c>p, c>p>v, p>v>c, v>c>p
+    // user 2: v c p → one v>c>p. No cross-user trigram can appear.
+    val rows = Seq(
+      (1L, Seq("view", "click", "purchase", "view", "click", "purchase")),
+      (2L, Seq("view", "click", "purchase")))
+    val ev = rows.flatMap { case (u, ts) => ts.zipWithIndex.map {
+      case (t, i) => (u, t, i) } }
+      .zipWithIndex.map { case ((u, t, i), id) =>
+        (id.toLong, u, t, f"2024-01-01 00:${i}%02d:00")
+      }.toDF("event_id", "user_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q91").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q91_event_trigrams")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "view>click>purchase" -> ((3L, 2L)),
+      "click>purchase>view" -> ((1L, 1L)),
+      "purchase>view>click" -> ((1L, 1L))))
+  }
+
+  test("q92 inter-event time: gaps stay within (type, user), first " +
+    "events contribute none, quantiles integer-exact") {
+    // type t, user 1 at 0s/10s/30s → gaps 10, 20; user 2 at 5s only →
+    // no gap. median of {10,20} = 15.0, mean 15.0, p90 = 19.0.
+    val rows = Seq((1L, 0), (1L, 10), (1L, 30), (2L, 5))
+    val ev = rows.zipWithIndex.map { case ((u, sec), id) =>
+      (id.toLong, u, f"2024-01-01 00:00:${sec}%02d")
+    }.toDF("event_id", "user_id", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q92").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q92_inter_event_time")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got === Seq((2L, 10L, 15.0, 19.0, 20L, 15.0)))
+  }
+
   test("q90 user lifetime: cohort is the FIRST-activity month, span is " +
     "inclusive, repeat same-day events never inflate active days") {
     // cohort Jan: user 1 active 01-05 and 01-07 (inclusive span 3,
