@@ -136,8 +136,56 @@ object Cdc {
       scd2(hist, "user_id", "event_id")
         .select($"user_id", $"event_id", $"event_type",
           $"valid_from", $"valid_to", $"is_current")
+    },
+
+    // q93: incremental VIEW maintenance — q74 maintains a row-level
+    // base table under a changelog; q93 maintains an AGGREGATE without
+    // ever recomputing it: the pre-cutoff per-user view merges with the
+    // delta batch's aggregate under signed multiplicities ('error'
+    // events retract: w = −1), and the ORACLE IS THE RECOMPUTE over the
+    // whole corpus — a green row proves merge(view(R), agg(ΔR)) =
+    // view(R ∪ ΔR), zero-elimination included (a user whose deltas net
+    // every column to zero LEAVES the view). Money stays in integer
+    // cents (q84/q86 convention) so every addition is exact.
+    "q93_ivm_maintain" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("__w",
+          when($"event_type" === "error", -1L).otherwise(1L))
+        .withColumn("__cents",
+          $"__w" * round($"value" * 100).cast("long"))
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      def signedAgg(df: DataFrame) = df.groupBy($"user_id")
+        .agg(sum($"__w").as("n"), sum($"__cents").as("cents"))
+      mergeAggregates(
+        signedAgg(ev.filter($"ts" < cutoff)),
+        signedAgg(ev.filter($"ts" >= cutoff)),
+        "user_id", Seq("n", "cents"))
     }
   )
+
+  /** Incremental view maintenance: merge a maintained aggregate view
+    * with a delta batch's aggregate — the Materialize-style contract
+    * that `merge(view(R), agg(ΔR)) = view(R ∪ ΔR)` for sum-style
+    * aggregates under SIGNED multiplicities (+1 insert, −1 retraction).
+    * One full-outer join on the view key: shuffle cost ∝ |view| +
+    * |delta|, never |history| — the whole point of not recomputing.
+    * Zero-elimination: a key whose every additive column nets to zero
+    * LEAVES the view (the multiset says it no longer exists); without
+    * it the view grows monotonically with every key ever touched. */
+  def mergeAggregates(view: DataFrame, deltaAgg: DataFrame, key: String,
+      sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "mergeAggregates needs additive columns")
+    val v = view.select(col(key).as("__vk") +:
+      sumCols.map(c => col(c).as(s"__v_$c")): _*)
+    val d = deltaAgg.select(col(key).as("__dk") +:
+      sumCols.map(c => col(c).as(s"__d_$c")): _*)
+    val merged = v.join(d, col("__vk") <=> col("__dk"), "full_outer")
+      .select(coalesce(col("__vk"), col("__dk")).as(key) +:
+        sumCols.map(c => (coalesce(col(s"__v_$c"), lit(0L)) +
+          coalesce(col(s"__d_$c"), lit(0L))).as(c)): _*)
+    merged.filter(sumCols.map(c => col(c) =!= 0L).reduce[Column](_ || _))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q74_cdc_apply" ->
@@ -193,6 +241,19 @@ object Cdc {
         |    AS valid_to,
         |  LEAD(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id)
         |    IS NULL AS is_current
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // the oracle IS the whole-corpus recompute — green proves the
+    // merge contract, not just the arithmetic
+    "q93_ivm_maintain" ->
+      """WITH s AS (SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS w,
+        |    (CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+        |      * CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(w) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM s GROUP BY 1
+        |HAVING SUM(w) <> 0 OR SUM(cents) <> 0""".stripMargin
   )
 }

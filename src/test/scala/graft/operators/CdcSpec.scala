@@ -43,4 +43,33 @@ class CdcSpec extends SparkSpec {
     assert(a === b)
     assert(a === Set(("B", 21.0, "applied")))
   }
+
+  test("mergeAggregates: merge(view(R), agg(dR)) = view(R u dR) at any " +
+    "cutoff; a net-zero key LEAVES the view, a fresh key enters, an " +
+    "untouched key passes through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    // signed rows (user, n-weight, cents): user 1 nets to zero after
+    // the deltas; user 2 is untouched; user 3 is delta-only
+    val rows = Seq(
+      (1L, 1L, 500L), (1L, 1L, 300L),            // base: n 2, cents 800
+      (2L, 1L, 100L),                            // base only
+      (1L, -1L, -500L), (1L, -1L, -300L),        // deltas: retract both
+      (3L, 1L, 700L))                            // delta-only insert
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"u").agg(sum($"w").as("n"), sum($"c").as("cents"))
+    val all = rows.toDF("u", "w", "c")
+    val want = agg(all)
+      .filter($"n" =!= 0L || $"cents" =!= 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    for (cut <- Seq(2, 3, 4)) {
+      val base = rows.take(cut).toDF("u", "w", "c")
+      val delta = rows.drop(cut).toDF("u", "w", "c")
+      val got = Cdc.mergeAggregates(agg(base), agg(delta), "u",
+        Seq("n", "cents")).as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"cutoff $cut")
+    }
+    assert(want === Set((2L, 1L, 100L), (3L, 1L, 700L)))
+    assert(!want.exists(_._1 == 1L), "net-zero key must leave the view")
+  }
 }
