@@ -366,6 +366,72 @@ object Streaming {
       }
       .start()
 
+  /** Streaming twin of q93's incremental view maintenance: a persisted
+    * per-user signed aggregate view maintained per micro-batch of
+    * events — inserts add (+1, +cents), 'error' retractions subtract
+    * (−1, −cents) via [[graft.operators.Cdc.mergeAggregates]], so the
+    * committed view ALWAYS equals the whole-history recompute (the
+    * merge-contract spec pins streamed ≡ batch q93 exactly), including
+    * ZERO-ELIMINATION: a user whose retractions cancel their history
+    * leaves the view mid-stream and the recompute agrees. Per-batch
+    * cost ∝ view + batch, never history.
+    *
+    * Signed addition is NOT idempotent (a replayed retraction would
+    * double-retract), so snapshots are batch-id versioned with
+    * `_SUCCESS` commits and rewound ids skipped BEFORE any merge — the
+    * [[statsIngest]] discipline. */
+  def ivmIngest(events: DataFrame, viewDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestSnapshot(spark, viewDir)
+        if (latest.forall(_._1 < batchId)) {
+          val signed = batch
+            .withColumn("__w",
+              when(col("event_type") === "error", -1L).otherwise(1L))
+            .withColumn("__cents",
+              col("__w") * round(col("value") * 100).cast("long"))
+          val delta = signed.groupBy(col("user_id"))
+            .agg(sum(col("__w")).as("n"), sum(col("__cents")).as("cents"))
+          val merged = latest match {
+            case Some((_, base)) => graft.operators.Cdc
+              .mergeAggregates(base, delta, "user_id", Seq("n", "cents"))
+            case None =>
+              delta.filter(col("n") =!= 0L || col("cents") =!= 0L)
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$viewDir/snapshot=$batchId")
+          val keep = Set(Some(batchId), latest.map(_._1)).flatten
+          snapshotIds(spark, viewDir).filterNot(keep.contains).foreach { id =>
+            val p = new org.apache.hadoop.fs.Path(s"$viewDir/snapshot=$id")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          }
+        } // else: replay/rewind — skipped BEFORE any signed merge
+      }
+      .start()
+
+  /** The latest COMMITTED maintained view (user_id, n, cents). Empty
+    * but typed when nothing has committed (the readStats convention). */
+  def readIvmView(spark: SparkSession, viewDir: String): DataFrame =
+    latestSnapshot(spark, viewDir) match {
+      case Some((_, df)) => df.select(col("user_id"), col("n"), col("cents"))
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))))
+    }
+
   /** Streaming twin of q74's changelog apply: a persisted keyed base
     * table updated per micro-batch of CDC rows via
     * [[graft.operators.Cdc.applyChangelog]] — latest-op-wins within the

@@ -233,6 +233,36 @@ class PlanShapeSpec extends SparkSpec {
         "update the allowlist")
   }
 
+  test("c06: the benchmark side broadcasts, the corpus side never does; " +
+    "the top-1 heap aggregates map-side") {
+    val p = plan("c06_semantic_contamination")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "bench×corpus must not SMJ")
+    assert(p.contains("partial_topkpairs"),
+      s"the top-1 heap must combine map-side:\n${p.take(3000)}")
+  }
+
+  test("o09: every profiling scan prunes to a single column") {
+    val df = SparkEntry.queries("o09_column_profile")(spark, sf("sf0.01"))
+    val p = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.size >= 6, s"expected 6 pruned scans:\n${p.take(2000)}")
+    schemas.foreach { s0 =>
+      assert(!s0.contains(","),
+        s"a profiling scan reads more than one column: struct<$s0>")
+    }
+  }
+
+  test("t38: pair generation joins by equi-key, never a cartesian or SMJ") {
+    val p = plan("t38_pmi_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-60 must heap, never globally sort")
+  }
+
   /** Semantic companion to the source census above: the census is a text
     * tripwire (a multiline `Window\n.orderBy`, an import rename, or a
     * windowSpec builder would slip past it), so this gate checks the

@@ -415,6 +415,57 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.length <= 2, s"snapshots not pruned: ${snaps.toSeq}")
   }
 
+  test("ivm ingest: the maintained view equals the whole-history signed " +
+    "recompute after EVERY batch; a zeroed key leaves mid-stream and " +
+    "returns; a rewound batch cannot double-retract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("ivm_ingest").toString
+    val (viewDir, ckpt) = (s"$tmp/view", s"$tmp/ckpt")
+    // (user, type, value): batch 1 seeds users 1,2; batch 2 retracts
+    // ALL of user 1 (they must vanish); batch 3 brings user 1 back
+    val batches = Seq(
+      Seq((1L, "click", 5.0), (1L, "view", 3.0), (2L, "click", 1.0)),
+      Seq((1L, "error", 5.0), (1L, "error", 3.0), (2L, "view", 2.0)),
+      Seq((1L, "click", 7.0)))
+    val input = MemoryStream[(Long, String, Double)]
+    def drain(checkpoint: String = ckpt): Unit = {
+      val ev = input.toDF().toDF("user_id", "event_type", "value")
+      val q = Streaming.ivmIngest(ev, viewDir, checkpoint)
+      q.awaitTermination()
+    }
+    def collectView() = Streaming.readIvmView(spark, viewDir)
+      .as[(Long, Long, Long)].collect().toSet
+    def recompute(upTo: Int) = batches.take(upTo).flatten
+      .groupBy(_._1).view.mapValues { rows =>
+        val n = rows.map(r => if (r._2 == "error") -1L else 1L).sum
+        val c = rows.map(r => (if (r._2 == "error") -1L else 1L) *
+          math.round(r._3 * 100)).sum
+        (n, c)
+      }.toMap.collect { case (u, (n, c)) if n != 0 || c != 0 =>
+        (u, n, c) }.toSet
+    batches.zipWithIndex.foreach { case (b, i) =>
+      input.addData(b)
+      drain()
+      assert(collectView() === recompute(i + 1), s"after batch $i")
+    }
+    // the zero-elimination actually happened mid-stream
+    assert(!recompute(2).exists(_._1 == 1L))
+    assert(recompute(3).exists(_._1 == 1L))
+    // empty re-drain: nothing moves
+    drain()
+    assert(collectView() === recompute(3))
+    // rewound batch id (fresh checkpoint, same view dir): skipped —
+    // a re-applied retraction batch would double-retract
+    input.addData(batches(1))
+    drain(s"$tmp/ckpt_rewound")
+    assert(collectView() === recompute(3),
+      "a rewound batch id must be skipped before the merge")
+    val snaps = new java.io.File(viewDir).listFiles()
+      .map(_.getName).filter(_.startsWith("snapshot="))
+    assert(snaps.length <= 2, s"snapshots not pruned: ${snaps.toSeq}")
+  }
+
   test("cdc ingest: seq-ordered changelog batches + restarts equal the " +
     "batch q74 exactly; rewound batch ids are skipped, not re-applied") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
