@@ -950,6 +950,61 @@ object Analytics {
         .drop("__sum")
     },
 
+    // q94: autocorrelation of the daily volume series at lags 1 and 7
+    // — the seasonality detector (ACF(7) ≫ ACF(1) is a weekly cycle;
+    // both near zero is white noise; q82 assumes the weekly structure,
+    // q94 MEASURES it). Defined as the lagged-pairs Pearson over the
+    // DENSE calendar grid (q88's zero-fill argument); the lag is a
+    // window lead over the grid — never a self-join — and the
+    // co-moments follow the exact-integer q88 recipe with the pair
+    // count n' in place of the fixed frame width.
+    "q94_autocorr" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(to_date(min($"ts")).as("__d0"),
+        to_date(max($"ts")).as("__d1"))
+      val days = bounds.select(explode(sequence(lit(0),
+        datediff($"__d1", $"__d0"))).as("__i"), $"__d0")
+        .select(date_add($"__d0", $"__i").as("day"))
+      val grid = days.crossJoin(broadcast(ev.select($"event_type").distinct()))
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("x", coalesce($"n", lit(0L)))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      def lagBranch(k: Int) = grid
+        .withColumn("y", lead($"x", k).over(w))
+        .filter($"y".isNotNull)
+        .withColumn("lag_days", lit(k.toLong))
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+      def toL(c: Column) =
+        when(abs(c) > lit(Long.MaxValue / 2),
+          raise_error(lit("q94_autocorr: co-moment exceeds 62 bits; " +
+            "chunk the horizon per epoch")).cast("long"))
+          .otherwise(c.cast("long"))
+      lagBranch(1).unionByName(lagBranch(7))
+        .groupBy($"event_type", $"lag_days")
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum($"x").as("__sx"), dsum($"y").as("__sy"),
+          dsum(($"x".cast("decimal(38,0)") * $"y")
+            .cast("decimal(38,0)")).as("__sxy"),
+          dsum(($"x".cast("decimal(38,0)") * $"x")
+            .cast("decimal(38,0)")).as("__sxx"),
+          dsum(($"y".cast("decimal(38,0)") * $"y")
+            .cast("decimal(38,0)")).as("__syy"))
+        .withColumn("__num", toL(($"n_pairs".cast("decimal(38,0)") *
+          $"__sxy" - $"__sx" * $"__sy").cast("decimal(38,0)")))
+        .withColumn("__vx", toL(($"n_pairs".cast("decimal(38,0)") *
+          $"__sxx" - $"__sx" * $"__sx").cast("decimal(38,0)")))
+        .withColumn("__vy", toL(($"n_pairs".cast("decimal(38,0)") *
+          $"__syy" - $"__sy" * $"__sy").cast("decimal(38,0)")))
+        .select($"event_type", $"lag_days", $"n_pairs",
+          when($"__vx" === 0 || $"__vy" === 0, lit(null).cast("double"))
+            .otherwise(round($"__num".cast("double") /
+              (sqrt($"__vx".cast("double")) *
+                sqrt($"__vy".cast("double"))), 9)).as("acf"))
+    },
+
     // q89: Pareto concentration — the "how few users are 80% of the
     // traffic" cut q85's Gini summarizes as one number. rank80 is the
     // SMALLEST desc-rank whose cumulative share reaches 80%, found by
@@ -1546,6 +1601,49 @@ object Analytics {
         |    ELSE round(CAST(num AS DOUBLE)
         |      / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 9)
         |  END AS corr7
+        |FROM v""".stripMargin,
+
+    // q88's dense grid + a window lead per lag; co-moments HUGEINT
+    "q94_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0,
+        |    CAST(MAX(ts) AS DATE) AS d1 FROM events),
+        |days AS (SELECT d0 + CAST(i AS INTEGER) AS day
+        |  FROM bounds, LATERAL (SELECT unnest(
+        |    range(0, datediff('day', d0, d1) + 1)) AS i)),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(n, 0) AS x
+        |  FROM days d CROSS JOIN types t LEFT JOIN daily dl
+        |    ON dl.event_type = t.event_type AND dl.day = d.day),
+        |lagged AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag_days, x,
+        |    LEAD(x, 1) OVER w AS y FROM grid
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |  UNION ALL
+        |  SELECT event_type, CAST(7 AS BIGINT), x,
+        |    LEAD(x, 7) OVER w2 FROM grid
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY day)),
+        |p AS (SELECT * FROM lagged WHERE y IS NOT NULL),
+        |a AS (SELECT event_type, lag_days, COUNT(*) AS n_pairs,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |v AS (SELECT event_type, lag_days, n_pairs,
+        |    CAST(CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS BIGINT)
+        |      AS num,
+        |    CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS BIGINT)
+        |      AS vx,
+        |    CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy AS BIGINT)
+        |      AS vy
+        |  FROM a)
+        |SELECT event_type, lag_days, n_pairs,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |    ELSE round(CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 9)
+        |  END AS acf
         |FROM v""".stripMargin,
 
     "q89_pareto" ->

@@ -1781,6 +1781,25 @@ object DataOps {
         .unionByName(str("props", $"props"))
     },
 
+    // x10: the RELEASE manifest — per shard, a content checksum over
+    // the numerically-sorted member doc ids (sha256 of the
+    // comma-joined list) next to the x02 counts: the integrity record
+    // a dataset release ships so a consumer can prove the shard they
+    // downloaded is the shard that was published (and a re-run
+    // reproduced the same cut). Shard membership rides the memoized
+    // x01 training set; per-shard id lists are bounded by shard size
+    // (8 chunks), so the collect_list never sees corpus-scale groups.
+    "x10_release_manifest" -> { (s, d) =>
+      import s.implicits._
+      preparedTrainingSet(s, d)
+        .groupBy(expr("first_chunk div 8").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          sha2(concat_ws(",",
+            transform(array_sort(collect_list($"doc_id")),
+              _.cast("string"))), 256).as("ids_sha256"))
+    },
+
     // t38: PMI collocations — which token pairs co-occur within a
     // 2-token window far beyond chance (ln(p(a,b)/(p(a)p(b)))), the
     // collocation-mining pass behind tokenizer-merge seeding and
@@ -3876,6 +3895,17 @@ object DataOps {
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          |  MIN(first_chunk) AS first_chunk,
          |  MAX(last_chunk) AS last_chunk
+         |FROM ($trainingSetSql)
+         |GROUP BY 1""".stripMargin,
+
+    // the same closed-form shard cut as x02, plus the sorted-id
+    // checksum (numeric order via ORDER BY inside string_agg)
+    "x10_release_manifest" ->
+      s"""SELECT CAST(first_chunk // 8 AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  sha256(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
+         |    AS ids_sha256
          |FROM ($trainingSetSql)
          |GROUP BY 1""".stripMargin,
 

@@ -775,6 +775,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq((2L, 10L, 15.0, 19.0, 20L, 15.0)))
   }
 
+  test("q94 autocorr: a period-7 series scores ACF(7) = 1 exactly, its " +
+    "ACF(1) matches the exact co-moment reference, constants are NULL") {
+    // type per: [5,1,1,1,1,1,1] × 4 weeks; type cst: 2 every day
+    val pattern = Seq(5, 1, 1, 1, 1, 1, 1)
+    val perDay = (0 until 28).map(i => pattern(i % 7))
+    val rows = (0 until 28).flatMap { i =>
+      (1 to perDay(i)).map(_ => ("per", i)) ++
+        (1 to 2).map(_ => ("cst", i))
+    }
+    val ev = rows.zipWithIndex.map { case ((t, i), id) =>
+      (id.toLong, t, f"2024-01-${i + 1}%02d 12:00:00")
+    }.toDF("event_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q94").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // exact co-moment reference for ("per", lag 1)
+    def acfRef(xs: Seq[Int], k: Int): Double = {
+      val pairs = xs.dropRight(k).zip(xs.drop(k))
+      val n = pairs.size.toLong
+      val sx = pairs.map(_._1.toLong).sum; val sy = pairs.map(_._2.toLong).sum
+      val sxy = pairs.map(p => p._1.toLong * p._2).sum
+      val sxx = pairs.map(p => p._1.toLong * p._1).sum
+      val syy = pairs.map(p => p._2.toLong * p._2).sum
+      val num = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      BigDecimal(num.toDouble / (math.sqrt(vx.toDouble) *
+        math.sqrt(vy.toDouble)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Analytics.queries("q94_autocorr")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.toString)))).toMap
+    assert(got(("per", 7L)) === ((21L, Some("1.0"))))
+    assert(got(("per", 1L)) ===
+      ((27L, Some(acfRef(perDay, 1).toString))))
+    assert(got(("cst", 1L))._2 === None)
+    assert(got(("cst", 7L))._2 === None)
+  }
+
   test("q90 user lifetime: cohort is the FIRST-activity month, span is " +
     "inclusive, repeat same-day events never inflate active days") {
     // cohort Jan: user 1 active 01-05 and 01-07 (inclusive span 3,

@@ -2073,6 +2073,27 @@ class DataOpsSpec extends SparkSpec {
         ts._3.get.asInstanceOf[Double]) === 86400.0 * 2 + 2.0)
   }
 
+  test("x10 release manifest: per-shard checksum equals a JVM sha256 of " +
+    "the numerically-sorted member ids; counts agree with x02") {
+    val dir = sf("sf0.001")
+    val members = DataOps.queries("x01_training_set")(spark, dir)
+      .select($"doc_id", expr("first_chunk div 8").as("shard"),
+        $"n_tokens")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ref = members.groupBy(_._1).map { case (shard, rows) =>
+      shard -> ((rows.size.toLong, rows.map(_._3).sum,
+        sha(rows.map(_._2).sorted.mkString(","))))
+    }
+    val got = DataOps.queries("x10_release_manifest")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got === ref)
+    assert(got.nonEmpty)
+  }
+
   test("x09 dataset card: mode ties break to the smaller lang, the t12 " +
     "quality predicate gates the pass rate, corpus shares sum to 1") {
     // srcA: 3 docs — en (6 distinct tokens, passes), en (passes),
