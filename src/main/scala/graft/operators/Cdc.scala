@@ -180,7 +180,11 @@ object Cdc {
       sumCols.map(c => col(c).as(s"__v_$c")): _*)
     val d = deltaAgg.select(col(key).as("__dk") +:
       sumCols.map(c => col(c).as(s"__d_$c")): _*)
-    val merged = v.join(d, col("__vk") <=> col("__dk"), "full_outer")
+    // both sides are key-aggregated (view-scale, not history-scale);
+    // the s08 convention: a full outer of bounded arms rides
+    // shuffle-hash, not the planner's default sort-merge
+    val merged = v.join(d.hint("shuffle_hash"),
+        col("__vk") <=> col("__dk"), "full_outer")
       .select(coalesce(col("__vk"), col("__dk")).as(key) +:
         sumCols.map(c => (coalesce(col(s"__v_$c"), lit(0L)) +
           coalesce(col(s"__d_$c"), lit(0L))).as(c)): _*)
