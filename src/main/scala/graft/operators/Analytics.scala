@@ -1005,6 +1005,37 @@ object Analytics {
                 sqrt($"__vy".cast("double"))), 9)).as("acf"))
     },
 
+    // q95: median-absolute-deviation outlier screen — the ROBUST
+    // counterpart to q82/o05's z-scores (one wild day drags a mean and
+    // inflates a stddev, so classical z-scores hide exactly the
+    // anomalies they should flag; median and MAD don't move). Two
+    // quantile passes over calendar-bounded daily counts + one
+    // broadcast join back; the outlier gate |n − median| > 5·MAD
+    // compares doubles both engines computed identically (medians
+    // round-6 first, the q84 parity convention). MAD = 0 (a majority
+    // of days exactly at the median) degrades to "any deviation
+    // flags", which is the correct robust reading of a constant
+    // baseline.
+    "q95_mad" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(expr("percentile(n, cast(0.5 as double))"), 6)
+            .as("median_n"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("__ad", abs($"n".cast("double") - $"median_n"))
+      val stats = dev.groupBy($"event_type", $"n_days", $"median_n")
+        .agg(round(expr("percentile(__ad, cast(0.5 as double))"), 6)
+          .as("mad"))
+      daily.join(broadcast(stats), "event_type")
+        .groupBy($"event_type", $"n_days", $"median_n", $"mad")
+        .agg(sum(when(abs($"n".cast("double") - $"median_n") >
+          lit(5.0) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+    },
+
     // q89: Pareto concentration — the "how few users are 80% of the
     // traffic" cut q85's Gini summarizes as one number. rank80 is the
     // SMALLEST desc-rank whose cumulative share reaches 80%, found by
@@ -1645,6 +1676,24 @@ object Analytics {
         |      / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 9)
         |  END AS acf
         |FROM v""".stripMargin,
+
+    "q95_mad" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n_days,
+        |    round(quantile_cont(n, 0.5), 6) AS median_n
+        |  FROM daily GROUP BY 1),
+        |d2 AS (SELECT daily.event_type, n, n_days, median_n,
+        |    abs(CAST(n AS DOUBLE) - median_n) AS ad
+        |  FROM daily JOIN m USING (event_type)),
+        |s AS (SELECT event_type, n_days, median_n,
+        |    round(quantile_cont(ad, 0.5), 6) AS mad
+        |  FROM d2 GROUP BY 1, 2, 3)
+        |SELECT s.event_type, s.n_days, s.median_n, s.mad,
+        |  CAST(SUM(CASE WHEN abs(CAST(n AS DOUBLE) - s.median_n)
+        |    > 5.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM daily JOIN s ON daily.event_type = s.event_type
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q89_pareto" ->
       """WITH u AS (SELECT event_type, user_id, COUNT(*) AS x

@@ -1596,6 +1596,22 @@ object DataOps {
       Similarity.bruteKnn(emb, emb.filter($"vec_id" < 3), k = 5)
     },
 
+    // s13: FILTERED vector search — top-k among vectors satisfying a
+    // metadata predicate (label = 2), the shape every production
+    // vector store is asked for ("nearest docs in English", "same
+    // tenant only"). The order of operations is the point: the
+    // predicate reaches the parquet scan (plan-gated PushedFilters) so
+    // distances are only ever computed on the qualifying subset —
+    // PRE-filtering stays exact at any selectivity, where
+    // POST-filtering an ANN top-k silently loses recall as the filter
+    // sharpens (the k survivors may all fail the predicate).
+    "s13_filtered_knn" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteKnn(emb.filter($"label" === 2),
+        emb.filter($"vec_id" < 3), k = 5)
+    },
+
     // s10: mutual (reciprocal) k-NN pairs — the similarity-graph edge
     // set embedding dedup/clustering actually builds: (a, b) qualifies
     // only when b sits in a's top-k AND a sits in b's top-k. One-sided
@@ -5466,6 +5482,22 @@ object DataOps {
         |  x.rnk AS rnk_a, y.rnk AS rnk_b
         |FROM k x JOIN k y ON x.probe = y.other AND x.other = y.probe
         |  AND x.probe < y.probe""".stripMargin,
+
+    "s13_filtered_knn" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, v FROM e WHERE label = 2),
+        |p AS (SELECT vec_id AS probe_id, v AS q FROM e WHERE vec_id < 3),
+        |scored AS (SELECT probe_id, c.vec_id,
+        |  round(list_dot_product(q, v) /
+        |    (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 9)
+        |    AS cos_sim
+        |  FROM p CROSS JOIN c WHERE c.vec_id <> probe_id)
+        |SELECT probe_id, vec_id, cos_sim, rnk FROM (
+        |  SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
 
     "s01_brute_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

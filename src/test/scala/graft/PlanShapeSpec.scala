@@ -255,6 +255,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("s13: the metadata predicate reaches the parquet scan before " +
+    "any distance is computed") {
+    val p = plan("s13_filtered_knn")
+    assert(p.contains("EqualTo(label,2)") ||
+      p.contains("PushedFilters: [IsNotNull(label)"),
+      s"label predicate must push to the scan:\n${p.take(2500)}")
+  }
+
   test("t38: pair generation joins by equi-key, never a cartesian or SMJ") {
     val p = plan("t38_pmi_pairs")
     assert(!p.contains("CartesianProduct"), p.take(2000))

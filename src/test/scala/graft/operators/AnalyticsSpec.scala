@@ -775,6 +775,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq((2L, 10L, 15.0, 19.0, 20L, 15.0)))
   }
 
+  test("q95 mad: one wild day cannot hide itself (median/MAD ignore " +
+    "it where a z-score wouldn't); a spread series flags nothing; " +
+    "MAD 0 degrades to any-deviation-flags") {
+    // type sp: daily counts [1,2,3,4,5] → median 3, MAD 1, no |dev|>5.
+    // type wd: [10,10,10,10,100] → median 10, MAD 0 → the wild day
+    // flags (a mean/stddev screen would have absorbed it).
+    val days = (1 to 5).map(i => f"2024-01-0$i")
+    val counts = Map("sp" -> Seq(1, 2, 3, 4, 5),
+      "wd" -> Seq(10, 10, 10, 10, 100))
+    val ev = counts.toSeq.flatMap { case (t, cs) =>
+      cs.zip(days).flatMap { case (n, day) =>
+        (1 to n).map(k => (t, day, k)) }
+    }.zipWithIndex.map { case ((t, day, _), id) =>
+      (id.toLong, t, s"$day 09:00:00")
+    }.toDF("event_id", "event_type", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q95").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q95_mad")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "sp" -> ((5L, 3.0, 1.0, 0L)),
+      "wd" -> ((5L, 10.0, 0.0, 1L))))
+  }
+
   test("q94 autocorr: a period-7 series scores ACF(7) = 1 exactly, its " +
     "ACF(1) matches the exact co-moment reference, constants are NULL") {
     // type per: [5,1,1,1,1,1,1] × 4 weeks; type cst: 2 every day

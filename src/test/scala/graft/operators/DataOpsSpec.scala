@@ -2073,6 +2073,28 @@ class DataOpsSpec extends SparkSpec {
         ts._3.get.asInstanceOf[Double]) === 86400.0 * 2 + 2.0)
   }
 
+  test("s13 filtered knn: a closer vector OUTSIDE the predicate never " +
+    "appears — pre-filtering is exact where post-filtering a top-k " +
+    "would lose it") {
+    // probe 0 = (1,0,0,0). Vector 10 (label 1) sits at cos ≈ 0.995 —
+    // closest overall — but only label-2 vectors may answer; the
+    // label-2 winners are 20 (cos ≈ 0.9) then 21 (orthogonal-ish).
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 2),
+      (10L, Array(0.995f, 0.1f, 0f, 0f), 1),  // closest, WRONG label
+      (20L, Array(0.9f, 0.44f, 0f, 0f), 2),
+      (21L, Array(0.1f, 0.99f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("s13").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = DataOps.queries("s13_filtered_knn")(spark, dir)
+      .filter($"probe_id" === 0L)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSet === Set((20L, 1), (21L, 2)))
+    assert(!got.exists(_._1 == 10L),
+      "the out-of-predicate vector must never answer")
+  }
+
   test("x10 release manifest: per-shard checksum equals a JVM sha256 of " +
     "the numerically-sorted member ids; counts agree with x02") {
     val dir = sf("sf0.001")
