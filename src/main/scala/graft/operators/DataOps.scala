@@ -1596,6 +1596,37 @@ object DataOps {
       Similarity.bruteKnn(emb, emb.filter($"vec_id" < 3), k = 5)
     },
 
+    // e08: truncation quality — how much nearest-neighbor structure
+    // survives cutting embeddings to their first 16 of 64 dims (the
+    // Matryoshka/dimension-budget question: a 4× smaller index that
+    // keeps recall@5 is free money; one that doesn't is a silent
+    // recall cliff). Both lanes are EXACT searches over the same
+    // probes — the report measures the REPRESENTATION, not an index —
+    // and the overlap is an integer both engines must agree on
+    // exactly. Truncated vectors are re-scored by their own norms
+    // (slice-then-cosine), never by the full-dim norm.
+    "e08_truncation_quality" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter($"vec_id" < 3)
+      val full = Similarity.bruteKnn(emb, probes, k = 5)
+        .select($"probe_id", $"vec_id")
+      val t16 = emb.select($"vec_id",
+        slice($"embedding", 1, 16).as("embedding"))
+      val trunc = Similarity.bruteKnn(t16,
+          t16.filter($"vec_id" < 3), k = 5)
+        .select($"probe_id", $"vec_id")
+      full.join(trunc, Seq("probe_id", "vec_id"))
+        .groupBy($"probe_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .join(probes.select($"vec_id".as("probe_id")), Seq("probe_id"),
+          "right")
+        .select($"probe_id",
+          coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+          round(coalesce($"n_overlap", lit(0L)).cast("double") / 5.0, 9)
+            .as("recall_at_5"))
+    },
+
     // s13: FILTERED vector search — top-k among vectors satisfying a
     // metadata predicate (label = 2), the shape every production
     // vector store is asked for ("nearest docs in English", "same
@@ -5482,6 +5513,41 @@ object DataOps {
         |  x.rnk AS rnk_a, y.rnk AS rnk_b
         |FROM k x JOIN k y ON x.probe = y.other AND x.other = y.probe
         |  AND x.probe < y.probe""".stripMargin,
+
+    "e08_truncation_quality" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id FROM e WHERE vec_id < 3),
+        |fk AS (SELECT probe_id, vec_id FROM (
+        |  SELECT pp.vec_id AS probe_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pp.vec_id ORDER BY
+        |      round(list_dot_product(pe.v, e.v) /
+        |        (sqrt(list_dot_product(pe.v, pe.v)) *
+        |          sqrt(list_dot_product(e.v, e.v))), 9) DESC,
+        |      e.vec_id ASC) AS rnk
+        |  FROM p pp JOIN e pe ON pp.vec_id = pe.vec_id
+        |  CROSS JOIN e WHERE e.vec_id <> pp.vec_id) t
+        |  WHERE rnk <= 5),
+        |e16 AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |tk AS (SELECT probe_id, vec_id FROM (
+        |  SELECT pp.vec_id AS probe_id, e16.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pp.vec_id ORDER BY
+        |      round(list_dot_product(pe.v, e16.v) /
+        |        (sqrt(list_dot_product(pe.v, pe.v)) *
+        |          sqrt(list_dot_product(e16.v, e16.v))), 9) DESC,
+        |      e16.vec_id ASC) AS rnk
+        |  FROM p pp JOIN e16 pe ON pp.vec_id = pe.vec_id
+        |  CROSS JOIN e16 WHERE e16.vec_id <> pp.vec_id) t
+        |  WHERE rnk <= 5),
+        |ov AS (SELECT fk.probe_id, COUNT(*) AS n_overlap
+        |  FROM fk JOIN tk ON fk.probe_id = tk.probe_id
+        |    AND fk.vec_id = tk.vec_id
+        |  GROUP BY 1)
+        |SELECT p.vec_id AS probe_id,
+        |  COALESCE(n_overlap, 0) AS n_overlap,
+        |  round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 5.0, 9)
+        |    AS recall_at_5
+        |FROM p LEFT JOIN ov ON p.vec_id = ov.probe_id""".stripMargin,
 
     "s13_filtered_knn" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

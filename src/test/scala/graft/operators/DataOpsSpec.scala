@@ -2073,6 +2073,31 @@ class DataOpsSpec extends SparkSpec {
         ts._3.get.asInstanceOf[Double]) === 86400.0 * 2 + 2.0)
   }
 
+  test("e08 truncation quality: a vector that only LOOKS close in the " +
+    "first 16 dims displaces a true neighbor, and the overlap count " +
+    "says exactly how much structure the cut destroyed") {
+    // 20-dim space. X matches the probe perfectly in dims 1..16 but
+    // carries a huge tail → full-dim cosine tiny, truncated cosine
+    // 1.0. G1..G5 are honest near-neighbors everywhere. Full top-5 =
+    // {G1..G5}; truncated top-5 = {X, G1..G4} → overlap 4.
+    def v(head: Float, second: Float, tail: Float): Array[Float] = {
+      val a = Array.fill(20)(0f)
+      a(0) = head; a(1) = second; a(16) = tail; a
+    }
+    val vecs = (Seq(
+      (0L, v(1f, 0f, 0f)),          // probe
+      (9L, v(1f, 0f, 50f))) ++      // X: trunc-identical, far in full
+      (1 to 5).map(i => (i.toLong, v(0.9f, 0.1f, 0f))))
+      .map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("e08").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = DataOps.queries("e08_truncation_quality")(spark, dir)
+      .filter($"probe_id" === 0L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(got === ((4L, 0.8)))
+  }
+
   test("s13 filtered knn: a closer vector OUTSIDE the predicate never " +
     "appears — pre-filtering is exact where post-filtering a top-k " +
     "would lose it") {
