@@ -1616,9 +1616,12 @@ object DataOps {
       val trunc = Similarity.bruteKnn(t16,
           t16.filter($"vec_id" < 3), k = 5)
         .select($"probe_id", $"vec_id")
-      full.join(trunc, Seq("probe_id", "vec_id"))
+      // both lanes are k·|probes| rows — the overlap join must never
+      // sort-merge (the q93 census lesson: hint bounded joins)
+      full.join(trunc.hint("shuffle_hash"), Seq("probe_id", "vec_id"))
         .groupBy($"probe_id")
         .agg(count(lit(1)).as("n_overlap"))
+        .hint("shuffle_hash")
         .join(probes.select($"vec_id".as("probe_id")), Seq("probe_id"),
           "right")
         .select($"probe_id",
