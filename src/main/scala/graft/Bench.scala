@@ -105,6 +105,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The driver keeps only a 2000-char stdout TAIL: at 244 queries the
+    // per-query line above is ~8 KB, so the tail starts mid-line and the
+    // driver records "parsed": null (BENCH_r07/r08 both did). Emit a
+    // compact summary as the LAST stdout line — short enough (~150 chars)
+    // that even with sbt's [success] epilogue after it, the whole line
+    // survives in the tail and parses. It repeats the contract fields
+    // (metric/value/unit) plus the asked-for total_s/n/failed; the full
+    // per-query map stays in the file artifact below.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     // Stdout gets tail-truncated by the driver (both BENCH_r02/r03 carry
     // "parsed": null); persist the full per-query map as a file artifact
     // so round-over-round diffs read from the file, not the tail. The

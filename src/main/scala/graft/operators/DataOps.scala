@@ -1576,14 +1576,26 @@ object DataOps {
           round($"n_simhash_hit" / $"n_truth", 6))
     },
 
-    // MinHash + LSH near-dup candidates (no SQL oracle: approximate).
+    // MinHash + LSH near-dup candidates — EXACTLY oracled since the hash
+    // moved to the md5Bucket convention: signatures are a deterministic
+    // corpus function, the affine-permutation constants are interpolated
+    // into the oracle from the ONE Scala definition, and the oracle
+    // re-derives candidates from band-slice EQUALITY (the engine buckets
+    // on xxhash64 of the slice string — grouping-only, collision odds
+    // ~n²/2^64). Star degradation never fires at test SFs (measured max
+    // band bucket: 4 docs at sf0.1 vs cap 1000), so the semantic pair
+    // set IS the engine's output — the c04/sk01 argument.
     "d03_minhash_pairs" -> { (s, d) =>
       Tables.documents(s, d).transform(df =>
         Dedup.minHashLshPairs(df, "doc_id", "text",
           shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5))
     },
 
-    // SimHash near-dup pairs, Hamming ≤ 3 (no SQL oracle: hash-defined).
+    // SimHash near-dup pairs, Hamming ≤ 3 — EXACTLY oracled: fingerprint
+    // bits are md5-defined majorities, and the pigeonhole buckets are the
+    // RAW 16-bit chunk values (no grouping hash at all), so the oracle
+    // reproduces candidates and popcounts verbatim. Measured max chunk
+    // bucket 291 docs at sf0.1 (cap 1000): star mode never fires here.
     "d04_simhash_pairs" -> { (s, d) =>
       Tables.documents(s, d).transform(df =>
         Dedup.simHashPairs(df, "doc_id", "text", maxDist = 3))
@@ -4921,6 +4933,75 @@ object DataOps {
         |  JOIN sizes sa ON doc_a = sa.doc
         |  JOIN sizes sb ON doc_b = sb.doc
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin,
+
+    // Mirrors the engine's MinHash bit-for-bit: same md5Bucket shingle
+    // hash, same affine permutations (the (i,a,b) VALUES body below is
+    // INTERPOLATED from Dedup.permParams — the single-source-constant
+    // convention), candidates from band-slice equality (the engine's
+    // xxhash64 bucket key is grouping-only). est_jaccard = n_match/16
+    // is an exact double.
+    "d03_minhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t
+        |  FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc,
+        |    CAST(CAST(('0x' || substring(md5(shingle), 1, 8)) AS UBIGINT)
+        |      % 2147483647 AS BIGINT) AS h
+        |  FROM sh),
+        |perms(i, a, b) AS (VALUES ${Dedup.minhashPermSqlValues(16)}),
+        |sig AS (SELECT doc, i, MIN((a * h + b) % 2147483647) AS m
+        |  FROM h, perms GROUP BY 1, 2),
+        |band AS (SELECT doc, i // 4 AS band,
+        |    string_agg(m, ',' ORDER BY i) AS bv
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        |  FROM band x JOIN band y
+        |    ON x.band = y.band AND x.bv = y.bv AND x.doc < y.doc),
+        |nm AS (SELECT c.doc_a, c.doc_b,
+        |    SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_match
+        |  FROM cand c
+        |    JOIN sig sa ON sa.doc = c.doc_a
+        |    JOIN sig sb ON sb.doc = c.doc_b AND sb.i = sa.i
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_match / 16.0 AS est_jaccard
+        |FROM nm WHERE n_match >= 8""".stripMargin,
+
+    // Mirrors the engine's SimHash bit-for-bit: per-token bits from
+    // md5's two 32-bit halves, per-bit majority (ties vote 0), raw
+    // 16-bit chunk values as pigeonhole buckets, exact popcount verify.
+    "d04_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id AS doc,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc,
+        |    CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT)
+        |      AS BIGINT) AS lo,
+        |    CAST(CAST(('0x' || substring(md5(tok), 9, 8)) AS UBIGINT)
+        |      AS BIGINT) AS hi
+        |  FROM toks),
+        |bs AS (SELECT unnest(range(0, 64)) AS b),
+        |bits AS (SELECT doc, b,
+        |    CASE WHEN SUM((CASE WHEN b < 32 THEN (lo >> b) & 1
+        |      ELSE (hi >> (b - 32)) & 1 END) * 2 - 1) > 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM h, bs GROUP BY 1, 2),
+        |chunks AS (SELECT doc, b // 16 AS chunk,
+        |    SUM(bit << CAST(b % 16 AS INTEGER)) AS val
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        |  FROM chunks x JOIN chunks y
+        |    ON x.chunk = y.chunk AND x.val = y.val AND x.doc < y.doc),
+        |hm AS (SELECT c.doc_a, c.doc_b,
+        |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |    JOIN bits ba ON ba.doc = c.doc_a
+        |    JOIN bits bb ON bb.doc = c.doc_b AND bb.b = ba.b
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 3""".stripMargin,
 
     // the bare capless definition — no df cap, no prefix: the oracle
     // states WHAT the exact join must return, the Spark side proves its

@@ -21,8 +21,13 @@ import graft.functions.Text
   * Scale design: every pairing step is bounded — `maxDocFreq` drops
   * stop-shingles whose inverted-index rows would otherwise blow up
   * quadratically (a shingle shared by 10k docs contributes 10k² pair rows);
-  * LSH band buckets replace the all-pairs comparison entirely. All hashing
-  * is xxhash64 (codegen'd, deterministic across runs and executors).
+  * LSH band buckets replace the all-pairs comparison entirely. Hashing is
+  * deterministic across runs and executors: GROUPING-only hashes (band
+  * buckets) use xxhash64 (codegen'd, never value-visible), while the
+  * VALUE-DEFINING hashes (MinHash shingle hash, SimHash token bits) use
+  * the md5Bucket convention so the DuckDB oracle reproduces d03/d04
+  * bit-for-bit — the same "the approximation is a deterministic corpus
+  * function" argument that oracled Bloom (c04) and KMV (sk01).
   */
 object Dedup {
 
@@ -384,13 +389,27 @@ object Dedup {
     Seq.fill(numPerm)((next() + 1, next()))
   }
 
+  /** The (i, a, b) affine-permutation rows as a SQL VALUES body — the
+    * single-source-constant convention (benfordP / Ln2): d03's oracle
+    * interpolates THIS string, so a parameter or LCG tweak can never
+    * silently de-sync the two engines. */
+  private[operators] def minhashPermSqlValues(numPerm: Int): String =
+    permParams(numPerm).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
   /** MinHash signature per document: array of `numPerm` minima over the
     * shingle set. One aggregation over the shingle index — signature cost
-    * is O(shingles × numPerm) map-side, fully codegen'd. */
+    * is O(shingles × numPerm) map-side, fully codegen'd.
+    *
+    * The shingle hash is the md5Bucket convention (leading 32 md5 bits,
+    * then mod p) — value-defining, so the d03 oracle mirrors it and the
+    * signatures are a deterministic corpus function both engines agree
+    * on exactly. a·h+b stays under 2^62 (a, b, h < p = 2^31-1), so the
+    * affine permutation never overflows int64 in either engine. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numPerm: Int): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, shingleN)
-      .withColumn("h", pmod(xxhash64($"shingle"), lit(MinhashPrime)))
+      .withColumn("h", pmod(DataOps.md5Bucket($"shingle"), lit(MinhashPrime)))
     val mins = permParams(numPerm).zipWithIndex.map { case ((a, b), i) =>
       min(pmod($"h" * a + b, lit(MinhashPrime))).as(s"mh_$i")
     }
@@ -500,13 +519,25 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-bit majority vote of token hashes.
     * Implemented as 64 conditional sums in one hash aggregation (codegen'd;
-    * no UDF, no per-row loops). */
+    * no UDF, no per-row loops).
+    *
+    * The 64 token-hash bits come from md5's leading 16 hex chars read as
+    * two 32-bit halves (lo = chars 1-8, hi = chars 9-16) — value-defining
+    * bits under the md5Bucket convention, so the d04 oracle recomputes
+    * the identical fingerprints. Two halves rather than one 64-bit
+    * parse because a 16-hex-char value can exceed Long.MaxValue (the
+    * string-to-long cast would null out half the tokens); each half is
+    * < 2^32 so all shifts below stay in nonnegative int64 territory in
+    * both engines. Ties (bit-sum exactly 0) vote 0 in both. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc"),
         explode(Text.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64($"t"))
+      .withColumn("lo", conv(substring(md5($"t"), 1, 8), 16, 10).cast("long"))
+      .withColumn("hi", conv(substring(md5($"t"), 9, 8), 16, 10).cast("long"))
     val bitSums = (0 until 64).map { b =>
-      sum(shiftrightunsigned($"h", b).bitwiseAND(1) * 2 - 1).as(s"s$b")
+      val bit = if (b < 32) shiftrightunsigned($"lo", b).bitwiseAND(1)
+                else shiftrightunsigned($"hi", b - 32).bitwiseAND(1)
+      sum(bit * 2 - 1).as(s"s$b")
     }
     val agg = tok.groupBy($"doc").agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until 64).map { b =>
