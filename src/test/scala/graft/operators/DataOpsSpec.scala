@@ -652,9 +652,10 @@ class DataOpsSpec extends SparkSpec {
       // 0.67/0.80, ivfpq 0.80/0.87, d10 0.86/0.93. lsh was 0.47/0.27 in
       // round 4 (random embeddings are the adversarial case for
       // hyperplane LSH — true neighbors barely beat noise); round-5
-      // multi-probe (probeFlips=1) lifted it past the 0.6 bar the
-      // round-4 verdict set.
-      val floors = Map("lsh_recall" -> 0.6, "ivf_recall" -> 0.6,
+      // multi-probe (probeFlips=1) lifted it to a measured
+      // 0.93/0.87/0.87 across sf0.001/sf0.01/sf0.1, so its floor sits
+      // at 0.8 — just under measured, same convention as the rest.
+      val floors = Map("lsh_recall" -> 0.8, "ivf_recall" -> 0.6,
         "pq_recall" -> 0.6, "ivfpq_recall" -> 0.6, "d10_pair_recall" -> 0.8)
       floors.foreach { case (c, floor) =>
         val v = r.getAs[Double](c)
