@@ -11,13 +11,26 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val prefixes = if (args.length > 2) args(2).split(",").toSeq else Seq("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER lets the whole surface run under
+    // local-cluster[W,C,MB] — separate executor JVMs, so task/broadcast
+    // serialization, executor-side classloading of the custom Catalyst
+    // expressions (BpeEncode's addReferenceObj merge table, the
+    // TypedImperativeAggregate buffer serdes), and real transport are
+    // exercised instead of the single-JVM local[] shortcut. Executor
+    // JVMs are launched from SPARK_HOME and know nothing of sbt's
+    // classpath, so the app classes ship as a jar (SPARK_GRAFT_JARS =
+    // sbt package output) and the JDK-17 --add-opens flags are repeated
+    // for the executor JVMs (build.sbt only covers the forked driver).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = ClusterEnv.withExecutorEnv(builder,
+      sys.env.get("SPARK_GRAFT_JARS"),
+      sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
