@@ -295,7 +295,14 @@ object DataOps {
     * sizing) occupy no chunk and are EXCLUDED — keeping them would emit
     * inverted chunk ranges (last = first − 1) at capacity boundaries. */
   def packChunksBySize(sized: DataFrame, idCol: String = "doc_id",
-      capacity: Long = 512L, nBuckets: Long = 1024L): DataFrame = {
+      capacity: Long = 512L, nBuckets: Long = 1024L,
+      startTokens: Long = 0L): DataFrame = {
+    // startTokens offsets the global cumsum — the incremental-extension
+    // hook: a stream of id-ORDERED batches packs each batch starting at
+    // the committed corpus's token total, and because the cumsum of a
+    // doc depends only on docs with smaller ids, the per-batch packing
+    // is bit-identical to re-packing the whole corpus (the
+    // trainingSetIngest ≡ batch-x01 equivalence rides exactly this).
     val id = col(idCol)
     val nonEmpty = sized.filter(col("n_tokens") > 0)
     val bounds = nonEmpty.agg(min(id).as("__lo"), max(id).as("__hi"))
@@ -313,7 +320,7 @@ object DataOps {
     bucketed
       .withColumn("__lcum", sum(col("n_tokens")).over(wLocal))
       .join(broadcast(offs), Seq("__b"))
-      .withColumn("__cum", col("__lcum") + col("__off"))
+      .withColumn("__cum", col("__lcum") + col("__off") + lit(startTokens))
       // doc occupies token interval [cum - n, cum); chunk = floor(/cap)
       // (exact: token totals sit far below 2^53)
       .select(id, col("n_tokens"),
@@ -733,23 +740,41 @@ object DataOps {
     * decisions are the deterministic md5 threshold. Returns the sampled
     * rows with keep_rate appended. */
   def temperatureSample(docs: DataFrame, budget: Double,
-      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame =
+    applySampleRates(docs, temperatureRates(docs, budget, sourceCol),
+      idCol, sourceCol)
+
+  /** The (source, keep_rate) POLICY relation of [[temperatureSample]],
+    * exposed on its own: per-source quotas follow n_src^0.5, rates are
+    * 9dp-rounded doubles. Factored out so the streaming capstone
+    * ([[graft.streaming.Streaming.trainingSetIngest]]) can apply a
+    * policy computed OUT-OF-BAND as a static relation — the
+    * embeddingIngest centroid convention: corpus-statistics artifacts
+    * (sampling weights, centroids, merge tables) are versioned policy
+    * inputs to an ingest, never recomputed under it per batch. */
+  def temperatureRates(docs: DataFrame, budget: Double,
+      sourceCol: String = "source"): DataFrame = {
     val weights = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("__n_src"))
       .withColumn("__w",
         round(sqrt(col("__n_src").cast("double")), 9).cast("decimal(18,9)"))
     val tot = weights.agg(sum(col("__w")).as("__tot"))
-    docs
-      .join(broadcast(weights), Seq(sourceCol))
-      .crossJoin(broadcast(tot))
+    weights.crossJoin(broadcast(tot))
       .withColumn("keep_rate",
         round(least(lit(1.0),
           lit(budget) * col("__w").cast("double") / col("__tot").cast("double") /
             col("__n_src")), 9))
+      .select(col(sourceCol), col("keep_rate"))
+  }
+
+  /** The deterministic keep decision of [[temperatureSample]] under a
+    * given rates policy: md5 coin of the id against keep_rate · 2^32.
+    * Inner join — a source absent from the policy keeps nothing. */
+  def applySampleRates(docs: DataFrame, rates: DataFrame,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame =
+    docs.join(broadcast(rates), Seq(sourceCol))
       .filter(md5Bucket(col(idCol)).cast("double") <
         col("keep_rate") * 4294967296.0)
-      .drop("__n_src", "__w", "__tot")
-  }
 
   /** One-call training-set preparation — the composition a pipeline
     * actually ships: quality/PII/repetition gates + exact/near dedup

@@ -796,21 +796,31 @@ object Dedup {
     * size the cap above the corpus' boilerplate frequency (or re-run
     * to a fixpoint) when exact idempotence matters. Spec-gated at the
     * scale where the cap cannot bind. */
-  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
-      langCol: String, maxTop2GramFrac: Double = DataOps.MaxTop2GramFrac,
-      shingleN: Int = 3, minJaccard: Double = 0.8,
-      maxDocFreq: Long = 1000L): DataFrame = {
+  /** The per-document quality gates of [[curateCorpus]] on their own:
+    * language-ID, quality heuristics, PII, and top-2-gram repetition.
+    * Every decision is a function of the SINGLE document — no corpus
+    * statistics — which is what lets the streaming capstone apply the
+    * identical gates per micro-batch and still equal the batch run. */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      langCol: String,
+      maxTop2GramFrac: Double = DataOps.MaxTop2GramFrac): DataFrame = {
     val preGated = df
       .filter(DataOps.langPassCol(col(textCol), col(langCol)))
       .filter(DataOps.qualityPassCol(col(textCol)))
       .filter(DataOps.piiPassCol(col(textCol)))
     val rep = DataOps.repetitionTop2(preGated, idCol, textCol)
-    val kept = preGated
+    preGated
       .join(rep, preGated(idCol) === rep("__rid"), "left")
       .filter(coalesce($"__top2", lit(0.0)) <= maxTop2GramFrac)
       .drop("__rid", "__top2")
-    dedupCorpus(kept, idCol, textCol, shingleN, minJaccard, maxDocFreq)
   }
+
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, maxTop2GramFrac: Double = DataOps.MaxTop2GramFrac,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      maxDocFreq: Long = 1000L): DataFrame =
+    dedupCorpus(qualityGate(df, idCol, textCol, langCol, maxTop2GramFrac),
+      idCol, textCol, shingleN, minJaccard, maxDocFreq)
 
   /** Embedding near-dup pairs via IVF cells — the SCALE path for the
     * exact-quadratic cosine baseline (d06): candidate pairs only ever

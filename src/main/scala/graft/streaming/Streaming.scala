@@ -830,6 +830,230 @@ object Streaming {
       }
       .start()
 
+  /** The incremental training-set capstone — the streaming twin of the
+    * x01/x02 batch pipeline: per micro-batch of (doc_id, text, lang,
+    * source) documents, (1) the per-document quality gates
+    * ([[graft.operators.Dedup.qualityGate]] — language/quality/PII/
+    * repetition, all single-doc decisions), (2) EXACT dedup against the
+    * committed corpus: an md5 digest index for exact duplicates and the
+    * d17 canonical-prefix inventory for near-duplicates at the curation
+    * threshold (capless prefix-filter join — provably complete, the
+    * exactPairsIngest machinery), (3) benchmark decontamination
+    * ([[graft.operators.DataOps.contaminatedIds]] against the STATIC
+    * benchmark relation), (4) temperature sampling under a STATIC
+    * (source, keep_rate) policy — the embeddingIngest convention:
+    * corpus-statistics artifacts (sampling weights, centroids, merge
+    * tables) are versioned policy inputs computed out-of-band, never
+    * recomputed under the ingest, (5) context-window packing CONTINUED
+    * from the committed token total ([[graft.operators.DataOps
+    * .packChunksBySize]]'s startTokens hook), and (6) an append to the
+    * shard store plus a merged manifest snapshot.
+    *
+    * Equivalence contract (spec-pinned): with batches arriving in
+    * doc_id order, the cumulative committed shards equal the BATCH
+    * x01 pipeline (curate → decontaminate → sample → pack) run on the
+    * same corpus under the same policy, and the final manifest equals
+    * the batch x02 manifest. Why each stage preserves it:
+    * gates/decontamination/sampling are per-document; exact-dup
+    * keep-min-id ≡ first-seen under id order; the near-dup drop
+    * ("pair with any smaller-id doc") matches the batch CC-canonical
+    * keeper because ALL exact-surviving docs are indexed — a dropped
+    * doc still witnesses later members of its cluster (the transitive
+    * chain A–B, B–C drops C through the dropped B); and a doc's pack
+    * cumsum depends only on smaller-id survivors, so startTokens makes
+    * per-batch packing bit-identical to whole-corpus packing. The one
+    * semantic boundary (shared with every streaming dedup): a cluster
+    * connected ONLY through a larger-id member (A–C, C–B with B's sole
+    * edge pointing up) would keep B here but not in batch CC — at the
+    * 0.8 curation threshold clusters are near-cliques and the
+    * equivalence spec proves the real corpus has no such chain.
+    *
+    * Replay safety: the shard append, index appends, and manifest
+    * arithmetic are NOT idempotent, so a batch id is skipped BEFORE any
+    * work when its commit marker exists (the statsIngest discipline);
+    * markers are written LAST. Index reads see COMMITTED batches only
+    * (torn appends invisible). Re-delivered doc ids under a fresh batch
+    * id are dropped by the digest index (same text → same digest).
+    *
+    * Scale shape: per-batch cost is the batch's own gating + the
+    * one-sided prefix probe + bounded policy/manifest joins — the d17
+    * argument; nothing rescans the corpus, and the manifest merge reads
+    * the previous ≤|shards|-row snapshot, never the shard store. */
+  def trainingSetIngest(docs: DataFrame, benchmark: DataFrame,
+      rates: DataFrame, shardsDir: String, indexDir: String,
+      manifestDir: String, commitsDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source",
+      capacity: Long = 512L, chunksPerShard: Long = 8L,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      indexParts: Int = 64,
+      compactEvery: Int = 8, compactMaxFiles: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val committed = committedBatches(spark, commitsDir)
+        if (!committed.contains(batchId)) {
+          val digestsDir = s"$indexDir/digests"
+          val invDir = s"$indexDir/inventory"
+          def existing(dir: String): Option[DataFrame] = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) Some(spark.read.parquet(dir)
+              .filter(col("batch_id").isin(committed.toSeq: _*)))
+            else None
+          }
+          // (1) per-document gates + dedup canonical form
+          val gated = graft.operators.Dedup
+            .qualityGate(batch, idCol, textCol, langCol)
+            .withColumn("__norm",
+              graft.functions.Text.normalizeForDedup(col(textCol)))
+            .withColumn("__digest", md5(col("__norm")))
+            .withColumn("__dp",
+              pmod(xxhash64(col("__digest")), lit(indexParts.toLong)))
+            .graftCheckpoint(true) // exact pass + index append consume it
+          // (2a) exact dedup: min id per digest in-batch, then the
+          // committed digest index (join carries the partition column so
+          // the probe prunes digest directories, the probeBandIndex DPP
+          // shape)
+          val inKeep = gated.groupBy(col("__digest"))
+            .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+          val exactKept = existing(digestsDir) match {
+            case Some(prior) =>
+              // probe the corpus-sized index with the BROADCAST batch
+              // digest set (the probeBandIndex DPP shape: __dp is the
+              // partition column, so unmatched digest directories are
+              // pruned at the scan); the hit set is ≤ the batch's
+              // distinct digests, so the anti-join back is a broadcast
+              val batchDigests = gated
+                .select(col("__dp"), col("__digest")).distinct()
+              val hit = prior.select(col("__dp"), col("__digest"))
+                .join(broadcast(batchDigests),
+                  Seq("__dp", "__digest"), "left_semi")
+                .distinct()
+              gated.join(inKeep, Seq(idCol), "left_semi")
+                .join(broadcast(hit), Seq("__dp", "__digest"), "left_anti")
+            case None => gated.join(inKeep, Seq(idCol), "left_semi")
+          }
+          // (2b) near-dup dedup: canonical-prefix inventory of the
+          // batch's exact survivors vs the committed inventory — the
+          // exactPairsIngest probe at the curation threshold. ALL exact
+          // survivors are indexed below (kept or near-dup-dropped): a
+          // dropped doc must keep witnessing later cluster members.
+          val batchInv = graft.operators.Dedup.canonicalShingleInventory(
+              exactKept.select(col(idCol).as("doc"),
+                col("__norm").as("__t")), "doc", "__t", shingleN)
+            .graftCheckpoint(true) // probe + index append consume it
+          val corpusInv = existing(invDir) match {
+            case Some(prior) =>
+              prior.select(col("doc"), col("shingle"), col("__rk"),
+                col("n_sh"))
+            case None => batchInv.filter(lit(false))
+              .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"))
+          }
+          val inv = batchInv.withColumn("__new", lit(true))
+            .unionByName(corpusInv.withColumn("__new", lit(false)))
+          val nearDropped = graft.operators.Dedup
+            .prefixPairsFromInventory(inv, minJaccard)
+            .filter(col("new_b")) // ordered ingest: the later member drops
+            .select(col("doc_b").as(idCol)).distinct()
+          val survivors = exactKept.join(nearDropped, Seq(idCol), "left_anti")
+          // (3) decontamination: per-doc vs the static benchmark
+          val clean = survivors.join(
+            broadcast(graft.operators.DataOps.contaminatedIds(
+              survivors, benchmark, idCol, textCol)),
+            Seq(idCol), "left_anti")
+          // (4) sampling under the static policy
+          val sampled = graft.operators.DataOps
+            .applySampleRates(clean, rates, idCol, sourceCol)
+          // (5) packing continued from the committed token total
+          val startTokens = (if (committed.isEmpty) None
+            else Some(committed.max)) match {
+            case Some(last) =>
+              spark.read.parquet(s"$manifestDir/batch=$last")
+                .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+                .collect()(0).getLong(0)
+            case None => 0L
+          }
+          val sized = sampled.select(col(idCol),
+            graft.functions.Text.tokenCount(col(textCol)).cast("long")
+              .as("n_tokens"))
+          val packed = graft.operators.DataOps
+            .packChunksBySize(sized, idCol, capacity,
+              startTokens = startTokens)
+            .join(sampled.select(col(idCol), col(sourceCol),
+              col("keep_rate")), Seq(idCol))
+            .withColumn("shard",
+              floor(col("first_chunk") / chunksPerShard).cast("long"))
+            .withColumn("batch_id", lit(batchId))
+            .graftCheckpoint(true) // shard append + manifest consume it
+          // (6) writes: shard append, merged manifest snapshot, indexes
+          packed.write.mode("append").partitionBy("shard")
+            .parquet(shardsDir)
+          val batchAgg = packed.groupBy(col("shard")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("first_chunk")).as("first_chunk"),
+            max(col("last_chunk")).as("last_chunk"))
+          val merged = ((if (committed.isEmpty) None
+            else Some(committed.max)) match {
+            case Some(last) => spark.read.parquet(s"$manifestDir/batch=$last")
+              .unionByName(batchAgg)
+            case None => batchAgg
+          }).groupBy(col("shard")).agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("first_chunk")).as("first_chunk"),
+            max(col("last_chunk")).as("last_chunk"))
+          merged.write.mode("overwrite").parquet(s"$manifestDir/batch=$batchId")
+          gated.select(col(idCol).as("doc"), col("__digest"), col("__dp"),
+              lit(batchId).as("batch_id"))
+            .write.mode("append").partitionBy("__dp").parquet(digestsDir)
+          batchInv
+            .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"),
+              lit(batchId).as("batch_id"),
+              pmod(xxhash64(col("shingle")), lit(indexParts.toLong))
+                .as("bucket_p"))
+            .write.mode("append").partitionBy("bucket_p").parquet(invDir)
+          // the commit record, written LAST: everything above is now real
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$commitsDir/batch=$batchId/_SUCCESS")
+          marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .create(marker, true).close()
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+            graft.sources.ParquetSink.compactHotPartitions(spark, invDir,
+              compactMaxFiles)
+            graft.sources.ParquetSink.compactHotPartitions(spark, digestsDir,
+              compactMaxFiles)
+            ()
+          }
+        } // else: checkpoint replay of a committed batch — skip
+      }
+      .start()
+
+  /** Shard rows of every COMMITTED trainingSetIngest batch, in the batch
+    * x01 column layout (+ shard). */
+  def readTrainingShards(spark: SparkSession, shardsDir: String,
+      commitsDir: String): DataFrame = {
+    val committed = committedBatches(spark, commitsDir)
+    spark.read.option("basePath", shardsDir).parquet(shardsDir)
+      .filter(col("batch_id").isin(committed.toSeq: _*))
+      .withColumn("shard", col("shard").cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("first_chunk"),
+        col("last_chunk"), col("n_chunks"), col("source"),
+        col("keep_rate"), col("shard"))
+  }
+
+  /** The manifest snapshot of the LATEST committed trainingSetIngest
+    * batch — the x02 manifest shape. */
+  def readTrainingManifest(spark: SparkSession,
+      manifestDir: String, commitsDir: String): DataFrame = {
+    val committed = committedBatches(spark, commitsDir)
+    require(committed.nonEmpty, "no committed training-set batches")
+    spark.read.parquet(s"$manifestDir/batch=${committed.max}")
+  }
+
   /** Pair rows of every COMMITTED exactPairsIngest batch. */
   def readPairs(spark: SparkSession, outDir: String,
       commitsDir: String): DataFrame = {

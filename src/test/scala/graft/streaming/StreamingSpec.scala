@@ -700,6 +700,94 @@ class StreamingSpec extends SparkSpec
       s"expected exactly the planted (${lone._1}, 100000) pair, got $fresh")
   }
 
+  test("training-set ingest: 3 id-ordered batches + restarts equal the " +
+    "batch x01/x02 capstone; rewound batch ids are skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{DataOps, Dedup}
+    val tmp = Files.createTempDirectory("train_ingest").toString
+    val (shardsDir, idxDir, manDir, comDir, ckpt) =
+      (s"$tmp/shards", s"$tmp/index", s"$tmp/manifest", s"$tmp/commits",
+        s"$tmp/ckpt")
+    val docsDf = graft.Tables.documents(spark, sf("sf0.001"))
+    val train = docsDf.filter($"doc_id" % 53 =!= 0)
+    val bench = docsDf.filter($"doc_id" % 53 === 0)
+    // the BATCH capstone (x01's exact body at its parameterization) —
+    // the ground truth the cumulative stream must reproduce
+    val want = DataOps.prepareTrainingSet(train, bench)
+      .withColumn("shard", floor($"first_chunk" / 8).cast("long"))
+      .as[(Long, Long, Long, Long, Long, String, Double, Long)]
+      .collect().toSeq
+    assert(want.nonEmpty, "premise: the batch capstone keeps documents")
+    // the out-of-band sampling POLICY: the batch pipeline's clean-corpus
+    // temperature rates (production computes/refreshes this artifact out
+    // of band — the embeddingIngest centroid convention)
+    val curated = Dedup.curateCorpus(train, "doc_id", "text", "lang")
+    val clean = curated.join(
+      org.apache.spark.sql.functions.broadcast(
+        DataOps.contaminatedIds(curated, bench)), Seq("doc_id"), "left_anti")
+    val rates = DataOps.temperatureRates(clean, 200.0).cache()
+    assert(rates.count() > 0)
+    val docs = train.select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String, String, String)]
+    def drain(checkpoint: String = ckpt): Unit = {
+      val q = Streaming.trainingSetIngest(
+        input.toDF().toDF("doc_id", "text", "lang", "source"),
+        bench, rates, shardsDir, idxDir, manDir, comDir, checkpoint,
+        compactEvery = 1, compactMaxFiles = 1)
+      q.awaitTermination()
+    }
+    // three id-ordered ingests, separate drains (restart between: the
+    // digest/inventory indexes, manifest snapshots and commit markers
+    // carry the state, not memory)
+    val cuts = Seq(0, docs.length / 3, 2 * docs.length / 3, docs.length)
+    (0 until 3).foreach { r =>
+      input.addData(docs.slice(cuts(r), cuts(r + 1)).toSeq)
+      drain()
+    }
+    def collectShards() = Streaming
+      .readTrainingShards(spark, shardsDir, comDir)
+      .as[(Long, Long, Long, Long, Long, String, Double, Long)]
+      .collect().toSeq
+    val got = collectShards()
+    // every stage preserved: gates, exact+near dedup (keep-min-id ≡
+    // first-seen under id order, dropped docs still witness), static
+    // decontamination, static policy sampling, packing continued from
+    // the committed token total — so the cumulative committed shards ARE
+    // the batch x01 rows, chunk numbers and shard assignment included
+    assert(got.sorted === want.sorted,
+      "cumulative committed shards must equal the batch x01 capstone")
+    // final manifest ≡ the batch x02 closed-form shard aggregation
+    val wantManifest = DataOps.prepareTrainingSet(train, bench)
+      .withColumn("shard", floor($"first_chunk" / 8).cast("long"))
+      .groupBy($"shard").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"first_chunk").as("first_chunk"),
+        max($"last_chunk").as("last_chunk"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val gotManifest = Streaming.readTrainingManifest(spark, manDir, comDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(gotManifest === wantManifest,
+      "final merged manifest must equal the batch x02 manifest")
+    // an empty re-drain (restart, no new data) changes nothing
+    drain()
+    assert(collectShards().sorted === got.sorted)
+    // rewound batch id (fresh checkpoint, same state dirs, re-offering
+    // batch 0's docs): the commit marker skips it BEFORE any arithmetic —
+    // a recompute would re-append batch 0's shard rows and double the
+    // manifest counts (the additive-state cmCounterIngest lesson)
+    input.addData(docs.slice(cuts(0), cuts(1)).toSeq)
+    drain(s"$tmp/ckpt_rewound")
+    assert(collectShards().sorted === got.sorted,
+      "a rewound batch must be skipped, not re-packed")
+    assert(Streaming.readTrainingManifest(spark, manDir, comDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      === wantManifest)
+  }
+
   test("dedup ingest: auto-compaction bounds index file count across many batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
