@@ -1569,9 +1569,13 @@ object DataOps {
     // SimHash candidate generators against the exact trigram-Jaccard
     // ground truth at the threshold LSH targets (0.5). One row per run —
     // what a production dedup pipeline logs so recall regressions (band
-    // tuning, permutation changes) show up numerically per round. No SQL
-    // oracle (the approximate sides are hash-defined); the floor is
-    // spec-gated on the planted near-dup corpus.
+    // tuning, permutation changes) show up numerically per round.
+    // EXACTLY oracled since the d03/d04 hashes moved to the md5Bucket
+    // convention: every side of the report — the exact truth (d02 body
+    // at 0.5), the MinHash arm (d03 body) and the SimHash arm (d04
+    // body) — is a deterministic corpus function, so the oracle is the
+    // literal composition of those three oracle bodies. The planted
+    // floor spec stays as the semantic gate.
     "d08_dedup_recall" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -2045,13 +2049,15 @@ object DataOps {
     "s10_mutual_knn" -> { (s, d) =>
       import s.implicits._
       import graft.functions.TopKPairs.top_k_pairs
-      val all = Similarity.allPairsCosine(Tables.embeddings(s, d),
-        minCos = -1.1)
-      val both = all
-        .select($"vec_a".as("probe"), $"vec_b".as("other"), $"cos_sim")
-        .unionByName(all.select($"vec_b".as("probe"),
-          $"vec_a".as("other"), $"cos_sim"))
-      val nn = both.groupBy($"probe")
+      // per-(vector, block) exact top-k candidates — the global heap
+      // below returns the bit-identical all-pairs top-k while the
+      // shuffle carries O(N·k·nBlocks) rows, not N²/2 (the round-16
+      // sf1 census finding: the -1.1-threshold all-pairs feed was 38.8×
+      // at 10× data; the kernel FLOPs are unchanged and irreducible for
+      // an exact result, the materialized pair relation was the bug)
+      val cand = Similarity.knnCandidatesBlocked(
+        Tables.embeddings(s, d), k = 5)
+      val nn = cand.groupBy($"probe")
         .agg(top_k_pairs($"cos_sim", $"other", 5).as("__nn"))
         .select($"probe", posexplode($"__nn").as(Seq("__pos", "__p")))
         .select($"probe", $"__p.id".as("other"),
@@ -2085,12 +2091,10 @@ object DataOps {
       import s.implicits._
       import graft.functions.TopKPairs.top_k_pairs
       val emb = Tables.embeddings(s, d)
-      val all = Similarity.allPairsCosine(emb, minCos = -1.1)
-      val both = all
-        .select($"vec_a".as("probe"), $"vec_b".as("other"), $"cos_sim")
-        .unionByName(all.select($"vec_b".as("probe"),
-          $"vec_a".as("other"), $"cos_sim"))
-      val nn = both.groupBy($"probe")
+      // the s10 candidate kernel: exact top-k, linear shuffle (54.7× at
+      // 10× data through the all-pairs feed before round 16)
+      val cand = Similarity.knnCandidatesBlocked(emb, k = 5)
+      val nn = cand.groupBy($"probe")
         .agg(top_k_pairs($"cos_sim", $"other", 5).as("__nn"))
         .select($"probe", explode($"__nn").as("__e"))
         .select($"probe", $"__e.id".as("other"))
@@ -4993,6 +4997,88 @@ object DataOps {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_match / 16.0 AS est_jaccard
         |FROM nm WHERE n_match >= 8""".stripMargin,
+
+    // The recall report composed from the three oracle bodies it
+    // measures: truth = the d02 exact-Jaccard body at 0.5 (df cap
+    // mirrored), mh = the d03 MinHash body, shp = the d04 SimHash body;
+    // hits are canonical-pair equi-joins, recalls the same
+    // round(hit/truth, 6) division.
+    "d08_dedup_recall" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t
+        |  FROM documents),
+        |sh AS (SELECT doc_id AS doc,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        |rare AS (SELECT * FROM (SELECT doc, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |com AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT doc_a, doc_b FROM com
+        |    JOIN sizes sa ON doc_a = sa.doc
+        |    JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+        |h AS (SELECT doc,
+        |    CAST(CAST(('0x' || substring(md5(shingle), 1, 8)) AS UBIGINT)
+        |      % 2147483647 AS BIGINT) AS h
+        |  FROM sh),
+        |perms(i, a, b) AS (VALUES ${Dedup.minhashPermSqlValues(16)}),
+        |sig AS (SELECT doc, i, MIN((a * h + b) % 2147483647) AS m
+        |  FROM h, perms GROUP BY 1, 2),
+        |band AS (SELECT doc, i // 4 AS band,
+        |    string_agg(m, ',' ORDER BY i) AS bv
+        |  FROM sig GROUP BY 1, 2),
+        |mcand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        |  FROM band x JOIN band y
+        |    ON x.band = y.band AND x.bv = y.bv AND x.doc < y.doc),
+        |mh AS (SELECT c.doc_a, c.doc_b
+        |  FROM mcand c
+        |    JOIN sig sa ON sa.doc = c.doc_a
+        |    JOIN sig sb ON sb.doc = c.doc_b AND sb.i = sa.i
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) >= 8),
+        |tk AS (SELECT doc_id AS doc,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc,
+        |    CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT)
+        |      AS BIGINT) AS lo,
+        |    CAST(CAST(('0x' || substring(md5(tok), 9, 8)) AS UBIGINT)
+        |      AS BIGINT) AS hi
+        |  FROM tk),
+        |bs AS (SELECT unnest(range(0, 64)) AS b),
+        |bits AS (SELECT doc, b,
+        |    CASE WHEN SUM((CASE WHEN b < 32 THEN (lo >> b) & 1
+        |      ELSE (hi >> (b - 32)) & 1 END) * 2 - 1) > 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM th, bs GROUP BY 1, 2),
+        |chunks AS (SELECT doc, b // 16 AS chunk,
+        |    SUM(bit << CAST(b % 16 AS INTEGER)) AS val
+        |  FROM bits GROUP BY 1, 2),
+        |scand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        |  FROM chunks x JOIN chunks y
+        |    ON x.chunk = y.chunk AND x.val = y.val AND x.doc < y.doc),
+        |shp AS (SELECT c.doc_a, c.doc_b
+        |  FROM scand c
+        |    JOIN bits ba ON ba.doc = c.doc_a
+        |    JOIN bits bb ON bb.doc = c.doc_b AND bb.b = ba.b
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 3),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_minhash_hit
+        |  FROM truth JOIN mh USING (doc_a, doc_b)),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash_hit
+        |  FROM truth JOIN shp USING (doc_a, doc_b))
+        |SELECT n_truth, n_minhash_hit, n_simhash_hit,
+        |  round(n_minhash_hit / CAST(n_truth AS DOUBLE), 6)
+        |    AS minhash_recall,
+        |  round(n_simhash_hit / CAST(n_truth AS DOUBLE), 6)
+        |    AS simhash_recall
+        |FROM n, nm, ns""".stripMargin,
 
     // Mirrors the engine's SimHash bit-for-bit: per-token bits from
     // md5's two 32-bit halves, per-bit majority (ties vote 0), raw

@@ -212,9 +212,11 @@ object Similarity {
     * (B·dim·8 bytes per block side). The O(N²·dim) compute itself is
     * irreducible: this is the honest exact anchor; d10 is the
     * sub-quadratic production default. */
-  def allPairsCosine(vecs: DataFrame, minCos: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      blockRows: Int = 1024): DataFrame = {
+  /** The shared packing of [[allPairsCosine]] / [[knnCandidatesBlocked]]:
+    * vectors → id-hashed row blocks (flat double arrays + norms) →
+    * the bx ≤ by block-pair work relation. */
+  private def blockPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      blockRows: Int): org.apache.spark.sql.Dataset[VecBlockPair] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val n = vecs.count()
@@ -249,7 +251,7 @@ object Similarity {
     val pairRel = blockIds.select($"__bid".as("bx"))
       .crossJoin(blockIds.select($"__bid".as("by")))
       .filter($"bx" <= $"by")
-    val joined = pairRel
+    pairRel
       .join(blocksDf.select($"b".as("bx"), $"ids".as("idsX"),
         $"offs".as("offsX"), $"flat".as("flatX"), $"nrms".as("nrmsX")),
         Seq("bx"))
@@ -259,6 +261,14 @@ object Similarity {
       .select($"bx", $"by", $"idsX", $"offsX", $"flatX", $"nrmsX",
         $"idsY", $"offsY", $"flatY", $"nrmsY")
       .as[VecBlockPair]
+  }
+
+  def allPairsCosine(vecs: DataFrame, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockRows: Int = 1024): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val joined = blockPairs(vecs, idCol, vecCol, blockRows)
     val pre = minCos - 1e-6
     val raw = joined.flatMap { p =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
@@ -293,5 +303,126 @@ object Similarity {
     raw.withColumn("cos_sim", round($"__cos", 6))
       .filter($"cos_sim" >= minCos)
       .select($"vec_a", $"vec_b", $"cos_sim")
+  }
+
+  /** A k-bounded best-pair buffer under the [[graft.functions.TopKPairs]]
+    * total order (score DESC, id ASC). Linear arrays: k is small (5),
+    * replacement recomputes the worst slot in O(k). */
+  private final class BoundedPairBuf(k: Int) {
+    private val sc = new Array[Double](k)
+    private val ident = new Array[Long](k)
+    private var n = 0
+    private var wi = 0 // index of the worst element once full
+    // (s, d) strictly better than slot i under (score DESC, id ASC)
+    private def beats(i: Int, s: Double, d: Long): Boolean =
+      s > sc(i) || (s == sc(i) && d < ident(i))
+    private def recomputeWorst(): Unit = {
+      // slot i is worse than slot w iff w's values would beat slot i
+      var w = 0
+      var i = 1
+      while (i < n) { if (beats(i, sc(w), ident(w))) w = i; i += 1 }
+      wi = w
+    }
+    def offer(s: Double, d: Long): Unit =
+      if (n < k) {
+        sc(n) = s; ident(n) = d; n += 1
+        if (n == k) recomputeWorst()
+      } else if (beats(wi, s, d)) {
+        sc(wi) = s; ident(wi) = d; recomputeWorst()
+      }
+    /** A RAW (unrounded) cosine strictly below this can never enter the
+      * buffer, so the caller may skip the BigDecimal rounding for it —
+      * the hot-loop guard that keeps the kernel at d06 speed. Exact by
+      * monotonicity of HALF_UP: with the worst kept score s_w (already
+      * a 6dp value), only raws ≥ s_w − 5e-7 can round INTO s_w or
+      * above; the margin here is a full 1e-6 ulp, so any fp error in
+      * the subtraction only makes the guard more conservative (a few
+      * extra roundings, never a lost candidate). −2 while not full:
+      * cosines live in [−1, 1], so nothing is skipped until k kept. */
+    def floorHint: Double = if (n < k) -2.0 else sc(wi) - 1e-6
+    def emit(probe: Long,
+        out: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)])
+        : Unit = {
+      var i = 0
+      while (i < n) { out += ((probe, ident(i), sc(i))); i += 1 }
+    }
+  }
+
+  /** EXACT whole-corpus kNN candidates, blocked: for EVERY vector, its
+    * top-k neighbors within each block pair under the exact
+    * (round(cos, 6) DESC, id ASC) total order `top_k_pairs` uses.
+    * Downstream, `top_k_pairs` over these candidates returns the
+    * bit-identical global top-k it would return over ALL pairs — a
+    * global winner is a fortiori a winner inside its own block pair
+    * (restriction of a total order), and the heaps here are fed the
+    * ROUNDED score exactly as the aggregate is (the c06 tie lesson),
+    * reproduced with Catalyst Round's HALF_UP BigDecimal semantics.
+    *
+    * Purpose: s10 (mutual kNN) and s12 (label agreement) need every
+    * vector's exact top-k. Routing them through
+    * `allPairsCosine(minCos = -1.1)` computed the same dots but
+    * MATERIALIZED the full N²/2 pair relation into the shuffle — 54.7×
+    * at 10× data in the round-16 sf1 sweep (≈200M rows at sf1). This
+    * kernel ships k rows per (vector, block pair) instead —
+    * O(N·k·nBlocks) candidate rows, quadratic FLOPs but linear shuffle —
+    * the same contract as d06's threshold kernel. */
+  def knnCandidatesBlocked(vecs: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockRows: Int = 1024): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // Catalyst Round(HALF_UP) on doubles goes through
+    // BigDecimal.valueOf (shortest-string semantics) — mirrored exactly
+    // so heap order matches the downstream rounded aggregate.
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    blockPairs(vecs, idCol, vecCol, blockRows).flatMap { p =>
+      val same = p.bx == p.by
+      val nx = p.idsX.length
+      val ny = p.idsY.length
+      val hx = Array.fill(nx)(new BoundedPairBuf(k))
+      // same block: X and Y are the SAME rows, one buffer array serves
+      // both directions (indices agree); cross block: separate buffers
+      val hy = if (same) hx else Array.fill(ny)(new BoundedPairBuf(k))
+      var i = 0
+      while (i < nx) {
+        val a0 = p.offsX(i)
+        val aLen = p.offsX(i + 1) - a0
+        val na = p.nrmsX(i)
+        val ida = p.idsX(i)
+        var j = if (same) i + 1 else 0
+        while (j < ny) {
+          val b0 = p.offsY(j)
+          if (p.offsY(j + 1) - b0 == aLen) {
+            var acc = 0.0
+            var t = 0
+            while (t < aLen) {
+              acc = acc + p.flatX(a0 + t) * p.flatY(b0 + t); t += 1
+            }
+            val cosRaw = acc / (na * p.nrmsY(j))
+            // rounding goes through BigDecimal (exactness contract) —
+            // N² of those dominate the kernel, so only candidates that
+            // can still enter a buffer pay it (floorHint is exact)
+            if (cosRaw >= hx(i).floorHint || cosRaw >= hy(j).floorHint) {
+              val cos6 = round6(cosRaw)
+              hx(i).offer(cos6, p.idsY(j))
+              hy(j).offer(cos6, ida)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      i = 0
+      while (i < nx) { hx(i).emit(p.idsX(i), out); i += 1 }
+      if (!same) {
+        var j = 0
+        while (j < ny) { hy(j).emit(p.idsY(j), out); j += 1 }
+      }
+      out
+    }.toDF("probe", "other", "cos_sim")
   }
 }

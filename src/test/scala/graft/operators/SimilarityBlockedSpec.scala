@@ -34,6 +34,34 @@ class SimilarityBlockedSpec extends SparkSpec {
     }
   }
 
+  test("knn candidate kernel: global top-k over candidates equals top-k " +
+    "over ALL pairs, any block size") {
+    import graft.functions.TopKPairs.top_k_pairs
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    def topk(cands: org.apache.spark.sql.DataFrame) = cands
+      .groupBy($"probe")
+      .agg(top_k_pairs($"cos_sim", $"other", 5).as("__nn"))
+      .select($"probe", posexplode($"__nn").as(Seq("__pos", "__p")))
+      .select($"probe", $"__p.id".as("other"), $"__p.score".as("cos"),
+        $"__pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    // truth: the full N²/2 pair relation (the pre-round-16 s10 feed)
+    val all = Similarity.allPairsCosine(emb, minCos = -1.1)
+    val want = topk(all
+      .select($"vec_a".as("probe"), $"vec_b".as("other"), $"cos_sim")
+      .unionByName(all.select($"vec_b".as("probe"), $"vec_a".as("other"),
+        $"cos_sim")))
+    assert(want.nonEmpty)
+    // the candidate kernel must reproduce it bit-for-bit — ranks, ties
+    // and rounded scores included — under any blocking
+    for (b <- Seq(7, 64, 1024, 100000)) {
+      val got = topk(Similarity.knnCandidatesBlocked(emb, k = 5,
+        blockRows = b))
+      assert(got === want, s"blockRows=$b: kNN top-5 diverged")
+    }
+  }
+
   test("degenerate vectors: null, zero-norm, truncated never pair") {
     // ids 1/2 are exact clones (cos 1.0); 3 is a zero vector; 4 is
     // truncated (length mismatch vs everyone); 5 is null; 6 is the
