@@ -25,4 +25,14 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** True when the suite runs against real executor JVMs
+    * (GRAFT_TEST_MASTER=local-cluster[..]). Two test classes are
+    * inherently single-JVM and consult this: embedded-Derby fixtures
+    * (per-JVM database — executor tasks would see an empty instance;
+    * the PG15 fixture owns multi-JVM sink coverage) and
+    * process-static observability counters (incremented in executor
+    * JVMs, invisible to the driver's static). */
+  protected def isClusterMaster: Boolean =
+    sys.env.get("GRAFT_TEST_MASTER").exists(_.startsWith("local-cluster"))
 }

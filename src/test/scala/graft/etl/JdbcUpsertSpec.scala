@@ -28,6 +28,10 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   test("upsert: create, latest-batch-wins, idempotent replay") {
+    assume(!isClusterMaster,
+      "embedded in-memory Derby is per-JVM: executor tasks would see an " +
+      "empty instance; multi-JVM sink coverage lives in the PG15 fixture " +
+      "specs (PostgresUpsertSpec / StreamingSpec cluster lane)")
     val t = "tracking_test"
     val batch1 = Seq(("k1", "v1"), ("k2", "v1")).toDF("oid__id", "payload")
     JdbcUpsert.upsert(batch1, url, t, "oid__id",
@@ -47,6 +51,10 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   test("null-key rows replay idempotently (latest batch wins for the null group)") {
+    assume(!isClusterMaster,
+      "embedded in-memory Derby is per-JVM: executor tasks would see an " +
+      "empty instance; multi-JVM sink coverage lives in the PG15 fixture " +
+      "specs (PostgresUpsertSpec / StreamingSpec cluster lane)")
     val t = "nullkey_test"
     val batch = Seq((Option("k1"), "v1"), (Option.empty[String], "vnull"))
       .toDF("oid__id", "payload")
@@ -67,6 +75,10 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   test("MERGE promotion: latest-batch-wins, idempotent replay, null key — executed on Derby") {
+    assume(!isClusterMaster,
+      "embedded in-memory Derby is per-JVM: executor tasks would see an " +
+      "empty instance; multi-JVM sink coverage lives in the PG15 fixture " +
+      "specs (PostgresUpsertSpec / StreamingSpec cluster lane)")
     // Derby implements SQL:2003 MERGE (10.11+), so the merge path runs
     // for real here, not just as a pinned string: same three sink
     // properties as delete+insert, on unique-key-per-batch input
@@ -93,6 +105,10 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   test("reading back via JDBC pushes filters into the database") {
+    assume(!isClusterMaster,
+      "embedded in-memory Derby is per-JVM: executor tasks would see an " +
+      "empty instance; multi-JVM sink coverage lives in the PG15 fixture " +
+      "specs (PostgresUpsertSpec / StreamingSpec cluster lane)")
     val t = "pushdown_test"
     val df = Seq(("k1", "a.csv"), ("k2", "b.csv"), ("k3", "c.csv"))
       .toDF("oid__id", "fileName")
@@ -107,6 +123,10 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   test("watermark probe: absent table → None, else max(fileName)") {
+    assume(!isClusterMaster,
+      "embedded in-memory Derby is per-JVM: executor tasks would see an " +
+      "empty instance; multi-JVM sink coverage lives in the PG15 fixture " +
+      "specs (PostgresUpsertSpec / StreamingSpec cluster lane)")
     assert(JdbcUpsert.lastUploadedFile(spark, url, "nope_missing") === None)
     val t = "wm_test"
     val df = Seq(("k1", "f1.csv"), ("k2", "f2.csv")).toDF("oid__id", "fileName")

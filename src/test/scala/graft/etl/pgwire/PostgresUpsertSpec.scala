@@ -182,10 +182,16 @@ class PostgresUpsertSpec extends SparkSpec with BeforeAndAfterAll {
       case Some(x) => s"Some[${x.getClass.getSimpleName}]"
       case other => String.valueOf(other)
     }
+    // the path counters are process-STATICS: under a local-cluster
+    // master the COPY executes in executor JVMs and the driver's static
+    // never moves — the value round-trip asserts below still verify the
+    // data either way, so the path-engaged observability is asserted
+    // only where it is observable (single-JVM masters)
     val binBefore = PgJdbc.CopyBinaryBatches.get()
     JdbcUpsert.upsert(df, url, "copybin_pg", "oid__id", withFormat("binary"))
-    assert(PgJdbc.CopyBinaryBatches.get() > binBefore,
-      "forced binary upsert did not take the binary COPY path")
+    if (!isClusterMaster)
+      assert(PgJdbc.CopyBinaryBatches.get() > binBefore,
+        "forced binary upsert did not take the binary COPY path")
     JdbcUpsert.upsert(df, url, "copytxt_pg", "oid__id", withFormat("text"))
 
     // score reads back as text: scala numeric equality has NaN != NaN
@@ -216,8 +222,9 @@ class PostgresUpsertSpec extends SparkSpec with BeforeAndAfterAll {
     // default (auto) picks binary for these batches
     val autoBefore = PgJdbc.CopyBinaryBatches.get()
     JdbcUpsert.upsert(df, url, "copyauto_pg", "oid__id", props)
-    assert(PgJdbc.CopyBinaryBatches.get() > autoBefore,
-      "auto format should choose binary when every value is encodable")
+    if (!isClusterMaster) // executor-JVM statics, see above
+      assert(PgJdbc.CopyBinaryBatches.get() > autoBefore,
+        "auto format should choose binary when every value is encodable")
     assert(readBack("copyauto_pg") === bin)
   }
 

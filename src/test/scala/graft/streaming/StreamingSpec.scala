@@ -31,8 +31,7 @@ class StreamingSpec extends SparkSpec
   // Derby is only the single-JVM test stub). PG gets the default type
   // mapping (the PostgresReferenceParitySpec convention) — the Derby
   // colTypes strings carry backtick quoting PG rejects.
-  private val isCluster =
-    sys.env.get("GRAFT_TEST_MASTER").exists(_.startsWith("local-cluster"))
+  private def isCluster = isClusterMaster
   private var pgServer: graft.etl.pgwire.PgServerFixture.Running = _
   override def afterAll(): Unit = {
     try { if (pgServer != null) graft.etl.pgwire.PgServerFixture.stop(pgServer) }
