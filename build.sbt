@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked process's stdout straight through, undecorated: sbt's
+// default logger prefixes every line with "[info] ", which breaks any
+// consumer that tail-parses the bench/verify JSON summary lines
+// (BENCH_r09 recorded parsed:null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // One suite at a time: GraftExtensionsSpec rebuilds the shared
 // SparkSession (extensions bind at build time); parallel suites would
 // race it.

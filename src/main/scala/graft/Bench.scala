@@ -102,19 +102,31 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
+    // Exactly ONE stdout record carries "metric":"total" (a consumer that
+    // scans all lines must never double-count): the full per-query line is
+    // labeled "total_full", and the tail-surviving compact line below owns
+    // "total". The per-query map also lives in the file artifact.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a 2000-char stdout TAIL: at 244 queries the
     // per-query line above is ~8 KB, so the tail starts mid-line and the
     // driver records "parsed": null (BENCH_r07/r08 both did). Emit a
     // compact summary as the LAST stdout line — short enough (~150 chars)
     // that even with sbt's [success] epilogue after it, the whole line
-    // survives in the tail and parses. It repeats the contract fields
-    // (metric/value/unit) plus the asked-for total_s/n/failed; the full
-    // per-query map stays in the file artifact below.
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    // survives in the tail and parses (build.sbt's StdoutOutput strategy
+    // keeps it free of the "[info] " prefix that broke BENCH_r09's parse).
+    // It repeats the contract fields (metric/value/unit) plus
+    // total_s/n/failed; the full per-query map stays in the file artifact.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    println(summary)
+    // Belt-and-braces for the driver parse: the same compact summary as a
+    // standalone file no log decoration can touch.
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("bench_summary.json"), "UTF-8")
+      try w.println(summary) finally w.close()
+    } catch { case _: Throwable => () }
     // Stdout gets tail-truncated by the driver (both BENCH_r02/r03 carry
     // "parsed": null); persist the full per-query map as a file artifact
     // so round-over-round diffs read from the file, not the tail. The

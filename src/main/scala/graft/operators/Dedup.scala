@@ -421,7 +421,7 @@ object Dedup {
     * Signatures are per-document (min over the doc's own shingles), so
     * banding a batch separately from a corpus yields identical rows —
     * the property the persisted-index probe relies on. */
-  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands

@@ -34,6 +34,75 @@ object ParquetSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** IDEMPOTENT per-batch append into an append-mode partitioned layout —
+    * the write primitive for commit-marker ingests whose index/shard rows
+    * are NOT safe to duplicate (exactPairsIngest, trainingSetIngest: a
+    * duplicated inventory row double-counts n_common and corrupts every
+    * later jaccard; a duplicated shard row double-reports a document).
+    *
+    * The crash window it closes: foreachBatch is at-least-once, and the
+    * commit marker is written LAST — so a retry AFTER a completed
+    * mode(append) write but BEFORE the marker re-appends the same batch's
+    * rows under the same batch_id, and once the retry's marker lands the
+    * committed-filter exposes BOTH copies. Plain appends can't be cleaned
+    * up because their file names are random per attempt.
+    *
+    * Recipe: (1) write the batch delta to a dot-prefixed staging dir under
+    * `root` (invisible to partition discovery), (2) sweep every live
+    * partition for files named `batch<id>-*` — debris from a torn earlier
+    * attempt of the SAME batch — and delete them, (3) move the staged
+    * files into the live partition dirs under `batch<id>-`-prefixed names.
+    * Why the prefix always identifies exactly the torn attempt's files:
+    * committed batches are never re-executed (marker check), and
+    * compaction (which renames files) only runs after a batch's own
+    * commit, so an uncommitted batch's files still carry their prefix at
+    * retry time. The staged write is atomic-enough (overwrite mode
+    * clears a torn staging), and a crash mid-move is healed by the next
+    * retry's sweep. Driver-side listing is O(partitions touched), bounded
+    * by design (hash buckets, shards).
+    *
+    * Mirrors Spark's own listing rule: a directory whose name starts with
+    * `_` is still a PARTITION dir if it contains `=` (`__dp=3`), so the
+    * sweep must not skip those. */
+  def idempotentBatchAppend(df: DataFrame, root: String,
+      partitionCol: String, batchId: Long): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val staged = new org.apache.hadoop.fs.Path(root, s".staged_batch$batchId")
+    df.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(staged.toString)
+    val prefix = s"batch$batchId-"
+    def isVisible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      !(n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
+    }
+    // (2) torn-attempt debris of THIS batch, gone before the move
+    fs.listStatus(rootPath).filter(s => s.isDirectory && isVisible(s.getPath))
+      .foreach { pd =>
+        fs.listStatus(pd.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    // (3) staged files → live partitions, deterministically named
+    fs.listStatus(staged).filter(s => s.isDirectory && isVisible(s.getPath))
+      .foreach { pd =>
+        val live = new org.apache.hadoop.fs.Path(rootPath, pd.getPath.getName)
+        fs.mkdirs(live)
+        fs.listStatus(pd.getPath)
+          .filter(f => f.isFile && isVisible(f.getPath))
+          .foreach { f =>
+            val dest = new org.apache.hadoop.fs.Path(live,
+              prefix + f.getPath.getName)
+            if (!fs.rename(f.getPath, dest))
+              throw new java.io.IOException(
+                s"idempotent append: cannot move ${f.getPath} to $dest")
+          }
+      }
+    fs.delete(staged, true)
+    ()
+  }
+
   /** Compact ONE partition directory of an append-mode partitioned
     * layout — the small-files maintenance every streaming ingest needs:
     * each micro-batch appends a file per touched partition, so after N

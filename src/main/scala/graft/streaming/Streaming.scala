@@ -764,7 +764,10 @@ object Streaming {
     * replay (re-emitting double-reports pairs, re-appending the
     * inventory would double n_common and corrupt every later jaccard),
     * so a checkpoint replay of a committed batch is skipped BEFORE any
-    * pair math. */
+    * pair math, and the inventory append itself is RETRY-idempotent
+    * ([[graft.sources.ParquetSink.idempotentBatchAppend]]) so a
+    * foreachBatch retry between a completed index write and the marker
+    * cannot leave two copies of the batch's rows under one batch_id. */
   def exactPairsIngest(docs: DataFrame, idCol: String, textCol: String,
       outDir: String, indexDir: String, commitsDir: String,
       checkpointDir: String, shingleN: Int = 3, minJaccard: Double = 0.7,
@@ -804,12 +807,17 @@ object Streaming {
             .unionByName(corpusInv.withColumn("__new", lit(false)))
           graft.operators.Dedup.prefixPairsFromInventory(inv, minJaccard)
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          batchInv
-            .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"),
-              lit(batchId).as("batch_id"),
-              pmod(xxhash64(col("shingle")), lit(indexParts.toLong))
-                .as("bucket_p"))
-            .write.mode("append").partitionBy("bucket_p").parquet(indexDir)
+          // idempotent append: a foreachBatch RETRY between a completed
+          // index write and the marker must not duplicate inventory rows
+          // (duplicates double n_common and corrupt later jaccards) —
+          // the per-batch-prefix recipe in ParquetSink
+          graft.sources.ParquetSink.idempotentBatchAppend(
+            batchInv
+              .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"),
+                lit(batchId).as("batch_id"),
+                pmod(xxhash64(col("shingle")), lit(indexParts.toLong))
+                  .as("bucket_p")),
+            indexDir, "bucket_p", batchId)
           // the commit record, written LAST: everything above is now real
           val marker = new org.apache.hadoop.fs.Path(
             s"$commitsDir/batch=$batchId/_SUCCESS")
@@ -868,12 +876,19 @@ object Streaming {
     * 0.8 curation threshold clusters are near-cliques and the
     * equivalence spec proves the real corpus has no such chain.
     *
-    * Replay safety: the shard append, index appends, and manifest
-    * arithmetic are NOT idempotent, so a batch id is skipped BEFORE any
-    * work when its commit marker exists (the statsIngest discipline);
-    * markers are written LAST. Index reads see COMMITTED batches only
-    * (torn appends invisible). Re-delivered doc ids under a fresh batch
-    * id are dropped by the digest index (same text → same digest).
+    * Replay safety: a batch id is skipped BEFORE any work when its
+    * commit marker exists (the statsIngest discipline); markers are
+    * written LAST; index reads see COMMITTED batches only (torn appends
+    * invisible). The remaining window — a foreachBatch RETRY between a
+    * completed append and the marker, which a plain mode(append) would
+    * turn into duplicated rows under the same batch_id once the retry's
+    * marker lands — is closed by writing the shard and index deltas via
+    * [[graft.sources.ParquetSink.idempotentBatchAppend]]: each retry
+    * first deletes its own torn attempt's (batch-prefixed) files, so
+    * committed reads are exact across any crash point. The manifest is
+    * per-batch mode(overwrite), idempotent by construction. Re-delivered
+    * doc ids under a fresh batch id are dropped by the digest index
+    * (same text → same digest).
     *
     * Scale shape: per-batch cost is the batch's own gating + the
     * one-sided prefix probe + bounded policy/manifest joins — the d17
@@ -988,9 +1003,16 @@ object Streaming {
               floor(col("first_chunk") / chunksPerShard).cast("long"))
             .withColumn("batch_id", lit(batchId))
             .graftCheckpoint(true) // shard append + manifest consume it
-          // (6) writes: shard append, merged manifest snapshot, indexes
-          packed.write.mode("append").partitionBy("shard")
-            .parquet(shardsDir)
+          // (6) writes: shard append, merged manifest snapshot, indexes.
+          // All three appends are RETRY-idempotent (ParquetSink per-batch
+          // prefix recipe): a foreachBatch retry between a completed write
+          // and the marker would otherwise re-append the same batch's
+          // rows under the same batch_id — duplicated shard rows would
+          // double-report documents and duplicated inventory rows would
+          // inflate n_common/jaccard for later batches' near-dup
+          // decisions once the retry's marker lands.
+          graft.sources.ParquetSink.idempotentBatchAppend(
+            packed, shardsDir, "shard", batchId)
           val batchAgg = packed.groupBy(col("shard")).agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("n_tokens"),
@@ -1007,15 +1029,17 @@ object Streaming {
             min(col("first_chunk")).as("first_chunk"),
             max(col("last_chunk")).as("last_chunk"))
           merged.write.mode("overwrite").parquet(s"$manifestDir/batch=$batchId")
-          gated.select(col(idCol).as("doc"), col("__digest"), col("__dp"),
-              lit(batchId).as("batch_id"))
-            .write.mode("append").partitionBy("__dp").parquet(digestsDir)
-          batchInv
-            .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"),
-              lit(batchId).as("batch_id"),
-              pmod(xxhash64(col("shingle")), lit(indexParts.toLong))
-                .as("bucket_p"))
-            .write.mode("append").partitionBy("bucket_p").parquet(invDir)
+          graft.sources.ParquetSink.idempotentBatchAppend(
+            gated.select(col(idCol).as("doc"), col("__digest"), col("__dp"),
+              lit(batchId).as("batch_id")),
+            digestsDir, "__dp", batchId)
+          graft.sources.ParquetSink.idempotentBatchAppend(
+            batchInv
+              .select(col("doc"), col("shingle"), col("__rk"), col("n_sh"),
+                lit(batchId).as("batch_id"),
+                pmod(xxhash64(col("shingle")), lit(indexParts.toLong))
+                  .as("bucket_p")),
+            invDir, "bucket_p", batchId)
           // the commit record, written LAST: everything above is now real
           val marker = new org.apache.hadoop.fs.Path(
             s"$commitsDir/batch=$batchId/_SUCCESS")
