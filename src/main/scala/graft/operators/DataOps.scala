@@ -37,6 +37,25 @@ object DataOps {
     * one-sided JS mass). */
   private[operators] val Ln2: Double = math.log(2.0)
 
+  /** The planted-benchmark fixture for the contamination family
+    * (c01–c06) and the x01/x02 capstones: ids ≡ 0 (mod 53) BELOW
+    * `BenchIdCap`. The cap makes the benchmark CONSTANT-SIZE — ids are
+    * 0-based sequential and every SF ships ≥500 documents/vectors, so
+    * the benchmark is exactly 10 docs (and 10 vectors) at EVERY scale
+    * factor, like a real held-out benchmark would be. Without it the
+    * benchmark grew WITH the corpus (`id % 53` alone), which made the
+    * whole family read 9–17× at 10× data in scale sweeps — fixture
+    * noise drowning the scale-killer signal the sweep exists to
+    * produce. Single-sourced into the oracle SQL via [[benchSqlPred]] /
+    * [[corpusSqlPred]] (the minhashPermSqlValues convention). */
+  private[graft] val BenchIdCap = 500L
+  private[graft] def isBenchId(c: Column): Column =
+    c % 53 === 0 && c < BenchIdCap
+  private[graft] def benchSqlPred(idCol: String): String =
+    s"($idCol % 53 = 0 AND $idCol < $BenchIdCap)"
+  private[graft] def corpusSqlPred(idCol: String): String =
+    s"NOT ($idCol % 53 = 0 AND $idCol < $BenchIdCap)"
+
   /** The sk-family hash relation: (source, h) rows (NOT yet distinct)
     * where h is the 52-bit md5-derived hash of a word 3-shingle
     * (13 hex chars — 52 bits so the double lane in the heap is exact;
@@ -200,7 +219,7 @@ object DataOps {
       docs.join(broadcast(flagged.select(col("doc_id"))), Seq("doc_id")),
       "doc_id", "text", 4)
     val bench = Dedup.shingleIndex(docs, "doc_id", "text", 4)
-      .filter(col("doc") % 53 === 0).select(col("shingle")).distinct()
+      .filter(isBenchId(col("doc"))).select(col("shingle")).distinct()
       .withColumn("__hit", lit(1))
     val truth = fGrams.join(broadcast(bench), Seq("shingle"), "left")
       .groupBy(col("doc"))
@@ -236,10 +255,10 @@ object DataOps {
       .withColumn("word", expr("__pos div 32"))
       .withColumn("mask", expr("shiftleft(1L, cast(__pos % 32 as int))"))
     val grams = Dedup.shingleIndex(docs, "doc_id", "text", 4)
-    val words = withBits(grams.filter(col("doc") % 53 === 0)
+    val words = withBits(grams.filter(isBenchId(col("doc")))
         .select("shingle").distinct())
       .groupBy(col("word")).agg(expr("bit_or(mask)").as("w"))
-    withBits(grams.filter(col("doc") % 53 =!= 0))
+    withBits(grams.filter(!isBenchId(col("doc"))))
       .join(broadcast(words), Seq("word"), "left")
       .withColumn("__present",
         coalesce(col("w").bitwiseAND(col("mask")) === col("mask"),
@@ -938,8 +957,8 @@ object DataOps {
       import s.implicits._
       val docs = Tables.documents(s, d)
       prepareTrainingSet(
-        docs.filter($"doc_id" % 53 =!= 0),
-        docs.filter($"doc_id" % 53 === 0)).graftCheckpoint()
+        docs.filter(!isBenchId($"doc_id")),
+        docs.filter(isBenchId($"doc_id"))).graftCheckpoint()
     })
   }
 
@@ -2032,9 +2051,9 @@ object DataOps {
       val e = Tables.embeddings(s, d)
         .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
         .filter($"v".isNotNull && Similarity.norm($"v") > 0)
-      val bench = e.filter($"vec_id" % 53 === 0)
+      val bench = e.filter(isBenchId($"vec_id"))
         .select($"vec_id".as("bid"), $"v".as("bv"))
-      val corpus = e.filter($"vec_id" % 53 =!= 0)
+      val corpus = e.filter(!isBenchId($"vec_id"))
       corpus.crossJoin(broadcast(bench))
         .select($"vec_id",
           round(Similarity.cosine($"v", $"bv"), 9).as("cos"), $"bid")
@@ -2285,14 +2304,14 @@ object DataOps {
     "c01_contamination" -> { (s, d) =>
       import s.implicits._
       val idx = Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", 4)
-      val bench = idx.filter($"doc" % 53 === 0).select($"shingle").distinct()
+      val bench = idx.filter(isBenchId($"doc")).select($"shingle").distinct()
         .withColumn("__hit", lit(1))
       // ONE pass over the train grams: the broadcast left join marks
       // benchmark grams in place, so gram totals and hit counts come out
       // of the same map-side-partial aggregation (a semi-join + separate
       // sizes aggregation would scan the exploded index twice)
       Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", 4)
-        .filter($"doc" % 53 =!= 0)
+        .filter(!isBenchId($"doc"))
         .join(broadcast(bench), Seq("shingle"), "left")
         .groupBy($"doc")
         .agg(count(lit(1)).as("__n_gr"),
@@ -2314,7 +2333,7 @@ object DataOps {
       import s.implicits._
       val contaminated = queries("c01_contamination")(s, d).select($"doc_id")
       Tables.documents(s, d)
-        .filter($"doc_id" % 53 =!= 0)
+        .filter(!isBenchId($"doc_id"))
         .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .select($"doc_id", $"source", $"lang", $"n_chars")
     },
@@ -2328,8 +2347,8 @@ object DataOps {
       import s.implicits._
       val docs = Tables.documents(s, d)
       Dedup.substringContamination(
-        docs.filter($"doc_id" % 53 =!= 0),
-        docs.filter($"doc_id" % 53 === 0),
+        docs.filter(!isBenchId($"doc_id")),
+        docs.filter(isBenchId($"doc_id")),
         "doc_id", "text", window = 20)
     },
 
@@ -3865,7 +3884,7 @@ object DataOps {
     val ph = graft.functions.Text.PhonePattern
     s"""WITH RECURSIVE
        |train AS (SELECT doc_id, lang, source, text FROM documents
-       |  WHERE doc_id % 53 <> 0),
+       |  WHERE ${corpusSqlPred("doc_id")}),
        |ttk AS (SELECT doc_id, lang, source, text, string_split(text, ' ') t
        |  FROM train),
        |pre AS (SELECT * FROM ttk WHERE
@@ -3916,7 +3935,7 @@ object DataOps {
        |  LEFT JOIN labels l ON e.doc_id = l.doc
        |  WHERE COALESCE(l.cluster, e.doc_id) = e.doc_id),
        |btk AS (SELECT doc_id, string_split(text, ' ') t FROM documents
-       |  WHERE doc_id % 53 = 0),
+       |  WHERE ${benchSqlPred("doc_id")}),
        |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
        |    range(1, len(t) - 2),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
@@ -4286,9 +4305,10 @@ object DataOps {
     // span-equality join is the truth), so the oracle needs no hash
     // mirroring — verbatim shared 20-char spans, nothing else
     "c03_substring_contamination" ->
-      """WITH tr AS (SELECT doc_id, text FROM documents
-        |    WHERE doc_id % 53 <> 0),
-        |be AS (SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0),
+      s"""WITH tr AS (SELECT doc_id, text FROM documents
+        |    WHERE ${corpusSqlPred("doc_id")}),
+        |be AS (SELECT doc_id, text FROM documents
+        |  WHERE ${benchSqlPred("doc_id")}),
         |tw AS (SELECT DISTINCT doc_id, substring(text, pos + 1, 20) AS wt
         |  FROM (SELECT doc_id, text,
         |          unnest(range(0, greatest(length(text) - 19, 0))) AS pos
@@ -4425,7 +4445,7 @@ object DataOps {
     // c04's flagged set (same CTE body) left-joined to the true gram
     // overlap of just those docs.
     "c05_bloom_audit" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
         |  FROM toks WHERE len(t) >= 4),
@@ -4433,14 +4453,15 @@ object DataOps {
         |bb AS (SELECT DISTINCT
         |    CAST(CAST(('0x' || substring(md5('blm' || j || ':' || gram),
         |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
-        |  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0), js),
+        |  FROM (SELECT DISTINCT gram FROM g
+        |    WHERE ${benchSqlPred("doc_id")}), js),
         |words AS (SELECT pos // 32 AS word,
         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS w
         |  FROM bb GROUP BY 1),
         |pr AS (SELECT doc_id, gram,
         |    CAST(CAST(('0x' || substring(md5('blm' || j || ':' || gram),
         |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
-        |  FROM g, js WHERE doc_id % 53 <> 0),
+        |  FROM g, js WHERE ${corpusSqlPred("doc_id")}),
         |pw AS (SELECT doc_id, gram, pos // 32 AS word,
         |    CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS mask
         |  FROM pr),
@@ -4453,7 +4474,8 @@ object DataOps {
         |  FROM hit GROUP BY 1 HAVING SUM(all_set) > 0),
         |truth AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_true
         |  FROM g WHERE doc_id IN (SELECT doc_id FROM flag)
-        |    AND gram IN (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0)
+        |    AND gram IN (SELECT DISTINCT gram FROM g
+        |      WHERE ${benchSqlPred("doc_id")})
         |  GROUP BY 1)
         |SELECT f.doc_id, f.n_grams, f.n_flagged,
         |  COALESCE(t.n_true, 0) AS n_true,
@@ -4464,7 +4486,7 @@ object DataOps {
     // any false positives, which are deterministic corpus functions
     // here, not randomness.
     "c04_bloom_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
         |  FROM toks WHERE len(t) >= 4),
@@ -4472,14 +4494,15 @@ object DataOps {
         |bb AS (SELECT DISTINCT
         |    CAST(CAST(('0x' || substring(md5('blm' || j || ':' || gram),
         |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
-        |  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0), js),
+        |  FROM (SELECT DISTINCT gram FROM g
+        |    WHERE ${benchSqlPred("doc_id")}), js),
         |words AS (SELECT pos // 32 AS word,
         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS w
         |  FROM bb GROUP BY 1),
         |pr AS (SELECT doc_id, gram,
         |    CAST(CAST(('0x' || substring(md5('blm' || j || ':' || gram),
         |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
-        |  FROM g, js WHERE doc_id % 53 <> 0),
+        |  FROM g, js WHERE ${corpusSqlPred("doc_id")}),
         |pw AS (SELECT doc_id, gram, pos // 32 AS word,
         |    CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS mask
         |  FROM pr),
@@ -4495,12 +4518,13 @@ object DataOps {
         |FROM agg WHERE n_flagged > 0""".stripMargin,
 
     "c01_contamination" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
         |  FROM toks WHERE len(t) >= 4),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
-        |train AS (SELECT * FROM g WHERE doc_id % 53 <> 0),
+        |bench AS (SELECT DISTINCT gram FROM g
+        |  WHERE ${benchSqlPred("doc_id")}),
+        |train AS (SELECT * FROM g WHERE ${corpusSqlPred("doc_id")}),
         |hits AS (SELECT doc_id, COUNT(*) n_hit FROM train
         |  WHERE gram IN (SELECT gram FROM bench) GROUP BY 1),
         |sizes AS (SELECT doc_id, COUNT(*) n_gr FROM train GROUP BY 1)
@@ -4529,15 +4553,17 @@ object DataOps {
         |GROUP BY doc_id""".stripMargin,
 
     "c02_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
         |  FROM toks WHERE len(t) >= 4),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
+        |bench AS (SELECT DISTINCT gram FROM g
+        |  WHERE ${benchSqlPred("doc_id")}),
         |hits AS (SELECT DISTINCT doc_id FROM g
-        |  WHERE doc_id % 53 <> 0 AND gram IN (SELECT gram FROM bench))
+        |  WHERE ${corpusSqlPred("doc_id")}
+        |    AND gram IN (SELECT gram FROM bench))
         |SELECT doc_id, source, lang, n_chars FROM documents
-        |WHERE doc_id % 53 <> 0
+        |WHERE ${corpusSqlPred("doc_id")}
         |  AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
 
     "p02_sliding_chunks" ->
@@ -5615,12 +5641,13 @@ object DataOps {
         |FROM es JOIN tr ON es.source = tr.source""".stripMargin,
 
     "c06_semantic_contamination" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings
         |  WHERE sqrt(list_dot_product(embedding::DOUBLE[],
         |    embedding::DOUBLE[])) > 0),
-        |b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 53 = 0),
-        |c AS (SELECT * FROM e WHERE vec_id % 53 <> 0),
+        |b AS (SELECT vec_id AS bid, v AS bv FROM e
+        |  WHERE ${benchSqlPred("vec_id")}),
+        |c AS (SELECT * FROM e WHERE ${corpusSqlPred("vec_id")}),
         |sc AS (SELECT c.vec_id, bid,
         |    round(list_dot_product(v, bv) /
         |      (sqrt(list_dot_product(v, v)) *

@@ -155,10 +155,26 @@ object Dedup {
     * Scale shape: candidate pairs come from sub-`maxDocFreq` posting
     * lists (the d02 stop-shingle contract — a shingle in thousands of
     * docs generates df² candidate rows and, at idf ≈ ln(N/df) → 0,
-    * nearly zero score mass); the dot product then runs over the FULL
-    * weight vectors of surviving candidates, so scores are exact even
-    * when the overlap includes hot shingles — the cap bounds RECALL of
-    * candidate generation only, never the score of a reported pair.
+    * nearly zero score mass); scores are exact even when the overlap
+    * includes hot shingles — the cap bounds RECALL of candidate
+    * generation only, never the score of a reported pair.
+    *
+    * Dot computation is POSTING-INTERSECTION, not vector re-join: the
+    * sub-cap posting self-join that generates candidates carries the
+    * two weights along and aggregates Σ wa·wb + shared-shingle count in
+    * the SAME shuffle that used to feed a bare DISTINCT — so the
+    * sub-cap share of every dot is paid for by candidate generation
+    * itself. Only the ABOVE-cap (hot) terms of surviving pairs are then
+    * completed by a keyed join against the hot slice of the weight
+    * relation — a per-pair expansion bounded by the handful of hot
+    * shingles a document contains, not its full vector. (The previous
+    * formulation expanded every candidate pair by doc_a's ENTIRE
+    * vector: |cand|·|doc| rows into the shuffle — 11% of the sf1 sweep
+    * by itself.) Exactness of the split: both partial dots are DECIMAL
+    * sums (exact, order-free) over disjoint shingle sets, re-added as
+    * decimals (scale preserved: (30,12)+(30,12) → (31,12), no
+    * precision cap), so the total equals the single-sum oracle value
+    * bit-for-bit after the one cast to double.
     * Every shuffle keys on shingle or doc id; nothing is all-pairs. */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minCosine: Double, maxDocFreq: Long): DataFrame = {
@@ -173,28 +189,66 @@ object Dedup {
       .select($"doc", $"shingle", $"__df",
         round($"tf" * log($"__n" / $"__df"), 6).cast("decimal(18,6)")
           .as("w"))
-      .graftCheckpoint(true) // norms, candidates, and both dot probes
+      .graftCheckpoint(true) // norms, sub/hot slices reuse it
     val norms = w.groupBy($"doc")
       .agg(sqrt(sum($"w" * $"w").cast("double")).as("norm"))
-    val sub = w.filter($"__df" <= maxDocFreq).select($"doc", $"shingle")
-    val cand = sub.select($"doc".as("doc_a"), $"shingle")
-      .join(sub.select($"doc".as("doc_b"), $"shingle")
-        .hint("shuffle_hash"), Seq("shingle"))
+    // Norms ride the POSTING rows into the pair aggregate (max() of a
+    // per-doc constant) — the alternative is two joins keyed on doc_a /
+    // doc_b over the PAIR relation, which at sf1 shuffles the 11M-pair
+    // aggregate twice to look up 50k scalars. One 2.6M-row keyed join
+    // here replaces both.
+    val sub = w.filter($"__df" <= maxDocFreq)
+      .select($"doc", $"shingle", $"w")
+      .join(norms.hint("shuffle_hash"), Seq("doc"))
+    // candidate generation + sub-cap dot share, ONE shuffle: w*w is
+    // decimal(37,12); its sum (38,12) downcasts exactly to (30,12)
+    // (values ≤ ~1e14 by construction: w ≤ tf·ln N ≤ ~1e5, ≤ ~1e4
+    // shared shingles per pair)
+    val subAgg = sub.select($"doc".as("doc_a"), $"shingle",
+        $"w".as("__wa"), $"norm".as("__na0"))
+      .join(sub.select($"doc".as("doc_b"), $"shingle", $"w".as("__wb"),
+        $"norm".as("__nb0")).hint("shuffle_hash"), Seq("shingle"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
-    val dot = cand
-      .join(w.select($"doc".as("doc_a"), $"shingle", $"w".as("__wa")),
-        Seq("doc_a"))
-      .join(w.select($"doc".as("doc_b"), $"shingle", $"w".as("__wb"))
-        .hint("shuffle_hash"), Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_common"),
-        sum($"__wa" * $"__wb").cast("double").as("__dot"))
+      .agg(count(lit(1)).as("__nc_sub"),
+        sum($"__wa" * $"__wb").cast("decimal(30,12)").as("__dot_sub"),
+        max($"__na0").as("__na"), max($"__nb0").as("__nb"))
+    // Hot completion: surviving pairs × their few above-cap terms.
+    // Gated by a driver scalar on the CHECKPOINTED w (a bounded
+    // limit-1 probe, the Graph.scala guard convention): most corpora
+    // have no above-cap trigram at all, and the no-hot branch then
+    // skips both the pair-relation checkpoint (subAgg feeds a single
+    // consumer) and the completion joins outright.
+    val anyHot = !w.filter($"__df" > maxDocFreq).limit(1).isEmpty
+    val dot =
+      if (!anyHot)
+        subAgg.select($"doc_a", $"doc_b", $"__na", $"__nb",
+          $"__nc_sub".as("n_common"),
+          $"__dot_sub".cast("double").as("__dot"))
+      else {
+        val subC = subAgg.graftCheckpoint(true) // hot probe + assembly
+        val hot = w.filter($"__df" > maxDocFreq)
+          .select($"doc", $"shingle", $"w")
+        val hotAgg = subC.select($"doc_a", $"doc_b")
+          .join(hot.select($"doc".as("doc_a"), $"shingle",
+            $"w".as("__wa")), Seq("doc_a"))
+          .join(hot.select($"doc".as("doc_b"), $"shingle",
+            $"w".as("__wb")).hint("shuffle_hash"),
+            Seq("doc_b", "shingle"))
+          .groupBy($"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("__nc_hot"),
+            sum($"__wa" * $"__wb").cast("decimal(30,12)").as("__dot_hot"))
+        subC
+          .join(hotAgg.hint("shuffle_hash"), Seq("doc_a", "doc_b"),
+            "left")
+          .select($"doc_a", $"doc_b", $"__na", $"__nb",
+            ($"__nc_sub" + coalesce($"__nc_hot", lit(0L)))
+              .as("n_common"),
+            ($"__dot_sub" + coalesce($"__dot_hot",
+                lit(java.math.BigDecimal.ZERO).cast("decimal(30,12)")))
+              .cast("double").as("__dot"))
+      }
     dot
-      .join(norms.select($"doc".as("doc_a"), $"norm".as("__na"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(norms.select($"doc".as("doc_b"), $"norm".as("__nb"))
-        .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("cosine", round($"__dot" / ($"__na" * $"__nb"), 9))
       .filter($"cosine" >= minCosine)
       .select($"doc_a", $"doc_b", $"n_common", $"cosine")
@@ -707,12 +761,20 @@ object Dedup {
     // is bounded by the benchmark inventory, and the final join is on
     // (h, span) — span equality IS the truth, no verify step, no
     // collision sensitivity at all.
+    // BROADCAST the benchmark inventory, never shuffle the stream: the
+    // exploded train side is one row per CHARACTER POSITION and each
+    // row still carries the full document text until the substr
+    // projection below — shuffling it ships ~|doc|² bytes per document
+    // (measured 11.6× at 10× data; the sf1 sweep's worst line). A held-
+    // out benchmark is constant-size by definition (enforced by the
+    // isBenchId cap for the fixture), so both the hash probe and the
+    // span-verify join are map-side and the train pass is one scan.
     val ti = train.select(col(idCol).as("doc"), col(textCol).as("__t"),
         window_hashes(col(textCol), window).as(Seq("pos", "h")))
-      .join(benchHashes.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
       .select($"doc", $"h", $"__t".substr($"pos" + 1, lit(window)).as("wt"))
       .distinct()
-    ti.join(bi.hint("shuffle_hash"), Seq("h", "wt"))
+    ti.join(broadcast(bi), Seq("h", "wt"))
       .groupBy($"doc")
       .agg(countDistinct($"bdoc").as("n_bench_docs"),
         countDistinct($"wt").as("n_shared_spans"))

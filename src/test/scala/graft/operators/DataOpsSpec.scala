@@ -1850,6 +1850,53 @@ class DataOpsSpec extends SparkSpec {
       got((1L, 3L)) > got((3L, 4L)))
   }
 
+  test("s11 hot-shingle split: above-cap terms complete the dot " +
+    "EXACTLY (identical docs score 1.0 only if hot mass is included); " +
+    "hot-only overlap is never a candidate; pairs with no hot overlap " +
+    "take the empty-completion path") {
+    // maxDocFreq = 2 makes the two shingles shared by docs 1/2/3 HOT
+    // (df = 3) while the rest stay sub-cap. The posting-intersection
+    // rewrite computes each dot as (sub-cap share from candidate
+    // generation) + (hot completion join) — this corpus exercises all
+    // three branches of that split.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta red green blue"),
+      (2L, "alpha beta gamma delta red green blue"), // identical to 1
+      (3L, "alpha beta gamma delta different tail words"),
+      (4L, "totally unrelated content one two"),
+      (5L, "totally unrelated content six seven")
+    ).toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(docs, "doc_id", "text", n = 3,
+        minCosine = 0.0, maxDocFreq = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // (1,3)/(2,3) share ONLY the hot shingles -> not candidates (the
+    // documented recall cap); (1,2) and (4,5) share sub-cap shingles
+    assert(got.keySet === Set((1L, 2L), (4L, 5L)),
+      "hot-only overlap must not generate a candidate pair")
+    // identical docs: dot == norm² holds ONLY if the hot completion
+    // contributes its decimal mass; n_common counts hot terms too
+    // (3 sub-cap + 2 hot = 5 shared shingles)
+    assert(got((1L, 2L)) === ((5L, 1.0)),
+      "identical docs must score exactly 1.0 with all 5 shared shingles")
+    // (4,5): one shared sub-cap shingle, NO shared hot shingle -> the
+    // hot completion is empty and the zero-decimal coalesce must kick
+    // in. Expected value mirrored by the engine's exact recipe:
+    // w = round(tf·ln(N/df), 6) as DECIMAL, dot/norm² decimal sums,
+    // sqrt+division in doubles, final round 9dp HALF_UP.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def w(df: Long) =
+      JBD.valueOf(math.log(5.0 / df)).setScale(6, RoundingMode.HALF_UP)
+    val wT = w(2); val wO = w(1)
+    val dot = wT.multiply(wT)
+    val nsq = wT.multiply(wT).add(wO.multiply(wO)).add(wO.multiply(wO))
+    val nrm = math.sqrt(nsq.doubleValue)
+    val cos = JBD.valueOf(dot.doubleValue / (nrm * nrm))
+      .setScale(9, RoundingMode.HALF_UP).doubleValue
+    assert(got((4L, 5L)) === ((1L, cos)),
+      "a no-hot-overlap pair must score its sub-cap dot exactly")
+  }
+
   test("x07 curriculum: tercile thresholds stage docs easy to hard, " +
     "equal difficulty lands in the same stage") {
     // mean token lengths 2, 4, 8, 2: quantile_cont thresholds over
