@@ -295,17 +295,22 @@ object Dedup {
       .join(sizes.hint("shuffle_hash"), Seq("doc"))
       .filter($"__rk" <= $"n_sh" - ceil(lit(minJaccard) * $"n_sh") + 1)
       .select($"doc", $"shingle", $"n_sh")
+    // shuffle_hash on every large join: at sf1-skew sizes AQE flips
+    // unhinted large×large joins to SortMergeJoin (the skew-leg census
+    // caught exactly that here) — the census convention is SHJ
+    // everywhere bounded, SMJ only where a full sort pays for itself
     val cand = prefix.select($"doc".as("doc_a"), $"shingle",
         $"n_sh".as("__na"))
       .join(prefix.select($"doc".as("doc_b"), $"shingle",
-        $"n_sh".as("__nb")), Seq("shingle"))
+        $"n_sh".as("__nb")).hint("shuffle_hash"), Seq("shingle"))
       .filter($"doc_a" < $"doc_b" &&
         // J ≥ τ forces the sizes within a τ factor of each other
         $"__nb" >= lit(minJaccard) * $"__na" &&
         $"__na" >= lit(minJaccard) * $"__nb")
       .select($"doc_a", $"doc_b").distinct()
     val common = cand
-      .join(sh.select($"doc".as("doc_a"), $"shingle"), Seq("doc_a"))
+      .join(sh.select($"doc".as("doc_a"), $"shingle").hint("shuffle_hash"),
+        Seq("doc_a"))
       .join(sh.select($"doc".as("doc_b"), $"shingle").hint("shuffle_hash"),
         Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
@@ -392,7 +397,7 @@ object Dedup {
     val cand = prefix.filter($"__new")
       .select($"doc".as("doc_n"), $"shingle", $"n_sh".as("__nn"))
       .join(prefix.select($"doc".as("doc_o"), $"shingle",
-        $"n_sh".as("__no")), Seq("shingle"))
+        $"n_sh".as("__no")).hint("shuffle_hash"), Seq("shingle"))
       .filter($"doc_n" =!= $"doc_o" &&
         // J ≥ τ forces the sizes within a τ factor of each other
         $"__no" >= lit(minJaccard) * $"__nn" &&
@@ -401,7 +406,8 @@ object Dedup {
         greatest($"doc_n", $"doc_o").as("doc_b"))
       .distinct()
     val common = cand
-      .join(inv.select($"doc".as("doc_a"), $"shingle"), Seq("doc_a"))
+      .join(inv.select($"doc".as("doc_a"), $"shingle").hint("shuffle_hash"),
+        Seq("doc_a"))
       .join(inv.select($"doc".as("doc_b"), $"shingle").hint("shuffle_hash"),
         Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
