@@ -46,15 +46,24 @@ object Bench {
     // normal bench harness — the write-amplification number SCALE.md
     // quotes comes from exactly this switch.
     val ckptMode = sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT", "local")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER + SPARK_GRAFT_JARS: the Verify convention —
+    // lets the sweep run under local-cluster[W,C,MB] (real executor
+    // processes, real transport) for the cluster-vs-local delta
+    // BASELINE.md records. Cluster runs write a ".cluster"-suffixed
+    // artifact so they can never clobber the committed quiet-machine
+    // local artifact the round-over-round protocol diffs.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("graft.checkpoint", ckptMode)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = ClusterEnv.withExecutorEnv(builder,
+      sys.env.get("SPARK_GRAFT_JARS"),
+      sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths once so the first measured query doesn't
     // absorb all of classloading + JIT.
@@ -147,6 +156,7 @@ object Bench {
     // the sf1 artifact was clobbered by a subset run and had to be
     // restored from git).
     val outName = "bench_" + new java.io.File(sfDir).getName +
+      (if (master.startsWith("local-cluster")) ".cluster" else "") +
       (if (only.isDefined) ".subset" else "") + ".json"
     try {
       val w = new java.io.PrintWriter(new java.io.File(outName), "UTF-8")

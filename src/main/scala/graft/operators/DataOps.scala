@@ -3879,6 +3879,78 @@ object DataOps {
   // quotas, and the p01 cumsum pack. Value-level agreement here gates
   // the COMPOSITION (stage wiring, which relation feeds which), not
   // just the stages.
+  /** e06's oracle: Lloyd's k-means REBUILT in SQL — the fixed-iteration
+    * unrolling convention (lp01/g05: k rounds = k stacked CTEs) applied
+    * to the one "iterative" op that still lacked an oracle. Three
+    * rounds, nCells = 16, dim = 64 (the fixture's embedding width).
+    * Every number that crosses the engine boundary is exact by
+    * construction:
+    *
+    *   - distances: the 64-term (v[i]-c[i])² sum is written out
+    *     left-associated, matching sq_dist_double's left-to-right fused
+    *     loop — identical IEEE trees are bit-equal cross-engine (the
+    *     round-10 convention); argmin ties break on cell in both
+    *     (min(struct(d, cell)) ↔ ORDER BY d, cell);
+    *   - centroids: mean inputs are round(x, 6) (Ivf.kmeans quantizes
+    *     them identically), so per-(cell, dim) sums are exact integer
+    *     MICRO-UNITS (HUGEINT); vector_mean's scale-20 HALF_UP division
+    *     is mirrored exactly as sign-aware integer arithmetic
+    *     (su·2·10¹⁴ + n) // (2n), and the decimal→double re-entry goes
+    *     through text ('<M>e-20'), which is correctly rounded in both
+    *     engines — no decimal division semantics are borrowed from
+    *     DuckDB at all;
+    *   - the final per-cell pick is the md5Bucket UBIGINT convention
+    *     (heap order (−bkt desc, id asc) ≡ ORDER BY bkt, vec_id).
+    *
+    * A cell that loses all members drops out of GROUP BY means in both
+    * engines (standard Lloyd's). Dim/cell counts are the FIXTURE's —
+    * the oracle is fixture-specific like every other oracle here. */
+  private def e06Sql: String = {
+    val dim = 64
+    val cells = 16
+    def dist(v: String, c: String): String =
+      (1 to dim).map(i => s"($v[$i]-$c[$i])*($v[$i]-$c[$i])")
+        .mkString(" + ")
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e.v", "c.centroid")} ASC, c.cell ASC) AS rn
+         |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
+    def meansCte(name: String, assigned: String): String =
+      s"""$name AS (
+         |  SELECT cell, list(cd ORDER BY dim) AS centroid FROM (
+         |    SELECT cell, dim,
+         |      CAST(CAST(CASE WHEN su >= 0
+         |          THEN (su * 200000000000000 + n) // (2 * n)
+         |          ELSE -(((-su) * 200000000000000 + n) // (2 * n))
+         |        END AS VARCHAR) || 'e-20' AS DOUBLE) AS cd
+         |    FROM (
+         |      SELECT cell, i AS dim,
+         |        SUM(CAST(CAST(round(v[i], 6) AS DECIMAL(18,6)) * 1000000
+         |          AS HUGEINT)) AS su,
+         |        COUNT(*) AS n
+         |      FROM $assigned, (SELECT unnest(range(1, ${dim + 1})) AS i)
+         |      GROUP BY 1, 2)
+         |  ) GROUP BY cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS centroid
+       |  FROM e ORDER BY vec_id LIMIT $cells),
+       |${assignCte("a1", "c0")},
+       |${meansCte("m1", "a1")},
+       |${assignCte("a2", "m1")},
+       |${meansCte("m2", "a2")},
+       |${assignCte("a3", "m2")},
+       |${meansCte("m3", "a3")},
+       |${assignCte("a4", "m3")}
+       |SELECT CAST(cell AS BIGINT) AS cell, vec_id FROM (
+       |  SELECT cell, vec_id, ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY CAST(('0x' || substring(md5(vec_id::VARCHAR), 1, 8))
+       |        AS UBIGINT) ASC, vec_id ASC) AS rk
+       |  FROM a4)
+       |WHERE rk <= 10""".stripMargin
+  }
+
   private def trainingSetSql = {
     val em = graft.functions.Text.EmailPattern
     val ph = graft.functions.Text.PhonePattern
@@ -3994,6 +4066,7 @@ object DataOps {
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
+    "e06_diverse_sample" -> e06Sql,
     "x01_training_set" -> trainingSetSql,
 
     // the closed-form shard aggregation over the SAME end-to-end x01

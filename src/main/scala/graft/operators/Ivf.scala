@@ -61,9 +61,20 @@ object Ivf {
       .graftCheckpoint(true)
     for (_ <- 1 to iterations) {
       val assigned = assign(vectors, centroids)
+      // Mean INPUTS round to 6 dp (the cross-engine round convention)
+      // before the exact-decimal accumulation: every number that crosses
+      // an engine boundary is then a 6-dp lattice point, which is what
+      // lets e06's DuckDB oracle rebuild these exact centroids — the
+      // scale-20 quantization inside vector_mean becomes a no-op pad
+      // (6 ≤ 20, nothing to round), the per-cell sums are exact integer
+      // micro-units, and the scale-20 HALF_UP mean division is mirrored
+      // in HUGEINT arithmetic. A ≤1e-6 centroid perturbation is
+      // irrelevant to every consumer (recall-gated ANN paths, cell
+      // sampling); determinism under partitioning is unchanged.
       val means = assigned
         .groupBy(col("cell"))
-        .agg(graft.functions.VectorMean.vector_mean(col("v")).as("centroid"))
+        .agg(graft.functions.VectorMean.vector_mean(
+          transform(col("v"), x => round(x, 6))).as("centroid"))
       centroids = means.graftCheckpoint(true)
     }
     centroids

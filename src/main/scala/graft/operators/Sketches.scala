@@ -65,13 +65,17 @@ object Sketches {
         "in the same family")
     val bf = bloom(keys, keyCol, expectedItems, fpp)
     val bcast = df.sparkSession.sparkContext.broadcast(bf)
-    val probe = fam match {
-      case "string" =>
-        udf((v: String) => v != null && bcast.value.mightContainString(v))
-      case _ =>
-        udf((v: java.lang.Long) => v != null && bcast.value.mightContainLong(v))
+    // codegen'd native probe (graft.functions.BloomMightContain): stays
+    // inside the scan's whole-stage pipeline, no per-row boxing — the
+    // scalar-UDF form split codegen at exactly the operator whose point
+    // is to be a free map-side pre-filter. Narrow integrals widen to
+    // long explicitly (the filter hashed them via putLong).
+    val probeChild = fam match {
+      case "string" => col(colName)
+      case _ => col(colName).cast("long")
     }
-    df.filter(probe(col(colName)))
+    df.filter(
+      graft.functions.BloomExprs.bloom_might_contain(probeChild, bcast))
   }
 
   /** Heavy hitters: values whose frequency exceeds `support` fraction of

@@ -45,6 +45,31 @@ class SketchesSpec extends SparkSpec {
     // no false negatives → the pre-filter retains at least all true rows
     assert(filtered.count() >= trueMatches.count())
     assert(filtered.join(purchasers, "user_id").count() === trueMatches.count())
+    // the probe is the NATIVE codegen'd expression, inside whole-stage
+    // codegen — no scalar UDF splitting the scan pipeline
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      "probe must be the native BloomMightContain expression")
+    assert(!plan.contains("UDF"), "probe must not be a scalar UDF")
+  }
+
+  test("bloom pre-filter: string keys probe UTF-8 bytes (parity with " +
+    "mightContainString), nulls never pass, codegen and interpreted agree") {
+    val keys = Seq("alpha", "beta", "gamma").toDF("k")
+    val probe = Seq(Some("alpha"), Some("beta"), Some("zeta"), None)
+      .toDF("k")
+    val bf = Sketches.bloom(keys, "k", expectedItems = 100, fpp = 0.001)
+    val got = Sketches.bloomPreFilter(probe, "k", keys, "k",
+      expectedItems = 100, fpp = 0.001)
+      .as[String].collect().toSet
+    // members always pass (no false negatives); null NEVER passes
+    assert(Set("alpha", "beta").subsetOf(got))
+    assert(!got.contains(null))
+    // parity with the filter's own string hashing for every probe value
+    Seq("alpha", "beta", "zeta").foreach { v =>
+      assert(got.contains(v) === bf.mightContainString(v),
+        s"probe('$v') must equal mightContainString")
+    }
   }
 
   test("approx quantiles within rank-error bound of exact") {
