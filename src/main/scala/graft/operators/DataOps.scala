@@ -3879,6 +3879,131 @@ object DataOps {
   // quotas, and the p01 cumsum pack. Value-level agreement here gates
   // the COMPOSITION (stage wiring, which relation feeds which), not
   // just the stages.
+  /** The BPE state machine REBUILT in SQL — 20 training rounds unrolled
+    * (the e06/lp01/g05 fixed-iteration convention), shared by t18's and
+    * t20's oracles. State: one row per (word, pos, sym) over the
+    * corpus's distinct pre-token words (regexp pieces — the t14 pattern,
+    * already cross-engine-proven) weighted by occurrence frequency.
+    *
+    * Per round: adjacent-pair counts weighted by word freq → argmax with
+    * the engine's exact tie order (cnt DESC, l ASC, r ASC — binary
+    * string collation in both engines) → greedy LEFT-TO-RIGHT
+    * non-overlapping replacement. The greedy scan is modeled STATICALLY:
+    * candidate starts can only be adjacent when l = r (a candidate at
+    * pos and pos+1 forces s[pos+1] = r = l), so within each maximal run
+    * of consecutive candidate starts the greedy pass keeps exactly the
+    * odd-indexed ones (the run-parity trick: run id = pos − rank-in-w,
+    * keep rank-in-run odd). The merged symbol can never complete a NEW
+    * overlapping occurrence inside the same round (l+r = l needs r
+    * empty), which is what makes the static model exact — it mirrors
+    * applyMerge's fold-accumulator argument (Bpe.scala:33-48).
+    *
+    * A round with no remaining pair leaves an empty mk CTE: candidates
+    * vanish, the state passes through unchanged, and the merge-table
+    * row for that rank is simply absent — the engine's early-stop,
+    * reproduced structurally. st/mk CTEs are MATERIALIZED (the g05
+    * lesson: multi-referenced unrolled CTEs inline exponentially in
+    * DuckDB otherwise). */
+  private def bpeRoundsSql(rounds: Int): String = {
+    val st0 =
+      s"""w0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM (
+         |  SELECT unnest(regexp_extract_all(text, '$BpePattern')) AS w
+         |  FROM documents) GROUP BY w),
+         |st0 AS MATERIALIZED (SELECT w, freq,
+         |    unnest(range(1, length(w) + 1)) AS pos,
+         |    unnest(list_transform(range(1, length(w) + 1),
+         |      i -> w[i])) AS sym
+         |  FROM w0)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""pk$k AS (SELECT a.sym AS l, b.sym AS r,
+         |    CAST(SUM(a.freq) AS BIGINT) AS cnt
+         |  FROM st$p a JOIN st$p b ON a.w = b.w AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |mk$k AS MATERIALIZED (SELECT l, r, cnt FROM pk$k
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |ck$k AS (SELECT a.w, a.pos,
+         |    ROW_NUMBER() OVER (PARTITION BY a.w ORDER BY a.pos) AS cn
+         |  FROM st$p a JOIN st$p b ON a.w = b.w AND b.pos = a.pos + 1
+         |  JOIN mk$k m ON a.sym = m.l AND b.sym = m.r),
+         |kp$k AS MATERIALIZED (SELECT w, pos FROM (
+         |    SELECT w, pos, ROW_NUMBER() OVER (
+         |      PARTITION BY w, pos - cn ORDER BY pos) AS rn
+         |    FROM ck$k) WHERE rn % 2 = 1),
+         |st$k AS MATERIALIZED (SELECT s.w, s.freq,
+         |    ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY s.pos) AS pos,
+         |    CASE WHEN kp.pos IS NOT NULL
+         |      THEN (SELECT l || r FROM mk$k) ELSE s.sym END AS sym
+         |  FROM st$p s
+         |  LEFT JOIN kp$k kp ON s.w = kp.w AND s.pos = kp.pos
+         |  WHERE NOT EXISTS (SELECT 1 FROM kp$k k2
+         |    WHERE k2.w = s.w AND k2.pos = s.pos - 1))""".stripMargin
+    }
+    (st0 +: steps).mkString(",\n")
+  }
+
+  /** t18's oracle: the 20 argmax rows of [[bpeRoundsSql]]. */
+  private def bpeMergesSql: String = {
+    val rows = (1 to 20).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left", r AS "right",
+         |  l || r AS merged, cnt AS pair_count FROM mk$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${bpeRoundsSql(20)}\n$rows"
+  }
+
+  /** t20's oracle: encode the corpus with the final state — each
+    * pre-token piece (in document order) contributes its trained
+    * segmentation (in position order); the flattened stream yields the
+    * token count and the first-8 preview, exactly the engine's
+    * flatten(transform(pieces, bpe_encode)). */
+  private def bpeEncodeSql: String =
+    s"""WITH ${bpeRoundsSql(20)},
+       |dp AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '$BpePattern')) AS piece,
+       |    unnest(range(1, len(regexp_extract_all(text, '$BpePattern'))
+       |      + 1)) AS pidx
+       |  FROM documents),
+       |flat AS (SELECT dp.doc_id, dp.pidx, s.pos AS sidx, s.sym
+       |  FROM dp JOIN st20 s ON s.w = dp.piece),
+       |tok AS (SELECT doc_id, sym, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY pidx, sidx) AS tn
+       |  FROM flat),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_bpe_tokens,
+       |    string_agg(sym, ',' ORDER BY tn) FILTER (WHERE tn <= 8)
+       |      AS first8
+       |  FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  len(regexp_extract_all(d.text, '$BpePattern')) AS n_pieces,
+       |  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  CASE WHEN COALESCE(a.n_bpe_tokens, 0) = 0 THEN 0.0
+       |       ELSE length(d.text)::DOUBLE / a.n_bpe_tokens
+       |  END AS chars_per_token,
+       |  COALESCE(a.first8, '') AS first8_tokens
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** x04's oracle: the t20 encode composed with p01's global-cumsum
+    * pack (capacity 512) and the x02 shard grouping (8 chunks/shard) —
+    * pure composition of already-proven oracle bodies, the d08
+    * convention. Zero-token docs never reach the pack (packChunksBySize
+    * filters n > 0; here they simply have no flat rows). */
+  private def bpeShardsSql: String =
+    s"""WITH ${bpeRoundsSql(20)},
+       |dp AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '$BpePattern')) AS piece
+       |  FROM documents),
+       |cnt AS (SELECT dp.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM dp JOIN st20 s ON s.w = dp.piece GROUP BY dp.doc_id),
+       |c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cnt),
+       |p AS (SELECT doc_id, n, (cum - n) // 512 AS fc, (cum - 1) // 512
+       |    AS lc FROM c)
+       |SELECT CAST(fc // 8 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(MIN(fc) AS BIGINT) AS first_chunk,
+       |  CAST(MAX(lc) AS BIGINT) AS last_chunk
+       |FROM p GROUP BY 1""".stripMargin
+
   /** e06's oracle: Lloyd's k-means REBUILT in SQL — the fixed-iteration
     * unrolling convention (lp01/g05: k rounds = k stacked CTEs) applied
     * to the one "iterative" op that still lacked an oracle. Three
@@ -4067,6 +4192,9 @@ object DataOps {
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
     "e06_diverse_sample" -> e06Sql,
+    "t18_bpe_merges" -> bpeMergesSql,
+    "t20_bpe_encode" -> bpeEncodeSql,
+    "x04_bpe_shards" -> bpeShardsSql,
     "x01_training_set" -> trainingSetSql,
 
     // the closed-form shard aggregation over the SAME end-to-end x01
