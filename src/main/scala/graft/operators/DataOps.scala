@@ -51,6 +51,12 @@ object DataOps {
   private[graft] val BenchIdCap = 500L
   private[graft] def isBenchId(c: Column): Column =
     c % 53 === 0 && c < BenchIdCap
+  /** Driver-side twin of [[isBenchId]] for row-level assertions in
+    * specs — keeps the train/bench split single-sourced (a test that
+    * re-derives `% 53` silently diverges from the capped predicate the
+    * moment a fixture ships more than [[BenchIdCap]] docs). */
+  private[graft] def isBenchId(id: Long): Boolean =
+    id % 53 == 0 && id < BenchIdCap
   private[graft] def benchSqlPred(idCol: String): String =
     s"($idCol % 53 = 0 AND $idCol < $BenchIdCap)"
   private[graft] def corpusSqlPred(idCol: String): String =
@@ -3586,9 +3592,11 @@ object DataOps {
     // PCA spectrum by subspace iteration (see [[Pca]]): one aggregation
     // pass per iteration computes ALL k candidate directions, the
     // driver re-orthonormalizes k×dim doubles (bounded model scalar).
-    // Vectors never shuffle. No SQL oracle (iterative fixpoint, and
-    // directions are sign-ambiguous) — planted-anisotropy, orthonormal,
-    // spectrum-ordering, and repartition-invariance gates in PcaSpec.
+    // Vectors never shuffle. EXACTLY oracled (e07Sql — the e06
+    // fixed-iteration unrolling; sign-ambiguity is resolved by the
+    // deterministic seeds, so the oracle reproduces the signs as
+    // computed), plus planted-anisotropy, orthonormal, spectrum-ordering,
+    // and repartition-invariance gates in PcaSpec.
     "e07_pca" -> { (s, d) =>
       Pca.pcaQuery(Tables.embeddings(s, d), k = 3)
     },
@@ -4004,6 +4012,151 @@ object DataOps {
        |  CAST(MAX(lc) AS BIGINT) AS last_chunk
        |FROM p GROUP BY 1""".stripMargin
 
+  /** e07's oracle: subspace-iteration PCA REBUILT in SQL — the e06
+    * fixed-iteration unrolling convention applied to [[Pca.fit]]'s 8
+    * passes. Every number that crosses the engine boundary is exact by
+    * construction:
+    *
+    *   - the initial orthonormal basis depends on no data
+    *     ([[Pca.initComponents]] — LCG seeds + driver Gram-Schmidt), so
+    *     its EXACT doubles are interpolated as literals (the
+    *     minhashPermSqlValues single-sourcing convention; Double.toString
+    *     round-trips through DuckDB's correctly-rounded parse);
+    *   - per-row projections d_j are `dot_double` left-to-right folds ≡
+    *     DuckDB `list_dot_product` (the s01/e02 committed convention);
+    *   - every vector_mean input is pre-rounded (6dp raw vectors, 9dp
+    *     projection products — [[Pca.fit]]'s quantization), so
+    *     per-dim sums are exact integer micro/nano-units (HUGEINT), and
+    *     the scale-20 HALF_UP mean division + text re-entry mirror
+    *     e06's meansCte exactly;
+    *   - the driver-side Gram-Schmidt is sequential IEEE arithmetic over
+    *     those bit-equal lists: dots are the same left folds
+    *     (list_dot_product), subtraction/normalization elementwise — so
+    *     each round's components are bit-equal, and after 8 rounds the
+    *     spectrum pass (9dp-rounded decimal sums, the committed
+    *     CAST(SUM(DECIMAL) AS DOUBLE) pattern) and the final
+    *     round/argmax projection land on identical values.
+    *
+    * Component CTEs are MATERIALIZED: g-round CTEs are referenced 3-4
+    * times each (next round's projections + Gram-Schmidt of later
+    * components), and DuckDB would otherwise inline the reference tree
+    * exponentially (the g05 lesson). */
+  private def e07Sql: String = {
+    val dim = 64
+    val k = 3
+    val iterations = 8
+    def lits(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    val init = Pca.initComponents(k, dim)
+    // scale-20 HALF_UP mean of scale-`s` HUGEINT sums, re-entered as
+    // double via text — e06's meansCte division, generalized over the
+    // input scale
+    def meanDiv(su: String, n: String, s: Int): String = {
+      val f = "1" + "0" * (20 - s) // 10^(20-s)
+      s"""CAST(CAST(CASE WHEN $su >= 0
+         |      THEN ($su * 2 * $f + $n) // (2 * $n)
+         |      ELSE -((-($su) * 2 * $f + $n) // (2 * $n))
+         |    END AS VARCHAR) || 'e-20' AS DOUBLE)""".stripMargin
+    }
+    // one iteration: project on the previous basis, mean the scaled
+    // vectors (ONE grouped pass computes all k lanes), Gram-Schmidt
+    def iterCtes(t: Int, prev: Seq[String]): String = {
+      val dots = (0 until k).map(j =>
+        s"list_dot_product(vc, g$j.c) AS d$j").mkString(", ")
+      val from = (0 until k).map(j => s"${prev(j)} g$j").mkString(", ")
+      val sums = (0 until k).map(j =>
+        s"""SUM(CAST(CAST(round(vc[i] * d$j, 9) AS DECIMAL(18,9))
+           |      * 1000000000 AS HUGEINT)) AS su$j""".stripMargin)
+        .mkString(",\n|    ")
+      val cds = (0 until k).map(j =>
+        s"${meanDiv(s"su$j", "n", 9)} AS cd$j").mkString(",\n|    ")
+      val ws = (0 until k).map(j =>
+        s"list(cd$j ORDER BY dim) AS w$j").mkString(", ")
+      s"""p$t AS MATERIALIZED (SELECT vc, $dots FROM vc, $from),
+         |s$t AS (SELECT i AS dim,
+         |    $sums,
+         |    COUNT(*) AS n
+         |  FROM p$t, (SELECT unnest(range(1, ${dim + 1})) AS i)
+         |  GROUP BY 1),
+         |wl$t AS MATERIALIZED (SELECT $ws FROM (
+         |  SELECT dim,
+         |    $cds
+         |  FROM s$t)),
+         |${gsCtes(t)}""".stripMargin
+    }
+    // Gram-Schmidt of wl$t's k lanes, sequential like Pca.orthonormalize:
+    // g{t}0 = normalize(w0); g{t}1 projects w1 off g{t}0 then normalizes;
+    // g{t}2 projects w2 off g{t}0, the RESIDUAL off g{t}1, then normalizes
+    def gsCtes(t: Int): String = {
+      def norm(u: String): String =
+        s"list_transform($u, x -> x / sqrt(list_dot_product($u, $u)))"
+      def proj(v: String, d: String, c: String): String =
+        s"list_transform(range(1, ${dim + 1}), i -> $v[i] - $d * $c[i])"
+      s"""g${t}0 AS MATERIALIZED (SELECT ${norm("w0")} AS c FROM wl$t),
+         |g${t}1 AS MATERIALIZED (
+         |  SELECT ${norm("u")} AS c FROM (
+         |    SELECT ${proj("w1", "d", "c0")} AS u FROM (
+         |      SELECT w1, g.c AS c0, list_dot_product(w1, g.c) AS d
+         |      FROM wl$t, g${t}0 g))),
+         |g${t}2 AS MATERIALIZED (
+         |  SELECT ${norm("u2")} AS c FROM (
+         |    SELECT ${proj("u1", "d1", "c1")} AS u2 FROM (
+         |      SELECT u1, c1, list_dot_product(u1, c1) AS d1 FROM (
+         |        SELECT ${proj("w2", "d0", "c0")} AS u1, c1 FROM (
+         |          SELECT w2, g0.c AS c0, g1.c AS c1,
+         |            list_dot_product(w2, g0.c) AS d0
+         |          FROM wl$t, g${t}0 g0, g${t}1 g1)))))""".stripMargin
+    }
+    val initCtes = (0 until k).map(j =>
+      s"g0$j AS (SELECT ${lits(init(j))}::DOUBLE[] AS c)").mkString(",\n")
+    val rounds = (1 to iterations).map { t =>
+      val prev = (0 until k).map(j => s"g${t - 1}$j")
+      iterCtes(t, prev)
+    }.mkString(",\n")
+    val gF = (0 until k).map(j => s"g$iterations$j")
+    val specDots = (0 until k).map(j =>
+      s"list_dot_product(vc, g$j.c) AS d$j").mkString(", ")
+    val specFrom = (0 until k).map(j => s"${gF(j)} g$j").mkString(", ")
+    val evs = (0 until k).map(j =>
+      s"""CAST(SUM(CAST(round(d$j * d$j, 9) AS DECIMAL(30,12)))
+         |    AS DOUBLE) / COUNT(*) AS ev$j""".stripMargin).mkString(",\n|  ")
+    val compRows = (0 until k).map(j =>
+      s"SELECT $j AS j, (SELECT c FROM ${gF(j)}) AS c, " +
+        s"(SELECT ev$j FROM spec) AS ev").mkString("\n|  UNION ALL ")
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |mu AS (SELECT list(cd ORDER BY dim) AS m FROM (
+       |  SELECT dim, ${meanDiv("su", "n", 6)} AS cd
+       |  FROM (
+       |    SELECT i AS dim,
+       |      SUM(CAST(CAST(round(v[i], 6) AS DECIMAL(18,6)) * 1000000
+       |        AS HUGEINT)) AS su,
+       |      COUNT(*) AS n
+       |    FROM e, (SELECT unnest(range(1, ${dim + 1})) AS i)
+       |    GROUP BY 1))),
+       |vc AS MATERIALIZED (
+       |  SELECT list_transform(range(1, ${dim + 1}), i -> v[i] - m[i])
+       |    AS vc FROM e, mu),
+       |$initCtes,
+       |$rounds,
+       |spec AS MATERIALIZED (SELECT
+       |  $evs,
+       |  CAST(SUM(CAST(round(list_dot_product(vc, vc), 9)
+       |    AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS total
+       |  FROM (SELECT vc, $specDots FROM vc, $specFrom)),
+       |comps AS ($compRows),
+       |ranked AS (SELECT j, c, ev,
+       |    ROW_NUMBER() OVER (ORDER BY ev DESC, j ASC) AS comp
+       |  FROM comps)
+       |SELECT CAST(comp AS INTEGER) AS component,
+       |  round(ev, 6) AS eigenvalue,
+       |  floor(ev / (SELECT total FROM spec) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS explained_frac,
+       |  CAST((SELECT i - 1 FROM (SELECT unnest(range(1, ${dim + 1})) AS i)
+       |    ORDER BY abs(c[i]) DESC, i ASC LIMIT 1) AS INTEGER) AS top_dim
+       |FROM ranked""".stripMargin
+  }
+
   /** e06's oracle: Lloyd's k-means REBUILT in SQL — the fixed-iteration
     * unrolling convention (lp01/g05: k rounds = k stacked CTEs) applied
     * to the one "iterative" op that still lacked an oracle. Three
@@ -4192,6 +4345,7 @@ object DataOps {
     "t12_clean_report" -> cleanReportSql,
     "e02_random_projection" -> randomProjectionSql,
     "e06_diverse_sample" -> e06Sql,
+    "e07_pca" -> e07Sql,
     "t18_bpe_merges" -> bpeMergesSql,
     "t20_bpe_encode" -> bpeEncodeSql,
     "x04_bpe_shards" -> bpeShardsSql,

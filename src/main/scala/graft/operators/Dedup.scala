@@ -175,7 +175,15 @@ object Dedup {
     * decimals (scale preserved: (30,12)+(30,12) → (31,12), no
     * precision cap), so the total equals the single-sum oracle value
     * bit-for-bit after the one cast to double.
-    * Every shuffle keys on shingle or doc id; nothing is all-pairs. */
+    * Every shuffle keys on shingle or doc id; nothing is all-pairs.
+    *
+    * Note: the hot-completion branch is chosen at PLAN-CONSTRUCTION
+    * time by an eager driver-scalar probe (a bounded `limit(1)` job on
+    * the checkpointed weight relation — the Graph.scala guard
+    * convention), so merely building this DataFrame runs a small Spark
+    * job and freezes the branch for the corpus as passed. Plan-only
+    * consumers (census, plan-shape specs) therefore see one concrete
+    * branch, and the input is scanned once at build time. */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minCosine: Double, maxDocFreq: Long): DataFrame = {
     val occ = df.select(col(idCol).as("doc"),
@@ -752,10 +760,31 @@ object Dedup {
     * shared span).
     *
     * Output: (doc_id, n_bench_docs, n_shared_spans) per contaminated
-    * training document. */
+    * training document.
+    *
+    * Size precondition: the broadcast-the-benchmark plan assumes a
+    * held-out benchmark of CONSTANT size (the realistic contract — eval
+    * sets don't grow with the crawl). Because this is a public operator
+    * that accepts arbitrary DataFrames, the assumption is enforced, not
+    * trusted: a one-aggregate probe bounds the benchmark's span count
+    * by Σ length(text) (each doc of length L yields ≤ L windows), and a
+    * benchmark above `maxBroadcastSpans` falls back to the shuffle_hash
+    * plan that was the shape before round 17 — correct at any size,
+    * just not map-side. The probe is an eager driver scalar at
+    * plan-construction time (the tfidfCosinePairs/Graph.scala guard
+    * convention). */
   def substringContamination(train: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, window: Int = 20): DataFrame = {
+      idCol: String, textCol: String, window: Int = 20,
+      maxBroadcastSpans: Long = 1000000L): DataFrame = {
     import graft.functions.RollingWindowHashes.window_hashes
+    // ≤ 1M spans ≈ tens of MB serialized (h: long, wt: `window` chars,
+    // bdoc: long) — comfortably broadcastable; anything larger shuffles.
+    val benchSpanBound = benchmark
+      .agg(coalesce(sum(length(col(textCol)).cast("long")), lit(0L)))
+      .head.getLong(0)
+    val broadcastBench = benchSpanBound <= maxBroadcastSpans
+    def benchSide(d: DataFrame): DataFrame =
+      if (broadcastBench) broadcast(d) else d.hint("shuffle_hash")
     // Benchmark side: DISTINCT (bdoc, h, span) — spans are window chars,
     // the whole relation is bounded by the benchmark's span inventory.
     val bi = benchmark.select(col(idCol).as("bdoc"), col(textCol).as("__tb"),
@@ -787,10 +816,10 @@ object Dedup {
     // span-verify join are map-side and the train pass is one scan.
     val ti = train.select(col(idCol).as("doc"), col(textCol).as("__t"),
         window_hashes(col(textCol), window).as(Seq("pos", "h")))
-      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .join(benchSide(benchHashes), Seq("h"), "left_semi")
       .select($"doc", $"h", $"__t".substr($"pos" + 1, lit(window)).as("wt"))
       .distinct()
-    ti.join(broadcast(bi), Seq("h", "wt"))
+    ti.join(benchSide(bi), Seq("h", "wt"))
       .groupBy($"doc")
       .agg(countDistinct($"bdoc").as("n_bench_docs"),
         countDistinct($"wt").as("n_shared_spans"))

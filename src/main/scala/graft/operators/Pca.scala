@@ -44,6 +44,14 @@ object Pca {
 
   private def litVec(v: Array[Double]): Column = array(v.map(lit): _*)
 
+  /** The initial (pre-data) orthonormal basis — `orthonormalize(seeds)`
+    * computed driver-side from constants only. Exposed so the DuckDB
+    * oracle interpolates the EXACT doubles the fit starts from (the
+    * minhashPermSqlValues single-sourcing convention: one Scala
+    * definition, literal in the SQL). */
+  private[graft] def initComponents(k: Int, dim: Int): Array[Array[Double]] =
+    orthonormalize(seeds(k, dim))
+
   /** Deterministic seed directions (same LCG as the LSH hyperplanes). */
   private def seeds(k: Int, dim: Int): Array[Array[Double]] = {
     var s = 41L
@@ -83,12 +91,24 @@ object Pca {
   }
 
   /** Fit the top-k principal components of `vecCol` in `iterations`
-    * subspace-iteration passes (each ONE aggregation job). */
+    * subspace-iteration passes (each ONE aggregation job).
+    *
+    * Every `vector_mean` input is pre-rounded to a fixed decimal scale
+    * (6dp for the raw-vector mean, 9dp for the per-iteration projection
+    * products) — the e06/d10 oracle-ability trade: rounded inputs make
+    * the scale-20 decimal accumulation EXACTLY mirrorable as integer
+    * arithmetic in the DuckDB oracle (raw doubles would hinge on
+    * cross-engine shortest-repr-to-decimal quantization, which is not a
+    * contract either engine publishes). The quantization noise
+    * (≤ 5e-10 per projection lane) is far below the iteration's own
+    * convergence tolerance; orthonormality is restored exactly by the
+    * driver-side Gram-Schmidt every pass. */
   def fit(vecs: DataFrame, k: Int = 3, iterations: Int = 8,
       vecCol: String = "embedding"): PcaModel = {
     val v = vecs.select(Similarity.toDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
-    val mu = v.agg(vector_mean(col("v")).as("mu"))
+    val mu = v.agg(vector_mean(transform(col("v"), e => round(e, 6)))
+        .as("mu"))
       .head().getSeq[Double](0).toArray
     val centered = v.select(
       zip_with(col("v"), litVec(mu), (a, b) => a - b).as("vc"))
@@ -97,7 +117,7 @@ object Pca {
     for (_ <- 0 until iterations) {
       val aggs = comps.zipWithIndex.map { case (c, j) =>
         val d = VectorExprs.dot_double(col("vc"), litVec(c))
-        vector_mean(transform(col("vc"), e => e * d)).as(s"w$j")
+        vector_mean(transform(col("vc"), e => round(e * d, 9))).as(s"w$j")
       }
       val row = centered.agg(aggs.head, aggs.tail: _*).head()
       comps = orthonormalize(
@@ -126,7 +146,9 @@ object Pca {
   /** Driver query: one row per component — eigenvalue, explained
     * variance fraction, and the dominant input dimension (csv-safe
     * scalars; components themselves are model output, not a relation).
-    * No SQL oracle (iterative fixpoint) — gated by PcaSpec. */
+    * EXACTLY oracled (DataOps.e07Sql): 8 subspace-iteration passes
+    * unrolled as CTEs, the e06 fixed-iteration convention — plus gated
+    * by PcaSpec (planted anisotropy, orthonormality, invariance). */
   def pcaQuery(vecs: DataFrame, k: Int = 3): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._

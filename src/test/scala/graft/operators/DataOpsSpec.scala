@@ -469,7 +469,7 @@ class DataOpsSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty, "the synthetic corpus has planted 4-gram overlap")
     rows.foreach { r =>
-      assert(r.getAs[Long]("doc_id") % 53 != 0L,
+      assert(!DataOps.isBenchId(r.getAs[Long]("doc_id")),
         "benchmark docs must never appear in the contamination report")
       val frac = r.getAs[Double]("contamination_frac")
       assert(frac > 0.0 && frac <= 1.0)
@@ -500,8 +500,8 @@ class DataOpsSpec extends SparkSpec {
   test("x01 training set: survivors are curated, decontaminated, and tile their chunks") {
     val dir = sf("sf0.001")
     val all = graft.Tables.documents(spark, dir)
-    val train = all.filter($"doc_id" % 53 =!= 0)
-    val bench = all.filter($"doc_id" % 53 === 0)
+    val train = all.filter(!DataOps.isBenchId($"doc_id"))
+    val bench = all.filter(DataOps.isBenchId($"doc_id"))
     val out = DataOps.queries("x01_training_set")(spark, dir)
       .orderBy($"first_chunk", $"doc_id").collect()
     assert(out.nonEmpty)
@@ -882,8 +882,8 @@ class DataOpsSpec extends SparkSpec {
     val dir = sf("sf0.001")
     val all = graft.Tables.documents(spark, dir)
     val prepared = DataOps.prepareTrainingSet(
-      all.filter($"doc_id" % 53 =!= 0),
-      all.filter($"doc_id" % 53 === 0)).cache()
+      all.filter(!DataOps.isBenchId($"doc_id")),
+      all.filter(DataOps.isBenchId($"doc_id"))).cache()
     val out = java.nio.file.Files.createTempDirectory("shards").toString
     val manifest = DataOps.writeTrainingShards(prepared, out).collect()
     assert(manifest.length > 1, "expect multiple shards")
@@ -946,8 +946,8 @@ class DataOpsSpec extends SparkSpec {
     val dir = sf("sf0.001")
     val all = graft.Tables.documents(spark, dir)
     val prepared = DataOps.prepareTrainingSet(
-      all.filter($"doc_id" % 53 =!= 0),
-      all.filter($"doc_id" % 53 === 0)).cache()
+      all.filter(!DataOps.isBenchId($"doc_id")),
+      all.filter(DataOps.isBenchId($"doc_id"))).cache()
     val outJ = java.nio.file.Files.createTempDirectory("jsonl").toString
     val outP = java.nio.file.Files.createTempDirectory("pq").toString
     val mJ = DataOps.writeJsonlShards(prepared, outJ)
@@ -1069,6 +1069,26 @@ class DataOpsSpec extends SparkSpec {
     assert(flagged.map(_._1).toSet === Set(1L),
       s"only the verbatim quote must flag, got ${flagged.toSeq}")
     assert(flagged.head._2 === 1L && flagged.head._3 >= 1L)
+  }
+
+  test("c03 substring contamination: oversized benchmark falls back to the " +
+    "shuffle plan with identical results") {
+    // the realistic corpus fixture, but with the broadcast span bound
+    // forced to 0 so the size guard routes BOTH benchmark joins through
+    // shuffle_hash — the pre-round-17 plan shape; values must not move
+    val dir = sf("sf0.001")
+    val all = graft.Tables.documents(spark, dir)
+    val train = all.filter(!DataOps.isBenchId($"doc_id"))
+    val bench = all.filter(DataOps.isBenchId($"doc_id"))
+    def rows(maxSpans: Long) =
+      Dedup.substringContamination(train, bench, "doc_id", "text",
+          window = 20, maxBroadcastSpans = maxSpans)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaBroadcast = rows(Long.MaxValue)
+    val viaShuffle = rows(0L)
+    assert(viaBroadcast.nonEmpty, "planted quotes must flag")
+    assert(viaShuffle === viaBroadcast,
+      "the size-guard fallback must be a plan change only")
   }
 
   test("s12 label agreement: a planted mislabel is the ONLY suspect; " +
@@ -1267,7 +1287,8 @@ class DataOpsSpec extends SparkSpec {
     val kept = DataOps.queries("c02_decontaminate")(spark, dir)
       .select($"doc_id").as[Long].collect().toSet
     val train = graft.Tables.documents(spark, dir)
-      .filter($"doc_id" % 53 =!= 0).select($"doc_id").as[Long].collect().toSet
+      .filter(!DataOps.isBenchId($"doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
     assert(kept === train -- flagged)
     assert(flagged.nonEmpty, "planted overlap must actually remove docs")
   }

@@ -709,8 +709,8 @@ class StreamingSpec extends SparkSpec
       (s"$tmp/shards", s"$tmp/index", s"$tmp/manifest", s"$tmp/commits",
         s"$tmp/ckpt")
     val docsDf = graft.Tables.documents(spark, sf("sf0.001"))
-    val train = docsDf.filter($"doc_id" % 53 =!= 0)
-    val bench = docsDf.filter($"doc_id" % 53 === 0)
+    val train = docsDf.filter(!DataOps.isBenchId($"doc_id"))
+    val bench = docsDf.filter(DataOps.isBenchId($"doc_id"))
     // the BATCH capstone (x01's exact body at its parameterization) —
     // the ground truth the cumulative stream must reproduce
     val want = DataOps.prepareTrainingSet(train, bench)
