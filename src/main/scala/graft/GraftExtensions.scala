@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.etl.expressions.{PyEventsArray, PyLiteralToJson}
-import graft.functions.{ArrayPairs, BpeEncode, DotProductDouble, RollingHashLong, RollingWindowHashes, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs, VectorMeanDecimal}
+import graft.functions.{ArrayPairs, BpeEncode, DotProductDouble, RollingHashLong, RollingWindowHashes, SearchSortedDouble, SqDistDouble, TokenShingles, TopKDouble, TopKPairs, VectorMeanDecimal, VectorMeanRounded}
 
 /** Session extension registering the engine's native surface:
   *
@@ -134,6 +134,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "vector_mean(v) takes exactly one argument")
         VectorMeanDecimal(args.head).toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("vector_mean_rounded"),
+      new ExpressionInfo(classOf[VectorMeanRounded].getName,
+        "vector_mean_rounded"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "vector_mean_rounded(v, mult, scale) takes exactly three arguments")
+        VectorMeanRounded(args.head, args(1),
+          intArg(args(2), "vector_mean_rounded", "third"))
+          .toAggregateExpression()
       }))
 
     ext.injectFunction((

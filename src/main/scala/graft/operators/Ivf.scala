@@ -71,10 +71,14 @@ object Ivf {
       // in HUGEINT arithmetic. A ≤1e-6 centroid perturbation is
       // irrelevant to every consumer (recall-gated ANN paths, cell
       // sampling); determinism under partitioning is unchanged.
+      // fused form of vector_mean(transform(v, x => round(x, 6))) —
+      // bit-identical by contract (VectorMeanSpec pins elementwise
+      // equality), without the interpreted per-element HOF + Round and
+      // without a BigDecimal.add per element
       val means = assigned
         .groupBy(col("cell"))
-        .agg(graft.functions.VectorMean.vector_mean(
-          transform(col("v"), x => round(x, 6))).as("centroid"))
+        .agg(graft.functions.VectorMeanRounded.vector_mean_rounded(
+          col("v"), lit(1.0), 6).as("centroid"))
       centroids = means.graftCheckpoint(true)
     }
     centroids

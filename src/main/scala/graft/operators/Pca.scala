@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorMean.vector_mean
+import graft.functions.VectorMeanRounded.vector_mean_rounded
 import graft.functions.VectorExprs
 
 /** Principal component analysis over an embedding column by
@@ -93,9 +93,10 @@ object Pca {
   /** Fit the top-k principal components of `vecCol` in `iterations`
     * subspace-iteration passes (each ONE aggregation job).
     *
-    * Every `vector_mean` input is pre-rounded to a fixed decimal scale
-    * (6dp for the raw-vector mean, 9dp for the per-iteration projection
-    * products) — the e06/d10 oracle-ability trade: rounded inputs make
+    * Every mean input is rounded to a fixed decimal scale (6dp for the
+    * raw-vector mean, 9dp for the per-iteration projection products —
+    * fused into `vector_mean_rounded`'s primitive loop)
+    * — the e06/d10 oracle-ability trade: rounded inputs make
     * the scale-20 decimal accumulation EXACTLY mirrorable as integer
     * arithmetic in the DuckDB oracle (raw doubles would hinge on
     * cross-engine shortest-repr-to-decimal quantization, which is not a
@@ -107,8 +108,7 @@ object Pca {
       vecCol: String = "embedding"): PcaModel = {
     val v = vecs.select(Similarity.toDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
-    val mu = v.agg(vector_mean(transform(col("v"), e => round(e, 6)))
-        .as("mu"))
+    val mu = v.agg(vector_mean_rounded(col("v"), lit(1.0), 6).as("mu"))
       .head().getSeq[Double](0).toArray
     val centered = v.select(
       zip_with(col("v"), litVec(mu), (a, b) => a - b).as("vc"))
@@ -117,7 +117,7 @@ object Pca {
     for (_ <- 0 until iterations) {
       val aggs = comps.zipWithIndex.map { case (c, j) =>
         val d = VectorExprs.dot_double(col("vc"), litVec(c))
-        vector_mean(transform(col("vc"), e => round(e * d, 9))).as(s"w$j")
+        vector_mean_rounded(col("vc"), d, 9).as(s"w$j")
       }
       val row = centered.agg(aggs.head, aggs.tail: _*).head()
       comps = orthonormalize(

@@ -100,6 +100,11 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = spark.sql("SELECT vector_mean(v) AS m FROM vm GROUP BY g")
       .as[Seq[Double]].head()
     assert(m === Seq(2.0, 4.0))
+    // the fused rounded variant: round(v[i]*0.5, 1) -> (0.5,1.5)+(1.5,2.5)
+    val mr = spark.sql(
+      "SELECT vector_mean_rounded(v, 0.5, 1) AS m FROM vm GROUP BY g")
+      .as[Seq[Double]].head()
+    assert(mr === Seq(1.0, 2.0))
     // a non-literal stride must fail fast with the right position named
     val err = intercept[Exception] {
       spark.sql("SELECT window_hashes('ab', 2, length('x')) AS (p, h)")

@@ -265,6 +265,71 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vector_mean_rounded ≡ vector_mean(transform(v, e => round(e*d, s))), " +
+    "bit-for-bit, invariant under repartitioning") {
+    import graft.functions.VectorMean.vector_mean
+    import graft.functions.VectorMeanRounded.vector_mean_rounded
+    // real embeddings with a per-row multiplier that exercises negative,
+    // sub-1, and >1 magnitudes (the PCA projection shape)
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(($"vec_id" % 7).as("g"),
+        graft.operators.Similarity.toDouble($"embedding").as("v"),
+        (($"vec_id" % 13).cast("double") / 3.0 - 2.0).as("d"))
+    def collectMeans(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (scale <- Seq(6, 9)) {
+      val fused = collectMeans(vecs.groupBy($"g")
+        .agg(vector_mean_rounded($"v", $"d", scale).as("m")))
+      val composed = collectMeans(vecs.groupBy($"g")
+        .agg(vector_mean(
+          transform($"v", e => round(e * $"d", scale))).as("m")))
+      assert(fused === composed,
+        s"scale $scale: fused aggregate must be value-identical")
+    }
+    // lit(1.0) multiplier ≡ the plain elementwise round (the kmeans form)
+    val one = collectMeans(vecs.groupBy($"g")
+      .agg(vector_mean_rounded($"v", lit(1.0), 6).as("m")))
+    val plain = collectMeans(vecs.groupBy($"g")
+      .agg(vector_mean(transform($"v", e => round(e, 6))).as("m")))
+    assert(one === plain)
+    // partitioning invariance (exact integer lanes, any merge order)
+    val repart = collectMeans(vecs.repartition(13).groupBy($"g")
+      .agg(vector_mean_rounded($"v", $"d", 9).as("m")))
+    val base = collectMeans(vecs.groupBy($"g")
+      .agg(vector_mean_rounded($"v", $"d", 9).as("m")))
+    assert(repart === base)
+    // null vectors skip, null multiplier skips the row, all-null → null
+    val withNull = Seq((1L, Seq(1.0, 3.0), Some(1.0)),
+      (1L, null: Seq[Double], Some(1.0)), (1L, Seq(9.0, 9.0), None),
+      (2L, null: Seq[Double], Some(1.0))).toDF("g", "v", "d")
+    val rows = withNull.groupBy($"g")
+      .agg(vector_mean_rounded($"v", $"d", 6).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(rows(1L).get === Seq(1.0, 3.0))
+    assert(rows(2L).isEmpty)
+    // mixed dimensionalities fail loudly (the VectorMeanDecimal contract)
+    val mixed = Seq((1L, Seq(1.0), 1.0), (1L, Seq(1.0, 2.0), 1.0))
+      .toDF("g", "v", "d")
+    intercept[org.apache.spark.SparkException] {
+      mixed.groupBy($"g")
+        .agg(vector_mean_rounded($"v", $"d", 6).as("m")).collect()
+    }
+    // Long-lane spill: per-term 1e18 unscaled (fits the fast path), 8
+    // terms cross 2^62 — the BigInteger lane takes over, value exact
+    val big = Seq.fill(8)((1L, Seq(1.0e12, -1.0e12), 1.0))
+      .toDF("g", "v", "d")
+    val bm = big.groupBy($"g")
+      .agg(vector_mean_rounded($"v", $"d", 6).as("m"))
+      .collect().head.getSeq[Double](1)
+    assert(bm === Seq(1.0e12, -1.0e12))
+    // and a single term past the Long contract fails loudly
+    val huge = Seq((1L, Seq(9.0e18), 1.0)).toDF("g", "v", "d")
+    intercept[org.apache.spark.SparkException] {
+      huge.groupBy($"g")
+        .agg(vector_mean_rounded($"v", $"d", 0).as("m")).collect()
+    }
+  }
+
   test("vector folds null out length-mismatched (corrupt) vectors") {
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
       .toDF("a", "b")
