@@ -3519,8 +3519,12 @@ object DataOps {
     // Embedding near-dup pairs through IVF cells — the scale path that
     // replaces d06's intentional O(N²) oracle anchor as the default:
     // multi-probe cell assignment + per-cell pair generation + exact
-    // cosine verify. No SQL oracle (candidate set is clustering-
-    // defined); recall vs d06's exact pairs is spec-gated.
+    // cosine verify. EXACTLY oracled (d10Sql — the clustering-defined
+    // candidate set is a deterministic corpus function: fixed-seed
+    // k-means replayed via the e06 machinery, the probe ranking via
+    // ROW_NUMBER, the cell self-join ≡ bucketPairs below its
+    // never-firing cap per DedupOraclePreconditionSpec); recall vs
+    // d06's exact pairs additionally spec-gated.
     "d10_semantic_pairs" -> (semanticPairsQuery(_, _)),
 
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each
@@ -4012,6 +4016,81 @@ object DataOps {
        |  CAST(MAX(lc) AS BIGINT) AS last_chunk
        |FROM p GROUP BY 1""".stripMargin
 
+  /** d10's oracle: the IVF-cell semantic pair generator REBUILT in SQL.
+    * Everything upstream of the report is deterministic — k-means over
+    * fixed seeds (the e06 machinery at d10's parameterization: nCells =
+    * max(16, ⌈√N⌉) computed IN SQL from the corpus count, 3 rounds,
+    * 6dp-rounded mean inputs), the nProbe=3 cell probe (the
+    * top_k_pairs heap's (−dist desc, cell asc) total order ↔
+    * ROW_NUMBER OVER (ORDER BY dist ASC, cell ASC)), within-cell i<j
+    * pair generation (bucketPairs' array_sort on the vec_id-leading
+    * payload ↔ the a.vec_id < b.vec_id self-join; the 100k cell cap is
+    * measured never-firing at test SFs — DedupOraclePreconditionSpec,
+    * the d03/d04 convention), and the exact cosine (list_dot_product ≡
+    * dot_double, sqrt/divide IEEE-correctly-rounded, round 6dp). A
+    * pair sharing several probe cells appears once per shared cell in
+    * both engines and collapses in the same MAX group-by. So the
+    * "approximate" op is exactly oracle-able for the same reason
+    * d03/d04/c04 were: the approximation is a deterministic corpus
+    * function, not a random one. `probe` is MATERIALIZED (self-joined;
+    * DuckDB would inline the whole k-means tree into both sides). */
+  private def d10Sql: String = {
+    val dim = 64
+    def dist(v: String, c: String): String =
+      (1 to dim).map(i => s"($v[$i]-$c[$i])*($v[$i]-$c[$i])")
+        .mkString(" + ")
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e.v", "c.centroid")} ASC, c.cell ASC) AS rn
+         |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
+    def meansCte(name: String, assigned: String): String =
+      s"""$name AS (
+         |  SELECT cell, list(cd ORDER BY dim) AS centroid FROM (
+         |    SELECT cell, dim,
+         |      CAST(CAST(CASE WHEN su >= 0
+         |          THEN (su * 200000000000000 + n) // (2 * n)
+         |          ELSE -(((-su) * 200000000000000 + n) // (2 * n))
+         |        END AS VARCHAR) || 'e-20' AS DOUBLE) AS cd
+         |    FROM (
+         |      SELECT cell, i AS dim,
+         |        SUM(CAST(CAST(round(v[i], 6) AS DECIMAL(18,6)) * 1000000
+         |          AS HUGEINT)) AS su,
+         |        COUNT(*) AS n
+         |      FROM $assigned, (SELECT unnest(range(1, ${dim + 1})) AS i)
+         |      GROUP BY 1, 2)
+         |  ) GROUP BY cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS k
+       |  FROM e),
+       |c0 AS (SELECT cell, centroid FROM (
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e), nc
+       |  WHERE rn <= nc.k),
+       |${assignCte("a1", "c0")},
+       |${meansCte("m1", "a1")},
+       |${assignCte("a2", "m1")},
+       |${meansCte("m2", "a2")},
+       |${assignCte("a3", "m2")},
+       |${meansCte("m3", "a3")},
+       |probe AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cell
+       |  FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e.v", "c.centroid")} ASC, c.cell ASC) AS rn
+       |    FROM e, m3 c) WHERE rn <= 3)
+       |SELECT vec_a, vec_b, MAX(cos_sim) AS cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       |      AS cos_sim
+       |  FROM probe a JOIN probe b ON a.cell = b.cell
+       |    AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= 0.45
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** e07's oracle: subspace-iteration PCA REBUILT in SQL — the e06
     * fixed-iteration unrolling convention applied to [[Pca.fit]]'s 8
     * passes. Every number that crosses the engine boundary is exact by
@@ -4346,6 +4425,7 @@ object DataOps {
     "e02_random_projection" -> randomProjectionSql,
     "e06_diverse_sample" -> e06Sql,
     "e07_pca" -> e07Sql,
+    "d10_semantic_pairs" -> d10Sql,
     "t18_bpe_merges" -> bpeMergesSql,
     "t20_bpe_encode" -> bpeEncodeSql,
     "x04_bpe_shards" -> bpeShardsSql,

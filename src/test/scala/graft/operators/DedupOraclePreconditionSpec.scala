@@ -73,4 +73,34 @@ class DedupOraclePreconditionSpec extends SparkSpec {
           "star degradation fires and the exact oracle no longer matches")
     }
   }
+
+  test("d10 precondition: no probe cell reaches semanticDupPairs' " +
+    "cellCap — the exact oracle assumes star mode never fires") {
+    // d10's exact parameterization: kmeans(max(16, ceil(sqrt(N))), 3
+    // rounds), nProbe=3, cellCap=100000. The oracle generates pairs by
+    // a plain within-cell self-join; above the cap the engine degrades
+    // the cell to a star around its min-payload representative and the
+    // two diverge. Cell occupancy counts PROBE rows (each vector lands
+    // in 3 cells).
+    val CellCap = 100000L
+    sfs.foreach { s =>
+      import graft.functions.TopKPairs.top_k_pairs
+      val vectors = graft.Tables.embeddings(spark, sf(s))
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      val nCells = math.max(16, math.ceil(
+        math.sqrt(vectors.count().toDouble)).toInt)
+      val centroids = Ivf.kmeans(vectors, nCells = nCells, iterations = 3)
+      val worst = vectors.crossJoin(broadcast(centroids))
+        .withColumn("__d", graft.functions.VectorExprs
+          .sq_dist_double($"v", $"centroid"))
+        .groupBy($"vec_id")
+        .agg(top_k_pairs(-$"__d", $"cell", 3).as("__cells"))
+        .select(explode($"__cells.id").as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("n"))
+        .agg(max($"n")).as[Long].head()
+      assert(worst < CellCap,
+        s"d10 cap binds at $s: max probe cell $worst >= $CellCap — " +
+          "star degradation fires and the exact oracle no longer matches")
+    }
+  }
 }
