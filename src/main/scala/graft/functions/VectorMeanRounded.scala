@@ -36,7 +36,7 @@ final class VectorMeanRoundedBuffer(
   *     BigDecimal.add per element.
   *
   * Value-equality argument (spec-gated elementwise in
-  * VectorMeanSpec): Spark's `round(x, s)` on DoubleType is
+  * FunctionsSpec): Spark's `round(x, s)` on DoubleType is
   * `BigDecimal.valueOf(x).setScale(s, HALF_UP)` re-read as double —
   * exactly what update() computes, keeping only the unscaled integer
   * (the double re-entry is a no-op for scale ≤ 15 magnitudes and the

@@ -996,6 +996,26 @@ object DataOps {
     })
   }
 
+  /** The √N-sized variant (d10's IVF parameterization): nCells =
+    * max(16, ⌈√N⌉) is itself derived from a corpus count, so it lives
+    * INSIDE the memoized builder — repeat calls (s06 re-runs the d10
+    * body per evaluation) are job-free, not one-full-scan-per-call. */
+  private[operators] def corpusSqrtCentroidsMemo(
+      s: SparkSession, d: String, iterations: Int): DataFrame = {
+    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
+    centroidsMemo.keys().asIterator().forEachRemaining { k =>
+      if (k._1 != uuid) { centroidsMemo.remove(k); () }
+    }
+    centroidsMemo.computeIfAbsent((uuid, s"$d#sqrt#$iterations"), _ => {
+      import s.implicits._
+      val vectors = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      val nCells = math.max(16, math.ceil(
+        math.sqrt(vectors.count().toDouble)).toInt)
+      Ivf.kmeans(vectors, nCells = nCells, iterations = iterations)
+    })
+  }
+
   /** Session-scoped memo of the d05 clustering fixpoint (trigram-Jaccard
     * pairs → connected-component labels at the d05 defaults: n=3,
     * minJaccard=0.05, maxDocFreq=1000). d05, d07, d13 and t30 all consume
@@ -1193,10 +1213,9 @@ object DataOps {
     // cell count (the sf1 run measured 11.8× at 10× data on fixed 16),
     // while kmeans stays N^1.5 too. Recall is cell-count-robust here:
     // near-dup pairs are far tighter than cell diameter, and the floor
-    // spec pins it with planted dups.
-    val nCells = math.max(16, math.ceil(
-      math.sqrt(vectors.count().toDouble)).toInt)
-    val centroids = corpusCentroidsMemo(s, d, nCells = nCells, iterations = 3)
+    // spec pins it with planted dups. The √N sizing count lives inside
+    // the memoized builder, so repeat calls scan nothing.
+    val centroids = corpusSqrtCentroidsMemo(s, d, iterations = 3)
     Dedup.semanticDupPairs(vectors, centroids, minCosSim = 0.45, nProbe = 3)
   }
 
@@ -4038,26 +4057,17 @@ object DataOps {
        |  CAST(MAX(lc) AS BIGINT) AS last_chunk
        |FROM p GROUP BY 1""".stripMargin
 
-  /** d10's oracle: the IVF-cell semantic pair generator REBUILT in SQL.
-    * Everything upstream of the report is deterministic — k-means over
-    * fixed seeds (the e06 machinery at d10's parameterization: nCells =
-    * max(16, ⌈√N⌉) computed IN SQL from the corpus count, 3 rounds,
-    * 6dp-rounded mean inputs), the nProbe=3 cell probe (the
-    * top_k_pairs heap's (−dist desc, cell asc) total order ↔
-    * ROW_NUMBER OVER (ORDER BY dist ASC, cell ASC)), within-cell i<j
-    * pair generation (bucketPairs' array_sort on the vec_id-leading
-    * payload ↔ the a.vec_id < b.vec_id self-join; the 100k cell cap is
-    * measured never-firing at test SFs — DedupOraclePreconditionSpec,
-    * the d03/d04 convention), and the exact cosine (list_dot_product ≡
-    * dot_double, sqrt/divide IEEE-correctly-rounded, round 6dp). A
-    * pair sharing several probe cells appears once per shared cell in
-    * both engines and collapses in the same MAX group-by. So the
-    * "approximate" op is exactly oracle-able for the same reason
-    * d03/d04/c04 were: the approximation is a deterministic corpus
-    * function, not a random one. `probe` is MATERIALIZED (self-joined;
-    * DuckDB would inline the whole k-means tree into both sides). */
-  private def d10Sql: String = {
-    val dim = 64
+  /** Shared SQL builders for the k-means-replaying oracles (e06, d10) —
+    * single-sourced so a fix to the distance tree, the argmin
+    * tie-break, or the HALF_UP HUGEINT mean division cannot drift
+    * between the two (the minhashPermSqlValues convention applied to
+    * CTE generators). Semantics mirror [[Ivf.kmeans]] exactly:
+    * left-associated (v[i]-c[i])² IEEE trees ≡ sq_dist_double's fused
+    * loop, ties on cell ascending, mean inputs round(x, 6) as exact
+    * HUGEINT micro-units, scale-20 HALF_UP division re-entering double
+    * via '<M>e-20' text. */
+  private object KmeansSql {
+    val dim = 64 // the fixture embedding width (oracles are fixture-specific)
     def dist(v: String, c: String): String =
       (1 to dim).map(i => s"($v[$i]-$c[$i])*($v[$i]-$c[$i])")
         .mkString(" + ")
@@ -4083,6 +4093,44 @@ object DataOps {
          |      FROM $assigned, (SELECT unnest(range(1, ${dim + 1})) AS i)
          |      GROUP BY 1, 2)
          |  ) GROUP BY cell)""".stripMargin
+    /** The 3-round assign/means chain both oracles replay (c0 → m3). */
+    def threeRounds: String =
+      s"""${assignCte("a1", "c0")},
+         |${meansCte("m1", "a1")},
+         |${assignCte("a2", "m1")},
+         |${meansCte("m2", "a2")},
+         |${assignCte("a3", "m2")},
+         |${meansCte("m3", "a3")}""".stripMargin
+  }
+
+  /** d10's oracle: the IVF-cell semantic pair generator REBUILT in SQL.
+    * Everything upstream of the report is deterministic — k-means over
+    * fixed seeds (the e06 machinery at d10's parameterization: nCells =
+    * max(16, ⌈√N⌉) computed IN SQL from the corpus count, 3 rounds,
+    * 6dp-rounded mean inputs), the nProbe=3 cell probe (the
+    * top_k_pairs heap's (−dist desc, cell asc) total order ↔
+    * ROW_NUMBER OVER (ORDER BY dist ASC, cell ASC)), within-cell i<j
+    * pair generation (bucketPairs' array_sort on the vec_id-leading
+    * payload ↔ the a.vec_id < b.vec_id self-join; the 100k cell cap is
+    * measured never-firing at test SFs — DedupOraclePreconditionSpec,
+    * the d03/d04 convention), and the exact cosine (list_dot_product ≡
+    * dot_double, sqrt/divide IEEE-correctly-rounded, round 6dp). A
+    * pair sharing several probe cells appears once per shared cell in
+    * both engines and collapses in the same MAX group-by. So the
+    * "approximate" op is exactly oracle-able for the same reason
+    * d03/d04/c04 were: the approximation is a deterministic corpus
+    * function, not a random one. `probe` is MATERIALIZED (self-joined;
+    * DuckDB would inline the whole k-means tree into both sides).
+    *
+    * Precondition (pinned at all 3 SFs by DedupOraclePreconditionSpec):
+    * the embedding column is NULL-FREE. The engine's mean aggregate
+    * SKIPS null vectors while this SQL's COUNT(*) divisor would count
+    * them (and a null row's NULL distances would rank it into the
+    * smallest cell) — a null-bearing corpus diverges the two. The
+    * engine itself is null-safe; only the exact-oracle claim needs the
+    * precondition, like the star-cap ones above it. */
+  private def d10Sql: String = {
+    import KmeansSql.{dist, threeRounds}
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS k
        |  FROM e),
@@ -4090,12 +4138,7 @@ object DataOps {
        |  SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
        |    ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e), nc
        |  WHERE rn <= nc.k),
-       |${assignCte("a1", "c0")},
-       |${meansCte("m1", "a1")},
-       |${assignCte("a2", "m1")},
-       |${meansCte("m2", "a2")},
-       |${assignCte("a3", "m2")},
-       |${meansCte("m3", "a3")},
+       |$threeRounds,
        |probe AS MATERIALIZED (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cell
        |  FROM (
@@ -4144,7 +4187,12 @@ object DataOps {
     * exponentially (the g05 lesson). */
   private def e07Sql: String = {
     val dim = 64
+    // NOT a free parameter: gsCtes hand-unrolls the Gram-Schmidt chain
+    // for exactly three components (g{t}0 → g{t}1 → g{t}2); a different
+    // k would generate SQL referencing missing (or dropping extra) mean
+    // lanes. The assertion makes the coupling loud.
     val k = 3
+    require(k == 3, "e07Sql: gsCtes is unrolled for exactly k = 3")
     val iterations = 8
     def lits(v: Array[Double]): String =
       v.map(_.toString).mkString("[", ", ", "]")
@@ -4285,42 +4333,12 @@ object DataOps {
     * engines (standard Lloyd's). Dim/cell counts are the FIXTURE's —
     * the oracle is fixture-specific like every other oracle here. */
   private def e06Sql: String = {
-    val dim = 64
+    import KmeansSql.{assignCte, threeRounds}
     val cells = 16
-    def dist(v: String, c: String): String =
-      (1 to dim).map(i => s"($v[$i]-$c[$i])*($v[$i]-$c[$i])")
-        .mkString(" + ")
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (SELECT vec_id, v, cell FROM (
-         |  SELECT e.vec_id, e.v, c.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${dist("e.v", "c.centroid")} ASC, c.cell ASC) AS rn
-         |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
-    def meansCte(name: String, assigned: String): String =
-      s"""$name AS (
-         |  SELECT cell, list(cd ORDER BY dim) AS centroid FROM (
-         |    SELECT cell, dim,
-         |      CAST(CAST(CASE WHEN su >= 0
-         |          THEN (su * 200000000000000 + n) // (2 * n)
-         |          ELSE -(((-su) * 200000000000000 + n) // (2 * n))
-         |        END AS VARCHAR) || 'e-20' AS DOUBLE) AS cd
-         |    FROM (
-         |      SELECT cell, i AS dim,
-         |        SUM(CAST(CAST(round(v[i], 6) AS DECIMAL(18,6)) * 1000000
-         |          AS HUGEINT)) AS su,
-         |        COUNT(*) AS n
-         |      FROM $assigned, (SELECT unnest(range(1, ${dim + 1})) AS i)
-         |      GROUP BY 1, 2)
-         |  ) GROUP BY cell)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS centroid
        |  FROM e ORDER BY vec_id LIMIT $cells),
-       |${assignCte("a1", "c0")},
-       |${meansCte("m1", "a1")},
-       |${assignCte("a2", "m1")},
-       |${meansCte("m2", "a2")},
-       |${assignCte("a3", "m2")},
-       |${meansCte("m3", "a3")},
+       |$threeRounds,
        |${assignCte("a4", "m3")}
        |SELECT CAST(cell AS BIGINT) AS cell, vec_id FROM (
        |  SELECT cell, vec_id, ROW_NUMBER() OVER (PARTITION BY cell

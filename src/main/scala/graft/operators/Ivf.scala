@@ -72,7 +72,7 @@ object Ivf {
       // irrelevant to every consumer (recall-gated ANN paths, cell
       // sampling); determinism under partitioning is unchanged.
       // fused form of vector_mean(transform(v, x => round(x, 6))) —
-      // bit-identical by contract (VectorMeanSpec pins elementwise
+      // bit-identical by contract (FunctionsSpec pins elementwise
       // equality), without the interpreted per-element HOF + Round and
       // without a BigDecimal.add per element
       val means = assigned

@@ -103,4 +103,16 @@ class DedupOraclePreconditionSpec extends SparkSpec {
           "star degradation fires and the exact oracle no longer matches")
     }
   }
+
+  test("d10/e06 precondition: the embedding column is null-free — the " +
+    "oracle's COUNT(*) mean divisor counts rows the engine's mean skips") {
+    sfs.foreach { s =>
+      val nulls = graft.Tables.embeddings(spark, sf(s))
+        .filter($"embedding".isNull).count()
+      assert(nulls === 0L,
+        s"$s ships $nulls null embeddings: the k-means-replaying " +
+          "oracles (d10Sql/e06Sql) assume a null-free corpus — add the " +
+          "engine's null semantics to the SQL before bumping the fixture")
+    }
+  }
 }
