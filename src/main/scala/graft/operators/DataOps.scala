@@ -977,9 +977,12 @@ object DataOps {
     * k-means three times per evaluation. The memoized value is already
     * lineage-cut (kmeans checkpoints per round) and bounded
     * (≤ nCells × dim doubles) — the trainedMergeTable convention,
-    * incl. dead-session eviction. A production deployment persists the
-    * centroids next to the index (Ivf.writeIndex); this is the
-    * session-scoped equivalent. */
+    * incl. the other-session eviction (NB: the convention's sweep
+    * evicts entries of ANY other session uuid, not just dead ones —
+    * single-live-session JVMs in practice; two live sessions would
+    * thrash each other's memo and merely retrain, never corrupt). A
+    * production deployment persists the centroids next to the index
+    * (Ivf.writeIndex); this is the session-scoped equivalent. */
   private val centroidsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private[operators] def corpusCentroidsMemo(s: SparkSession, d: String,
