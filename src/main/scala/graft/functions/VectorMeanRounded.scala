@@ -21,7 +21,8 @@ final class VectorMeanRoundedBuffer(
     var count: Long, var sums: Array[Long], var bigs: Array[BigInteger])
 
 /** `vector_mean_rounded(v, mult, scale)` — BIT-IDENTICAL to
-  * `vector_mean(transform(v, e => round(e * mult, scale)))`, fused:
+  * `vector_mean(transform(v, e => round(e * mult, scale)))` on the
+  * ≤ 15-significant-digit domain documented below, fused:
   *
   *   - the per-element work (multiply, Spark `round` semantics, decimal
   *     quantization) runs in one primitive loop inside the aggregate's
@@ -38,11 +39,25 @@ final class VectorMeanRoundedBuffer(
   * Value-equality argument (spec-gated elementwise in
   * FunctionsSpec): Spark's `round(x, s)` on DoubleType is
   * `BigDecimal.valueOf(x).setScale(s, HALF_UP)` re-read as double —
-  * exactly what update() computes, keeping only the unscaled integer
-  * (the double re-entry is a no-op for scale ≤ 15 magnitudes and the
-  * quantization to scale 20 inside vector_mean pads zeros); the final
-  * scale-20 HALF_UP division by the count is performed on the exact
-  * integer total, matching the BigDecimal path digit-for-digit.
+  * exactly what update() computes, keeping only the unscaled integer;
+  * the final scale-20 HALF_UP division by the count is performed on the
+  * exact integer total, matching the BigDecimal path digit-for-digit.
+  *
+  * Equivalence DOMAIN: the bit-identity holds for rounded values of
+  * ≤ 15 significant digits (|x·10^s| < 10^15). Inside that range the
+  * composed path's double re-entry (`...setScale(s).toDouble`, then
+  * `BigDecimal.valueOf` again inside vector_mean) round-trips exactly,
+  * because shortest-repr recovers ≤ 15-digit decimals; the fused path
+  * keeps the unscaled integer and never re-enters. The Long-lane
+  * overflow guard admits |x·10^s| up to 2^62 (~19 digits) — that bound
+  * protects the SUM, not the equivalence: a 16-17-digit rounded value
+  * (e.g. |x| ≥ 1e10 at scale 6) is representable but may not survive
+  * the composed path's double hop, and there the fused result is the
+  * MORE exact one (it sums the true HALF_UP lattice points), i.e. the
+  * two paths can legitimately differ in the last ulp. Engine call sites
+  * are 4-9 orders of magnitude inside the 15-digit domain (unit-norm
+  * embeddings rounded at 6 dp → ≤ 7 significant digits; PCA projection
+  * products at 9 dp → ≤ 13).
   *
   * This is the engine's k-means / PCA inner loop ([[Ivf.kmeans]],
   * [[graft.operators.Pca.fit]]): corpus × dim × k rounded products per

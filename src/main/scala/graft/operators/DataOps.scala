@@ -887,14 +887,10 @@ object DataOps {
   private val mergesMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private[operators] def trainedMergeTable(
-      s: SparkSession, d: String): DataFrame = {
-    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
-    mergesMemo.keys().asIterator().forEachRemaining { k =>
-      if (k._1 != uuid) { mergesMemo.remove(k); () }
+      s: SparkSession, d: String): DataFrame =
+    memoGet(mergesMemo, s, d) {
+      Bpe.trainBpe(Tables.documents(s, d), "text", numMerges = 20)
     }
-    mergesMemo.computeIfAbsent((uuid, d), _ =>
-      Bpe.trainBpe(Tables.documents(s, d), "text", numMerges = 20))
-  }
 
   /** The memoized merge table collected for plan embedding — the one
     * place the (rank → left, right) column contract lives; t20 and x04
@@ -947,6 +943,37 @@ object DataOps {
     }
   }
 
+  /** Shared lookup for the session-scoped memo maps below: evict entries
+    * of any other session uuid (the documented convention — other-session
+    * entries are presumed dead; two LIVE sessions merely thrash and
+    * retrain, never corrupt, because every memoized builder is a
+    * deterministic corpus function), then return the cached value or
+    * compute OUTSIDE the map and publish via `putIfAbsent`. The
+    * compute-outside shape matters: `computeIfAbsent` would run the
+    * builder — often several eager Spark jobs — under the CHM bin lock,
+    * blocking any concurrent caller whose key hashes to the same bin for
+    * the whole training. Two concurrent misses on the SAME key may both
+    * compute; the first publish wins and the loser's (value-identical)
+    * result is dropped — wasted work in a race that never happens in the
+    * one-session-per-JVM deployment, in exchange for never holding a
+    * lock across a Spark job. */
+  private def memoGet(
+      map: java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame],
+      s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
+    map.keys().asIterator().forEachRemaining { k =>
+      if (k._1 != uuid) { map.remove(k); () }
+    }
+    val k = (uuid, key)
+    val hit = map.get(k)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = map.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
   /** Session-scoped memo of the x01 capstone result: x01 and x02 both
     * consume the full curate→decontaminate→sample→pack fixpoint (the
     * single most expensive lineage in the surface), so it materializes
@@ -954,19 +981,14 @@ object DataOps {
     * replay-memo convention, including the dead-session eviction. */
   private val preparedMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def preparedTrainingSet(s: SparkSession, d: String): DataFrame = {
-    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
-    preparedMemo.keys().asIterator().forEachRemaining { k =>
-      if (k._1 != uuid) { preparedMemo.remove(k); () }
-    }
-    preparedMemo.computeIfAbsent((uuid, d), _ => {
+  private def preparedTrainingSet(s: SparkSession, d: String): DataFrame =
+    memoGet(preparedMemo, s, d) {
       import s.implicits._
       val docs = Tables.documents(s, d)
       prepareTrainingSet(
         docs.filter(!isBenchId($"doc_id")),
         docs.filter(isBenchId($"doc_id"))).graftCheckpoint()
-    })
-  }
+    }
 
   /** Session-scoped memo of the corpus IVF centroids at a given
     * (nCells, iterations) — `Ivf.kmeans` over the canonical full-corpus
@@ -986,38 +1008,28 @@ object DataOps {
   private val centroidsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private[operators] def corpusCentroidsMemo(s: SparkSession, d: String,
-      nCells: Int, iterations: Int): DataFrame = {
-    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
-    centroidsMemo.keys().asIterator().forEachRemaining { k =>
-      if (k._1 != uuid) { centroidsMemo.remove(k); () }
-    }
-    centroidsMemo.computeIfAbsent((uuid, s"$d#$nCells#$iterations"), _ => {
+      nCells: Int, iterations: Int): DataFrame =
+    memoGet(centroidsMemo, s, s"$d#$nCells#$iterations") {
       import s.implicits._
       val vectors = Tables.embeddings(s, d)
         .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
       Ivf.kmeans(vectors, nCells = nCells, iterations = iterations)
-    })
-  }
+    }
 
   /** The √N-sized variant (d10's IVF parameterization): nCells =
     * max(16, ⌈√N⌉) is itself derived from a corpus count, so it lives
     * INSIDE the memoized builder — repeat calls (s06 re-runs the d10
     * body per evaluation) are job-free, not one-full-scan-per-call. */
   private[operators] def corpusSqrtCentroidsMemo(
-      s: SparkSession, d: String, iterations: Int): DataFrame = {
-    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
-    centroidsMemo.keys().asIterator().forEachRemaining { k =>
-      if (k._1 != uuid) { centroidsMemo.remove(k); () }
-    }
-    centroidsMemo.computeIfAbsent((uuid, s"$d#sqrt#$iterations"), _ => {
+      s: SparkSession, d: String, iterations: Int): DataFrame =
+    memoGet(centroidsMemo, s, s"$d#sqrt#$iterations") {
       import s.implicits._
       val vectors = Tables.embeddings(s, d)
         .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
       val nCells = math.max(16, math.ceil(
         math.sqrt(vectors.count().toDouble)).toInt)
       Ivf.kmeans(vectors, nCells = nCells, iterations = iterations)
-    })
-  }
+    }
 
   /** Session-scoped memo of the d05 clustering fixpoint (trigram-Jaccard
     * pairs → connected-component labels at the d05 defaults: n=3,
@@ -1039,29 +1051,20 @@ object DataOps {
     * corpus-scale token pass runs once per session, not once per query
     * (the trainedMergeTable/preparedTrainingSet convention). */
   private[operators] def cmCountersMemo(
-      s: SparkSession, d: String): DataFrame = {
-    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
-    cmMemo.keys().asIterator().forEachRemaining { k =>
-      if (k._1 != uuid) { cmMemo.remove(k); () }
-    }
-    cmMemo.computeIfAbsent((uuid, d), _ =>
+      s: SparkSession, d: String): DataFrame =
+    memoGet(cmMemo, s, d) {
       cmCounters(cmTokens(Tables.documents(s, d)), 16384, 3)
-        .graftCheckpoint())
-  }
-  private[operators] def dedupClustersMemo(
-      s: SparkSession, d: String): DataFrame = {
-    val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
-    clusterMemo.keys().asIterator().forEachRemaining { k =>
-      if (k._1 != uuid) { clusterMemo.remove(k); () }
+        .graftCheckpoint()
     }
-    clusterMemo.computeIfAbsent((uuid, d), _ => {
+  private[operators] def dedupClustersMemo(
+      s: SparkSession, d: String): DataFrame =
+    memoGet(clusterMemo, s, d) {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
         minJaccard = 0.05, maxDocFreq = 1000L)
       ConnectedComponents.dedupClusters(docs, "doc_id", pairs)
         .graftCheckpoint()
-    })
-  }
+    }
 
   /** Stable staging directory for the shard-writing queries (x02/x03):
     * keyed by tag + source-dir hash, wiped before reuse — repeated
@@ -4159,6 +4162,121 @@ object DataOps {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** s03's oracle: the IVF top-k REBUILT in SQL — the d10 convention at
+    * [[ivfKnnQuery]]'s parameterization. Every stage is a deterministic
+    * corpus function: the centroids are the SAME fixed-seed k-means d10
+    * replays (here at nCells = 16 — c0 is the first 16 vectors by id,
+    * [[Ivf.kmeans]]'s init — and 3 rounds via the shared
+    * [[KmeansSql.threeRounds]] chain, so the two oracles cannot drift);
+    * the inverted-file assignment is [[KmeansSql.assignCte]]'s rn = 1
+    * mirror of assign()'s min(struct(dist, cell)); the per-probe nProbe=4
+    * cell pick is the top_k_pairs (−dist desc, cell asc) total order ↔
+    * ROW_NUMBER OVER (ORDER BY dist ASC, cell ASC) rn ≤ 4; candidates are
+    * the cell equi-join (each vector lives in EXACTLY one cell — rn = 1 —
+    * so no dedup is needed, unlike s02's multi-chunk buckets); and the
+    * exact rerank is s01's committed shape verbatim (list_dot_product ≡
+    * dot_double, 9dp round, ROW_NUMBER (cos desc, vec_id asc) ≤ 5).
+    * `m3f`/`idx` are MATERIALIZED: m3 is referenced by both the
+    * assignment and the probe ranking, and DuckDB would otherwise inline
+    * the whole k-means tree into each.
+    *
+    * Preconditions, shared with d10 (DedupOraclePreconditionSpec): the
+    * embedding column is null-free (a null row would diverge the mean
+    * divisor), and — shared with s01 — zero-norm vectors are absent (a
+    * 0/0 cosine is NULL in both engines but NaN-vs-NULL ordering would
+    * differ). The recall spec (vs bruteKnn) is UNCHANGED: this oracle
+    * pins that the engine computes exactly its declared approximation;
+    * the spec pins that the approximation is good. */
+  private def s03Sql: String = {
+    import KmeansSql.{assignCte, dist, threeRounds}
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT cell, centroid FROM (
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+       |  WHERE rn <= 16),
+       |$threeRounds,
+       |m3f AS MATERIALIZED (SELECT cell, centroid FROM m3),
+       |${assignCte("idx0", "m3f")},
+       |idx AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cell
+       |  FROM idx0),
+       |pc AS (SELECT probe_id, q, cell FROM (
+       |  SELECT p.vec_id AS probe_id, p.v AS q, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dist("p.v", "c.centroid")} ASC, c.cell ASC) AS rn
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id < 3) p, m3f c)
+       |  WHERE rn <= 4),
+       |scored AS (SELECT probe_id, idx.vec_id,
+       |  round(list_dot_product(q, idx.v) /
+       |    (sqrt(list_dot_product(q, q)) * idx.nrm), 9) AS cos_sim
+       |  FROM pc JOIN idx USING (cell) WHERE idx.vec_id <> probe_id)
+       |SELECT probe_id, vec_id, cos_sim, rnk FROM (
+       |  SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (
+       |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** s02's oracle: the multi-probe hyperplane-LSH top-k REBUILT in SQL.
+    * The "approximate" op is a deterministic corpus function end to end
+    * (the d03/d04/s03 argument): the 16 hyperplanes are LCG-seeded
+    * constants interpolated from the ONE Scala definition
+    * ([[Similarity.hyperplaneValues]] — Double.toString round-trips
+    * through DuckDB's correctly-rounded parse, the e07 convention); each
+    * signature bit is `list_dot_product(v, plane) > 0` ≡ the engine's
+    * dot_double left fold (same doubles, same strict > on the same
+    * value); the 4×4-bit chunk buckets are integer shifts/masks; the
+    * probe side widens each chunk bucket by the ≤1-bit XOR flips
+    * {0,1,2,4,8} ([[Similarity.lshKnn]]'s `masks` at probeFlips = 1);
+    * candidates are DISTINCT (probe, vec) pairs over the (chunk, bucket)
+    * equi-join — mirroring dropDuplicates, needed because a pair can
+    * share several probed buckets; and the exact rerank is s01's
+    * committed shape verbatim (9dp round, (cos desc, id asc) ≤ 5).
+    * `sig` is MATERIALIZED: it is referenced by both the corpus and the
+    * probe banding, and each reference carries 16 64-literal dot
+    * products DuckDB would otherwise re-inline.
+    *
+    * Parameterization is [[lshKnnQuery]]'s: numPlanes = 16, maxHamming =
+    * 3 → chunks = 4 of width 4, probeFlips = 1, k = 5, probes =
+    * vec_id < 3. The recall spec (vs bruteKnn) is UNCHANGED — this
+    * oracle pins that the engine computes exactly its declared
+    * approximation; the spec pins that the approximation is good. */
+  private def s02Sql: String = {
+    val planes = Similarity.hyperplaneValues(16, 64)
+    def lits(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    val sigSum = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${lits(p)}) > 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n|    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS MATERIALIZED (SELECT vec_id,
+       |  $sigSum AS sig FROM e),
+       |cb AS (SELECT vec_id, chunk, (sig >> (chunk * 4)) & 15 AS bucket
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk)),
+       |pb AS (SELECT probe_id, chunk, xor(bucket, mask) AS bucket
+       |  FROM (SELECT vec_id AS probe_id, chunk,
+       |      (sig >> (chunk * 4)) & 15 AS bucket
+       |    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk)
+       |    WHERE vec_id < 3),
+       |    (SELECT unnest([0, 1, 2, 4, 8]) AS mask)),
+       |cand AS (SELECT DISTINCT pb.probe_id, cb.vec_id
+       |  FROM pb JOIN cb USING (chunk, bucket)
+       |  WHERE cb.vec_id <> pb.probe_id),
+       |scored AS (SELECT probe_id, cand.vec_id,
+       |  round(list_dot_product(q.v, c.v) /
+       |    (sqrt(list_dot_product(q.v, q.v)) *
+       |     sqrt(list_dot_product(c.v, c.v))), 9) AS cos_sim
+       |  FROM cand
+       |  JOIN e q ON q.vec_id = cand.probe_id
+       |  JOIN e c ON c.vec_id = cand.vec_id)
+       |SELECT probe_id, vec_id, cos_sim, rnk FROM (
+       |  SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (
+       |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   /** e07's oracle: subspace-iteration PCA REBUILT in SQL — the e06
     * fixed-iteration unrolling convention applied to [[Pca.fit]]'s 8
     * passes. Every number that crosses the engine boundary is exact by
@@ -4187,7 +4305,27 @@ object DataOps {
     * Component CTEs are MATERIALIZED: g-round CTEs are referenced 3-4
     * times each (next round's projections + Gram-Schmidt of later
     * components), and DuckDB would otherwise inline the reference tree
-    * exponentially (the g05 lesson). */
+    * exponentially (the g05 lesson).
+    *
+    * Residual cross-engine rounding exposure (adjudicated, accepted):
+    * the 9 dp projection-product rounding is the one site where the two
+    * engines round COMPUTED doubles, not float-sourced lattice values —
+    * Spark rounds the shortest-repr decimal HALF_UP while DuckDB's
+    * `round(DOUBLE, 9)` works in binary (std::round(x·10⁹)), so a
+    * product landing within ~1 ulp of a 5·10⁻¹⁰ half-grid point can
+    * pick different 9 dp lattice points (~10⁻⁸ per evaluation; ~3×10⁷
+    * evaluations at sf1 → order-0.3 expected disagreements per
+    * full-scale sweep, none observed across three SFs so far). The
+    * tempting "exact" fix — re-deriving the 9 dp value in DuckDB via a
+    * shortest-repr text hop — trades this for a WORSE-understood hazard:
+    * Java 17's pre-Ryū `Double.toString` (what Spark's round consumes
+    * via `BigDecimal.valueOf`) does not guarantee closest-among-shortest
+    * on tie digits, so the text hop can disagree with Spark in its own
+    * rare cases that no local test would surface. If a Verify flake ever
+    * lands here: re-run once (the disagreement is value-dependent, not
+    * flaky per se — a persistent mismatch on the same corpus), and if
+    * persistent, move e07 to the t25 spec-gated lane with this paragraph
+    * as the written adjudication. */
   private def e07Sql: String = {
     val dim = 64
     // NOT a free parameter: gsCtes hand-unrolls the Gram-Schmidt chain
@@ -4469,6 +4607,8 @@ object DataOps {
     "e06_diverse_sample" -> e06Sql,
     "e07_pca" -> e07Sql,
     "d10_semantic_pairs" -> d10Sql,
+    "s02_lsh_knn" -> s02Sql,
+    "s03_ivf_knn" -> s03Sql,
     "t18_bpe_merges" -> bpeMergesSql,
     "t20_bpe_encode" -> bpeEncodeSql,
     "x04_bpe_shards" -> bpeShardsSql,

@@ -777,6 +777,13 @@ object Dedup {
       idCol: String, textCol: String, window: Int = 20,
       maxBroadcastSpans: Long = 1000000L): DataFrame = {
     import graft.functions.RollingWindowHashes.window_hashes
+    // The size probe below is an EAGER action — on a streaming plan it
+    // would throw from deep inside head() with an AnalysisException that
+    // names no contract; fail here with the real one instead (batch-only:
+    // the benchmark is a held-out eval set, not a stream).
+    require(!benchmark.isStreaming,
+      "substringContamination: benchmark must be a batch DataFrame " +
+        "(its span inventory is probed eagerly at plan construction)")
     // ≤ 1M spans ≈ tens of MB serialized (h: long, wt: `window` chars,
     // bdoc: long) — comfortably broadcastable; anything larger shuffles.
     val benchSpanBound = benchmark

@@ -48,11 +48,25 @@ object EtlQueries {
         Option(memo.remove(k)).foreach(df =>
           try df.unpersist() catch { case _: Throwable => () })
     }
-    memo.computeIfAbsent((uuid, name), _ =>
-      (name match {
+    // compute OUTSIDE the map + putIfAbsent (the DataOps.memoGet
+    // convention): the corpus parse must never run under the CHM bin
+    // lock. A racing loser's duplicate cache() is unpersisted, not
+    // leaked — cache entries pin executor storage, unlike the plain
+    // DataFrames the other memos hold.
+    val k = (uuid, name)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val built = (name match {
         case "tracking" => Pipelines.tracking(s, corpus(), clock = ReplayClock)
         case _          => Pipelines.events(s, corpus(), clock = ReplayClock)
-      }).cache())
+      }).cache()
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) {
+        try built.unpersist() catch { case _: Throwable => () }
+        prev
+      } else built
+    }
   }
 
   /** One-time CSV→parquet staging of the events corpus — the real

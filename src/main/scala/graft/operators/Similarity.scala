@@ -96,16 +96,26 @@ object Similarity {
     rerankTopK(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplanes (LCG, fixed seed): one
-    * array<double> literal per plane. */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Seq[Column] = {
+  /** The hyperplane doubles as raw arrays — the ONE definition of the
+    * LCG constants, exposed so the s02 oracle interpolates the EXACT
+    * doubles the engine hashes with (the minhashPermSqlValues
+    * single-sourcing convention: a seed or formula tweak can never
+    * silently de-sync the two engines). */
+  private[operators] def hyperplaneValues(
+      numPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
     var s = seed
     def next(): Double = {
       s = s * 6364136223846793005L + 1442695040888963407L
       (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
-    Seq.fill(numPlanes)(array(Seq.fill(dim)(lit(next())): _*))
+    Array.fill(numPlanes, dim)(next())
   }
+
+  /** Deterministic pseudo-random hyperplanes (LCG, fixed seed): one
+    * array<double> literal per plane. */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Seq[Column] =
+    hyperplaneValues(numPlanes, dim, seed).toSeq
+      .map(p => array(p.toSeq.map(lit): _*))
 
   /** Sign-bit signature: bit i = [v · plane_i > 0]. */
   def lshSignature(v: Column, planes: Seq[Column]): Column =
