@@ -10,11 +10,22 @@ import org.apache.spark.sql.SparkSession
   *     timing, so run 1 starts as warm as run N — the documented
   *     alternative (dropping the cache) needs root and makes local numbers
   *     depend on storage speed instead of plan quality.
-  *  3. Median-of-N per query (SPARK_GRAFT_BENCH_REPS, default 3): the
-  *     headline per-query number is the median, which pins steady-state
-  *     cost; the per-rep raw times are persisted in the file artifact so
-  *     a cold-vs-warm split stays inspectable (rep 1 of the replay
-  *     queries pays the one-time parse+cache, by design).
+  *  3. Median-of-N per query (SPARK_GRAFT_BENCH_REPS, default 3), with
+  *     the N reps INTERLEAVED as full sweeps of the query list rather
+  *     than run back-to-back per query (round-12 protocol change): a
+  *     transient load spike lasting a few minutes lands on DIFFERENT
+  *     queries in each sweep, so the per-query median across sweeps
+  *     rejects it — where back-to-back reps let one spike inflate all 3
+  *     reps of one alphabetical neighborhood (BENCH_r11's q57–q60 block
+  *     read as a 6–8× regression that was machine state). The headline
+  *     per-query number is the median; the per-sweep raw times are
+  *     persisted in the file artifact so a cold-vs-warm split stays
+  *     inspectable (sweep 1 of the replay queries pays the one-time
+  *     parse+cache, by design).
+  *  4. Machine-state stamps: /proc/loadavg is recorded before each sweep
+  *     and at the end ("loadavg" in the file artifact) — a diff reader
+  *     can now ADJUDICATE a noisy headline instead of forensically
+  *     inferring load from the shape of the inflation.
   *
   * Memoized lineages (etl_*_replay's session-cached views, x01/x02's
   * shared curate→pack fixpoint): their rep 2+ times measure re-consuming
@@ -81,23 +92,37 @@ object Bench {
       require(names.nonEmpty && unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY: empty or unknown queries: ${unknown.mkString(", ")}")
     }
-    val raw = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        // a failing rep must be VISIBLE in the output (-1), never a
-        // plausible elapsed time; remaining reps are skipped on failure
-        val times = Array.fill(reps)(-1.0)
-        var i = 0
-        var failed = false
-        while (i < reps && !failed) {
+    // Interleaved sweeps: sweep i runs EVERY query once, so rep i of
+    // query A and rep i of query Z are minutes apart and a transient
+    // load spike can't sit on all reps of one alphabetical block. A
+    // query that fails once is skipped in later sweeps (its remaining
+    // slots stay -1, visible in the artifact — never a plausible time).
+    val timesByName = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (n, _) => n -> Array.fill(reps)(-1.0) }: _*)
+    val failedNames = scala.collection.mutable.Set[String]()
+    val loadStamps = scala.collection.mutable.ArrayBuffer[String]()
+    def stampLoad(): Unit = loadStamps +=
+      (try {
+        val fields = java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/loadavg"))
+          .trim.split("\\s+")
+        fields.take(3).mkString("[", ",", "]")
+      } catch { case _: Throwable => "[]" })
+    for (i <- 0 until reps) {
+      stampLoad()
+      queries.foreach { case (name, fn) =>
+        if (!failedNames.contains(name)) {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count()
-                times(i) = (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => failed = true }
-          i += 1
+                timesByName(name)(i) = (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => failedNames += name }
         }
-        name -> times.toSeq
       }
+    }
+    stampLoad()
+    val raw = timesByName.toSeq.map { case (n, ts) => n -> ts.toSeq }
     val results = raw.map { case (name, times) =>
       name -> (if (times.exists(_ < 0)) -1.0
                else times.sorted.apply(times.length / 2))
@@ -148,8 +173,11 @@ object Bench {
       s"\"" + k + "\":" + ts.headOption.getOrElse(-1.0)
     }.mkString("{", ",", "}")
     val coldTotal = raw.flatMap(_._2.headOption).filter(_ >= 0).sum
+    // "loadavg": one [1m,5m,15m] triple per sweep boundary (reps+1 of
+    // them) — the adjudication data for a noisy headline.
     val fileLine = line.dropRight(1) +
-      s""","cold_total":$coldTotal,"cold":$coldJson,"raw":$rawJson}"""
+      s""","cold_total":$coldTotal,"cold":$coldJson,""" +
+      s""""loadavg":[${loadStamps.mkString(",")}],"raw":$rawJson}"""
     // A filtered run (SPARK_GRAFT_BENCH_ONLY) writes to a suffixed file:
     // a 2-query experiment must never overwrite the full-surface artifact
     // that round-over-round and scaling diffs read (the round-6 trap —

@@ -957,7 +957,7 @@ object DataOps {
     * result is dropped — wasted work in a race that never happens in the
     * one-session-per-JVM deployment, in exchange for never holding a
     * lock across a Spark job. */
-  private def memoGet(
+  private[operators] def memoGet(
       map: java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame],
       s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val uuid = org.apache.spark.sql.graft.PlanBridge.sessionUUID(s)
@@ -3193,24 +3193,34 @@ object DataOps {
 
     // ANN cost-vs-scale report, the scaling companion to s06's recall
     // report: per approximate path, the measured sf0.1 and sf1 bench
-    // seconds READ FROM THE BENCH ARTIFACTS (bench_sf0.1.json /
-    // bench_graft_sf1.json in the repo root — the same files the
-    // scaling-curve analysis in BASELINE.md cites) and their ratio at
-    // 10x data. Recall (s06) and cost-vs-scale now regress visibly
-    // together: an index change that buys recall by abandoning cell
-    // pruning shows up here as a ratio jump the next round, and
-    // vice-versa. Rows>0 even with no artifacts (fresh clone: null
-    // timings, listed paths) — the report's SHAPE is stable, its
-    // numbers are this machine's latest sweep. Driver-checked rows-only
-    // (no_oracle: the values are measurements, not table functions);
-    // AnnScalingSpec gates artifact parsing + ratio arithmetic.
+    // seconds and their ratio at 10x data. Recall (s06) and
+    // cost-vs-scale regress visibly together: an index change that buys
+    // recall by abandoning cell pruning shows up here as a ratio jump,
+    // and vice-versa. The inputs default to PINNED fixture artifacts
+    // (fixtures/bench_pinned_*.json, a committed snapshot of the
+    // round-11 quiet-machine sweeps) so the report is DETERMINISTIC —
+    // round 11's whole-dump invariance diff flagged o04 as the one row
+    // that changed between dumps, because it was reading live bench
+    // files rewritten mid-session. A live-monitoring deployment points
+    // graft.o04.benchFiles at the rolling artifacts instead
+    // (comma-separated base,target — the regression-hook shape this
+    // report had before pinning). Rows>0 even with no readable files
+    // (null timings, listed paths) — the report's SHAPE is stable.
+    // Driver-checked rows-only (no_oracle: the values are measurements,
+    // not table functions); AnnScalingSpec gates artifact parsing +
+    // ratio arithmetic + pinned-input determinism.
     "o04_ann_scaling" -> { (s, _) =>
       import s.implicits._
       val paths = Seq("s01_brute_knn", "s02_lsh_knn", "s03_ivf_knn",
         "s04_pq_knn", "s05_ivfpq_knn", "s06_ann_recall",
         "d06_embedding_dups", "d10_semantic_pairs")
-      val base = benchTimings(s, "bench_sf0.1.json")
-      val sf1 = benchTimings(s, "bench_graft_sf1.json")
+      val files = s.conf.get("graft.o04.benchFiles",
+        "fixtures/bench_pinned_sf0.1.json,fixtures/bench_pinned_sf1.json")
+        .split(",").map(_.trim)
+      require(files.length == 2,
+        s"graft.o04.benchFiles: expected 'base,target', got '${files.mkString(",")}'")
+      val base = benchTimings(s, files(0))
+      val sf1 = benchTimings(s, files(1))
       paths.map { p =>
         val b = base.get(p)
         val x = sf1.get(p)

@@ -28,10 +28,20 @@ object Graph {
   /** @param edges directed (src, dst) pairs
     * @return (id, rank) for every vertex appearing in `edges`
     */
+  /** @param assumeDistinctEdges the caller asserts `edges` is already
+    *        duplicate-free AND cheap to re-scan (checkpointed/cached, or
+    *        a projection of one) — skips the operator's own
+    *        distinct+materialize pass, which on a big graph is a full
+    *        O(E) shuffle spent re-proving what the producer knows (a
+    *        disjoint union of distinct relations, a dedup'd edge table).
+    *        Values are unchanged either way: distinct on a distinct
+    *        relation is the identity. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
-    powerIterate(edges, iterations, damping, srcCol, dstCol, seeds = None)
+      srcCol: String = "src", dstCol: String = "dst",
+      assumeDistinctEdges: Boolean = false): DataFrame =
+    powerIterate(edges, iterations, damping, srcCol, dstCol, seeds = None,
+      assumeDistinctEdges)
 
   /** Personalized PageRank: the teleport distribution concentrates on
     * `seeds` (uniform over them) instead of all vertices — ranks become
@@ -44,25 +54,59 @@ object Graph {
     *
     * @param seeds one column `id`; ids not present in the graph are
     *              ignored (the teleport mass goes to seeds ∩ vertices)
+    * @param assumeDistinctEdges see [[pageRank]]
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int = 10, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
-    powerIterate(edges, iterations, damping, srcCol, dstCol, Some(seeds))
+      srcCol: String = "src", dstCol: String = "dst",
+      assumeDistinctEdges: Boolean = false): DataFrame =
+    powerIterate(edges, iterations, damping, srcCol, dstCol, Some(seeds),
+      assumeDistinctEdges)
+
+  /** Rank-vector broadcast cutoff for [[powerIterate]]: below this many
+    * vertices the per-round rank relation (id, rank — ~24 B serialized)
+    * is broadcast into the edge join, so NO round ever shuffles anything
+    * data-sized (the edge relation streams from its checkpointed blocks,
+    * the contribution aggregate ships map-side partials only). 4M rows
+    * ≈ 100 MB broadcast — comfortably inside executor memory, far above
+    * every test graph. Above the cutoff the partitioned path takes over:
+    * edges are hash-partitioned by src ONCE at build, so each round
+    * shuffles only the O(V) rank relation to meet them — never the
+    * edges. Both paths are value-identical (decimal-exact sums are
+    * order-independent; join strategy cannot change values). */
+  private val RanksBroadcastMaxVertices = 4000000L
 
   private def powerIterate(edges: DataFrame, iterations: Int,
       damping: Double, srcCol: String, dstCol: String,
-      seeds: Option[DataFrame]): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().graftCheckpoint(true)
+      seeds: Option[DataFrame],
+      assumeDistinctEdges: Boolean = false): DataFrame = {
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (assumeDistinctEdges) eRaw
+            else eRaw.distinct().graftCheckpoint(true)
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .graftCheckpoint(true)
     val nV = vertices.count().toDouble
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val norm = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+    // per-SOURCE weight relation (vertex-scale, one row per non-dangling
+    // vertex). The per-round summand rank(src)·w(src) depends only on
+    // src, so it is computed and decimal-quantized on THIS relation —
+    // 1 conversion per vertex — and the edge join then sums ready-made
+    // decimals. The previous shape cast (rank·w) per EDGE row:
+    // 11.7M BigDecimal constructions per round at sf1, measured as the
+    // dominant round cost (2.2 s vs 0.4 s for the bare scan+join).
+    val srcW = outDeg
+      .select(col("src"), (lit(1.0) / col("deg")).as("w"))
       .graftCheckpoint(true)
+    // the bare edge relation, hash-partitioned by src at build so the
+    // big-graph path's per-round share join meets the edges WITHOUT ever
+    // re-shuffling them — the checkpoint captures the partitioning into
+    // the LogicalRDD, and every round then exchanges only the
+    // vertex-scale share relation (the t25 iteration trick). The
+    // broadcast path doesn't need it, but a deterministic block layout
+    // costs one exchange at build either way.
+    val eBySrc = e.repartition(col("src")).graftCheckpoint(true)
+    val broadcastRanks = nV <= RanksBroadcastMaxVertices.toDouble
 
     // dangling (sink) vertices: their rank mass must be redistributed
     // (to the teleport distribution) each round or it leaks and ranks
@@ -101,16 +145,29 @@ object Graph {
         .agg(coalesce(sum(when(!col("has_out"),
             col("rank").cast("decimal(38,28)"))), lit(0))
           .cast("double").as("__dm"))
-      val contrib = norm
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+      // per-source share: rank(src)·w(src), decimal-quantized ONCE per
+      // vertex; the identical value the per-edge cast produced (same
+      // doubles in, same BigDecimal.valueOf/setScale), at 1/mean-degree
+      // of the conversions. Below the cutoff the share vector rides a
+      // broadcast into the edge scan — the round's ONLY exchange is then
+      // the map-side-combined contribution partials; above it, the share
+      // side shuffles to meet the edges' build-time src partitioning
+      // (edges never move again).
+      val shares = ranks.select(col("id").as("src"), col("rank"))
+        // vertex-scale both sides; above the cutoff it shuffle-joins
+        .join(if (broadcastRanks) broadcast(srcW) else srcW, "src")
+        .select(col("src"),
+          (col("rank") * col("w")).cast("decimal(38,28)").as("__share"))
+      val contrib = eBySrc
+        .join(if (broadcastRanks) broadcast(shares) else shares, "src")
         .groupBy(col("dst").as("id"))
         // decimal-exact contribution sum: a double sum's value depends on
         // partition/reduction order, which would make ranks wobble in the
         // last ulps across executor counts (engine convention, README)
-        .agg(sum((col("rank") * col("w")).cast("decimal(38,28)"))
-          .cast("double").as("in_rank"))
+        .agg(sum(col("__share")).cast("double").as("in_rank"))
       ranks = flagged
-        .join(contrib, Seq("id"), "left")
+        .join(if (broadcastRanks) broadcast(contrib) else contrib,
+          Seq("id"), "left")
         .crossJoin(broadcast(danglingMass))
         .select(col("id"), col("has_out"), col("tele"),
           (lit(1.0 - damping) * col("tele") +
@@ -722,16 +779,28 @@ object Graph {
           / col("__t"), 9).as("vertex_share"))
   }
 
+  /** The (customer, supplier, lineitem-count) trade relation every
+    * g-family query projects its graph from, memoized per (session,
+    * sfDir) — the corpusCentroidsMemo convention. Fifteen registrations
+    * consume this same 6M-row orders⋈lineitem aggregate; before the memo
+    * each rebuilt it per invocation (~11 s of the 38 s g04 paid at sf1
+    * was this join). The memoized value is checkpointed (lineage-cut,
+    * blocks shared), deterministic (a plain aggregate), and every
+    * consumer layers its own filters/projections on top. */
+  private val tradeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def tradeRelation(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-      .agg(count(lit(1)).as("w"))
-      // every consumer reads this 2+ times (union branches, the cap
-      // probe, the pair self-join) — materialize the 6M-row join once
-      // per query instead of re-shuffling it per branch (the pageRank
-      // e/norm convention)
-      .graftCheckpoint(true)
+    DataOps.memoGet(tradeMemo, s, d) {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(count(lit(1)).as("w"))
+        // every consumer reads this 2+ times (union branches, the cap
+        // probe, the pair self-join) — materialize the 6M-row join once
+        // per SESSION instead of re-shuffling it per branch/query (the
+        // pageRank e/norm convention, widened by the memo)
+        .graftCheckpoint(true)
+    }
 
   /** Co-purchase projection: canonical (ca < cb) customer pairs sharing
     * at least `minShared` suppliers in `cs` — posting-list pair
@@ -833,8 +902,11 @@ object Graph {
       val seeds = Tables.customer(s, d)
         .filter(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("id"))
+      // tradeEdges is a DISJOINT union (even-src ∪ odd-src) of two
+      // projections of the memoized distinct (c, sp) relation — distinct
+      // by construction, blocks already materialized
       Graph.personalizedPageRank(tradeEdges(s, d), seeds,
-          iterations = 10)
+          iterations = 10, assumeDistinctEdges = true)
         .select(
           when(col("id") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -923,9 +995,14 @@ object Graph {
     // invariance) and the driver records rows-only. Ranks are rounded to
     // 10 dp for a stable dump; sum(rank) ≈ 1 is part of the spec gate.
     "g02_pagerank" -> { (s, d) =>
+      // (c, sp) is the memoized relation's GROUP BY key, so the directed
+      // projection is distinct by construction and rides checkpointed
+      // blocks — the operator's own dedup pass would re-prove it with a
+      // full O(E) shuffle
       val directed = tradeRelation(s, d)
         .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
-      Graph.pageRank(directed, iterations = 10)
+      Graph.pageRank(directed, iterations = 10,
+          assumeDistinctEdges = true)
         .select(
           when(col("id") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
