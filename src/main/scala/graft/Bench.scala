@@ -72,6 +72,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("graft.checkpoint", ckptMode)
       .config("spark.ui.enabled", "false")
+      // The interleaved-sweep protocol visits all 244 queries between
+      // any query's consecutive reps, and Spark's generated-class cache
+      // holds only 100 entries by default — every rep would recompile
+      // every codegen span (measured: +44 s uniform inflation across
+      // the whole sf0.1 sweep when the protocol first landed). Sized to
+      // hold the full surface's spans so rep 2+ measures the QUERY, not
+      // Janino.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
     val spark = ClusterEnv.withExecutorEnv(builder,
       sys.env.get("SPARK_GRAFT_JARS"),
       sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g")).getOrCreate()
