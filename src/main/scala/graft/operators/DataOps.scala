@@ -4117,6 +4117,57 @@ object DataOps {
          |${meansCte("m2", "a2")},
          |${assignCte("a3", "m2")},
          |${meansCte("m3", "a3")}""".stripMargin
+
+    // ---- PQ SUBSPACE variants: the same machinery keyed by (m, cell)
+    // over a `sub` relation (vec_id, m, sv) of `subDim`-wide slices —
+    // [[Pq.trainCodebooks]]'s composite-key Lloyd's loop in SQL. One
+    // generator serves s04 and s05 (raw-vector vs residual subspaces);
+    // the mean arithmetic is meansCte's verbatim (6dp micro-units,
+    // scale-20 HALF_UP division, 'e-20' text re-entry), matching
+    // vector_mean_rounded(sv, 1.0, 6). ----
+    def subDist(v: String, c: String, subDim: Int): String =
+      (1 to subDim).map(i => s"($v[$i]-$c[$i])*($v[$i]-$c[$i])")
+        .mkString(" + ")
+    def subAssignCte(name: String, cents: String, subDim: Int): String =
+      s"""$name AS (SELECT vec_id, m, sv, cell FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${subDist("s.sv", "c.centroid", subDim)} ASC,
+         |        c.cell ASC) AS rn
+         |  FROM sub s JOIN $cents c USING (m)) WHERE rn = 1)""".stripMargin
+    def subMeansCte(name: String, assigned: String, subDim: Int): String =
+      s"""$name AS (
+         |  SELECT m, cell, list(cd ORDER BY dim) AS centroid FROM (
+         |    SELECT m, cell, dim,
+         |      CAST(CAST(CASE WHEN su >= 0
+         |          THEN (su * 200000000000000 + n) // (2 * n)
+         |          ELSE -(((-su) * 200000000000000 + n) // (2 * n))
+         |        END AS VARCHAR) || 'e-20' AS DOUBLE) AS cd
+         |    FROM (
+         |      SELECT m, cell, i AS dim,
+         |        SUM(CAST(CAST(round(sv[i], 6) AS DECIMAL(18,6)) * 1000000
+         |          AS HUGEINT)) AS su,
+         |        COUNT(*) AS n
+         |      FROM $assigned, (SELECT unnest(range(1, ${subDim + 1})) AS i)
+         |      GROUP BY 1, 2, 3)
+         |  ) GROUP BY m, cell)""".stripMargin
+    /** Codebook training chain: sc0 → sm3, then the compact 0-based
+      * relabel ([[Pq.trainCodebooks]]'s row_number window). Expects a
+      * `sub` CTE (vec_id, m, sv) and an `ids` CTE of the first-K init
+      * vec_ids in scope. */
+    def subThreeRoundsAndBooks(subDim: Int): String =
+      s"""sc0 AS (SELECT m, CAST(s.vec_id AS INT) AS cell, sv AS centroid
+         |  FROM sub s JOIN ids USING (vec_id)),
+         |${subAssignCte("sa1", "sc0", subDim)},
+         |${subMeansCte("sm1", "sa1", subDim)},
+         |${subAssignCte("sa2", "sm1", subDim)},
+         |${subMeansCte("sm2", "sa2", subDim)},
+         |${subAssignCte("sa3", "sm2", subDim)},
+         |${subMeansCte("sm3", "sa3", subDim)},
+         |books AS MATERIALIZED (SELECT m, code, centroid FROM (
+         |  SELECT m, centroid,
+         |    ROW_NUMBER() OVER (PARTITION BY m ORDER BY cell) - 1 AS code
+         |  FROM sm3))""".stripMargin
   }
 
   /** d10's oracle: the IVF-cell semantic pair generator REBUILT in SQL.
@@ -4285,6 +4336,233 @@ object DataOps {
        |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
        |  FROM scored) t
        |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** s04's oracle: the two-stage PQ search REBUILT in SQL. Every stage
+    * is deterministic: the per-subspace codebooks are
+    * [[Pq.trainCodebooks]]'s composite-key Lloyd's loop — first-16-ids
+    * init, 3 rounds via [[KmeansSql.subThreeRoundsAndBooks]] (the e06
+    * mean arithmetic at subDim = 8, now shared with the engine through
+    * `vector_mean_rounded(sv, 1.0, 6)`), compact 0-based relabel as the
+    * ROW_NUMBER window verbatim; encoding is the min(struct(dist, code))
+    * argmin ↔ rn = 1; the ADC lookup table rounds each subspace
+    * distance to 9dp (the engine does too — the t06/o02 convention, so
+    * the DECIMAL(28,12) cast is an exact pad and the 8-term sum is the
+    * same double in both engines); the 50-candidate shortlist is the
+    * top_k_pairs (−adc desc, id asc) total order ↔ ROW_NUMBER
+    * (adc asc, id asc) ≤ 50; and the exact rerank is s01's committed
+    * shape. Preconditions shared with s03 (null-free, nonzero-norm
+    * embeddings). The recall/reconstruction specs are UNCHANGED. */
+  private def s04Sql: String = {
+    import KmeansSql.{subDist, subThreeRoundsAndBooks}
+    val subDim = 8
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ids AS (SELECT vec_id FROM (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+       |  WHERE rn <= 16),
+       |sub AS MATERIALIZED (SELECT vec_id, m,
+       |    list_slice(v, m * 8 + 1, m * 8 + 8) AS sv
+       |  FROM e, (SELECT unnest(range(0, 8)) AS m)),
+       |${subThreeRoundsAndBooks(subDim)},
+       |enc AS MATERIALIZED (SELECT vec_id, m, code FROM (
+       |  SELECT s.vec_id, s.m, b.code,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${subDist("s.sv", "b.centroid", subDim)} ASC,
+       |        b.code ASC) AS rn
+       |  FROM sub s JOIN books b USING (m)) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, v AS q FROM e WHERE vec_id < 3),
+       |psub AS (SELECT probe_id, m,
+       |    list_slice(q, m * 8 + 1, m * 8 + 8) AS qv
+       |  FROM p, (SELECT unnest(range(0, 8)) AS m)),
+       |lut AS MATERIALIZED (SELECT probe_id, b.m, b.code,
+       |    round(${subDist("s.qv", "b.centroid", subDim)}, 9) AS dt
+       |  FROM psub s JOIN books b USING (m)),
+       |adc AS (SELECT probe_id, enc.vec_id,
+       |    CAST(SUM(CAST(dt AS DECIMAL(28,12))) AS DOUBLE) AS adc_dist
+       |  FROM enc JOIN lut USING (m, code)
+       |  WHERE enc.vec_id <> lut.probe_id
+       |  GROUP BY 1, 2),
+       |short AS (SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY adc_dist ASC, vec_id ASC) AS rn FROM adc)
+       |  WHERE rn <= 50),
+       |scored AS (SELECT probe_id, short.vec_id,
+       |  round(list_dot_product(q, e.v) /
+       |    (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(e.v, e.v))),
+       |    9) AS cos_sim
+       |  FROM short JOIN e ON e.vec_id = short.vec_id JOIN p USING (probe_id))
+       |SELECT probe_id, vec_id, cos_sim, rnk FROM (
+       |  SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (
+       |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** s05's oracle: the full IVF-PQ (IVFADC) serving path REBUILT in SQL
+    * — the deepest composition on the surface, but every stage is a
+    * committed convention: the coarse quantizer is s03's k-means
+    * verbatim (the shared [[KmeansSql.threeRounds]] chain at nCells =
+    * 16 — one generator, three oracles, zero drift); the inverted file
+    * is assignCte's rn = 1; residuals are elementwise IEEE subtraction
+    * (zip_with(v, c, x − c) ↔ list_transform — same doubles, no
+    * rounding needed); the residual codebooks are s04's subspace
+    * machinery over the residual slices; the nProbe = 4 probe pick is
+    * s03's ROW_NUMBER mirror; the per-(probe, cell) residual query and
+    * ADC lookup table mirror [[Pq.ivfPqKnn]] with the 9dp-rounded dt
+    * (exact DECIMAL pad, the s04 convention); the cell equi-join IS the
+    * pruning (a candidate scores only in its own cell against that
+    * cell's residual query); the 30-candidate shortlist and the exact
+    * 9dp rerank are the committed total orders. Preconditions shared
+    * with s03/s04. The recall specs are UNCHANGED. */
+  private def s05Sql: String = {
+    import KmeansSql.{assignCte, dist, subDist, subThreeRoundsAndBooks,
+      threeRounds}
+    val subDim = 8
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT cell, centroid FROM (
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+       |  WHERE rn <= 16),
+       |$threeRounds,
+       |m3f AS MATERIALIZED (SELECT cell, centroid FROM m3),
+       |${assignCte("idx0", "m3f")},
+       |resid AS MATERIALIZED (SELECT i.vec_id, i.cell,
+       |    list_transform(range(1, 65), j -> i.v[j] - c.centroid[j]) AS rv
+       |  FROM idx0 i JOIN m3f c USING (cell)),
+       |ids AS (SELECT vec_id FROM (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |  FROM resid) WHERE rn <= 16),
+       |sub AS MATERIALIZED (SELECT vec_id, m,
+       |    list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv
+       |  FROM resid, (SELECT unnest(range(0, 8)) AS m)),
+       |${subThreeRoundsAndBooks(subDim)},
+       |enc AS MATERIALIZED (SELECT vec_id, m, code FROM (
+       |  SELECT s.vec_id, s.m, b.code,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${subDist("s.sv", "b.centroid", subDim)} ASC,
+       |        b.code ASC) AS rn
+       |  FROM sub s JOIN books b USING (m)) WHERE rn = 1),
+       |encCell AS (SELECT enc.vec_id, r.cell, enc.m, enc.code
+       |  FROM enc JOIN (SELECT vec_id, cell FROM resid) r USING (vec_id)),
+       |pc AS (SELECT probe_id, q, cell FROM (
+       |  SELECT p.vec_id AS probe_id, p.v AS q, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dist("p.v", "c.centroid")} ASC, c.cell ASC) AS rn
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id < 3) p, m3f c)
+       |  WHERE rn <= 4),
+       |pq AS (SELECT probe_id, pc.cell,
+       |    list_transform(range(1, 65), j -> pc.q[j] - c.centroid[j]) AS qr
+       |  FROM pc JOIN m3f c USING (cell)),
+       |psub AS (SELECT probe_id, cell, m,
+       |    list_slice(qr, m * 8 + 1, m * 8 + 8) AS qv
+       |  FROM pq, (SELECT unnest(range(0, 8)) AS m)),
+       |lut AS MATERIALIZED (SELECT probe_id, s.cell, b.m, b.code,
+       |    round(${subDist("s.qv", "b.centroid", subDim)}, 9) AS dt
+       |  FROM psub s JOIN books b USING (m)),
+       |adc AS (SELECT probe_id, ec.vec_id,
+       |    CAST(SUM(CAST(dt AS DECIMAL(28,12))) AS DOUBLE) AS adc_dist
+       |  FROM encCell ec JOIN lut USING (cell, m, code)
+       |  WHERE ec.vec_id <> lut.probe_id
+       |  GROUP BY 1, 2),
+       |short AS (SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY adc_dist ASC, vec_id ASC) AS rn FROM adc)
+       |  WHERE rn <= 30),
+       |scored AS (SELECT short.probe_id, short.vec_id,
+       |  round(list_dot_product(p.v, e.v) /
+       |    (sqrt(list_dot_product(p.v, p.v)) *
+       |     sqrt(list_dot_product(e.v, e.v))), 9) AS cos_sim
+       |  FROM short
+       |  JOIN e ON e.vec_id = short.vec_id
+       |  JOIN e p ON p.vec_id = short.probe_id)
+       |SELECT probe_id, vec_id, cos_sim, rnk FROM (
+       |  SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (
+       |    PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** s06's oracle: the ANN recall report as the LITERAL COMPOSITION of
+    * the s01/s02/s03/s04/s05/d10 oracle bodies (the d08 composition
+    * convention — d08 composed d02/d03/d04 the same way). Each arm's
+    * full oracle rides as a WITH-bearing subquery CTE, so the report's
+    * inputs are by construction the same row sets the driver already
+    * hash-checks; the report itself is then counts, EXISTS semi/anti
+    * joins, and round-6dp ratios of BIGINTs (non-terminating decimals —
+    * never a half-grid point, so cross-engine rounding is safe). The
+    * pair-truth sub-corpus mirrors the engine's deterministic cap:
+    * mod = GREATEST(1, N // 512), vec_id % mod = 0, exact 6dp cosine
+    * ≥ 0.45 (exactCosinePairs verbatim). With every arm exactly
+    * oracled, the recall REPORT graduates from floor-gated to
+    * value-exact; the floor specs stay as the semantic gate. */
+  private def s06Sql: String = {
+    def arm(name: String, body: String): String =
+      s"""$name AS MATERIALIZED (SELECT probe_id, vec_id FROM (
+         |$body) t)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |truth AS MATERIALIZED (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC)
+       |      AS rnk
+       |    FROM (SELECT probe_id, e0.vec_id,
+       |        round(list_dot_product(q, v) /
+       |          (sqrt(list_dot_product(q, q)) *
+       |           sqrt(list_dot_product(v, v))), 9) AS cos_sim
+       |      FROM (SELECT vec_id AS probe_id, v AS q FROM e0
+       |        WHERE vec_id < 3) p
+       |      CROSS JOIN e0 WHERE e0.vec_id <> probe_id) s) t
+       |  WHERE rnk <= 5),
+       |${arm("arm_lsh", s02Sql)},
+       |${arm("arm_ivf", s03Sql)},
+       |${arm("arm_pq", s04Sql)},
+       |${arm("arm_ivfpq", s05Sql)},
+       |d10p AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+       |$d10Sql) t),
+       |md AS (SELECT GREATEST(1, COUNT(*) // 512) AS md FROM e0),
+       |se AS MATERIALIZED (SELECT vec_id, v,
+       |    sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e0, md WHERE vec_id % md.md = 0),
+       |pt AS MATERIALIZED (SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       |      AS cos_sim
+       |  FROM se a JOIN se b ON a.vec_id < b.vec_id) s
+       |  WHERE cos_sim >= 0.45),
+       |c AS (SELECT
+       |  (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM truth t WHERE EXISTS (
+       |    SELECT 1 FROM arm_lsh x
+       |    WHERE x.probe_id = t.probe_id AND x.vec_id = t.vec_id))
+       |    AS n_lsh_hit,
+       |  (SELECT COUNT(*) FROM truth t WHERE EXISTS (
+       |    SELECT 1 FROM arm_ivf x
+       |    WHERE x.probe_id = t.probe_id AND x.vec_id = t.vec_id))
+       |    AS n_ivf_hit,
+       |  (SELECT COUNT(*) FROM truth t WHERE EXISTS (
+       |    SELECT 1 FROM arm_pq x
+       |    WHERE x.probe_id = t.probe_id AND x.vec_id = t.vec_id))
+       |    AS n_pq_hit,
+       |  (SELECT COUNT(*) FROM truth t WHERE EXISTS (
+       |    SELECT 1 FROM arm_ivfpq x
+       |    WHERE x.probe_id = t.probe_id AND x.vec_id = t.vec_id))
+       |    AS n_ivfpq_hit,
+       |  (SELECT COUNT(*) FROM pt) AS n_pair_truth,
+       |  (SELECT COUNT(*) FROM pt WHERE EXISTS (SELECT 1 FROM d10p dd
+       |    WHERE dd.vec_a = pt.vec_a AND dd.vec_b = pt.vec_b))
+       |    AS n_d10_hit,
+       |  (SELECT COALESCE(MAX(cos_sim), 0.45) FROM pt
+       |    WHERE NOT EXISTS (SELECT 1 FROM d10p dd
+       |      WHERE dd.vec_a = pt.vec_a AND dd.vec_b = pt.vec_b))
+       |    AS d10_missed_max_cos)
+       |SELECT n_truth, n_lsh_hit, n_ivf_hit, n_pq_hit, n_ivfpq_hit,
+       |  n_pair_truth, n_d10_hit, d10_missed_max_cos,
+       |  round(n_lsh_hit / n_truth, 6) AS lsh_recall,
+       |  round(n_ivf_hit / n_truth, 6) AS ivf_recall,
+       |  round(n_pq_hit / n_truth, 6) AS pq_recall,
+       |  round(n_ivfpq_hit / n_truth, 6) AS ivfpq_recall,
+       |  round(n_d10_hit / n_pair_truth, 6) AS d10_pair_recall
+       |FROM c""".stripMargin
   }
 
   /** e07's oracle: subspace-iteration PCA REBUILT in SQL — the e06
@@ -4619,6 +4897,9 @@ object DataOps {
     "d10_semantic_pairs" -> d10Sql,
     "s02_lsh_knn" -> s02Sql,
     "s03_ivf_knn" -> s03Sql,
+    "s04_pq_knn" -> s04Sql,
+    "s05_ivfpq_knn" -> s05Sql,
+    "s06_ann_recall" -> s06Sql,
     "t18_bpe_merges" -> bpeMergesSql,
     "t20_bpe_encode" -> bpeEncodeSql,
     "x04_bpe_shards" -> bpeShardsSql,

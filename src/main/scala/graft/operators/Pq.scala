@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   * never shuffled whole, and never decompressed.
   *
   * Determinism: subspace k-means inherits [[Ivf.kmeans]]'s deterministic
-  * init and decimal-exact means; argmin uses the min(struct(dist, code))
-  * pattern (ties → smallest code id). No SQL oracle (codebooks are
-  * clustering-defined); recall and reconstruction-error contracts are
-  * spec-gated against the exact brute-force path.
+  * init, decimal-exact means AND its 6dp mean-input rounding (the e06
+  * cross-engine convention — every number crossing an engine boundary
+  * is a 6dp lattice point, which is what lets the s04/s05 DuckDB
+  * oracles rebuild these exact codebooks in HUGEINT arithmetic; the
+  * ≤1e-6 centroid perturbation is irrelevant to every consumer — the
+  * recall/reconstruction contracts are floors, not exact values);
+  * argmin uses the min(struct(dist, code)) pattern (ties → smallest
+  * code id).
   */
 object Pq {
 
@@ -66,7 +70,10 @@ object Pq {
         .select(col("m"), col("__best.cell").as("cell"), col("sv"))
       centroids = assigned
         .groupBy(col("m"), col("cell"))
-        .agg(graft.functions.VectorMean.vector_mean(col("sv")).as("centroid"))
+        // fused round(sv, 6) + decimal-exact mean — Ivf.kmeans' committed
+        // shape verbatim (see the convention comment there)
+        .agg(graft.functions.VectorMeanRounded.vector_mean_rounded(
+          col("sv"), lit(1.0), 6).as("centroid"))
         .graftCheckpoint(true)
     }
     centroids.withColumn("code",
@@ -110,8 +117,13 @@ object Pq {
         array((0 until numSubspaces).map(m =>
           slice(col("q"), m * subDim + 1, subDim)): _*)).as(Seq("m", "qv")))
       .join(broadcast(codebooks), "m")
+      // 9dp-rounded BEFORE the decimal sum (the t06/o02 convention:
+      // every number that crosses an engine boundary is a fixed-dp
+      // lattice point, so the oracle's DECIMAL cast is an exact pad);
+      // a ≤1e-9 perturbation of an ADC estimate is irrelevant to the
+      // shortlist contract
       .select(col("probe_id"), col("m"), col("code"),
-        sqDist(col("qv"), col("centroid")).as("__dt"))
+        round(sqDist(col("qv"), col("centroid")), 9).as("__dt"))
     // candidate estimate = sum of the m lookups; partial-aggregated
     // map-side, then the bounded heap ships k ids per probe per task
     val scored = encoded
@@ -209,8 +221,9 @@ object Pq {
         array((0 until numSubspaces).map(m =>
           slice(col("qr"), m * subDim + 1, subDim)): _*)).as(Seq("m", "qv")))
       .join(broadcast(codebooks), "m")
+      // 9dp-rounded for the same cross-engine reason as adcKnn's LUT
       .select(col("probe_id"), col("cell"), col("m"), col("code"),
-        sqDist(col("qv"), col("centroid")).as("__dt"))
+        round(sqDist(col("qv"), col("centroid")), 9).as("__dt"))
     // ADC over probed cells only: the cell equi-join IS the pruning
     val cand = encodedCells
       .select(col("vec_id"), col("cell"), posexplode(col("codes"))
