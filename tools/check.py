@@ -30,6 +30,13 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Cap the pool well under RAM: duckdb's default limit is 80% of the
+    # MACHINE, so two concurrent check/probe processes (or one beside a
+    # running Spark sweep) can jointly exhaust physical memory and die
+    # on a 16KB malloc ("bad allocation") — observed round 19 when a
+    # probe ran beside the chained sweep. 24GB forces disk spill
+    # instead; no oracle needs more (the heaviest, s06, peaks ~1GB).
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
