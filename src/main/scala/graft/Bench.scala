@@ -126,6 +126,18 @@ object Bench {
           try { fn(spark, sfDir).count()
                 timesByName(name)(i) = (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => failedNames += name }
+          // reps=1 hygiene (the scale sweeps, sf1/sf2): 244
+          // heterogeneous queries in one JVM accumulate dead broadcast/
+          // RDD/shuffle state that ContextCleaner only reclaims after a
+          // GC notices the references — r12's sf2 sweep measured
+          // in-sweep inflation up to 7x (o02) vs 1.28x isolated, pure
+          // accumulated-heap artifact. An explicit GC AFTER the timed
+          // region (never inside it) drives the cleaner between
+          // queries, so the in-sweep number measures the QUERY against
+          // a clean heap, not the debris of the previous 200. Gated to
+          // reps==1: the median-of-3 sf0.1 protocol has interleaving to
+          // reject noise and 244x3 full GCs would tax the headline.
+          if (reps == 1) System.gc()
         }
       }
     }

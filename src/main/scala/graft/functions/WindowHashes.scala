@@ -25,8 +25,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * would do interpreted) is what makes exact substring dedup
   * infeasible without this operator. Documents shorter than `w`
   * emit nothing.
+  *
+  * `dual = true` adds a THIRD output column `h2` — the same
+  * polynomial rolled mod [[RollingWindowHashes.Mod2]] (998244353,
+  * coprime to 1e9+7). By CRT the pair (h, h2) determines the window
+  * polynomial mod ~10¹⁸, so two windows agreeing on both hashes are
+  * the same span up to a ~10⁻¹⁸-rate event: d12 uses the pair as a
+  * pre-verify filter that kills the 30-bit birthday collisions of h
+  * alone (at sf2's ~10⁸ windows, h-only collisions contribute
+  * millions of false candidate pairs that would each ship a 50-char
+  * span to the verify join). h2 is a FILTER, never the truth — the
+  * exact span comparison downstream still decides every surviving
+  * pair, so the operator's output is byte-identical with or without
+  * it. Default `false` keeps the committed 2-column shape (and the
+  * SQL-registered `window_hashes`) unchanged.
   */
-case class RollingWindowHashes(child: Expression, w: Int, stride: Int)
+case class RollingWindowHashes(child: Expression, w: Int, stride: Int,
+    dual: Boolean = false)
   extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -37,9 +52,11 @@ case class RollingWindowHashes(child: Expression, w: Int, stride: Int)
       s"window_hashes expects (string, w >= 1, stride >= 1), got " +
         s"(${child.dataType.catalogString}, $w, $stride)")
 
-  override def elementSchema: StructType = StructType(Seq(
-    StructField("pos", IntegerType, nullable = false),
-    StructField("h", LongType, nullable = false)))
+  override def elementSchema: StructType = StructType(
+    Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false)) ++
+    (if (dual) Seq(StructField("h2", LongType, nullable = false))
+     else Seq.empty))
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
@@ -50,17 +67,25 @@ case class RollingWindowHashes(child: Expression, w: Int, stride: Int)
       if (n < w) Iterator.empty
       else {
         val M = RollingHashLong.Mod
+        val M2 = RollingWindowHashes.Mod2
         // 31^(w-1) mod M — the outgoing code point's coefficient
         var pw = 1L
+        var pw2 = 1L
         var i = 0
-        while (i < w - 1) { pw = pw * 31 % M; i += 1 }
+        while (i < w - 1) { pw = pw * 31 % M; pw2 = pw2 * 31 % M2; i += 1 }
         // initial window fold
         var h = 0L
+        var h2 = 0L
         i = 0
-        while (i < w) { h = (h * 31 + cps(i)) % M; i += 1 }
+        while (i < w) {
+          h = (h * 31 + cps(i)) % M
+          h2 = (h2 * 31 + cps(i)) % M2
+          i += 1
+        }
         new Iterator[InternalRow] {
           private var pos = 0
           private var cur = h
+          private var cur2 = h2
           private var primed = true // window at `pos` already folded
           def hasNext: Boolean = pos + w <= n
           def next(): InternalRow = {
@@ -70,11 +95,17 @@ case class RollingWindowHashes(child: Expression, w: Int, stride: Int)
               while (j < pos) {
                 val out = cps(j) * pw % M
                 cur = ((cur - out + M) % M * 31 + cps(j + w)) % M
+                if (dual) {
+                  val out2 = cps(j) * pw2 % M2
+                  cur2 = ((cur2 - out2 + M2) % M2 * 31 + cps(j + w)) % M2
+                }
                 j += 1
               }
               primed = true
             }
-            val row = new GenericInternalRow(Array[Any](pos, cur))
+            val row =
+              if (dual) new GenericInternalRow(Array[Any](pos, cur, cur2))
+              else new GenericInternalRow(Array[Any](pos, cur))
             pos += stride
             primed = false
             row
@@ -89,7 +120,18 @@ case class RollingWindowHashes(child: Expression, w: Int, stride: Int)
 }
 
 object RollingWindowHashes {
+  /** Second rolling modulus for `dual = true` — 998244353, prime and
+    * coprime to [[RollingHashLong.Mod]] (1e9+7): the CRT product
+    * ~9.98·10¹⁷ is what makes the (h, h2) pair collision-free in
+    * practice. */
+  final val Mod2 = 998244353L
+
   /** Column API: `window_hashes($"text", 50, 1).as(Seq("pos", "h"))`. */
   def window_hashes(c: Column, w: Int, stride: Int = 1): Column =
     ColumnBridge.column(RollingWindowHashes(ColumnBridge.expression(c), w, stride))
+
+  /** Dual-hash form: `(pos, h, h2)` — see the `dual` scaladoc. */
+  def window_hashes2(c: Column, w: Int, stride: Int = 1): Column =
+    ColumnBridge.column(
+      RollingWindowHashes(ColumnBridge.expression(c), w, stride, dual = true))
 }

@@ -701,27 +701,44 @@ object Dedup {
     * exactly one `window`-char span at the verify join. */
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int, maxDocFreq: Long = 1000L): DataFrame = {
-    import graft.functions.RollingWindowHashes.window_hashes
+    import graft.functions.RollingWindowHashes.window_hashes2
     // ONE representative (min pos) per (doc, hash): the cap below then
     // counts true DOCUMENT frequency — occurrence counting would let a
     // single internally-repetitive document blow a shared span's bucket
     // past the cap and censor its cross-doc detection — and
     // n_shared_windows counts distinct shared spans, not pos×pos combos
-    // CHECKPOINT the narrow (doc, h, pos) index before bucketPairs: its
-    // two deliberate passes (stats + gated collect) would otherwise
+    // CHECKPOINT the narrow (doc, h, pos, h2) index before bucketPairs:
+    // its two deliberate passes (stats + gated collect) would otherwise
     // re-run the rolling-hash explode and the min-pos shuffle over one
     // row per character position (sf1: 33.2 → 26.6 s measured — the
     // explode is ~20% of the operator; the rest is the pair verify
-    // itself). The materialized relation is three
+    // itself). The materialized relation is four
     // fixed-width columns, corpus-linear, exactly what localCheckpoint
     // is for; the documented no-hot-list-materialization contract is
     // about posting LISTS, not this input relation.
+    //
+    // h2 (the dual rolling hash, coprime modulus — see
+    // RollingWindowHashes) rides the representative: h is a 30-bit
+    // hash, so at ~10⁸ windows (sf2) birthday collisions alone
+    // contribute millions of false candidate pairs, each shipping a
+    // 50-char span through BOTH verify joins before dying on the span
+    // compare. Filtering h2_a = h2_b AT PAIR GENERATION (map-side,
+    // before anything shuffles) kills that class for ~8 bytes/row of
+    // index; the exact span verify below still decides every surviving
+    // pair, so the output is byte-identical — h2 bounds COST, never
+    // correctness, and the oracle is unchanged.
+    //
+    // The representative stays min POS per (doc, h) — min(struct(pos,
+    // h2)) orders by pos first and positions are distinct within a
+    // doc, so h2 never influences which window represents the bucket.
     val idx = df.select(col(idCol).as("doc"),
-        window_hashes(col(textCol), window).as(Seq("pos", "h")))
-      .groupBy($"doc", $"h").agg(min($"pos").as("pos"))
+        window_hashes2(col(textCol), window).as(Seq("pos", "h", "h2")))
+      .groupBy($"doc", $"h").agg(min(struct($"pos", $"h2")).as("__m"))
+      .select($"doc", $"h", $"__m.pos".as("pos"), $"__m.h2".as("h2"))
       .graftCheckpoint(true)
-    val pairs = bucketPairs(idx, Seq("h"), struct($"doc", $"pos"),
+    val pairs = bucketPairs(idx, Seq("h"), struct($"doc", $"pos", $"h2"),
         cap = maxDocFreq, starHot = false)
+      .filter($"a.h2" === $"b.h2")
       .select($"a.doc".as("doc_a"), $"a.pos".as("pos_a"),
         $"b.doc".as("doc_b"), $"b.pos".as("pos_b"))
     // verify on the 50-char spans, never shipping document bodies: the

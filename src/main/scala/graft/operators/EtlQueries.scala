@@ -50,9 +50,14 @@ object EtlQueries {
     }
     // compute OUTSIDE the map + putIfAbsent (the DataOps.memoGet
     // convention): the corpus parse must never run under the CHM bin
-    // lock. A racing loser's duplicate cache() is unpersisted, not
-    // leaked — cache entries pin executor storage, unlike the plain
-    // DataFrames the other memos hold.
+    // lock. A racing loser must NOT unpersist blindly: Spark's
+    // CacheManager keys cached data by canonicalized logical plan,
+    // shared per SparkContext — the loser's and winner's plans are the
+    // same deterministic corpus function, so the loser's cache() was a
+    // no-op on the winner's entry and unpersist() would silently uncache
+    // the winner (every later replay re-parses 881 files). Unpersist
+    // only if the plans somehow differ (nothing is leaked when they
+    // match — the entry is shared).
     val k = (uuid, name)
     val hit = memo.get(k)
     if (hit != null) hit
@@ -63,7 +68,12 @@ object EtlQueries {
       }).cache()
       val prev = memo.putIfAbsent(k, built)
       if (prev != null) {
-        try built.unpersist() catch { case _: Throwable => () }
+        val shared = try {
+          built.queryExecution.analyzed.sameResult(
+            prev.queryExecution.analyzed)
+        } catch { case _: Throwable => true } // when unsure, never uncache
+        if (!shared)
+          try built.unpersist() catch { case _: Throwable => () }
         prev
       } else built
     }

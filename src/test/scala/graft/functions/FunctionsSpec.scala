@@ -224,6 +224,41 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("window_hashes dual property: h2 rolling ≡ naive fold mod Mod2, h unchanged") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.{RollingHashLong, RollingWindowHashes}
+    // the dual form must (a) leave (pos, h) exactly what the 2-column
+    // form emits and (b) roll h2 to the same value as the direct fold
+    // mod Mod2 — the d12 pre-verify filter is only sound if both hold
+    val textGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("é"), Gen.const("日")))
+      .map(_.mkString)
+    val prop = Prop.forAll(textGen, Gen.choose(1, 6), Gen.choose(1, 3)) {
+      (t: String, w: Int, stride: Int) =>
+        val cps = t.codePoints().toArray
+        def naive(start: Int, m: Long): Long = {
+          var h = 0L
+          var i = start
+          while (i < start + w) { h = (h * 31 + cps(i)) % m; i += 1 }
+          h
+        }
+        val expected = (0 to cps.length - w by stride)
+          .map(p => (p, naive(p, RollingHashLong.Mod),
+            naive(p, RollingWindowHashes.Mod2)))
+        val got = RollingWindowHashes(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              UTF8String.fromString(t),
+              org.apache.spark.sql.types.StringType), w, stride, dual = true)
+          .eval(null).iterator
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("vector_mean ≡ posexplode decimal mean, invariant under repartitioning") {
     import graft.functions.VectorMean.vector_mean
     val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -1,38 +1,63 @@
 #!/usr/bin/env python3
-"""Per-query comparison of two BENCH_r{N}.json files.
+"""Per-query comparison of two bench artifacts.
 
-The driver stores only the trailing bytes of the bench stdout (`tail`),
-which can truncate the JSON line mid-object, so per-query times are
-recovered with a regex over `"name":float` pairs rather than json.loads.
+Accepts BOTH artifact shapes:
+  - driver BENCH_r{N}.json: stores only the trailing bytes of the bench
+    stdout (`tail`), which can truncate the JSON line mid-object, so
+    per-query times are recovered with a regex over `"name":float`
+    pairs rather than json.loads;
+  - builder bench_<sf>.json: the full one-line artifact graft.Bench
+    writes ("queries" map + "loadavg" stamps + "cold"/"raw") — parsed
+    directly.
 
-Usage: python3 tools/bench_diff.py BENCH_r01.json BENCH_r02.json
-Flags queries regressing by more than 1.5x (and lists the biggest
-improvements). Exit code 0 always — the flag list is advisory; local
-machine-load variance at sub-second scale is real (see SCALE.md).
+Usage:
+  python3 tools/bench_diff.py OLD NEW                 # human report
+  python3 tools/bench_diff.py OLD NEW --emit OUT.json # + JSON artifact
+
+The --emit artifact (bench_diff_r{N}.json at round close) carries the
+per-query ratios, the >1.3x flag list, and the loadavg stamps of both
+inputs, so the driver and judge read the SAME adjudication instead of
+re-deriving it from commit messages. Exit code 0 always — the flag list
+is advisory; local machine-load variance at sub-second scale is real
+(see SCALE.md).
 """
 import json
 import re
 import sys
 
 PAIR = re.compile(r'"([A-Za-z_][A-Za-z0-9_]*)":(-?\d+(?:\.\d+)?)')
-META = {"value", "sf", "n", "rc", "cpus", "failed"}
+META = {"value", "sf", "n", "rc", "cpus", "failed", "reps", "cold_total",
+        "total_s"}
 
 
 def load(path):
+    """Return (per-query seconds map, loadavg stamps or None)."""
     with open(path) as f:
         doc = json.load(f)
-    src = doc.get("tail") or ""
+    if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
+        # builder artifact: authoritative per-query map + loadavg stamps
+        qs = {k: float(v) for k, v in doc["queries"].items()}
+        return qs, doc.get("loadavg")
+    src = (doc.get("tail") or "") if isinstance(doc, dict) else ""
     out = {}
     for name, val in PAIR.findall(src):
         if name not in META:
             out[name] = float(val)
-    return out
+    return out, None
 
 
 def main():
-    if len(sys.argv) != 3:
+    args = [a for a in sys.argv[1:] if a != "--emit"]
+    emit = None
+    if "--emit" in sys.argv:
+        i = sys.argv.index("--emit")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--emit needs an output path")
+        emit = sys.argv[i + 1]
+        args = [a for a in sys.argv[1:] if a not in ("--emit", emit)]
+    if len(args) != 2:
         sys.exit(__doc__)
-    a, b = load(sys.argv[1]), load(sys.argv[2])
+    (a, load_a), (b, load_b) = load(args[0]), load(args[1])
     shared = sorted(set(a) & set(b))
     if not shared:
         sys.exit("no shared queries parsed — check the inputs")
@@ -49,7 +74,7 @@ def main():
           f"total {sum(a[q] for q in ok):.1f}s -> "
           f"{sum(b[q] for q in ok):.1f}s  (over {len(ok)} passing in both)")
     if broken:
-        print(f"\nBROKEN in {sys.argv[2]} (passed before, -1 now): "
+        print(f"\nBROKEN in {args[1]} (passed before, -1 now): "
               + ", ".join(broken))
     if chronic:
         print("\nfailing in BOTH rounds (-1 twice — chronically broken): "
@@ -64,7 +89,32 @@ def main():
             print(f"  {q:32s} {ta:8.2f}s -> {tb:8.2f}s  ({ratio:.2f}x)")
     only_b = sorted(set(b) - set(a))
     if only_b:
-        print(f"\nnew queries in {sys.argv[2]}: {', '.join(only_b)}")
+        print(f"\nnew queries in {args[1]}: {', '.join(only_b)}")
+
+    if emit:
+        # the round-close artifact: >1.3x flags (tighter than the 1.5x
+        # console threshold — the judge's regression-scan bar), full
+        # ratio map, and the loadavg context of both runs when the
+        # inputs carry stamps (builder artifacts do; driver tails don't)
+        flags = [
+            {"query": q, "old_s": round(ta, 3), "new_s": round(tb, 3),
+             "ratio": round(r, 3)}
+            for r, q, ta, tb in rows if r > 1.3 and tb >= 0.5]
+        artifact = {
+            "base": args[0], "target": args[1],
+            "shared": len(shared),
+            "total_old_s": round(sum(a[q] for q in ok), 3),
+            "total_new_s": round(sum(b[q] for q in ok), 3),
+            "broken": broken, "chronic": chronic,
+            "new_queries": only_b,
+            "flags_gt_1_3x": flags,
+            "loadavg_old": load_a, "loadavg_new": load_b,
+            "ratios": {q: round(b[q] / a[q], 3)
+                       for q in ok if a[q] > 0},
+        }
+        with open(emit, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"\nwrote {emit} ({len(flags)} flags >1.3x)")
 
 
 if __name__ == "__main__":

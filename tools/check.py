@@ -34,9 +34,13 @@ def main(sf_dir, out_dir):
     # MACHINE, so two concurrent check/probe processes (or one beside a
     # running Spark sweep) can jointly exhaust physical memory and die
     # on a 16KB malloc ("bad allocation") — observed round 19 when a
-    # probe ran beside the chained sweep. 24GB forces disk spill
-    # instead; no oracle needs more (the heaviest, s06, peaks ~1GB).
-    con.execute("SET memory_limit='24GB'")
+    # probe ran beside the chained sweep. Forcing a low cap makes duckdb
+    # spill to disk instead; no oracle needs more (the heaviest, s06,
+    # peaks ~1GB). min() with half of physical RAM: on a <48GB machine a
+    # flat 24GB would RAISE the cap above the 80% default (or above
+    # physical memory entirely), making the failure mode more likely.
+    ram_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) // (1 << 30)
+    con.execute(f"SET memory_limit='{min(24, max(1, ram_gb // 2))}GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -48,7 +52,22 @@ def main(sf_dir, out_dir):
                 # Verify was run with a name-prefix filter; not a failure
                 n_skip += 1
                 continue
-            exp = con.sql(sql).df()
+            try:
+                exp = con.sql(sql).df()
+            except duckdb.OutOfMemoryException:
+                # "Failed to allocate block of N bytes (bad allocation)"
+                # is a transient co-scheduling casualty (a check running
+                # beside a Spark sweep — the r12 s07–s09 class), not a
+                # property of the oracle: retry once on a fresh
+                # connection with a tighter pool so the second attempt
+                # spills instead of dying.
+                retry = duckdb.connect()
+                retry.execute("SET memory_limit='4GB'")
+                for t in TABLES:
+                    retry.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                                  f"read_parquet('{sf_dir}/{t}.parquet')")
+                exp = retry.sql(sql).df()
+                retry.close()
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
             exp = exp[sorted(exp.columns)]

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Build an N-times replicated copy of the reference CDC CSV corpus for
+the ETL-half scaling run (VERDICT r12 item 5) — the make_sf1.py
+convention applied to the 881-file corpus: key-shift `oid__id` per
+replica so document identities are replica-distinct and the pipeline's
+keep-last dedup / explode / sink-upsert structure scales linearly
+(10x input -> 10x output), the way a real 10x corpus would.
+
+NOT correctness testdata — the replay oracle and all specs still run on
+the pristine /root/reference corpus. This exists solely to measure
+pipeline rows/s and sink txn scaling at 1x vs 10x.
+
+Construction per replica r:
+  - oid__id -> f"{r}{oid}" (33-char string; stays a string key).
+  - file name -> f"r{r}_{orig}" so the fileName column (basename) stays
+    a total order: all r0 files sort before r1, original order kept
+    within a replica.
+  - every other byte of every field is preserved verbatim (the Python-
+    literal events array must reach the parser unchanged).
+
+CSV handling uses the csv module (fields contain commas, quotes, and
+potentially newlines — a line-regex would corrupt them). Each source
+file is parsed ONCE; rows are formatted once with a sentinel in the oid
+slot and the per-replica output is a cheap bytes replace.
+
+Usage: python3 tools/make_etl_10x.py [DST] [N]
+       (default /tmp/etl_corpus_10x, N=10)
+"""
+import csv
+import io
+import os
+import sys
+
+SRC = "/root/reference/data/extracted"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/etl_corpus_10x"
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+SENTINEL = "@@OID@@"
+
+os.makedirs(DST, exist_ok=True)
+files = sorted(f for f in os.listdir(SRC) if f.endswith(".csv"))
+total_rows = 0
+for fi, name in enumerate(files):
+    with open(os.path.join(SRC, name), newline="", encoding="utf-8") as f:
+        rows = list(csv.reader(f))
+    header, body = rows[0], rows[1:]
+    assert header[1] == "oid__id", f"{name}: unexpected header {header[:3]}"
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(header)
+    oids = []
+    for row in body:
+        oids.append(row[1])
+        row = list(row)
+        row[1] = SENTINEL
+        w.writerow(row)
+    template = buf.getvalue().split(SENTINEL)
+    assert len(template) == len(body) + 1
+    for r in range(N):
+        out = os.path.join(DST, f"r{r}_{name}")
+        with open(out, "w", encoding="utf-8", newline="") as f:
+            parts = [template[0]]
+            for i, oid in enumerate(oids):
+                parts.append(f"{r}{oid}")
+                parts.append(template[i + 1])
+            f.write("".join(parts))
+    total_rows += len(body) * N
+    if (fi + 1) % 100 == 0:
+        print(f"{fi + 1}/{len(files)} files done")
+print(f"wrote {len(files) * N} files, {total_rows} raw rows -> {DST}")
