@@ -39,9 +39,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * pair, so the operator's output is byte-identical with or without
   * it. Default `false` keeps the committed 2-column shape (and the
   * SQL-registered `window_hashes`) unchanged.
+  *
+  * `dedupPerDoc = true` emits only the FIRST occurrence of each `h`
+  * within the document — exactly the `groupBy(doc, h).agg(min(pos))`
+  * representative d12 needs (the generator scans left to right, so
+  * first occurrence IS min pos, and its h2 is the min-struct row's
+  * h2), computed in a per-document hash set INSIDE the generator
+  * instead of an O(corpus-characters) shuffle: at sf2 the explode →
+  * groupBy shape shuffled ~40M narrow rows and was 80% of d12's
+  * runtime. Per-doc state is bounded by the document's own distinct
+  * window count. Default `false`: c03's contamination gate
+  * deliberately keeps EVERY matching span (a collision shadowing a
+  * true benchmark quote is a correctness failure there — see its
+  * scaladoc).
   */
 case class RollingWindowHashes(child: Expression, w: Int, stride: Int,
-    dual: Boolean = false)
+    dual: Boolean = false, dedupPerDoc: Boolean = false)
   extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -82,7 +95,7 @@ case class RollingWindowHashes(child: Expression, w: Int, stride: Int,
           h2 = (h2 * 31 + cps(i)) % M2
           i += 1
         }
-        new Iterator[InternalRow] {
+        val base = new Iterator[InternalRow] {
           private var pos = 0
           private var cur = h
           private var cur2 = h2
@@ -111,6 +124,25 @@ case class RollingWindowHashes(child: Expression, w: Int, stride: Int,
             row
           }
         }
+        if (!dedupPerDoc) base
+        else new Iterator[InternalRow] {
+          // first-occurrence-of-h filter: rows are fresh
+          // GenericInternalRows (never reused), so holding one is safe
+          private val seen = new java.util.HashSet[java.lang.Long]()
+          private var pending: InternalRow = null
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null && base.hasNext) {
+              val r = base.next()
+              if (seen.add(r.getLong(1))) pending = r
+            }
+          }
+          advance()
+          def hasNext: Boolean = pending != null
+          def next(): InternalRow = {
+            val r = pending; advance(); r
+          }
+        }
       }
     }
   }
@@ -134,4 +166,10 @@ object RollingWindowHashes {
   def window_hashes2(c: Column, w: Int, stride: Int = 1): Column =
     ColumnBridge.column(
       RollingWindowHashes(ColumnBridge.expression(c), w, stride, dual = true))
+
+  /** Dual-hash + per-doc first-occurrence form: `(pos, h, h2)`, one row
+    * per distinct `h` per document — see the `dedupPerDoc` scaladoc. */
+  def window_hashes2_dedup(c: Column, w: Int, stride: Int = 1): Column =
+    ColumnBridge.column(RollingWindowHashes(
+      ColumnBridge.expression(c), w, stride, dual = true, dedupPerDoc = true))
 }

@@ -59,6 +59,12 @@ object Dedup {
     *     connected-components clustering — dropping it would silently
     *     keep every member — at the cost of pair-level recall inside the
     *     cluster (members pair via the representative, not all-pairs). */
+  /** Test-scope window into [[bucketPairs]] for the D12Probe stage
+    * decomposition — never part of the shipped query surface. */
+  private[operators] def bucketPairsForProbe(items: DataFrame,
+      keyCols: Seq[String], payload: Column, cap: Long): DataFrame =
+    bucketPairs(items, keyCols, payload, cap, starHot = false)
+
   private def bucketPairs(items: DataFrame, keyCols: Seq[String],
       payload: Column, cap: Long, starHot: Boolean): DataFrame = {
     val keys = keyCols.map(col)
@@ -701,18 +707,24 @@ object Dedup {
     * exactly one `window`-char span at the verify join. */
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int, maxDocFreq: Long = 1000L): DataFrame = {
-    import graft.functions.RollingWindowHashes.window_hashes2
+    import graft.functions.RollingWindowHashes.window_hashes2_dedup
     // ONE representative (min pos) per (doc, hash): the cap below then
     // counts true DOCUMENT frequency — occurrence counting would let a
     // single internally-repetitive document blow a shared span's bucket
     // past the cap and censor its cross-doc detection — and
-    // n_shared_windows counts distinct shared spans, not pos×pos combos
-    // CHECKPOINT the narrow (doc, h, pos, h2) index before bucketPairs:
-    // its two deliberate passes (stats + gated collect) would otherwise
-    // re-run the rolling-hash explode and the min-pos shuffle over one
-    // row per character position (sf1: 33.2 → 26.6 s measured — the
-    // explode is ~20% of the operator; the rest is the pair verify
-    // itself). The materialized relation is four
+    // n_shared_windows counts distinct shared spans, not pos×pos combos.
+    //
+    // The representative is computed INSIDE the generator
+    // (dedupPerDoc: first occurrence ≡ min pos — the scan is left to
+    // right), so the index build is MAP-ONLY: the former explode →
+    // groupBy(doc, h) shape shuffled one narrow row per corpus
+    // CHARACTER (sf2: ~40M rows, measured as 80% of the whole
+    // operator's runtime in the D12Probe decomposition) to produce the
+    // same relation this emits directly. Per-document dedup state is
+    // bounded by the doc's own distinct-window count. CHECKPOINT the
+    // (doc, h, pos, h2) result before bucketPairs: its two deliberate
+    // passes (stats + gated collect) would otherwise re-run the
+    // rolling-hash scan twice; the materialized relation is four
     // fixed-width columns, corpus-linear, exactly what localCheckpoint
     // is for; the documented no-hot-list-materialization contract is
     // about posting LISTS, not this input relation.
@@ -720,21 +732,32 @@ object Dedup {
     // h2 (the dual rolling hash, coprime modulus — see
     // RollingWindowHashes) rides the representative: h is a 30-bit
     // hash, so at ~10⁸ windows (sf2) birthday collisions alone
-    // contribute millions of false candidate pairs, each shipping a
-    // 50-char span through BOTH verify joins before dying on the span
-    // compare. Filtering h2_a = h2_b AT PAIR GENERATION (map-side,
-    // before anything shuffles) kills that class for ~8 bytes/row of
-    // index; the exact span verify below still decides every surviving
-    // pair, so the output is byte-identical — h2 bounds COST, never
-    // correctness, and the oracle is unchanged.
+    // contribute millions of false candidate pairs (measured: 715k of
+    // 2.58M candidates at sf2), each shipping a 50-char span through
+    // BOTH verify joins before dying on the span compare. Filtering
+    // h2_a = h2_b AT PAIR GENERATION (map-side, before anything
+    // shuffles) kills that class for ~8 bytes/row of index; the exact
+    // span verify below still decides every surviving pair, so the
+    // output is byte-identical — h2 bounds COST, never correctness,
+    // and the oracle is unchanged.
     //
-    // The representative stays min POS per (doc, h) — min(struct(pos,
-    // h2)) orders by pos first and positions are distinct within a
-    // doc, so h2 never influences which window represents the bucket.
-    val idx = df.select(col(idCol).as("doc"),
-        window_hashes2(col(textCol), window).as(Seq("pos", "h", "h2")))
-      .groupBy($"doc", $"h").agg(min(struct($"pos", $"h2")).as("__m"))
-      .select($"doc", $"h", $"__m.pos".as("pos"), $"__m.h2".as("h2"))
+    // Widen a narrow scan BEFORE the generator: with the groupBy gone,
+    // nothing downstream redistributes until bucketPairs' own shuffle,
+    // so the rolling scan (the CPU-heavy stage) and the checkpointed
+    // index inherit the INPUT's partitioning — and a small-file corpus
+    // (one parquet file under maxPartitionBytes = ONE partition) would
+    // run the whole operator on one core (measured at sf2: the
+    // 12 MB single-file corpus put the entire pair stage on one task,
+    // 5× the wall clock). Shuffling the raw documents is corpus-linear
+    // and only happens when the scan is narrower than the session's
+    // parallelism — a 100 TB corpus arrives in thousands of splits and
+    // is left untouched.
+    val targetParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val wide = if (df.rdd.getNumPartitions < targetParts)
+      df.repartition(targetParts) else df
+    val idx = wide.select(col(idCol).as("doc"),
+        window_hashes2_dedup(col(textCol), window).as(Seq("pos", "h", "h2")))
       .graftCheckpoint(true)
     val pairs = bucketPairs(idx, Seq("h"), struct($"doc", $"pos", $"h2"),
         cap = maxDocFreq, starHot = false)

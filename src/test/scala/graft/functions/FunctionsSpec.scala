@@ -259,6 +259,39 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("window_hashes dedupPerDoc property: ≡ groupBy(h).min(pos) over the dual stream") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.RollingWindowHashes
+    // the d12 index contract: the dedup form must emit exactly the
+    // first-occurrence (≡ min pos — left-to-right scan) row per
+    // distinct h, in stream order, with THAT row's h2. Texts are drawn
+    // from a 2-letter alphabet so small windows collide constantly and
+    // the dedup path is actually exercised.
+    val textGen = Gen.listOf(Gen.oneOf("a", "b")).map(_.mkString)
+    val prop = Prop.forAll(textGen, Gen.choose(1, 4), Gen.choose(1, 3)) {
+      (t: String, w: Int, stride: Int) =>
+        def rows(dedup: Boolean): Seq[(Int, Long, Long)] =
+          RollingWindowHashes(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                UTF8String.fromString(t),
+                org.apache.spark.sql.types.StringType),
+              w, stride, dual = true, dedupPerDoc = dedup)
+            .eval(null).iterator
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        val all = rows(dedup = false)
+        val expected = all.foldLeft(
+            (Set.empty[Long], Vector.empty[(Int, Long, Long)])) {
+          case ((seen, acc), r) =>
+            if (seen(r._2)) (seen, acc) else (seen + r._2, acc :+ r)
+        }._2
+        rows(dedup = true) == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("vector_mean ≡ posexplode decimal mean, invariant under repartitioning") {
     import graft.functions.VectorMean.vector_mean
     val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
