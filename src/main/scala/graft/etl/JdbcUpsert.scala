@@ -117,11 +117,27 @@ object JdbcUpsert {
       }
     }
 
+  /** Hard ceiling on staging-write connections when the caller doesn't
+    * size the write (`numStagingPartitions = 0`): Spark's JDBC writer
+    * opens ONE connection per partition, so a many-small-files input
+    * (the CDC corpus shape — one partition per CSV) turns the staging
+    * write into a connection storm: the 10× replicated corpus (8,810
+    * partitions → 8,810 sequential SCRAM handshakes + COPY setups)
+    * measured 457 s where the same rows through a bounded write take
+    * tens of seconds, and at fleet scale thousands of concurrent
+    * connections are a denial of service against the database, not a
+    * throughput win (an RDBMS saturates at a few dozen bulk writers).
+    * `coalesce` (not repartition) — no shuffle, it only merges the
+    * tiny per-file partitions at write time. */
+  private val MaxStagingConnections = 64
+
   /** Upsert `df` into `table` keyed on `keyCol`.
     *
     * @param url      JDBC url (driver must be on the classpath)
     * @param numStagingPartitions parallelism of the staging write — sized
-    *   so each partition's insert batch fits the DB's transaction budget
+    *   so each partition's insert batch fits the DB's transaction budget;
+    *   0 (default) keeps the input partitioning up to
+    *   [[MaxStagingConnections]] (coalesced above it)
     */
   def upsert(df: DataFrame, url: String, table: String, keyCol: String,
       props: Properties = new Properties(),
@@ -130,7 +146,11 @@ object JdbcUpsert {
       useMerge: Boolean = false): Unit = {
     ensureDialect(url)
     val staging = table + "_staging"
-    val toWrite = if (numStagingPartitions > 0) df.repartition(numStagingPartitions) else df
+    val toWrite =
+      if (numStagingPartitions > 0) df.repartition(numStagingPartitions)
+      else if (df.rdd.getNumPartitions > MaxStagingConnections)
+        df.coalesce(MaxStagingConnections)
+      else df
     val writer = toWrite.write.mode(SaveMode.Overwrite)
     // Some dialects map StringType to an uncomparable LOB type (Derby →
     // CLOB), which breaks the key IN (SELECT ...) promotion; callers can

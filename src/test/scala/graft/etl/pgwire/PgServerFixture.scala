@@ -84,7 +84,8 @@ object PgServerFixture {
     *   scram-stored verifier makes the server negotiate SASL even under
     *   an md5 hba line).
     */
-  def start(auth: String = "scram-sha-256", ssl: Boolean = false): Running = {
+  def start(auth: String = "scram-sha-256", ssl: Boolean = false,
+      extraOpts: String = ""): Running = {
     val bin = binDir.getOrElse(sys.error("no postgres installation found"))
     val dataDir = s"/tmp/graft_pg_${System.nanoTime()}"
     val port = freePort()
@@ -118,9 +119,13 @@ object PgServerFixture {
     }.getOrElse("")
     // timezone pinned: DATE_TRUNC over timestamptz follows the server
     // TimeZone, and the parity specs compare against Spark's UTC session
+    // extraOpts: bench-only server settings (e.g. EtlScaleBench sizes
+    // shared_buffers/max_wal_size to the batch — the standard bulk-load
+    // tuning); specs leave it empty so they test stock-config behavior
     val opts = s"-p $port -c listen_addresses=127.0.0.1 " +
       s"-c unix_socket_directories=$dataDir -c fsync=off " +
-      "-c synchronous_commit=off -c timezone=UTC" + sslOpts
+      "-c synchronous_commit=off -c timezone=UTC" + sslOpts +
+      (if (extraOpts.nonEmpty) " " + extraOpts else "")
     val (sc, sout) = run(asPg(Seq(s"$bin/pg_ctl", "-D", dataDir, "-w",
       "-o", opts, "-l", s"$dataDir/server.log", "start")))
     require(sc == 0, s"pg_ctl start failed ($sc):\n$sout")
