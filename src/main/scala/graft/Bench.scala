@@ -71,6 +71,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("graft.checkpoint", ckptMode)
+      // A/B kill-switch for the dense-table scan widen (Tables.widen)
+      .config("graft.wideScans",
+        sys.env.getOrElse("SPARK_GRAFT_WIDE_SCANS", "true"))
       .config("spark.ui.enabled", "false")
       // The interleaved-sweep protocol visits all 244 queries between
       // any query's consecutive reps, and Spark's generated-class cache

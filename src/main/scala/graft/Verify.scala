@@ -28,6 +28,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A/B kill-switch for the dense-table scan widen (Tables.widen) —
+      // the harness that pins its value-identity claim per deployment
+      .config("graft.wideScans",
+        sys.env.getOrElse("SPARK_GRAFT_WIDE_SCANS", "true"))
     val spark = ClusterEnv.withExecutorEnv(builder,
       sys.env.get("SPARK_GRAFT_JARS"),
       sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g")).getOrCreate()
