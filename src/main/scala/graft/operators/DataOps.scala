@@ -3228,6 +3228,7 @@ object DataOps {
     // and covers the live-monitoring conf the oracle can't see.
     "o04_ann_scaling" -> { (s, _) =>
       import s.implicits._
+      // (paths single-sourced with the oracle — see O04PinnedBase)
       val paths = Seq("s01_brute_knn", "s02_lsh_knn", "s03_ivf_knn",
         "s04_pq_knn", "s05_ivfpq_knn", "s06_ann_recall",
         "d06_embedding_dups", "d10_semantic_pairs")
@@ -3236,7 +3237,7 @@ object DataOps {
       // reverse — comma in base — has no lossless encoding in one conf
       // key; a deployment that needs it points a symlink)
       val files = s.conf.get("graft.o04.benchFiles",
-        "fixtures/bench_pinned_sf0.1.json,fixtures/bench_pinned_sf1.json")
+        s"$O04PinnedBase,$O04PinnedTarget")
         .split(",", 2).map(_.trim)
       require(files.length == 2 && files.forall(_.nonEmpty),
         s"graft.o04.benchFiles: expected 'base,target', got '${files.mkString(",")}'")
@@ -4923,6 +4924,41 @@ object DataOps {
       .stripMargin
   }
 
+  /** o04's pinned fixture paths, single-sourced between the Spark-side
+    * default of `graft.o04.benchFiles` and the DuckDB oracle (ADVICE
+    * r13: the old relative Spark default resolved against the JVM cwd
+    * while the oracle hardcoded absolute paths — a run from a different
+    * cwd made the two sides read different files, and `benchTimings`
+    * degrades to an all-null report on a missing file, a guaranteed
+    * spurious Verify mismatch). Absolute because the oracle's DuckDB
+    * cwd is not contractual; a checkout elsewhere overrides via the
+    * conf key, in which case the o04 row is expected to leave the
+    * oracled lane (AnnScalingSpec gates the live-monitoring conf). */
+  private[operators] val O04PinnedBase =
+    "/root/repo/fixtures/bench_pinned_sf0.1.json"
+  private[operators] val O04PinnedTarget =
+    "/root/repo/fixtures/bench_pinned_sf1.json"
+
+  /** DuckDB resource fence that RIDES the oracle text itself (round-14
+    * ask 1): the five heaviest oracles (s06–s10) lost their driver-check
+    * rows twice to machine-pressure OOM ("Failed to allocate block of N
+    * bytes (bad allocation)") when an uncapped DuckDB (default pool =
+    * 80% of PHYSICAL RAM) ran beside a Spark sweep. Capping only our own
+    * `tools/check.py` connection proved insufficient — the cap has to
+    * travel with the query into ANY harness that executes `oracleSql`.
+    * DuckDB's python `sql()` executes multi-statement strings and
+    * returns the last relation, so a leading `SET` block is transparent
+    * to a hash-comparing caller. 8GB is ~8× the heaviest oracle's
+    * spill-enabled peak (s06 ≈1GB); the explicit temp_directory makes
+    * spilling unconditional (an in-memory DuckDB spills to cwd-relative
+    * `.tmp` by default — useless if cwd is read-only). */
+  private def fenced(sql: String): String =
+    """SET memory_limit='8GB';
+      |SET threads=8;
+      |SET temp_directory='/tmp/graft_duckdb_spill';
+      |SET max_temp_directory_size='64GB';
+      |""".stripMargin + sql
+
   val oracleSql: Map[String, String] = Map(
     "t10_pii_scrub" -> piiSql,
     "t12_clean_report" -> cleanReportSql,
@@ -4934,7 +4970,7 @@ object DataOps {
     "s03_ivf_knn" -> s03Sql,
     "s04_pq_knn" -> s04Sql,
     "s05_ivfpq_knn" -> s05Sql,
-    "s06_ann_recall" -> s06Sql,
+    "s06_ann_recall" -> fenced(s06Sql),
     "t18_bpe_merges" -> bpeMergesSql,
     "t20_bpe_encode" -> bpeEncodeSql,
     "x04_bpe_shards" -> bpeShardsSql,
@@ -5111,24 +5147,24 @@ object DataOps {
     // o04's inputs are PINNED committed fixtures and its output is
     // deterministic ratio arithmetic — the d03/d10 "deterministic
     // function of committed data" oracle class: DuckDB read_json over
-    // the same fixture files + the ratio SQL. Absolute paths (the
-    // driver's DuckDB cwd is not contractual; the Spark side's relative
-    // default resolves against the repo-root JVM cwd either way). The
+    // the same fixture files + the ratio SQL. Paths are the O04Pinned*
+    // constants — the SAME values the Spark side defaults to, so the
+    // two sides cannot diverge on cwd (ADVICE r13). The
     // round(x, 2) is the one COMPUTED-double rounding — all 8 pinned
     // ratios verified off the half-grid (the s04/e07 adjudication
     // class); the fixtures are immutable, so this cannot regress.
     "o04_ann_scaling" ->
-      """WITH b AS (SELECT queries::JSON AS q FROM read_json_auto(
-        |    '/root/repo/fixtures/bench_pinned_sf0.1.json')),
+      s"""WITH b AS (SELECT queries::JSON AS q FROM read_json_auto(
+        |    '$O04PinnedBase')),
         |t AS (SELECT queries::JSON AS q FROM read_json_auto(
-        |    '/root/repo/fixtures/bench_pinned_sf1.json')),
+        |    '$O04PinnedTarget')),
         |p(path) AS (VALUES ('s01_brute_knn'), ('s02_lsh_knn'),
         |  ('s03_ivf_knn'), ('s04_pq_knn'), ('s05_ivfpq_knn'),
         |  ('s06_ann_recall'), ('d06_embedding_dups'),
         |  ('d10_semantic_pairs')),
         |j AS (SELECT path,
-        |    CAST(json_extract(b.q, '$.' || path) AS DOUBLE) AS bb,
-        |    CAST(json_extract(t.q, '$.' || path) AS DOUBLE) AS tt
+        |    CAST(json_extract(b.q, '$$.' || path) AS DOUBLE) AS bb,
+        |    CAST(json_extract(t.q, '$$.' || path) AS DOUBLE) AS tt
         |  FROM p CROSS JOIN b CROSS JOIN t),
         |f AS (SELECT path,
         |    CASE WHEN bb >= 0 THEN bb END AS sec_sf0_1,
@@ -5784,7 +5820,7 @@ object DataOps {
     // term-filtered (mt, a few hundred rows); the token stream is
     // unnested and filtered in one pass. Verified value-identical to
     // the old body at sf0.01 AND sf0.1.
-    "s07_bm25_topk" ->
+    "s07_bm25_topk" -> fenced(
       """WITH stats AS (SELECT COUNT(*) AS n_docs,
         |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
@@ -5809,14 +5845,14 @@ object DataOps {
         |  CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM terms GROUP BY doc_id
         |ORDER BY score DESC, doc_id
-        |LIMIT 20""".stripMargin,
+        |LIMIT 20""".stripMargin),
 
     // the lexical CTEs are s07's verbatim (including its round-13
     // memory-lean CTE shape — see the s07 comment); the dense arm
     // mirrors s01's list_dot_product cosine at 9dp; ranks are
     // ROW_NUMBER over the bounded top-20 arms; RRF terms rounded 9dp,
     // decimal-summed
-    "s08_hybrid_rrf" ->
+    "s08_hybrid_rrf" -> fenced(
       """WITH stats AS (SELECT COUNT(*) AS n_docs,
         |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
@@ -5865,7 +5901,7 @@ object DataOps {
         |    + CAST(COALESCE(round(1.0 / (60 + r.r_dense), 9), 0)
         |      AS DECIMAL(18,9)) AS DOUBLE) AS rrf
         |FROM lexr l FULL OUTER JOIN denser r ON l.doc_id = r.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
 
     "t29_token_budget" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
@@ -5885,7 +5921,7 @@ object DataOps {
         |    ORDER BY md5('epoch0' || doc_id::VARCHAR), doc_id) AS pos
         |FROM documents""".stripMargin,
 
-    "s09_mmr_rerank" -> mmrOracle(5),
+    "s09_mmr_rerank" -> fenced(mmrOracle(5)),
 
     // the d02 shingle mirror, grouped per doc against the global
     // min-doc_id first-sighting table
@@ -6708,7 +6744,7 @@ object DataOps {
         |  5 * n_same < 2 * n_neighbors AS is_suspect
         |FROM a""".stripMargin,
 
-    "s10_mutual_knn" ->
+    "s10_mutual_knn" -> fenced(
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sc AS (SELECT a.vec_id AS probe, b.vec_id AS other,
         |    round(list_dot_product(a.v, b.v) /
@@ -6722,7 +6758,7 @@ object DataOps {
         |SELECT x.probe AS vec_a, x.other AS vec_b, x.cos_sim AS cos_sim,
         |  x.rnk AS rnk_a, y.rnk AS rnk_b
         |FROM k x JOIN k y ON x.probe = y.other AND x.other = y.probe
-        |  AND x.probe < y.probe""".stripMargin,
+        |  AND x.probe < y.probe""".stripMargin),
 
     "e08_truncation_quality" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

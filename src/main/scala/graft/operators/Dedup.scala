@@ -748,14 +748,16 @@ object Dedup {
     // (one parquet file under maxPartitionBytes = ONE partition) would
     // run the whole operator on one core (measured at sf2: the
     // 12 MB single-file corpus put the entire pair stage on one task,
-    // 5× the wall clock). Shuffling the raw documents is corpus-linear
-    // and only happens when the scan is narrower than the session's
-    // parallelism — a 100 TB corpus arrives in thousands of splits and
-    // is left untouched.
-    val targetParts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val wide = if (df.rdd.getNumPartitions < targetParts)
-      df.repartition(targetParts) else df
+    // 5× the wall clock). The POLICY (4 MB size floor +
+    // narrower-than-parallelism + graft.wideScans kill-switch) is
+    // Tables.widenDense — ONE copy, shared with the table loaders
+    // (ADVICE r13: this site used to repartition unconditionally with
+    // no size floor, a useless second exchange on tiny corpora and a
+    // divergent policy from the loader's). A 100 TB corpus in
+    // thousands of splits is left untouched; a double-widen (input
+    // already widened by Tables.load) is a no-op by the
+    // partitions >= parallelism check.
+    val wide = graft.Tables.widenDense(df)
     val idx = wide.select(col(idCol).as("doc"),
         window_hashes2_dedup(col(textCol), window).as(Seq("pos", "h", "h2")))
       .graftCheckpoint(true)

@@ -104,6 +104,52 @@ class JdbcUpsertSpec extends SparkSpec {
       Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v2", (null: String) -> "vn2"))
   }
 
+  test("partitioned promotion (promotePartitions=3): value parity with " +
+    "single-txn, null key, idempotent replay, ranges>keys degenerate") {
+    assume(!isClusterMaster,
+      "embedded in-memory Derby is per-JVM: executor tasks would see an " +
+      "empty instance; multi-JVM sink coverage lives in the PG15 fixture " +
+      "specs (PostgresUpsertSpec / StreamingSpec cluster lane)")
+    val single = "range_single"
+    val ranged = "range_ranged"
+    // 7 keys across 3 ranges, plus a null-key row (own transaction)
+    val batch1 = (1 to 7).map(i => (Option(f"k$i%02d"), "v1")) :+
+      (Option.empty[String], "vn1")
+    val b1 = batch1.toDF("oid__id", "payload")
+    JdbcUpsert.upsert(b1, url, single, "oid__id",
+      createTableColumnTypes = colTypes)
+    JdbcUpsert.upsert(b1, url, ranged, "oid__id",
+      createTableColumnTypes = colTypes, promotePartitions = 3)
+    assert(tableRows(ranged) === tableRows(single))
+
+    // overlapping second batch: k03/k05 replaced, k08 added, null replaced
+    val batch2 = Seq((Option("k03"), "v2"), (Option("k05"), "v2"),
+      (Option("k08"), "v2"), (Option.empty[String], "vn2"))
+    val b2 = batch2.toDF("oid__id", "payload")
+    JdbcUpsert.upsert(b2, url, single, "oid__id",
+      createTableColumnTypes = colTypes)
+    JdbcUpsert.upsert(b2, url, ranged, "oid__id",
+      createTableColumnTypes = colTypes, promotePartitions = 3)
+    assert(tableRows(ranged) === tableRows(single))
+
+    // idempotent replay through the ranged path
+    JdbcUpsert.upsert(b2, url, ranged, "oid__id",
+      createTableColumnTypes = colTypes, promotePartitions = 3)
+    assert(tableRows(ranged) === tableRows(single))
+
+    // more ranges than keys: degenerates to fewer ranges, same values
+    JdbcUpsert.upsert(b2, url, ranged, "oid__id",
+      createTableColumnTypes = colTypes, promotePartitions = 16)
+    assert(tableRows(ranged) === tableRows(single))
+
+    // MERGE + ranges is rejected loudly, not silently single-txn'd
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.upsert(b2, url, ranged, "oid__id",
+        createTableColumnTypes = colTypes, useMerge = true,
+        promotePartitions = 3)
+    }
+  }
+
   test("reading back via JDBC pushes filters into the database") {
     assume(!isClusterMaster,
       "embedded in-memory Derby is per-JVM: executor tasks would see an " +

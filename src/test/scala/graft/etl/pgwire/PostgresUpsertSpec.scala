@@ -86,6 +86,49 @@ class PostgresUpsertSpec extends SparkSpec with BeforeAndAfterAll {
       Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v2", (null: String) -> "vn2"))
   }
 
+  test("partitioned promotion on Postgres: N-range value parity with " +
+    "single-txn, and torn-promotion recovery (kill between range txns)") {
+    assume(PgServerFixture.available, "no postgres installation in sandbox")
+    val single = "range_single_pg"
+    val torn = "range_torn_pg"
+    val batch1 = ((1 to 9).map(i => (Option(f"k$i%02d"), "v1")) :+
+      (Option.empty[String], "vn1")).toDF("oid__id", "payload")
+    JdbcUpsert.upsert(batch1, url, single, "oid__id", props)
+    JdbcUpsert.upsert(batch1, url, torn, "oid__id", props,
+      promotePartitions = 3)
+    assert(tableRows(torn) === tableRows(single))
+
+    // second batch touching every range; the ranged run is KILLED after
+    // the first range transaction commits
+    val batch2 = Seq((Option("k01"), "v2"), (Option("k05"), "v2"),
+      (Option("k09"), "v2"), (Option("k10"), "v2"),
+      (Option.empty[String], "vn2")).toDF("oid__id", "payload")
+    JdbcUpsert.upsert(batch2, url, single, "oid__id", props)
+    val boom = new RuntimeException("torn: injected failure after range 0")
+    val thrown = intercept[RuntimeException] {
+      JdbcUpsert.upsertImpl(batch2, url, torn, "oid__id", props, 0, None,
+        useMerge = false, promotePartitions = 3,
+        afterRangeCommit = i => if (i == 0) throw boom)
+    }
+    assert(thrown eq boom)
+    // the torn state is the DOCUMENTED visibility trade: range 0
+    // promoted, later ranges and the null group still old — i.e. NOT
+    // yet equal to the single-txn result, but not empty either
+    val tornState = tableRows(torn)
+    assert(tornState("k01") === "v2",
+      "range 0 committed before the injected failure")
+    assert(tornState !== tableRows(single),
+      "a mid-promotion kill must leave a visibly torn state for this " +
+        "test to be exercising recovery at all")
+
+    // replay the SAME batch through the same ranged path: staging is
+    // rewritten, every range re-promoted, delete+insert idempotent per
+    // range -> converges to the single-txn result
+    JdbcUpsert.upsert(batch2, url, torn, "oid__id", props,
+      promotePartitions = 3)
+    assert(tableRows(torn) === tableRows(single))
+  }
+
   test("reserved-word columns (from/to) round-trip quoted, as in the reference corpus") {
     assume(PgServerFixture.available, "no postgres installation in sandbox")
     // the reference's tracking table has `from`/`to` columns

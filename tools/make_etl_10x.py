@@ -49,6 +49,18 @@ for fi, name in enumerate(files):
     w.writerow(header)
     oids = []
     for row in body:
+        # The sentinel splice below writes f"{r}{oid}" into already-
+        # CSV-encoded text without re-quoting, and split(SENTINEL)
+        # assumes the sentinel never occurs in real data (ADVICE r13:
+        # silent corpus corruption if the source shape drifts). Both
+        # assumptions are asserted per-row so drift fails LOUDLY:
+        # oids must stay in csv.writer's no-quoting charset (the
+        # reference's are 24-hex-char Mongo ObjectIds), and no field
+        # may contain the sentinel.
+        assert all(c in "0123456789abcdefABCDEF" for c in row[1]) \
+            and row[1], f"{name}: oid {row[1]!r} needs CSV quoting"
+        assert not any(SENTINEL in field for field in row), \
+            f"{name}: a field contains the sentinel {SENTINEL}"
         oids.append(row[1])
         row = list(row)
         row[1] = SENTINEL
