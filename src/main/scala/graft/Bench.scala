@@ -26,6 +26,14 @@ import org.apache.spark.sql.SparkSession
   *     and at the end ("loadavg" in the file artifact) — a diff reader
   *     can now ADJUDICATE a noisy headline instead of forensically
   *     inferring load from the shape of the inflation.
+  *  5. Self-adjudication (round 14): at sweep end, every query whose
+  *     in-sweep median exceeds 1.3x its prior committed reading (the
+  *     artifact being overwritten, or SPARK_GRAFT_BENCH_BASELINE; ≥0.5s
+  *     floor; capped at 24 worst ratios) is re-run isolated (median of
+  *     3, GC'd) and the "adjudicated" map ships both in the file and on
+  *     the stdout full line — a sweep on a loaded host still produces a
+  *     per-query trustworthy artifact (tools/bench_diff.py prefers the
+  *     adjudicated reading when present).
   *
   * Memoized lineages (etl_*_replay's session-cached views, x01/x02's
   * shared curate→pack fixpoint): their rep 2+ times measure re-consuming
@@ -146,10 +154,61 @@ object Bench {
     }
     stampLoad()
     val raw = timesByName.toSeq.map { case (n, ts) => n -> ts.toSeq }
+    // ---- self-adjudication (round-14 ask 2) -------------------------
+    // The loadavg stamps prove host band AFTER the fact; this puts the
+    // adjudication IN the artifact: any query whose in-sweep median
+    // exceeds 1.3x its prior committed reading (the artifact this run
+    // is about to overwrite, or SPARK_GRAFT_BENCH_BASELINE) is re-run
+    // isolated at sweep end (3 back-to-back reps, GC'd clean heap,
+    // median) and BOTH readings ship — a sweep started at loadavg 7
+    // still yields a per-query trustworthy number without manual
+    // forensics. Capped at 24 (ratio-desc): a whole-sweep host band
+    // flags broadly, and an uncapped re-run would double the sweep.
+    // Sub-0.5s lines are excluded (the documented bench_diff floor).
+    val outName = "bench_" + new java.io.File(sfDir).getName +
+      (if (master.startsWith("local-cluster")) ".cluster" else "") +
+      (if (only.isDefined) ".subset" else "") + ".json"
     val results = raw.map { case (name, times) =>
       name -> (if (times.exists(_ < 0)) -1.0
                else times.sorted.apply(times.length / 2))
     }.toMap
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", outName)
+    val baseline: Map[String, Double] = try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(baselinePath))) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v))  => k -> v
+          case (k, JInt(v))     => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty } // no baseline: no flags
+    val flagged = results.toSeq
+      .flatMap { case (n, m) =>
+        baseline.get(n).filter(b => b > 0 && m >= 0.5 && m > 1.3 * b)
+          .map(b => (m / b, n))
+      }.sortBy(-_._1).take(24).map(_._2)
+    val adjudicated: Seq[(String, Double)] =
+      if (flagged.isEmpty) Seq.empty
+      else {
+        stampLoad() // the adjudication pass gets its own load context
+        flagged.map { name =>
+          System.gc() // clean heap, like the reps=1 in-sweep hygiene
+          val ts = (0 until 3).map { _ =>
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(name)(spark, sfDir).count()
+                  (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          }.sorted
+          name -> (if (ts.exists(_ < 0)) -1.0 else ts(ts.length / 2))
+        }
+      }
+    val adjJson = adjudicated
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -163,8 +222,12 @@ object Bench {
     // scans all lines must never double-count): the full per-query line is
     // labeled "total_full", and the tail-surviving compact line below owns
     // "total". The per-query map also lives in the file artifact.
+    // "adjudicated" rides the stdout full line too — AFTER "queries",
+    // because the driver keeps only a stdout TAIL: trailing fields
+    // survive the truncation (and a regex reader that scans name:value
+    // pairs in order lets the later, isolated reading win).
     val line =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"adjudicated":$adjJson,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a 2000-char stdout TAIL: at 244 queries the
     // per-query line above is ~8 KB, so the tail starts mid-line and the
@@ -205,10 +268,10 @@ object Bench {
     // a 2-query experiment must never overwrite the full-surface artifact
     // that round-over-round and scaling diffs read (the round-6 trap —
     // the sf1 artifact was clobbered by a subset run and had to be
-    // restored from git).
-    val outName = "bench_" + new java.io.File(sfDir).getName +
-      (if (master.startsWith("local-cluster")) ".cluster" else "") +
-      (if (only.isDefined) ".subset" else "") + ".json"
+    // restored from git). outName doubles as the default adjudication
+    // baseline, read ABOVE before this write overwrites it. When
+    // adjudication ran, loadavg carries one extra stamp (its own
+    // context) after the reps+1 sweep stamps.
     try {
       val w = new java.io.PrintWriter(new java.io.File(outName), "UTF-8")
       try w.println(fileLine) finally w.close()

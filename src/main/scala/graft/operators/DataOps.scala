@@ -1006,7 +1006,8 @@ object DataOps {
     * recall report (which re-runs the s03/s05/d10 bodies) all train the
     * SAME deterministic centroids; before this memo s06 alone re-ran
     * k-means three times per evaluation. The memoized value is already
-    * lineage-cut (kmeans checkpoints per round) and bounded
+    * lineage-cut (kmeans driver-localizes the centroids per round —
+    * a LocalRelation has no lineage) and bounded
     * (≤ nCells × dim doubles) — the trainedMergeTable convention,
     * incl. the other-session eviction (NB: the convention's sweep
     * evicts entries of ANY other session uuid, not just dead ones —
@@ -4951,11 +4952,18 @@ object DataOps {
     * to a hash-comparing caller. 8GB is ~8× the heaviest oracle's
     * spill-enabled peak (s06 ≈1GB); the explicit temp_directory makes
     * spilling unconditional (an in-memory DuckDB spills to cwd-relative
-    * `.tmp` by default — useless if cwd is read-only). */
-  private def fenced(sql: String): String =
+    * `.tmp` by default — useless if cwd is read-only) and PER-PROCESS
+    * unique (uuid suffix): concurrent fenced query processes must not
+    * share spill files. The fence is process-scoped by design — DuckDB
+    * refuses to switch temp_directory once the current one has been
+    * used, and the caps would leak onto later unfenced queries — so a
+    * harness running MANY oracles must isolate per query
+    * (tools/check.py opens a fresh connection per oracle, matching the
+    * driver's one-process-per-query shape). */
+  private[operators] def fenced(sql: String): String =
     """SET memory_limit='8GB';
       |SET threads=8;
-      |SET temp_directory='/tmp/graft_duckdb_spill';
+      |SET temp_directory = concat('/tmp/graft_duckdb_spill_', uuid()::VARCHAR);
       |SET max_temp_directory_size='64GB';
       |""".stripMargin + sql
 

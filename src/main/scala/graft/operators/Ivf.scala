@@ -56,9 +56,26 @@ object Ivf {
   def kmeans(vectors: DataFrame, nCells: Int, iterations: Int = 5): DataFrame = {
     // NB: a cell that loses all members drops out of the means (standard
     // Lloyd's behavior) — callers get ≤ nCells centroids back.
-    var centroids = vectors.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("centroid"))
-      .graftCheckpoint(true)
+    //
+    // Centroids are DRIVER-LOCALIZED between iterations (collect →
+    // LocalRelation), not checkpointed as executor blocks: every
+    // consumer broadcasts them anyway (assign's crossJoin), so the
+    // collect is bounded by the broadcast size by construction
+    // (≤ nCells×dim doubles), and a LocalRelation broadcast builds
+    // straight from the driver — the checkpoint form cost one extra
+    // materialization JOB per iteration plus, on a real cluster, an
+    // executor-blocks→driver fetch before every broadcast rebuild (the
+    // r13 cluster-lane serde tail: d10's per-iteration class). Values
+    // are bit-identical through the collect round-trip (no re-rounding,
+    // same doubles), so the e06/e07 exact-centroid oracles are
+    // unaffected.
+    def localize(df: DataFrame): DataFrame = {
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      df.sparkSession.createDataFrame(rows, df.schema)
+    }
+    var centroids = localize(
+      vectors.orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").cast("int").as("cell"), col("v").as("centroid")))
     for (_ <- 1 to iterations) {
       val assigned = assign(vectors, centroids)
       // Mean INPUTS round to 6 dp (the cross-engine round convention)
@@ -79,7 +96,7 @@ object Ivf {
         .groupBy(col("cell"))
         .agg(graft.functions.VectorMeanRounded.vector_mean_rounded(
           col("v"), lit(1.0), 6).as("centroid"))
-      centroids = means.graftCheckpoint(true)
+      centroids = localize(means)
     }
     centroids
   }

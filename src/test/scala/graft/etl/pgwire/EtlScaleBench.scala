@@ -79,7 +79,14 @@ object EtlScaleBench {
     // deployment config, not pipeline shape; the tuned run + the
     // COPY-only decomposition below separate engine scaling from server
     // config.
+    // mode "skew" (r13 ask 6): uniform 10x corpus vs the hot-key 10x
+    // corpus (make_etl_10x.py HOT_FRAC — one oid__id owning ~1% of all
+    // rows, the one-document-updates-constantly CDC shape): times the
+    // keep-last dedup window (tracking), the explode pipeline (events)
+    // and the sink upsert key path on both, so a hot-key hot-spot shows
+    // up as a hot/uniform ratio, not an anecdote.
     val mode = args.drop(1).headOption.getOrElse("all")
+    val hotDir = args.drop(2).headOption.getOrElse("/tmp/etl_corpus_10x_hot")
     val server =
       if (mode == "sink") PgServerFixture.start(extraOpts =
         // the standard bulk-load trio, sized to the 10x batch: the
@@ -95,9 +102,14 @@ object EtlScaleBench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     try {
-      for ((tag, dir) <- Seq(("1x", oneDir), ("10x", bigDir))) {
+      val tagDirs =
+        if (mode == "skew") {
+          warm(hotDir)
+          Seq(("unif", bigDir), ("hot", hotDir))
+        } else Seq(("1x", oneDir), ("10x", bigDir))
+      for ((tag, dir) <- tagDirs) {
         val paths = csvs(dir)
-        if (mode == "all") {
+        if (mode == "all" || mode == "skew") {
           // tracking pipeline: parse + keep-last dedup, cold lineage
           val (tRows, tSec) = time {
             Pipelines.tracking(spark, paths, clock = Clock).count()
@@ -110,6 +122,8 @@ object EtlScaleBench {
           }
           results(s"events_${tag}_sec") = eSec
           rowCounts(s"events_${tag}_rows") = eRows
+        }
+        if (mode == "all") {
           // staged replay: the one-time CSV->parquet ingest shape
           val stageDir = s"/tmp/etl_scale_staged_$tag"
           val (_, sSec) = time {
@@ -139,28 +153,48 @@ object EtlScaleBench {
             server.props)
         }
         results(s"sink_${tag}_sec") = upSec
+        // ranged-promotion leg (r13 ask 3): same staged batch promoted
+        // through 8 per-range transactions — the 100 TB fleet shape.
+        // Expected ≤ ~linear in ranges: the N DELETE+INSERT pairs touch
+        // the same total rows, plus N-1 bound probes over staged
+        // distinct keys.
+        val (_, rpSec) = time {
+          JdbcUpsert.upsert(ev, server.url, s"ev_ranged_$tag", "oid__id",
+            server.props, promotePartitions = 8)
+        }
+        results(s"sink_ranged_${tag}_sec") = rpSec
         val conn = java.sql.DriverManager.getConnection(server.url, server.props)
         try {
           val st = conn.createStatement()
           try st.execute(
-            s"DROP TABLE ev_scale_$tag; DROP TABLE ev_copyonly_$tag; CHECKPOINT")
+            s"DROP TABLE ev_scale_$tag; DROP TABLE ev_copyonly_$tag; " +
+            s"DROP TABLE ev_ranged_$tag; CHECKPOINT")
           finally st.close()
         } finally conn.close()
       }
     } finally PgServerFixture.stop(server)
 
     def r(k: String): Double = results(k)
-    val legs = if (mode == "all")
-      Seq("tracking", "events", "stage", "copy", "sink")
-    else Seq("copy", "sink")
+    val legs = mode match {
+      case "all" =>
+        Seq("tracking", "events", "stage", "copy", "sink", "sink_ranged")
+      case "skew" =>
+        Seq("tracking", "events", "copy", "sink", "sink_ranged")
+      case _ => Seq("copy", "sink", "sink_ranged")
+    }
+    // ratio = second tag over first: 10x/1x for the scale modes,
+    // hot/uniform for the skew mode
+    val (loTag, hiTag, ratioName) =
+      if (mode == "skew") ("unif", "hot", "ratio_hot")
+      else ("1x", "10x", "ratio_10x")
     val ratios = legs.map { k =>
-      k -> BigDecimal(r(s"${k}_10x_sec") / r(s"${k}_1x_sec"))
+      k -> BigDecimal(r(s"${k}_${hiTag}_sec") / r(s"${k}_${loTag}_sec"))
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val fields =
       rowCounts.map { case (k, v) => s""""$k": $v""" } ++
       results.map { case (k, v) => f""""$k": $v%.2f""" } ++
-      ratios.map { case (k, v) => s""""${k}_ratio_10x": $v""" }
+      ratios.map { case (k, v) => s""""${k}_$ratioName": $v""" }
     println(fields.mkString("{", ", ", "}"))
     spark.stop()
   }

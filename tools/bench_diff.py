@@ -31,19 +31,28 @@ META = {"value", "sf", "n", "rc", "cpus", "failed", "reps", "cold_total",
 
 
 def load(path):
-    """Return (per-query seconds map, loadavg stamps or None)."""
+    """Return (per-query seconds map, loadavg stamps or None, adjudicated
+    query names). When the artifact carries an "adjudicated" map (the
+    Bench self-adjudication pass: isolated re-runs of queries whose
+    in-sweep median exceeded 1.3x the prior committed reading), those
+    readings REPLACE the in-sweep ones here — the isolated number is the
+    trustworthy one on a loaded host; the raw in-sweep value stays in
+    the artifact itself for forensics."""
     with open(path) as f:
         doc = json.load(f)
     if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
         # builder artifact: authoritative per-query map + loadavg stamps
         qs = {k: float(v) for k, v in doc["queries"].items()}
-        return qs, doc.get("loadavg")
+        adj = {k: float(v) for k, v in (doc.get("adjudicated") or {}).items()
+               if float(v) >= 0}
+        qs.update(adj)
+        return qs, doc.get("loadavg"), sorted(adj)
     src = (doc.get("tail") or "") if isinstance(doc, dict) else ""
     out = {}
     for name, val in PAIR.findall(src):
         if name not in META:
             out[name] = float(val)
-    return out, None
+    return out, None, []
 
 
 def main():
@@ -57,7 +66,9 @@ def main():
         args = [a for a in sys.argv[1:] if a not in ("--emit", emit)]
     if len(args) != 2:
         sys.exit(__doc__)
-    (a, load_a), (b, load_b) = load(args[0]), load(args[1])
+    (a, load_a, adj_a), (b, load_b, adj_b) = load(args[0]), load(args[1])
+    if adj_a or adj_b:
+        print(f"adjudicated readings in use: old={adj_a} new={adj_b}")
     shared = sorted(set(a) & set(b))
     if not shared:
         sys.exit("no shared queries parsed — check the inputs")
@@ -108,6 +119,7 @@ def main():
             "broken": broken, "chronic": chronic,
             "new_queries": only_b,
             "flags_gt_1_3x": flags,
+            "adjudicated_old": adj_a, "adjudicated_new": adj_b,
             "loadavg_old": load_a, "loadavg_new": load_b,
             "ratios": {q: round(b[q] / a[q], 3)
                        for q in ok if a[q] > 0},

@@ -28,8 +28,16 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir, mem_gb):
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main(sf_dir, out_dir):
     # Cap the pool well under RAM: duckdb's default limit is 80% of the
     # MACHINE, so two concurrent check/probe processes (or one beside a
     # running Spark sweep) can jointly exhaust physical memory and die
@@ -40,10 +48,15 @@ def main(sf_dir, out_dir):
     # flat 24GB would RAISE the cap above the 80% default (or above
     # physical memory entirely), making the failure mode more likely.
     ram_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) // (1 << 30)
-    con.execute(f"SET memory_limit='{min(24, max(1, ram_gb // 2))}GB'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    mem_gb = min(24, max(1, ram_gb // 2))
+    # ONE FRESH CONNECTION PER ORACLE, mirroring the driver harness (one
+    # python process per query). Round 14 made sharing impossible anyway:
+    # the fenced oracles (DataOps.fenced — s06-s10, the etl replays) lead
+    # with SET memory_limit/temp_directory statements that are meant to
+    # be process-scoped; on a shared connection the 8GB cap leaks onto
+    # every LATER unfenced oracle (g06's 12GB peak then OOMs under a cap
+    # meant for s07) and a second fenced query hits DuckDB's "cannot
+    # switch temporary directory after the current one has been used".
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
@@ -52,6 +65,7 @@ def main(sf_dir, out_dir):
                 # Verify was run with a name-prefix filter; not a failure
                 n_skip += 1
                 continue
+            con = fresh_con(sf_dir, mem_gb)
             try:
                 exp = con.sql(sql).df()
             except duckdb.OutOfMemoryException:
@@ -61,13 +75,9 @@ def main(sf_dir, out_dir):
                 # property of the oracle: retry once on a fresh
                 # connection with a tighter pool so the second attempt
                 # spills instead of dying.
-                retry = duckdb.connect()
-                retry.execute("SET memory_limit='4GB'")
-                for t in TABLES:
-                    retry.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                                  f"read_parquet('{sf_dir}/{t}.parquet')")
-                exp = retry.sql(sql).df()
-                retry.close()
+                con.close()
+                con = fresh_con(sf_dir, 4)
+                exp = con.sql(sql).df()
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
             exp = exp[sorted(exp.columns)]
@@ -111,6 +121,11 @@ def main(sf_dir, out_dir):
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
+        finally:
+            try:
+                con.close()  # per-query connection: release its pool
+            except Exception:  # noqa: BLE001
+                pass
     skipped = f" / {n_skip} not dumped" if n_skip else ""
     print(f"== {n_pass} pass / {n_fail} fail{skipped} ==")
     return 1 if n_fail else 0

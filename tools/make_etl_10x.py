@@ -23,8 +23,15 @@ potentially newlines — a line-regex would corrupt them). Each source
 file is parsed ONCE; rows are formatted once with a sentinel in the oid
 slot and the per-replica output is a cheap bytes replace.
 
-Usage: python3 tools/make_etl_10x.py [DST] [N]
-       (default /tmp/etl_corpus_10x, N=10)
+Usage: python3 tools/make_etl_10x.py [DST] [N] [HOT_FRAC]
+       (default /tmp/etl_corpus_10x, N=10, HOT_FRAC=0)
+
+HOT_FRAC > 0 plants key skew (VERDICT r13 ask 6): that fraction of ALL
+rows (deterministic: every round(1/HOT_FRAC)-th row in global row
+order) keeps a single fixed hot `oid__id` instead of its replica-
+shifted key — the CDC shape where one document updates constantly —
+so the keep-last dedup window and the sink upsert key path can be
+measured against a hot key owning ~1% of the corpus.
 """
 import csv
 import io
@@ -34,11 +41,15 @@ import sys
 SRC = "/root/reference/data/extracted"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/etl_corpus_10x"
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+HOT_FRAC = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+HOT_EVERY = round(1 / HOT_FRAC) if HOT_FRAC > 0 else 0
+HOT_OID = "deadbeef" * 3  # 24 hex chars, the corpus oid shape
 SENTINEL = "@@OID@@"
 
 os.makedirs(DST, exist_ok=True)
 files = sorted(f for f in os.listdir(SRC) if f.endswith(".csv"))
 total_rows = 0
+hot_count = 0  # global row counter for the deterministic hot selector
 for fi, name in enumerate(files):
     with open(os.path.join(SRC, name), newline="", encoding="utf-8") as f:
         rows = list(csv.reader(f))
@@ -72,10 +83,16 @@ for fi, name in enumerate(files):
         with open(out, "w", encoding="utf-8", newline="") as f:
             parts = [template[0]]
             for i, oid in enumerate(oids):
-                parts.append(f"{r}{oid}")
+                hot_count += 1
+                if HOT_EVERY and hot_count % HOT_EVERY == 0:
+                    parts.append(HOT_OID)
+                else:
+                    parts.append(f"{r}{oid}")
                 parts.append(template[i + 1])
             f.write("".join(parts))
     total_rows += len(body) * N
     if (fi + 1) % 100 == 0:
         print(f"{fi + 1}/{len(files)} files done")
-print(f"wrote {len(files) * N} files, {total_rows} raw rows -> {DST}")
+hot_note = (f", hot key {HOT_OID} on ~1/{HOT_EVERY} of rows"
+            if HOT_EVERY else "")
+print(f"wrote {len(files) * N} files, {total_rows} raw rows -> {DST}{hot_note}")
