@@ -1276,10 +1276,25 @@ object DataOps {
     * dense candidates for `probeId` (λ=0.5 — see the s09 query comment
     * for the determinism and scale arguments). Factored so the planted
     * spec can prove the DIVERSIFICATION semantics on a constructed
-    * embedding set. Input: (vec_id, v array<double>). */
+    * embedding set. Input: (vec_id, v array<double>).
+    *
+    * Corpus-scale work is one map-only cosine pass + the top-`nCand`
+    * heap; the greedy itself runs DRIVER-LOCAL over the collected
+    * bounded candidate set (≤ nCand rows with their vectors — the
+    * Ivf.kmeans localization pattern; round 14). The previous shape
+    * unrolled the k rounds as Catalyst plans over the same ≤ nCand
+    * rows, and because round r reads `selected` twice, the lazy plan
+    * tree re-evaluated earlier picks exponentially — measured 27 Spark
+    * jobs / 2.0 s at sf0.1 for 20 candidate rows. Pairwise sims and the
+    * greedy are exact twins of the plan-side arithmetic
+    * ([[graft.functions.LocalMath]]: left-to-right dot, HALF_UP 9dp
+    * round, `0.5*rel - 0.5*msim` in the same IEEE order), so the result
+    * is bit-identical (planted spec + oracle unchanged). */
   private[operators] def mmrSelect(emb: DataFrame, probeId: Long,
       nCand: Int, k: Int): DataFrame = {
     import graft.functions.TopKPairs.top_k_pairs
+    import graft.functions.LocalMath
+    val spark = emb.sparkSession
     val probe = emb.filter(col("vec_id") === probeId)
       .select(col("v").as("q"))
     val rel = emb.filter(col("vec_id") =!= probeId)
@@ -1289,40 +1304,57 @@ object DataOps {
           (Similarity.norm(col("v")) * Similarity.norm(col("q"))), 9)
           .as("rel"),
         col("v"))
+    // top-nCand by (rel desc, vec_id asc), then re-attach the vectors:
+    // ONE action, candidates collected with their vectors (bounded by
+    // construction: nCand rows × dim doubles)
     val cand = rel
       .agg(top_k_pairs(col("rel"), col("vec_id"), nCand).as("__ps"))
       .select(explode(col("__ps")).as("__p"))
       .select(col("__p.id").as("vec_id"))
       .join(rel, "vec_id")
-      .graftCheckpoint(true) // ≤ nCand rows; feeds sims and every round
-    val sims = cand.select(col("vec_id").as("ia"), col("v").as("va"))
-      .join(cand.select(col("vec_id").as("ib"), col("v").as("vb")),
-        col("ia") =!= col("ib"))
-      .select(col("ia"), col("ib"),
-        round(Similarity.dot(col("va"), col("vb")) /
-          (Similarity.norm(col("va")) * Similarity.norm(col("vb"))), 9)
-          .as("sim"))
-      .graftCheckpoint(true) // ≤ nCand² rows; read every round
-    var selected = cand
-      .orderBy(col("rel").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("rel"), lit(1).as("rank"),
-        (lit(0.5) * col("rel")).as("mmr_score"))
-    for (r <- 2 to k) {
-      val selIds = selected.select(col("vec_id").as("__sid"))
-      val maxSim = sims.join(selIds, col("ib") === col("__sid"))
-        .groupBy(col("ia")).agg(max(col("sim")).as("__msim"))
-      val pick = cand
-        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .join(maxSim, col("vec_id") === col("ia"))
-        .select(col("vec_id"), col("rel"),
-          (lit(0.5) * col("rel") - lit(0.5) * col("__msim")).as("__sc"))
-        .orderBy(col("__sc").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(r).as("rank"),
-          col("__sc").as("mmr_score"))
-      selected = selected.unionByName(pick)
+      .select(col("vec_id"), col("rel"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy { case (id, rl, _) => (-rl, id) } // (rel desc, vec_id asc)
+    // pairwise 9dp cosines, exactly the plan-side expression:
+    // round(dotLR / (sqrt(dotLR(a,a)) * sqrt(dotLR(b,b))), 9)
+    val n = cand.length
+    val nrm = cand.map { case (_, _, v) => math.sqrt(LocalMath.dotLR(v, v)) }
+    val sim = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 0.0
+      else LocalMath.roundHalfUp(
+        LocalMath.dotLR(cand(i)._3, cand(j)._3) / (nrm(i) * nrm(j)), 9)
     }
-    selected.select(col("rank"), col("vec_id"),
-      col("rel").as("relevance"), col("mmr_score"))
+    // the greedy: pick argmax (0.5*rel - 0.5*maxSimToSelected), ties by
+    // vec_id asc — identical to the unrolled plan's
+    // orderBy(__sc desc, vec_id).limit(1) per round
+    val selectedIdx = scala.collection.mutable.ArrayBuffer[Int]()
+    val out = Seq.newBuilder[(Int, Long, Double, Double)]
+    for (r <- 1 to math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      for (i <- 0 until n if !selectedIdx.contains(i)) {
+        val score =
+          if (r == 1) 0.5 * cand(i)._2
+          else {
+            var msim = Double.NegativeInfinity
+            selectedIdx.foreach(s => if (sim(i)(s) > msim) msim = sim(i)(s))
+            0.5 * cand(i)._2 - 0.5 * msim
+          }
+        // strict > keeps the first (lowest-id after the rel-desc sort?
+        // no: ties break on vec_id ASC, so compare ids on equal scores)
+        if (score > bestScore ||
+            (score == bestScore && best >= 0 && cand(i)._1 < cand(best)._1)) {
+          best = i; bestScore = score
+        }
+      }
+      selectedIdx += best
+      out += ((r, cand(best)._1, cand(best)._2, bestScore))
+    }
+    import spark.implicits._
+    out.result().toDF("rank", "vec_id", "relevance", "mmr_score")
+      .select(col("rank"), col("vec_id"), col("relevance"), col("mmr_score"))
   }
 
   /** The s09 oracle: the greedy MMR selection unrolled as `k` rounds of

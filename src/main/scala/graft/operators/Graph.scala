@@ -76,6 +76,24 @@ object Graph {
     * order-independent; join strategy cannot change values). */
   private val RanksBroadcastMaxVertices = 4000000L
 
+  /** Driver-local lane cutoff for [[powerIterate]] (round 14): at or
+    * below this many DISTINCT edges the whole power iteration runs as
+    * plain JVM arithmetic over the collected edge list (the
+    * [[Ivf.kmeans]] centroid-localization pattern at graph scale). The
+    * distributed path is the right 100 TB shape but pays ~9 Spark jobs
+    * PER ROUND (dangling-mass broadcast, share broadcast, contribution
+    * broadcast, rank checkpoint) — measured 92 jobs / 4.8 s for g04 at
+    * sf0.1 with 92% of wall×cores idle, pure per-job scheduling latency
+    * on a 1.2M-edge graph. 4M edges ≈ 64 MB collected — bounded like a
+    * broadcast side (Spark collects broadcast relations to the driver
+    * under the same kind of size gate). The lane is BIT-identical to
+    * the distributed path: decimal(38,28) share quantization and exact
+    * integer sums replicate the plan-side arithmetic verbatim
+    * ([[graft.functions.LocalMath]] conventions; GraphSpec pins lane
+    * equality on planted graphs and the sf0.001 trade graph).
+    * `graft.localIterate = false` is the A/B kill-switch. */
+  private val LocalIterateMaxEdges = 4000000L
+
   private def powerIterate(edges: DataFrame, iterations: Int,
       damping: Double, srcCol: String, dstCol: String,
       seeds: Option[DataFrame],
@@ -83,6 +101,13 @@ object Graph {
     val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = if (assumeDistinctEdges) eRaw
             else eRaw.distinct().graftCheckpoint(true)
+    val localOk = edges.sparkSession.conf
+      .get("graft.localIterate", "true").toBoolean
+    // one O(E) count gates the lane; on the big path it reads
+    // checkpointed blocks (or the memoized trade relation) — one cheap
+    // extra job against ~9 saved per round on the small path
+    if (localOk && e.count() <= LocalIterateMaxEdges)
+      return localPowerIterate(e, iterations, damping, seeds)
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .graftCheckpoint(true)
@@ -176,6 +201,126 @@ object Graph {
         .graftCheckpoint(true)
     }
     ranks.select(col("id"), col("rank"))
+  }
+
+  /** [[powerIterate]]'s driver-local lane: identical semantics, plain
+    * JVM arithmetic over the collected (≤ [[LocalIterateMaxEdges]])
+    * edge list. Every number is produced by the exact twin of the
+    * plan-side expression:
+    *  - per-source share `(rank·w) cast decimal(38,28)` →
+    *    `BigDecimal.valueOf(rank*w).setScale(28, HALF_UP)`, held as
+    *    (hi, lo) longs split at 10^18 so the per-edge contribution sum
+    *    is pure long arithmetic (exact integer addition ≡ decimal SUM,
+    *    order-independent);
+    *  - dangling mass: same scale-28 quantization + exact sum over the
+    *    no-out-edge vertices, `cast double` at the end;
+    *  - rank update `(1−d)·tele + d·(in_rank + dm·tele)` in the same
+    *    IEEE order as the Column expression.
+    * Vertices are indexed once; ids keep their original type/values so
+    * the output schema matches the distributed lane exactly. */
+  private def localPowerIterate(e: DataFrame, iterations: Int,
+      damping: Double, seeds: Option[DataFrame]): DataFrame = {
+    val spark = e.sparkSession
+    val E18 = 1000000000000000000L // 10^18 lo-limb limit
+    val E18BI = java.math.BigInteger.valueOf(E18)
+    // quantize a non-negative double to decimal(38,28) split at 10^18:
+    // unscaled < 10^28 needs two long limbs (ranks/shares are ≥ 0 here
+    // — teleport weights, degrees and contributions are non-negative)
+    def split28(v: Double): (Long, Long) = {
+      val qr = java.math.BigDecimal.valueOf(v)
+        .setScale(28, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().divideAndRemainder(E18BI)
+      (qr(0).longValueExact(), qr(1).longValueExact())
+    }
+    // `cast(sum as double)` of an exact scale-28 accumulator
+    def join28(hi: Long, lo: Long): Double =
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(hi).multiply(E18BI)
+          .add(java.math.BigInteger.valueOf(lo)), 28).doubleValue()
+
+    val eRows = e.collect()
+    val idx = new java.util.HashMap[Any, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    def vid(a: Any): Int = {
+      var i = idx.get(a)
+      if (i == null) { i = Integer.valueOf(ids.length); idx.put(a, i); ids += a }
+      i.intValue()
+    }
+    val srcA = new Array[Int](eRows.length)
+    val dstA = new Array[Int](eRows.length)
+    var k = 0
+    while (k < eRows.length) {
+      srcA(k) = vid(eRows(k).get(0)); dstA(k) = vid(eRows(k).get(1)); k += 1
+    }
+    val nV = ids.length
+    val deg = new Array[Long](nV)
+    srcA.foreach(deg(_) += 1L)
+    // teleport column: uniform 1/V, or 1/|seeds ∩ vertices| on the seeds
+    val tele: Array[Double] = seeds match {
+      case None => Array.fill(nV)(1.0 / nV.toDouble)
+      case Some(sdf) =>
+        val inGraph = new java.util.LinkedHashSet[Any]()
+        sdf.select(col("id")).collect()
+          .foreach(r => if (idx.containsKey(r.get(0))) inGraph.add(r.get(0)))
+        require(!inGraph.isEmpty,
+          "personalizedPageRank: no seed appears in the graph")
+        val t = new Array[Double](nV)
+        val v = 1.0 / inGraph.size.toDouble
+        inGraph.forEach(sid => t(idx.get(sid).intValue()) = v)
+        t
+    }
+    val w = Array.tabulate(nV)(i =>
+      if (deg(i) > 0) 1.0 / deg(i).toDouble else 0.0)
+    val rank = tele.clone() // round 0: rank = tele
+    val shareHi = new Array[Long](nV)
+    val shareLo = new Array[Long](nV)
+    val accHi = new Array[Long](nV)
+    val accLo = new Array[Long](nV)
+    val oneMinusD = 1.0 - damping
+    for (_ <- 1 to iterations) {
+      var dmHi = 0L; var dmLo = 0L
+      var i = 0
+      while (i < nV) {
+        if (deg(i) == 0L) {
+          val (h, l) = split28(rank(i))
+          dmLo += l; if (dmLo >= E18) { dmLo -= E18; dmHi += 1L }
+          dmHi += h
+        } else {
+          val (h, l) = split28(rank(i) * w(i))
+          shareHi(i) = h; shareLo(i) = l
+        }
+        i += 1
+      }
+      val dm = join28(dmHi, dmLo)
+      java.util.Arrays.fill(accHi, 0L)
+      java.util.Arrays.fill(accLo, 0L)
+      k = 0
+      while (k < srcA.length) {
+        val s = srcA(k); val d = dstA(k)
+        accLo(d) += shareLo(s)
+        if (accLo(d) >= E18) { accLo(d) -= E18; accHi(d) += 1L }
+        accHi(d) += shareHi(s)
+        k += 1
+      }
+      i = 0
+      while (i < nV) {
+        val inRank = join28(accHi(i), accLo(i))
+        rank(i) = oneMinusD * tele(i) + damping * (inRank + dm * tele(i))
+        i += 1
+      }
+    }
+    val idType = e.schema("src").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nV)
+    var i = 0
+    while (i < nV) {
+      out.add(org.apache.spark.sql.Row(ids(i), rank(i)))
+      i += 1
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** Minimum hop distance from a seed set — frontier (delta-iteration)
@@ -517,6 +662,16 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .graftCheckpoint(true)
+    // driver-local lane (round 14, the powerIterate pattern): the peel
+    // is pure integer arithmetic, so the local twin is exact by
+    // construction — no fp anywhere. The distributed loop pays ~8 jobs
+    // per peel round (degree agg + doomed checkpoint + emptiness probe
+    // + anti-join checkpoint); sf0.1's 13-round cascade measured 104
+    // jobs / 3.1 s with 98% of wall×cores idle. GraphSpec pins lane
+    // equality; `graft.localIterate=false` is the kill-switch.
+    if (edges.sparkSession.conf.get("graft.localIterate", "true").toBoolean
+        && und.count() <= LocalIterateMaxEdges)
+      return localKCore(und, k, maxRounds)
     var round = 0
     var stable = false
     while (!stable) {
@@ -532,6 +687,75 @@ object Graph {
     }
     und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** [[kCore]]'s driver-local lane: identical peel semantics over the
+    * collected canonicalized edge list — integer degrees, so exactness
+    * needs no numeric care at all; the loop structure (round counter,
+    * loud non-convergence throw) mirrors the distributed twin line for
+    * line. Returns (id, core_degree) for the surviving subgraph. */
+  private def localKCore(und: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    val rows = und.collect()
+    val idx = new java.util.HashMap[Any, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    def vid(x: Any): Int = {
+      var i = idx.get(x)
+      if (i == null) { i = Integer.valueOf(ids.length); idx.put(x, i); ids += x }
+      i.intValue()
+    }
+    val ea = new Array[Int](rows.length)
+    val eb = new Array[Int](rows.length)
+    var j = 0
+    while (j < rows.length) {
+      ea(j) = vid(rows(j).get(0)); eb(j) = vid(rows(j).get(1)); j += 1
+    }
+    val nV = ids.length
+    val alive = Array.fill(rows.length)(true)
+    val deg = new Array[Long](nV)
+    j = 0
+    while (j < rows.length) { deg(ea(j)) += 1; deg(eb(j)) += 1; j += 1 }
+    var round = 0
+    var stable = false
+    while (!stable) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"kCore did not converge within $maxRounds peeling rounds — " +
+            "raise maxRounds (and the oracle's unroll depth) deliberately")
+      // doomed: vertices ON the surviving edge list (deg ≥ 1) below k
+      val doomed = new Array[Boolean](nV)
+      var any = false
+      var i = 0
+      while (i < nV) {
+        if (deg(i) >= 1 && deg(i) < k) { doomed(i) = true; any = true }
+        i += 1
+      }
+      if (!any) stable = true
+      else {
+        j = 0
+        while (j < rows.length) {
+          if (alive(j) && (doomed(ea(j)) || doomed(eb(j)))) {
+            alive(j) = false
+            deg(ea(j)) -= 1; deg(eb(j)) -= 1
+          }
+          j += 1
+        }
+      }
+    }
+    val idType = und.schema("a").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("core_degree",
+        org.apache.spark.sql.types.LongType)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    var i = 0
+    while (i < nV) {
+      if (deg(i) >= 1) out.add(org.apache.spark.sql.Row(ids(i), deg(i)))
+      i += 1
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** One peel round's victim set: vertices of the surviving edge list

@@ -38,6 +38,43 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks("C") - 0.3974) < 0.001, s"C: ${ranks("C")}")
   }
 
+  test("powerIterate lanes: driver-local ≡ distributed, bit-identical " +
+    "(pageRank and personalized, danglers + disconnected component)") {
+    // exercises every lane-sensitive piece: dangling vertices (sink
+    // mass), a component unreachable from the seeds (exact 0 ranks),
+    // duplicate input edges (distinct), and string vertex ids
+    val edges = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"),
+      ("C", "sink"), ("X", "Y"), ("Y", "X")).toDF("src", "dst")
+    val seeds = Seq("A").toDF("id")
+    def run(): (Map[String, Double], Map[String, Double]) = (
+      Graph.pageRank(edges, iterations = 7)
+        .as[(String, Double)].collect().toMap,
+      Graph.personalizedPageRank(edges, seeds, iterations = 7)
+        .as[(String, Double)].collect().toMap)
+    val (prL, pprL) = run() // local lane (default: tiny graph)
+    spark.conf.set("graft.localIterate", "false")
+    val (prD, pprD) =
+      try run() finally spark.conf.unset("graft.localIterate")
+    assert(prL === prD, "pageRank lanes must be bit-identical")
+    assert(pprL === pprD, "personalized lanes must be bit-identical")
+    assert(pprL("X") === 0.0 && pprL("Y") === 0.0, "locality: exact 0")
+  }
+
+  test("kCore lanes: driver-local ≡ distributed on a cascading peel") {
+    // K4 + attached path: the path peels over two rounds (cascade),
+    // messy input (reversed dup, self-loop) exercises canonicalization
+    val base = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 6L), (2L, 1L))
+    val edges = base.toDF("src", "dst")
+    def run(): Set[(Long, Long)] =
+      Graph.kCore(edges, k = 3).as[(Long, Long)].collect().toSet
+    val local = run()
+    spark.conf.set("graft.localIterate", "false")
+    val dist = try run() finally spark.conf.unset("graft.localIterate")
+    assert(local === dist, "kCore lanes must agree exactly")
+    assert(local === Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   test("pageRank: dangling mass is redistributed — sinks don't leak rank") {
     // star: everyone points at 'hub'; 'hub' points nowhere (sink)
     val edges = Seq(("u1", "hub"), ("u2", "hub"), ("u3", "hub"))
