@@ -37,11 +37,16 @@ object Tables {
     * so a pre-shuffle of raw bytes would cost more than it saves. */
   private val CpuDenseTables = Set("documents", "embeddings")
 
-  /** Minimum compressed file size before a widen is considered: below
-    * this the serial scan is sub-second and the extra exchange is pure
-    * overhead. The sf0.001–0.1 testdata (≤ ~1 MB) stays on the
-    * committed narrow path — the oracle exercises it unchanged. */
-  private val WidenMinBytes = 4L << 20
+  /** Minimum compressed input size before a widen is considered: below
+    * this the serial scan is cheap and the extra exchange is pure
+    * overhead. Configurable (`graft.widenMinBytes`) since round 14 so
+    * the threshold is an A/B-able deployment knob rather than a burned
+    * constant — the round-14 floor experiment measured the CPU-dense
+    * single-task stages (d04's per-shingle md5 fingerprint, the c03/c04
+    * rolling-hash and bloom probes, sk01–05's token passes) against the
+    * added exchange cost per query and set the default accordingly. */
+  private def widenMinBytes(spark: SparkSession): Long =
+    spark.conf.get("graft.widenMinBytes", (4L << 20).toString).toLong
 
   /** The d12 lesson generalized (round 13): these corpora are written
     * as a SINGLE parquet row group (measured: documents at sf2 = one
@@ -72,11 +77,28 @@ object Tables {
     * PLAN side only — nothing executes). A corpus already wider than
     * the session's parallelism is untouched, so the 100 TB
     * thousands-of-splits case never pays the exchange. */
-  def widenDense(df: DataFrame): DataFrame = {
+  def widenDense(df: DataFrame): DataFrame =
+    widenDense(df, widenMinBytes(df.sparkSession))
+
+  /** Operator-level floor for inputs whose per-ROW map work is provably
+    * heavy — k md5 probes per 4-gram (c04/c05's Bloom pass), a rolling
+    * hash per character position (c03's substring screen). There the
+    * serial-scan-is-cheap argument behind the default 4 MB floor breaks
+    * an order of magnitude earlier: the round-14 A/B (same queries,
+    * floors 4 MB vs 256 KB) measured c03 2.07→0.99 s, c04 1.84→0.99 s,
+    * c05 1.74→0.85 s from the added exchange, while the same low floor
+    * applied GLOBALLY regressed the shuffle-light text family (t13/t21/
+    * t23 +0.4–0.7 s each) — so the low floor is opt-in per operator,
+    * never the table default. */
+  val CpuHeavyMapMinBytes: Long = 256L << 10
+
+  /** The widen with an explicit size floor (see [[CpuHeavyMapMinBytes]]);
+    * the `graft.wideScans` kill-switch still pins the whole claim. */
+  def widenDense(df: DataFrame, minBytes: Long): DataFrame = {
     val spark = df.sparkSession
     if (!spark.conf.get("graft.wideScans", "true").toBoolean) df
     else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
-        WidenMinBytes) df
+        minBytes) df
     else {
       val target = spark.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions >= target) df

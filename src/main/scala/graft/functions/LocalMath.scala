@@ -42,4 +42,52 @@ object LocalMath {
 
   /** `cast(sum as double)` for an exact decimal accumulator. */
   def toDouble(sum: java.math.BigDecimal): Double = sum.doubleValue()
+
+  /** Driver-side twin of one [[VectorMeanRounded]] aggregation buffer:
+    * per element, `BigDecimal.valueOf(x·mult).setScale(scale, HALF_UP)`
+    * kept as the unscaled integer; exact Long sums with BigInteger
+    * spill (the aggregate's invariants verbatim, including the 2^62
+    * single-term bound); [[mean]] performs the same scale-20 HALF_UP
+    * division by the row count. Used by the size-gated local lanes
+    * (Pca.fit, Pq.trainCodebooks) so their means are bit-identical to
+    * the plan-side aggregate. */
+  final class MeanRoundedAcc(dim: Int, scale: Int) {
+    private val Spill = 1L << 62
+    private val sums = new Array[Long](dim)
+    private val bigs = new Array[java.math.BigInteger](dim)
+    var count: Long = 0L
+    def add(x: Array[Double], mult: Double): Unit = {
+      if (x.length != dim)
+        throw new IllegalStateException(
+          s"vector_mean_rounded: mixed dimensionalities in one group " +
+            s"($dim vs ${x.length})")
+      var i = 0
+      while (i < dim) {
+        val term = java.math.BigDecimal.valueOf(x(i) * mult)
+          .setScale(scale, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        if (term >= Spill || term <= -Spill)
+          throw new ArithmeticException(
+            s"vector_mean_rounded: |element·10^$scale| ≥ 2^62 — input " +
+              "magnitude outside the Long fast-path contract")
+        val acc = sums(i) + term
+        if (acc >= Spill || acc <= -Spill) {
+          val b = java.math.BigInteger.valueOf(acc)
+          bigs(i) = if (bigs(i) == null) b else bigs(i).add(b)
+          sums(i) = 0L
+        } else sums(i) = acc
+        i += 1
+      }
+      count += 1
+    }
+    def mean(): Array[Double] = {
+      val c = java.math.BigDecimal.valueOf(count)
+      Array.tabulate(dim) { i =>
+        var tot = java.math.BigInteger.valueOf(sums(i))
+        if (bigs(i) != null) tot = tot.add(bigs(i))
+        new java.math.BigDecimal(tot, scale)
+          .divide(c, 20, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+  }
 }

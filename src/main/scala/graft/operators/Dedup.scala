@@ -119,7 +119,7 @@ object Dedup {
     * stop-shingles BEFORE their posting lists are built (a shingle
     * shared by thousands of docs carries no signal and would otherwise
     * contribute maxDocFreq²/2 pair rows). */
-  private def shinglePairStats(df: DataFrame, idCol: String,
+  private[operators] def shinglePairStats(df: DataFrame, idCol: String,
       textCol: String, n: Int, maxDocFreq: Long): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, n)
     val sizes = idx.groupBy($"doc").agg(count(lit(1)).as("n_shingles"))
@@ -137,7 +137,17 @@ object Dedup {
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame =
-    shinglePairStats(df, idCol, textCol, n, maxDocFreq)
+    jaccardFromStats(shinglePairStats(df, idCol, textCol, n, maxDocFreq),
+      minJaccard)
+
+  /** The threshold tail of [[ngramJaccardPairs]] over an already-built
+    * [[shinglePairStats]] relation — factored out (round 14) so the
+    * corpus-default stats relation can be session-memoized and served
+    * to every consumer threshold (the stats are threshold-independent;
+    * a higher τ is a pure filter of the same relation). */
+  private[operators] def jaccardFromStats(stats: DataFrame,
+      minJaccard: Double): DataFrame =
+    stats
       .withColumn("jaccard", $"n_common".cast("double") /
         ($"size_a" + $"size_b" - $"n_common").cast("double"))
       .filter($"jaccard" >= minJaccard)

@@ -92,7 +92,7 @@ object Graph {
     * ([[graft.functions.LocalMath]] conventions; GraphSpec pins lane
     * equality on planted graphs and the sf0.001 trade graph).
     * `graft.localIterate = false` is the A/B kill-switch. */
-  private val LocalIterateMaxEdges = 4000000L
+  private[operators] val LocalIterateMaxEdges = 4000000L
 
   private def powerIterate(edges: DataFrame, iterations: Int,
       damping: Double, srcCol: String, dstCol: String,
@@ -349,6 +349,14 @@ object Graph {
       dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"))
       .graftCheckpoint(true)
+    // driver-local lane (round 14): integer hop depths over id equality —
+    // the local twin replays the frontier rounds verbatim (same maxDepth
+    // cut, same drained early-exit, same no-seed require). ~5 Spark jobs
+    // per round saved below the gate. GraphSpec pins lane equality.
+    if (LocalIter.cmp(e.schema("e_src").dataType) != null &&
+        edges.sparkSession.conf.get("graft.localIterate", "true").toBoolean
+        && e.count() <= LocalIterateMaxEdges)
+      return localBfsDepth(e, seeds, maxDepth)
     // seeds ∩ vertices, mirroring personalizedPageRank's seed handling:
     // a seed that is not a vertex of the edge list is ignored (it is not
     // "reachable" in this graph), and an all-foreign seed set fails
@@ -374,6 +382,72 @@ object Graph {
       }
     }
     visited
+  }
+
+  /** [[bfsDepth]]'s driver-local lane: identical frontier recurrence
+    * over the collected edge list — depths are exact integers, so no
+    * numeric care is needed; the loop mirrors the distributed twin
+    * (depth-0 seeds ∩ vertices, per-round unvisited out-neighbors,
+    * drained early-exit, maxDepth cut). */
+  private def localBfsDepth(e: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val vx = new LocalIter.VertexIndex
+    val srcA = new Array[Int](rows.length)
+    val dstA = new Array[Int](rows.length)
+    var k = 0
+    while (k < rows.length) {
+      srcA(k) = vx(rows(k).get(0)); dstA(k) = vx(rows(k).get(1)); k += 1
+    }
+    val nV = vx.size
+    // CSR-ish adjacency: out-edge lists per vertex
+    val outCnt = new Array[Int](nV)
+    srcA.foreach(outCnt(_) += 1)
+    val outOff = new Array[Int](nV + 1)
+    var i = 0
+    while (i < nV) { outOff(i + 1) = outOff(i) + outCnt(i); i += 1 }
+    val outDst = new Array[Int](rows.length)
+    val fill = outOff.clone()
+    k = 0
+    while (k < rows.length) {
+      outDst(fill(srcA(k))) = dstA(k); fill(srcA(k)) += 1; k += 1
+    }
+    val depth = Array.fill(nV)(-1)
+    var frontier = new scala.collection.mutable.ArrayBuffer[Int]()
+    seeds.select(col("id")).distinct().collect().foreach { r =>
+      val v = vx.get(r.get(0))
+      if (v >= 0 && depth(v) < 0) { depth(v) = 0; frontier += v }
+    }
+    require(frontier.nonEmpty, "bfsDepth: no seed appears in the graph")
+    var d = 0
+    var drained = false
+    while (d < maxDepth && !drained) {
+      d += 1
+      val next = new scala.collection.mutable.ArrayBuffer[Int]()
+      frontier.foreach { u =>
+        var p = outOff(u)
+        while (p < outOff(u + 1)) {
+          val v = outDst(p)
+          if (depth(v) < 0) { depth(v) = d; next += v }
+          p += 1
+        }
+      }
+      if (next.isEmpty) drained = true else frontier = next
+    }
+    val idType = e.schema("e_src").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    i = 0
+    while (i < nV) {
+      if (depth(i) >= 0)
+        out.add(org.apache.spark.sql.Row(vx.ids(i), depth(i)))
+      i += 1
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** One BFS round: the frontier's unvisited out-neighbors at depth d.
@@ -431,6 +505,25 @@ object Graph {
     }
     val e = edges.select(col("src"), col("dst"), col("w"))
       .graftCheckpoint(true)
+    // driver-local lane (round 14): integral vote sums and the
+    // (−votes, label) struct-min tie-break are exact, so the local twin
+    // replays the fixed vote rounds verbatim (decimal weights and
+    // non-orderable label types stay distributed). ~4 Spark jobs per
+    // round saved below the gate. GraphSpec pins lane equality.
+    val wIntegral = edges.schema("w").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (wIntegral &&
+        LocalIter.cmp(nodes.schema("label").dataType) != null &&
+        LocalIter.cmp(nodes.schema("id").dataType) != null &&
+        edges.sparkSession.conf.get("graft.localIterate", "true").toBoolean
+        && e.count() <= LocalIterateMaxEdges)
+      localLabelSpread(e, nodes, iterations, clampSeeds)
+        .foreach(df => return df)
     var state = nodes
       .select(col("id"), col("label").as("seed"), col("label").as("cur"))
       .graftCheckpoint(true)
@@ -452,6 +545,94 @@ object Graph {
         .graftCheckpoint(true)
     }
     state.select(col("id"), col("seed"), col("cur").as("label"))
+  }
+
+  /** [[labelSpread]]'s driver-local lane: identical vote rounds over the
+    * collected edge/node lists — vote sums via Math.addExact (ANSI sum
+    * parity), winner = min((−votes, label)) with the label compare
+    * mirroring Spark's ordering ([[LocalIter.cmp]]), nulls and the
+    * clampSeeds coalesce chain replicated verbatim. */
+  private def localLabelSpread(e: DataFrame, nodes: DataFrame,
+      iterations: Int, clampSeeds: Boolean): Option[DataFrame] = {
+    val spark = e.sparkSession
+    val labCmp = LocalIter.cmp(nodes.schema("label").dataType)
+    val nodeRows = nodes.select(col("id"), col("label")).collect()
+    val vx = new LocalIter.VertexIndex
+    val seed = new Array[Any](nodeRows.length)
+    nodeRows.foreach { r =>
+      val i = vx(r.get(0))
+      seed(i) = r.get(1) // null stays null
+    }
+    val nV = vx.size
+    // duplicate node ids would collapse to one state row here but stay
+    // two rows distributed — hand such inputs back to the big lane
+    if (nV != nodeRows.length) return None
+    var cur: Array[Any] = seed.clone()
+    // resolve edges to node indices; edges touching non-node ids can
+    // never vote (src inner-joins state) or be voted (dst left-joins
+    // state), so they drop here exactly as in the distributed plan
+    val eRows = e.collect()
+    val srcA = new scala.collection.mutable.ArrayBuffer[Int]()
+    val dstA = new scala.collection.mutable.ArrayBuffer[Int]()
+    val wA = new scala.collection.mutable.ArrayBuffer[Long]()
+    eRows.foreach { r =>
+      val s = vx.get(r.get(0)); val d = vx.get(r.get(1))
+      if (s >= 0 && d >= 0) {
+        srcA += s; dstA += d
+        wA += r.get(2).asInstanceOf[Number].longValue()
+      }
+    }
+    for (_ <- 1 to iterations) {
+      // vote sums per (dst, label) — exact longs, overflow fails loudly
+      // like the ANSI sum it mirrors
+      val votes = new java.util.HashMap[(Int, Any), java.lang.Long]()
+      var k = 0
+      while (k < srcA.length) {
+        val lab = cur(srcA(k))
+        if (lab != null) {
+          val key = (dstA(k), lab)
+          val prev = votes.get(key)
+          votes.put(key,
+            if (prev == null) wA(k) else Math.addExact(prev.longValue(), wA(k)))
+        }
+        k += 1
+      }
+      // winner per dst: min(struct(-v, lab))
+      val winner = new Array[Any](nV)
+      val bestNv = new Array[Long](nV)
+      votes.forEach { (key, v) =>
+        val (d, lab) = key
+        val nv = Math.negateExact(v.longValue())
+        if (winner(d) == null || nv < bestNv(d) ||
+            (nv == bestNv(d) && labCmp(lab, winner(d)) < 0)) {
+          winner(d) = lab; bestNv(d) = nv
+        }
+      }
+      val next = new Array[Any](nV)
+      var i = 0
+      while (i < nV) {
+        next(i) =
+          if (clampSeeds) {
+            if (seed(i) != null) seed(i)
+            else if (winner(i) != null) winner(i) else cur(i)
+          } else if (winner(i) != null) winner(i) else cur(i)
+        i += 1
+      }
+      cur = next
+    }
+    val idType = nodes.schema("id").dataType
+    val labType = nodes.schema("label").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("seed", labType),
+      org.apache.spark.sql.types.StructField("label", labType)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nV)
+    var i = 0
+    while (i < nV) {
+      out.add(org.apache.spark.sql.Row(vx.ids(i), seed(i), cur(i)))
+      i += 1
+    }
+    Some(spark.createDataFrame(out, schema))
   }
 
   /** Per-vertex triangle counts by degree-ordered edge orientation —
@@ -612,6 +793,17 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
       .graftCheckpoint(true)
     var n = und.count()
+    // driver-local lane (round 14): per-edge supports are exact triangle
+    // counts (integers), so the local twin — degree-ordered wedge
+    // enumeration per peel round — reproduces the peel sequence, the
+    // stable exit, and the maxRounds throw verbatim. Each distributed
+    // round is an O(E^1.5) wedge join plus ~6 jobs; below the gate the
+    // whole cascade runs on the collected edge list. GraphSpec pins
+    // lane equality.
+    if (LocalIter.cmp(und.schema("a").dataType) != null &&
+        edges.sparkSession.conf.get("graft.localIterate", "true").toBoolean
+        && n <= LocalIterateMaxEdges)
+      return localKTruss(und, k, maxRounds)
     var round = 0
     var stable = false
     while (!stable) {
@@ -628,6 +820,120 @@ object Graph {
       n = nn
     }
     und.join(edgeSupport(und), Seq("a", "b"))
+  }
+
+  /** [[kTruss]]'s driver-local lane: the identical peel — per round,
+    * support(e) = exact triangle count of e in the surviving graph
+    * (degree-ordered wedge enumeration, O(E^1.5)); drop edges below
+    * k−2; stable when a round removes nothing; throw past maxRounds.
+    * Output (a, b, support) on the stable graph — every surviving edge
+    * has support ≥ k−2 ≥ 1, matching the distributed inner join against
+    * [[edgeSupport]] (which only emits in-triangle edges). */
+  private def localKTruss(undDf: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
+    val spark = undDf.sparkSession
+    val rows = undDf.collect()
+    val vx = new LocalIter.VertexIndex
+    var ea = new Array[Int](rows.length)
+    var eb = new Array[Int](rows.length)
+    var j = 0
+    while (j < rows.length) {
+      ea(j) = vx(rows(j).get(0)); eb(j) = vx(rows(j).get(1)); j += 1
+    }
+    val nV = vx.size
+    var nE = rows.length
+    val support = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    def ekey(x: Int, y: Int): java.lang.Long =
+      java.lang.Long.valueOf(math.min(x, y).toLong * nV + math.max(x, y))
+    def computeSupports(): Unit = {
+      support.clear()
+      val deg = new Array[Int](nV)
+      var i = 0
+      while (i < nE) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+      // orient each edge from its lower-(degree, index) endpoint; the
+      // specific orientation only bounds the wedge volume — support
+      // values are orientation-independent exact triangle counts
+      def lessOrd(x: Int, y: Int): Boolean =
+        deg(x) < deg(y) || (deg(x) == deg(y) && x < y)
+      val outCnt = new Array[Int](nV)
+      i = 0
+      while (i < nE) {
+        if (lessOrd(ea(i), eb(i))) outCnt(ea(i)) += 1 else outCnt(eb(i)) += 1
+        i += 1
+      }
+      val outOff = new Array[Int](nV + 1)
+      i = 0; while (i < nV) { outOff(i + 1) = outOff(i) + outCnt(i); i += 1 }
+      val outDst = new Array[Int](nE)
+      val fill = outOff.clone()
+      val present = new java.util.HashSet[java.lang.Long](nE * 2)
+      i = 0
+      while (i < nE) {
+        val (u, v) = if (lessOrd(ea(i), eb(i))) (ea(i), eb(i))
+                     else (eb(i), ea(i))
+        outDst(fill(u)) = v; fill(u) += 1
+        present.add(ekey(ea(i), eb(i)))
+        i += 1
+      }
+      def bump(x: Int, y: Int): Unit = {
+        val key = ekey(x, y)
+        val c = support.get(key)
+        if (c == null) support.put(key, Array(1L)) else c(0) += 1L
+      }
+      var u = 0
+      while (u < nV) {
+        var p = outOff(u)
+        while (p < outOff(u + 1)) {
+          val x = outDst(p)
+          var q = p + 1
+          while (q < outOff(u + 1)) {
+            val y = outDst(q)
+            if (present.contains(ekey(x, y))) {
+              bump(u, x); bump(u, y); bump(x, y)
+            }
+            q += 1
+          }
+          p += 1
+        }
+        u += 1
+      }
+    }
+    var round = 0
+    var stable = false
+    while (!stable) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"kTruss did not converge within $maxRounds peeling rounds — " +
+            "raise maxRounds (and the oracle's unroll depth) deliberately")
+      computeSupports()
+      val na = new Array[Int](nE)
+      val nb = new Array[Int](nE)
+      var nn = 0
+      var i = 0
+      while (i < nE) {
+        val c = support.get(ekey(ea(i), eb(i)))
+        if (c != null && c(0) >= (k - 2).toLong) {
+          na(nn) = ea(i); nb(nn) = eb(i); nn += 1
+        }
+        i += 1
+      }
+      if (nn == nE) stable = true
+      else { ea = na; eb = nb; nE = nn }
+    }
+    val idType = undDf.schema("a").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", idType),
+      org.apache.spark.sql.types.StructField("b", idType),
+      org.apache.spark.sql.types.StructField("support",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nE)
+    var i = 0
+    while (i < nE) {
+      out.add(org.apache.spark.sql.Row(vx.ids(ea(i)), vx.ids(eb(i)),
+        support.get(ekey(ea(i), eb(i)))(0)))
+      i += 1
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** k-core: the maximal subgraph in which every vertex has degree ≥ k,
@@ -818,6 +1124,15 @@ object Graph {
         s"shortestPaths: edge cost ${r.get(2)} < 1 — non-positive costs " +
           "unbound the relaxation; shift or filter them first")
     }
+    // driver-local lane (round 14): integer min-plus is exact, so the
+    // local twin replays the frontier relaxation rounds verbatim (same
+    // per-round improvement sets, same maxRounds throw, same drained
+    // exit). ~6 Spark jobs per round saved below the gate. GraphSpec
+    // pins lane equality.
+    if (LocalIter.cmp(e.schema("e_src").dataType) != null &&
+        edges.sparkSession.conf.get("graft.localIterate", "true").toBoolean
+        && e.count() <= LocalIterateMaxEdges)
+      return localShortestPaths(e, seeds, maxRounds)
     val vertices = e.select(col("e_src").as("id"))
       .union(e.select(col("e_dst").as("id"))).distinct()
     var dist = seeds.select(col("id")).distinct()
@@ -845,6 +1160,91 @@ object Graph {
       }
     }
     dist
+  }
+
+  /** [[shortestPaths]]'s driver-local lane: identical frontier
+    * relaxation over the collected (src, dst, cost) list — long
+    * arithmetic, exact by construction; round counting and the loud
+    * non-convergence throw mirror the distributed twin line for line. */
+  private def localShortestPaths(e: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val vx = new LocalIter.VertexIndex
+    val srcA = new Array[Int](rows.length)
+    val dstA = new Array[Int](rows.length)
+    val costA = new Array[Long](rows.length)
+    var k = 0
+    while (k < rows.length) {
+      srcA(k) = vx(rows(k).get(0)); dstA(k) = vx(rows(k).get(1))
+      costA(k) = rows(k).getLong(2); k += 1
+    }
+    val nV = vx.size
+    val outCnt = new Array[Int](nV)
+    srcA.foreach(outCnt(_) += 1)
+    val outOff = new Array[Int](nV + 1)
+    var i = 0
+    while (i < nV) { outOff(i + 1) = outOff(i) + outCnt(i); i += 1 }
+    val outIdx = new Array[Int](rows.length)
+    val fill = outOff.clone()
+    k = 0
+    while (k < rows.length) {
+      outIdx(fill(srcA(k))) = k; fill(srcA(k)) += 1; k += 1
+    }
+    val NoDist = Long.MinValue
+    val dist = Array.fill(nV)(NoDist)
+    var frontier = new scala.collection.mutable.ArrayBuffer[Int]()
+    seeds.select(col("id")).distinct().collect().foreach { r =>
+      val v = vx.get(r.get(0))
+      if (v >= 0 && dist(v) == NoDist) { dist(v) = 0L; frontier += v }
+    }
+    require(frontier.nonEmpty, "shortestPaths: no seed appears in the graph")
+    val cand = new Array[Long](nV)
+    var round = 0
+    var drained = false
+    while (!drained) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"shortestPaths did not converge within $maxRounds relaxation " +
+            "rounds — raise maxRounds (and the oracle's unroll depth) " +
+            "deliberately")
+      java.util.Arrays.fill(cand, Long.MaxValue)
+      frontier.foreach { u =>
+        var p = outOff(u)
+        while (p < outOff(u + 1)) {
+          val ei = outIdx(p)
+          val c = Math.addExact(dist(u), costA(ei)) // ANSI-parity overflow
+          if (c < cand(dstA(ei))) cand(dstA(ei)) = c
+          p += 1
+        }
+      }
+      val improved = new scala.collection.mutable.ArrayBuffer[Int]()
+      i = 0
+      while (i < nV) {
+        if (cand(i) != Long.MaxValue &&
+            (dist(i) == NoDist || cand(i) < dist(i))) improved += i
+        i += 1
+      }
+      if (improved.isEmpty) drained = true
+      else {
+        improved.foreach(v => dist(v) = cand(v))
+        frontier = improved
+      }
+    }
+    val idType = e.schema("e_src").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    i = 0
+    while (i < nV) {
+      if (dist(i) != NoDist)
+        out.add(org.apache.spark.sql.Row(vx.ids(i), dist(i)))
+      i += 1
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** One relaxation round: best candidate distance through the frontier

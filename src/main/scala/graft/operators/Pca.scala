@@ -104,10 +104,24 @@ object Pca {
     * (≤ 5e-10 per projection lane) is far below the iteration's own
     * convergence tolerance; orthonormality is restored exactly by the
     * driver-side Gram-Schmidt every pass. */
+  /** Driver-local lane cutoff for [[fit]] (round 14, the
+    * Graph.powerIterate pattern): at or below this many vectors the 10
+    * aggregation jobs (mean + 8 subspace passes + spectrum) run over
+    * the collected vectors as plain JVM loops — bit-identical because
+    * every cross-row sum is an exact scaled integer and the per-row
+    * arithmetic is the verbatim twin of the plan-side expressions
+    * (vector_mean_rounded / dot_double; PcaSpec pins lane equality).
+    * Collected size is bounded like a broadcast side (≤ rows × dim
+    * doubles). `graft.localIterate = false` is the kill-switch. */
+  private val LocalPcaMaxRows = 200000L
+
   def fit(vecs: DataFrame, k: Int = 3, iterations: Int = 8,
       vecCol: String = "embedding"): PcaModel = {
     val v = vecs.select(Similarity.toDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
+    if (vecs.sparkSession.conf.get("graft.localIterate", "true").toBoolean
+        && v.count() <= LocalPcaMaxRows)
+      return localFit(v, k, iterations)
     val mu = v.agg(vector_mean_rounded(col("v"), lit(1.0), 6).as("mu"))
       .head().getSeq[Double](0).toArray
     val centered = v.select(
@@ -141,6 +155,141 @@ object Pca {
     val order = evs.zipWithIndex.sortBy { case (e, j) => (-e, j) }.map(_._2)
     PcaModel(mu, order.map(comps(_)), order.map(evs(_)),
       evRow.getDouble(k))
+  }
+
+  /** [[fit]]'s driver-local lane: the identical pass sequence over the
+    * collected vectors. Exactness argument, pass by pass:
+    *  - [[localMeanRounded]] is the verbatim twin of
+    *    `vector_mean_rounded(v, mult, scale)` (same per-element
+    *    BigDecimal.valueOf→setScale(HALF_UP) quantization, exact
+    *    integer sums, same scale-20 HALF_UP division by the count);
+    *  - projections use [[graft.functions.LocalMath.dotLR]] ≡
+    *    dot_double's left-to-right fold;
+    *  - the spectrum sums replicate
+    *    `sum(round(x,9).cast(decimal(30,12))).cast(double)/count`
+    *    digit for digit (9-dp round, exact pad to scale 12, exact
+    *    integer sum, BigDecimal→double, IEEE division by the count);
+    *  - Gram–Schmidt/ordering reuse the same driver-side code both
+    *    lanes always shared. */
+  private def localFit(v: DataFrame, k: Int, iterations: Int): PcaModel = {
+    import graft.functions.LocalMath
+    val xs = v.collect().map(_.getSeq[Double](0).toArray)
+    val n = xs.length
+    val ones = Array.fill(n)(1.0)
+    val mu = localMeanRounded(xs, ones, 6)
+    val dim = mu.length
+    val vc = xs.map { x =>
+      val c = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { c(i) = x(i) - mu(i); i += 1 }
+      c
+    }
+    var comps = orthonormalize(seeds(k, dim))
+    val d = new Array[Double](n)
+    for (_ <- 0 until iterations) {
+      val next = Array.ofDim[Array[Double]](k)
+      for (j <- 0 until k) {
+        val cj = comps(j)
+        // pure per-row projections: parallel writes to distinct slots
+        java.util.stream.IntStream.range(0, n).parallel()
+          .forEach(r => d(r) = LocalMath.dotLR(vc(r), cj))
+        next(j) = localMeanRounded(vc, d, 9)
+      }
+      comps = orthonormalize(next)
+    }
+    // spectrum: sum(round(d·d, 9) cast decimal(30,12)) cast double / n.
+    // Parallel over row chunks: each chunk accumulates an exact partial
+    // (the quantization per row is a pure function; exact integer sums
+    // merge order-free), so the parallel total is bit-identical to the
+    // serial one — the same argument that makes the distributed
+    // aggregate partitioning-invariant.
+    def spectrumSum(proj: Int => Double): Double = {
+      val Spill = 1L << 62
+      val nChunks = math.min(64, math.max(1, n / 4096 + 1))
+      val partials = new Array[java.math.BigInteger](nChunks)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+        val lo = (n.toLong * c / nChunks).toInt
+        val hi = (n.toLong * (c + 1) / nChunks).toInt
+        var sumL = 0L
+        var big: java.math.BigInteger = null
+        var r = lo
+        while (r < hi) {
+          val dd = proj(r)
+          val term = java.math.BigDecimal
+            .valueOf(LocalMath.roundHalfUp(dd, 9))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+          val acc = sumL + term
+          if (acc >= Spill || acc <= -Spill) {
+            val b = java.math.BigInteger.valueOf(acc)
+            big = if (big == null) b else big.add(b)
+            sumL = 0L
+          } else sumL = acc
+          r += 1
+        }
+        var tot = java.math.BigInteger.valueOf(sumL)
+        if (big != null) tot = tot.add(big)
+        partials(c) = tot
+      }
+      val tot = partials.foldLeft(java.math.BigInteger.ZERO)(_.add(_))
+      new java.math.BigDecimal(tot, 12).doubleValue() / n.toDouble
+    }
+    val evs = Array.tabulate(k) { j =>
+      spectrumSum { i =>
+        val dj = LocalMath.dotLR(vc(i), comps(j)); dj * dj
+      }
+    }
+    val total = spectrumSum(i => LocalMath.dotLR(vc(i), vc(i)))
+    val order = evs.zipWithIndex.sortBy { case (e, j) => (-e, j) }.map(_._2)
+    PcaModel(mu, order.map(comps(_)), order.map(evs(_)), total)
+  }
+
+  /** Verbatim local twin of `vector_mean_rounded(v, mult, scale)` over
+    * dense rows (no nulls here by construction) —
+    * [[graft.functions.LocalMath.MeanRoundedAcc]] semantics, parallel
+    * over DIMENSIONS (each dimension's exact sum is independent, so the
+    * split changes nothing — not even the addition order within a
+    * lane). */
+  private def localMeanRounded(xs: Array[Array[Double]],
+      mult: Array[Double], scale: Int): Array[Double] = {
+    val dim = xs(0).length
+    var r = 0
+    while (r < xs.length) {
+      if (xs(r).length != dim)
+        throw new IllegalStateException(
+          s"vector_mean_rounded: mixed dimensionalities in one group " +
+            s"($dim vs ${xs(r).length})")
+      r += 1
+    }
+    val Spill = 1L << 62
+    val c = java.math.BigDecimal.valueOf(xs.length.toLong)
+    val out = new Array[Double](dim)
+    java.util.stream.IntStream.range(0, dim).parallel().forEach { i =>
+      var sumL = 0L
+      var big: java.math.BigInteger = null
+      var r2 = 0
+      while (r2 < xs.length) {
+        val term = java.math.BigDecimal.valueOf(xs(r2)(i) * mult(r2))
+          .setScale(scale, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        if (term >= Spill || term <= -Spill)
+          throw new ArithmeticException(
+            s"vector_mean_rounded: |element·10^$scale| ≥ 2^62 — input " +
+              "magnitude outside the Long fast-path contract")
+        val acc = sumL + term
+        if (acc >= Spill || acc <= -Spill) {
+          val b = java.math.BigInteger.valueOf(acc)
+          big = if (big == null) b else big.add(b)
+          sumL = 0L
+        } else sumL = acc
+        r2 += 1
+      }
+      var tot = java.math.BigInteger.valueOf(sumL)
+      if (big != null) tot = tot.add(big)
+      out(i) = new java.math.BigDecimal(tot, scale)
+        .divide(c, 20, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    out
   }
 
   /** Driver query: one row per component — eigenvalue, explained

@@ -48,9 +48,32 @@ object Pq {
     * relabeled 0..numCodes-1 per subspace (codes are storage — 4 bits
     * at 16 — so labels must be compact, not init-vector ids); the
     * relabel window partitions by m. */
+  /** Driver-local lane cutoff for [[trainCodebooks]] (round 14, the
+    * Ivf.kmeans pattern one level up): at or below this many vectors
+    * the whole Lloyd loop runs over the collected vectors — codebook
+    * training is bounded model fitting (production trains on a sample),
+    * and the collected side is broadcast-sized. Bit-identical: the
+    * argmin replicates min(struct(sqDist, cell)) (IEEE `<` compare, so
+    * −0.0 ≡ 0.0 like Spark's normalized compare; ties → smaller cell)
+    * and means run through the MeanRoundedAcc twin of
+    * vector_mean_rounded (PqSpec/SimilaritySpec pin lane equality).
+    * Above the gate — or for non-integral vec_id types — the
+    * distributed loop is unchanged. graft.localIterate kills it. */
+  private val LocalTrainMaxRows = 200000L
+
   def trainCodebooks(vectors: DataFrame, dim: Int, numSubspaces: Int,
       numCodes: Int, iterations: Int = 3): DataFrame = {
     require(dim % numSubspaces == 0, "dim must divide evenly into subspaces")
+    val idIntegral = vectors.schema("vec_id").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (idIntegral &&
+        vectors.sparkSession.conf.get("graft.localIterate", "true").toBoolean
+        && vectors.count() <= LocalTrainMaxRows)
+      localTrainCodebooks(vectors, dim, numSubspaces, numCodes, iterations)
+        .foreach(df => return df)
     val subDim = dim / numSubspaces
     val sub = vectors.select(col("vec_id"), posexplode(
       array((0 until numSubspaces).map(m =>
@@ -80,6 +103,116 @@ object Pq {
         row_number().over(Window.partitionBy(col("m"))
           .orderBy(col("cell"))) - 1)
       .select(col("m"), col("code"), col("centroid"))
+  }
+
+  /** [[trainCodebooks]]'s driver-local lane: the identical composite
+    * (m, cell) Lloyd loop over the collected vectors. Init = first
+    * numCodes vec_ids ascending, cell = vec_id cast int; per round,
+    * assign by exact sqDist argmin (left-to-right fold, ties to the
+    * smaller cell) and re-center with the vector_mean_rounded twin
+    * (6 dp inputs, scale-20 division); final codes relabel cells
+    * 0..k−1 per subspace in cell order — every step the verbatim twin
+    * of the plan-side expression. */
+  private def localTrainCodebooks(vectors: DataFrame, dim: Int,
+      numSubspaces: Int, numCodes: Int,
+      iterations: Int): Option[DataFrame] = {
+    import graft.functions.LocalMath
+    val spark = vectors.sparkSession
+    val subDim = dim / numSubspaces
+    val rows = vectors.collect()
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vs = new Array[Array[Double]](n)
+    var r = 0
+    while (r < n) {
+      ids(r) = rows(r).get(0).asInstanceOf[Number].longValue()
+      vs(r) = rows(r).getSeq[Double](1).toArray
+      r += 1
+    }
+    // slice(v, m·subDim+1, subDim) per subspace, precomputed once
+    def sliceOf(v: Array[Double], m: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)
+    // init: first numCodes vectors by vec_id ascending; cell = id as int
+    val order = (0 until n).sortBy(ids(_))
+    val initIdx = order.take(numCodes)
+    // a cast-to-int collision among init ids would make "cell" ambiguous
+    // locally (two distributed centroid rows share a cell id) — hand the
+    // pathological case back to the distributed lane
+    if (initIdx.map(i => ids(i).toInt).distinct.length != initIdx.length)
+      return None
+    // centroids per (m, cell): parallel arrays of (cellId, centroid)
+    var cells: Array[Array[Int]] =
+      Array.fill(numSubspaces)(initIdx.map(i => ids(i).toInt).toArray)
+    var cents: Array[Array[Array[Double]]] =
+      Array.tabulate(numSubspaces)(m => initIdx.map(i => sliceOf(vs(i), m)).toArray)
+    def sqDistLR(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    for (_ <- 1 to iterations) {
+      // per (m, cell) mean accumulators keyed by cell id
+      val accs = Array.fill(numSubspaces)(
+        new java.util.TreeMap[Integer, LocalMath.MeanRoundedAcc]())
+      r = 0
+      while (r < n) {
+        var m = 0
+        while (m < numSubspaces) {
+          val sv = sliceOf(vs(r), m)
+          // argmin over (dist, cell): IEEE < (−0.0 ≡ 0.0), ties → min cell
+          var bestD = Double.NaN
+          var bestC = 0
+          var c = 0
+          while (c < cells(m).length) {
+            val d = sqDistLR(sv, cents(m)(c))
+            if (bestD.isNaN || d < bestD ||
+                (d == bestD && cells(m)(c) < bestC)) {
+              bestD = d; bestC = cells(m)(c)
+            }
+            c += 1
+          }
+          var acc = accs(m).get(Integer.valueOf(bestC))
+          if (acc == null) {
+            acc = new LocalMath.MeanRoundedAcc(subDim, 6)
+            accs(m).put(Integer.valueOf(bestC), acc)
+          }
+          acc.add(sv, 1.0)
+          m += 1
+        }
+        r += 1
+      }
+      cells = Array.tabulate(numSubspaces) { m =>
+        val ks = new Array[Int](accs(m).size())
+        var i = 0
+        accs(m).keySet().forEach { k => ks(i) = k.intValue(); i += 1 }
+        ks
+      }
+      cents = Array.tabulate(numSubspaces) { m =>
+        cells(m).map(c => accs(m).get(Integer.valueOf(c)).mean())
+      }
+    }
+    // relabel: row_number over (partition m, order by cell) − 1; the
+    // TreeMap iteration above already yields cells ascending
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    var m = 0
+    while (m < numSubspaces) {
+      var c = 0
+      while (c < cells(m).length) {
+        out.add(org.apache.spark.sql.Row(m, c, cents(m)(c).toSeq))
+        c += 1
+      }
+      m += 1
+    }
+    Some(spark.createDataFrame(out, schema))
   }
 
   /** PQ-encode: one row per vector, `codes[m]` = nearest centroid id in

@@ -640,6 +640,21 @@ class DataOpsSpec extends SparkSpec {
     assert(w2.toSeq === w.toSeq, "training must not depend on partitioning")
   }
 
+  test("t25 GD lanes: driver-local ≡ distributed, bit-identical " +
+    "(weights and per-iteration losses)") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir).withColumn("lbl",
+      (graft.functions.Text.sentimentScore($"text") > 0.02).cast("int"))
+    def run(): (Array[Double], Array[Double]) =
+      DataOps.trainQualityClassifier(docs, "doc_id", "text", "lbl")
+    val (wL, lossL) = run() // local lane (tiny corpus, default conf)
+    spark.conf.set("graft.localIterate", "false")
+    val (wD, lossD) =
+      try run() finally spark.conf.unset("graft.localIterate")
+    assert(wL.toSeq === wD.toSeq, "GD lanes must produce identical weights")
+    assert(lossL.toSeq === lossD.toSeq, "GD lanes must produce identical losses")
+  }
+
   test("t25 weight transport: literalWeightLimit is inert, scales to 65536 buckets") {
     val dir = sf("sf0.001")
     val docs = graft.Tables.documents(spark, dir).withColumn("lbl",
@@ -1475,6 +1490,20 @@ class DataOpsSpec extends SparkSpec {
     val scores = rows.map(_.getAs[Double]("quality_score"))
     assert(scores.max > scores.min + 0.05,
       s"hashed weights must separate docs: [${scores.min}, ${scores.max}]")
+  }
+
+  test("PQ codebook lanes: driver-local ≡ distributed, bit-identical " +
+    "(m, code, centroid)") {
+    val d = sf("sf0.001")
+    val vectors = graft.Tables.embeddings(spark, d)
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+    def run(): Set[(Int, Int, Seq[Double])] =
+      Pq.trainCodebooks(vectors, dim = 64, numSubspaces = 8, numCodes = 16)
+        .as[(Int, Int, Seq[Double])].collect().toSet
+    val local = run() // default lane below the row gate
+    spark.conf.set("graft.localIterate", "false")
+    val dist = try run() finally spark.conf.unset("graft.localIterate")
+    assert(local === dist, "codebook lanes must be bit-identical")
   }
 
   test("PQ: reconstruction beats the global-mean baseline; shortlist+rerank recall holds") {

@@ -638,4 +638,98 @@ class GraphSpec extends SparkSpec {
       3L -> ((3L, 1L, Some("0.333333333"))),
       4L -> ((1L, 0L, None))))
   }
+
+  // ---- round-14 driver-local lane parity (the powerIterate/kCore
+  // convention): every new lane must agree EXACTLY with its distributed
+  // twin, including convergence throws -------------------------------
+
+  private def distributed[T](run: => T): T = {
+    spark.conf.set("graft.localIterate", "false")
+    try run finally spark.conf.unset("graft.localIterate")
+  }
+
+  test("connected-components lanes: local ≡ distributed (string ids, " +
+    "multi-component), and BOTH lanes throw unconverged") {
+    // two components with string ids (the er02 shape — UTF8 binary min),
+    // chain inside one component so pointer jumping matters
+    val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("x", "y"),
+      ("a", "a2"), ("y", "x")).toDF("src", "dst")
+    def run(): Map[String, String] =
+      ConnectedComponents.run(edges).as[(String, String)].collect().toMap
+    val local = run()
+    val dist = distributed(run())
+    assert(local === dist, "CC lanes must agree exactly")
+    assert(local("d") === "a" && local("y") === "x")
+    // throw parity: 200-chain cannot converge in 2 rounds on either lane
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, maxIter = 2) }
+    intercept[IllegalStateException] { distributed(
+      ConnectedComponents.run(chain, maxIter = 2)) }
+  }
+
+  test("bfsDepth lanes: local ≡ distributed (shortcut, maxDepth cut, " +
+    "unreachable component)") {
+    val chain = (0L until 5L).map(i => (i, i + 1)) ++
+      Seq((0L, 3L), (90L, 91L))
+    val edges = chain.toDF("src", "dst")
+    val sym = edges.union(edges.select($"dst", $"src"))
+    val seeds = Seq(0L).toDF("id")
+    def run(): Map[Long, Int] = Graph.bfsDepth(sym, seeds, maxDepth = 2)
+      .as[(Long, Int)].collect().toMap
+    val local = run()
+    assert(local === distributed(run()), "bfs lanes must agree exactly")
+    assert(local === Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2))
+  }
+
+  test("shortestPaths lanes: local ≡ distributed (multi-hop beats " +
+    "direct, throw parity past maxRounds)") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 4L, 9L), (4L, 5L, 2L), (7L, 8L, 1L)).toDF("src", "dst", "cost")
+    val seeds = Seq(1L).toDF("id")
+    def run(): Map[Long, Long] =
+      Graph.shortestPaths(edges, seeds, maxRounds = 10)
+        .as[(Long, Long)].collect().toMap
+    val local = run()
+    assert(local === distributed(run()), "sssp lanes must agree exactly")
+    assert(local === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 5L))
+    // throw parity: a 6-hop chain cannot settle in 2 rounds either lane
+    val long = (0L until 6L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "cost")
+    intercept[IllegalStateException] {
+      Graph.shortestPaths(long, Seq(0L).toDF("id"), maxRounds = 2) }
+    intercept[IllegalStateException] { distributed(
+      Graph.shortestPaths(long, Seq(0L).toDF("id"), maxRounds = 2)) }
+  }
+
+  test("labelSpread lanes: local ≡ distributed (weighted ties, nulls, " +
+    "clampSeeds, two rounds)") {
+    val nodes = Seq((1L, Some(1L)), (2L, Some(2L)), (10L, None),
+      (11L, None), (12L, None), (13L, None), (99L, Some(7L)))
+      .toDF("id", "label")
+    val dir = Seq((1L, 10L, 3L), (2L, 10L, 2L), (1L, 11L, 5L),
+      (2L, 11L, 5L), (13L, 12L, 9L), (10L, 13L, 1L))
+      .toDF("src", "dst", "w")
+    val edges = dir.union(dir.select($"dst", $"src", $"w"))
+    def run(clamp: Boolean): Map[Long, (Option[Long], Option[Long])] =
+      Graph.labelSpread(nodes, edges, iterations = 2, clampSeeds = clamp)
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    for (clamp <- Seq(false, true)) {
+      val local = run(clamp)
+      assert(local === distributed(run(clamp)),
+        s"labelSpread lanes must agree exactly (clampSeeds=$clamp)")
+    }
+  }
+
+  test("kTruss lanes: local ≡ distributed (K5 + pendant path cascade, " +
+    "exact supports)") {
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L), (2L, 1L))).toDF("src", "dst")
+    def run(): Set[(Long, Long, Long)] =
+      Graph.kTruss(edges, k = 4).as[(Long, Long, Long)].collect().toSet
+    val local = run()
+    assert(local === distributed(run()), "kTruss lanes must agree exactly")
+    // K5 survives as the 4-truss: every edge in exactly 3 triangles
+    assert(local === k5.map { case (a, b) => (a, b, 3L) }.toSet)
+  }
 }

@@ -60,6 +60,19 @@ class PcaSpec extends SparkSpec {
     assert(a.mean.toSeq === b.mean.toSeq)
   }
 
+  test("fit lanes: driver-local ≡ distributed, bit-identical " +
+    "(mean, components, spectrum)") {
+    def run(): Pca.PcaModel = Pca.fit(planted, k = 3, iterations = 8)
+    val local = run() // default lane below the row gate
+    spark.conf.set("graft.localIterate", "false")
+    val dist = try run() finally spark.conf.unset("graft.localIterate")
+    assert(local.mean.toSeq === dist.mean.toSeq, "means must be bit-identical")
+    assert(local.components.map(_.toSeq).toSeq ===
+      dist.components.map(_.toSeq).toSeq, "components must be bit-identical")
+    assert(local.eigenvalues.toSeq === dist.eigenvalues.toSeq)
+    assert(local.totalVariance === dist.totalVariance)
+  }
+
   test("e07 query: 3 rows, fractions in (0,1], eigenvalues descending") {
     val rows = DataOps.queries("e07_pca")(spark, sf("sf0.001"))
       .orderBy($"component").collect()
