@@ -600,18 +600,15 @@ object DataOps {
       .select($"__id", $"__y", ($"__c" / $"__n").as("__x"), $"__b")
       .groupBy($"__id", $"__y")
       .agg(collect_list(struct($"__b", $"__x")).as("__f"))
-    // cache the per-doc features as a typed RDD (label, buckets[],
-    // freqs[]): iterations run pure JVM math over this, so per-iteration
-    // cost is one treeAggregate job — no plan analysis, no codegen
-    val perDoc = perDocDf.select($"__y", $"__f").rdd.map { row =>
+    def parseRow(row: org.apache.spark.sql.Row)
+        : (Double, Array[Int], Array[Double]) = {
       val fs = row.getSeq[org.apache.spark.sql.Row](1)
       val bs = new Array[Int](fs.length)
       val xs = new Array[Double](fs.length)
       var i = 0
       fs.foreach { f => bs(i) = f.getInt(0); xs(i) = f.getDouble(1); i += 1 }
       (row.getDouble(0), bs, xs)
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = perDoc.count().toDouble
+    }
     // driver-local lane (round 14, the Graph.powerIterate pattern): every
     // distributed sum here is already EXACT (ExactAcc scaled integers),
     // hence order-independent — so running the same seqOp loop over the
@@ -620,11 +617,27 @@ object DataOps {
     // rounds, each a full plan/schedule round-trip) collapse into plain
     // JVM loops. The collect is bounded: ≤ LocalGdMaxDocs rows of
     // (label, ≤nBuckets ints, ≤nBuckets doubles) — broadcast-sized. At
-    // corpus scale the treeAggregate lane takes over unchanged.
+    // corpus scale the treeAggregate lane takes over unchanged. The gate
+    // probes the INPUT row count (≥ the grouped feature row count —
+    // conservative, and a cheap column-pruned scan); below it the
+    // feature relation is collected directly, so the RDD conversion,
+    // the persist cycle and its count job never happen at all.
     // DataOpsSpec pins lane equality; graft.localIterate kills it.
     val localRows: Array[(Double, Array[Int], Array[Double])] =
       if (ss.conf.get("graft.localIterate", "true").toBoolean &&
-          nDocs <= LocalGdMaxDocs) perDoc.collect() else null
+          docs.count() <= LocalGdMaxDocs)
+        perDocDf.select($"__y", $"__f").collect().map(parseRow)
+      else null
+    // the distributed lane caches the per-doc features as a typed RDD:
+    // iterations then run pure JVM math, one treeAggregate job each —
+    // no plan analysis, no codegen
+    val perDoc =
+      if (localRows != null) null
+      else perDocDf.select($"__y", $"__f").rdd.map(parseRow)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs =
+      if (localRows != null) localRows.length.toDouble
+      else perDoc.count().toDouble
     // Per-bucket standardization: raw c/n frequencies are ~1/n_tokens,
     // which conditions GD so badly it crawls (measured: majority-class
     // accuracy after 60 iterations). Standardized features converge in
@@ -746,7 +759,7 @@ object DataOps {
       b0 += lr * rTotal / nDocs
       losses += lAcc.toDouble(9) / nDocs
     }
-    perDoc.unpersist(blocking = false)
+    if (perDoc != null) perDoc.unpersist(blocking = false)
     // fold standardization into the returned model so scoring is the
     // plain t17 form over raw frequencies: v_b = w_b/sd_b,
     // bias' = b0 - Σ w_b mu_b / sd_b
@@ -1160,6 +1173,25 @@ object DataOps {
     * the posting self-join per invocation. Build once per (session,
     * sfDir), checkpoint, filter many — the corpusCentroidsMemo
     * convention; values unchanged by construction. */
+  /** Session-scoped memos of the MinHash-LSH and SimHash candidate pair
+    * sets at the d03/d04 parameterizations — d08's recall report re-runs
+    * BOTH bodies per evaluation (that sharing is the report's point: it
+    * measures exactly what ships), so the pair sets materialize once per
+    * (session, sfDir) like the d05 cluster fixpoint. Values unchanged. */
+  private def minhashPairsMemo(s: SparkSession, d: String): DataFrame =
+    memoGet(pairsMemo, s, s"$d#mh") {
+      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5)
+        .graftCheckpoint()
+    }
+  private def simhashPairsMemo(s: SparkSession, d: String): DataFrame =
+    memoGet(pairsMemo, s, s"$d#sh") {
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 3).graftCheckpoint()
+    }
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
   private val shingleStatsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private[operators] def corpusShinglePairsMemo(
@@ -1827,20 +1859,13 @@ object DataOps {
     // floor spec stays as the semantic gate.
     "d08_dedup_recall" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      // NB: the truth pair set feeds three aggregate branches; measured,
-      // ReuseExchange already deduplicates the identical deterministic
-      // subplans (an explicit localCheckpoint here was ~2× SLOWER — it
-      // forces a standalone materialization job and forfeits the shared
-      // scan). Deterministic subplans may rely on reuse; only
-      // NON-deterministic ones (q28's sketch) must checkpoint.
+      // all three arms are session-memoized relations (the report
+      // measures exactly the shipped d02/d03/d04 parameterizations);
+      // the truth set is a τ-filter of the shared shingle-stats memo
       val truth = Dedup.jaccardFromStats(corpusShinglePairsMemo(s, d),
         minJaccard = 0.5).select($"doc_a", $"doc_b")
-      val mh = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5)
-        .select($"doc_a", $"doc_b")
-      val sh = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
-        .select($"doc_a", $"doc_b")
+      val mh = minhashPairsMemo(s, d).select($"doc_a", $"doc_b")
+      val sh = simhashPairsMemo(s, d).select($"doc_a", $"doc_b")
       // all-lazy: three 1-row aggregates crossed into the report row
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       val nMhHit = truth.join(mh, Seq("doc_a", "doc_b"), "left_semi")
@@ -1863,21 +1888,14 @@ object DataOps {
     // ~n²/2^64). Star degradation never fires at test SFs (measured max
     // band bucket: 4 docs at sf0.1 vs cap 1000), so the semantic pair
     // set IS the engine's output — the c04/sk01 argument.
-    "d03_minhash_pairs" -> { (s, d) =>
-      Tables.documents(s, d).transform(df =>
-        Dedup.minHashLshPairs(df, "doc_id", "text",
-          shingleN = 3, numPerm = 16, bands = 4, minEstJaccard = 0.5))
-    },
+    "d03_minhash_pairs" -> ((s, d) => minhashPairsMemo(s, d)),
 
     // SimHash near-dup pairs, Hamming ≤ 3 — EXACTLY oracled: fingerprint
     // bits are md5-defined majorities, and the pigeonhole buckets are the
     // RAW 16-bit chunk values (no grouping hash at all), so the oracle
     // reproduces candidates and popcounts verbatim. Measured max chunk
     // bucket 291 docs at sf0.1 (cap 1000): star mode never fires here.
-    "d04_simhash_pairs" -> { (s, d) =>
-      Tables.documents(s, d).transform(df =>
-        Dedup.simHashPairs(df, "doc_id", "text", maxDist = 3))
-    },
+    "d04_simhash_pairs" -> ((s, d) => simhashPairsMemo(s, d)),
 
     // Exact brute-force cosine top-5 for probe vectors 0-2.
     "s01_brute_knn" -> { (s, d) =>
